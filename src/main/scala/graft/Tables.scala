@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet testdata (TESTDATA.md).
+  *
+  * Every batch query in this engine takes `(SparkSession, sfDir)` and reads
+  * only via these helpers, so filter pushdown / column pruning reach the
+  * parquet scan unimpeded (plain `spark.read.parquet`, no caching layer).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    // reader rejects unless read as raw Long (nanos since epoch); the
+    // events loader below converts back to a timestamp column.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `ts` arrives as NANOS(NTZ) parquet → raw Long under nanosAsLong; expose
+    * it as µs-precision TIMESTAMP_NTZ to match how DuckDB sees the other
+    * tables' naive timestamps (truncation is lossless: the datagen stamps
+    * µs-aligned values). */
+  def events(s: SparkSession, d: String): DataFrame =
+    table(s, d, "events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.expr(
+        "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** One named, oracle-checkable batch operator.
+  *
+  * @param oracle equivalent ANSI SQL for DuckDB over the same tables;
+  *               None → the driver records a weaker rows-only check.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])

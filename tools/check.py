@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each SQL
+in DuckDB with every testdata parquet registered as a view, and compares
+against the Spark parquet dump <verifyOutDir>/<name>/ — columns sorted by
+name, rows sorted, values stringified. Dev-only tool; the engine itself never
+depends on Python.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            res = con.execute(sql)
+            oracle_cols = [d[0] for d in res.description]
+            oracle_rows = res.fetchall()
+            sres = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            spark_cols = [d[0] for d in sres.description]
+            spark_rows = sres.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        if sorted(oracle_cols) != sorted(spark_cols):
+            print(f"FAIL {name}: cols oracle={sorted(oracle_cols)} "
+                  f"spark={sorted(spark_cols)}")
+            n_fail += 1
+            continue
+        a = canon(oracle_rows, oracle_cols)
+        b = canon(spark_rows, spark_cols)
+        if a != b:
+            diff = next((i for i, (x, y) in enumerate(zip(a, b)) if x != y),
+                        min(len(a), len(b)))
+            print(f"FAIL {name}: rows oracle={len(a)} spark={len(b)}; "
+                  f"first diff @{diff}:")
+            print(f"  oracle: {a[diff] if diff < len(a) else '<none>'}")
+            print(f"  spark : {b[diff] if diff < len(b) else '<none>'}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(a)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
