@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Every registered query must run and return a sane result on sf0.001;
+  * targeted semantic checks for the ops with easily-stated invariants.
+  * (Value-level correctness vs DuckDB is the driver's Verify gate +
+  * tools/check.py — this suite is the fast structural net.) */
+class OpQuerySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("registry is consistent: oracle keys ⊆ query keys, names unique") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size === names.size, "duplicate query names")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for (q <- SparkEntry.registry) {
+    test(s"${q.name} runs on sf0.001 with non-empty schema") {
+      val df = q.fn(spark, sf)
+      assert(df.schema.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("gap_detect: every reported gap is a real per-user id gap") {
+    val bad = operators.CoreQueries.gapDetect.fn(spark, sf)
+      .filter(col("n_missing") =!= col("next_id") - col("last_id") - 1 ||
+        col("n_missing") <= 0)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("topk_per_key: at most 15 rows per key, ranks contiguous from 1") {
+    val agg = operators.RefOpQueries.topkPerKey.fn(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min("rn").as("mn"), max("rn").as("mx"))
+    assert(agg.filter(col("n") > 15 || col("mn") =!= 1 ||
+      col("mx") =!= col("n")).count() === 0)
+  }
+
+  test("change_suppress: no two consecutive equal values per key survive") {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"event_id")
+    val redundant = operators.RefOpQueries.changeSuppress.fn(spark, sf)
+      .withColumn("prev", lag($"value", 1).over(w))
+      .filter($"prev".isNotNull && $"value" === $"prev")
+      .count()
+    assert(redundant === 0)
+  }
+
+  test("scan_filter_prune: filter and pruning reach the parquet scan") {
+    val plan = operators.RefOpQueries.scanFilterPrune.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"no pushed filter in plan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_shipdate:timestamp_ntz,l_extendedprice:double>") ||
+      plan.contains("ReadSchema: struct<l_extendedprice:double,l_shipdate:timestamp_ntz>"),
+      s"scan not pruned to 2 columns:\n$plan")
+  }
+
+  test("backfill semi/anti partition orders exactly") {
+    val o = Tables.orders(spark, sf).count()
+    val semi = operators.RefOpQueries.backfillSemi.fn(spark, sf).count()
+    val anti = operators.RefOpQueries.backfillAnti.fn(spark, sf).count()
+    assert(semi + anti === o)
+  }
+}
