@@ -12,7 +12,8 @@ object SparkEntry {
   /** The full operator registry (SURVEY.md §2 inventory). */
   def registry: Seq[QueryDef] =
     operators.CoreQueries.defs ++
-      operators.RefOpQueries.defs
+      operators.RefOpQueries.defs ++
+      operators.DerivedQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Gap detection — the reference's core completeness check

@@ -81,6 +81,41 @@ class OpQuerySpec extends AnyFunSuite {
       s"scan not pruned to 2 columns:\n$plan")
   }
 
+  test("ohlcv: high >= open, close, low on every candle") {
+    val bad = operators.DerivedQueries.ohlcv.fn(spark, sf)
+      .filter(col("high") < col("low") || col("high") < col("open") ||
+        col("high") < col("close") || col("low") > col("open") ||
+        col("low") > col("close"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("asof_join: matched view is never after the purchase") {
+    import spark.implicits._
+    val asof = operators.DerivedQueries.asofJoin.fn(spark, sf)
+    val views = Tables.events(spark, sf)
+      .filter($"event_type" === "view")
+      .select($"event_id".as("asof_view_id"), $"ts".as("view_ts"))
+    val bad = asof.filter($"asof_view_id".isNotNull)
+      .join(views, "asof_view_id")
+      .filter($"view_ts" > $"ts")
+      .count()
+    assert(bad === 0)
+  }
+
+  test("star_join: dimensions are broadcast, no shuffle join on nation/region") {
+    val plan = operators.DerivedQueries.starJoin.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("rollup_agg: grand-total row equals table count") {
+    val total = operators.DerivedQueries.rollupAgg.fn(spark, sf)
+      .filter(col("n_name").isNull && col("c_mktsegment").isNull)
+      .select("n_customers").collect().head.getLong(0)
+    assert(total === Tables.customer(spark, sf).count())
+  }
+
   test("backfill semi/anti partition orders exactly") {
     val o = Tables.orders(spark, sf).count()
     val semi = operators.RefOpQueries.backfillSemi.fn(spark, sf).count()
