@@ -13,7 +13,8 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     operators.CoreQueries.defs ++
       operators.RefOpQueries.defs ++
-      operators.DerivedQueries.defs
+      operators.DerivedQueries.defs ++
+      operators.DedupQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Gap detection — the reference's core completeness check

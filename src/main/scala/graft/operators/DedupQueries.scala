@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextHashing
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents`/`embeddings` corpus
+  * (SURVEY.md §2.3) — the LLM-training-data cleaning surface: exact hash
+  * dedup, MinHash+LSH candidate generation, exact n-gram Jaccard
+  * verification, SimHash fingerprints, embedding-cosine near-dup, and
+  * connected-components cluster closure.
+  *
+  * Oracle-parity design: every hash bottoms out in md5 (identical in Spark
+  * and DuckDB); similarity thresholds sit far from any value present in the
+  * data so float-precision differences between engines cannot flip a
+  * membership decision (see TextHashing scaladoc).
+  */
+object DedupQueries {
+
+  private val B = 4  // LSH bands
+  private val R = 4  // minhash rows per band
+
+  /** Shared DuckDB CTE prefix: distinct word 3-shingles per doc. */
+  private val shingleCte = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+            FROM t),
+    sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+           FROM idx)"""
+
+  /** h0..h15 minhash CTE + 4-band bucket CTE (mirrors TextHashing). */
+  private val minhashCte: String = {
+    val hs = (0 until B * R)
+      .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
+    val bandSelects = (0 until B).map { b =>
+      val cat = (b * R until (b + 1) * R).map(i => s"h$i").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS sig FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""$shingleCte,
+    mh AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id),
+    bands AS ($bandSelects),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"""
+  }
+
+  /** Candidate pairs + exact Jaccard CTE (LSH verify stage). */
+  private val jaccardCte: String =
+    s"""$minhashCte,
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    inter AS (SELECT doc_a, doc_b, count(*) AS n_inter
+              FROM cand
+              JOIN sh sa ON sa.doc_id = doc_a
+              JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle
+              GROUP BY doc_a, doc_b),
+    jac AS (SELECT doc_a, doc_b, n_inter,
+                   za.n_shingles AS n_a, zb.n_shingles AS n_b,
+                   CAST(n_inter AS DOUBLE) /
+                   CAST(za.n_shingles + zb.n_shingles - n_inter AS DOUBLE)
+                     AS jaccard
+            FROM inter
+            JOIN sizes za ON za.doc_id = doc_a
+            JOIN sizes zb ON zb.doc_id = doc_b)"""
+
+  /** Exact dedup by content hash (§2.3): one row per distinct text, its
+    * cluster size and smallest doc_id as representative. */
+  val exact = QueryDef(
+    "dedup_exact",
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc_id")),
+    Some("""
+      SELECT md5(text) AS text_hash, count(*) AS n_docs,
+             min(doc_id) AS rep_doc_id
+      FROM documents GROUP BY 1
+    """))
+
+  /** MinHash(16) + 4-band LSH candidate pairs — the shuffle-friendly
+    * near-dup discovery path (bucket join, no cross join). */
+  val minhashLsh = QueryDef(
+    "dedup_minhash_lsh",
+    (spark, dir) =>
+      TextHashing.lshCandidatePairs(Tables.documents(spark, dir), B, R),
+    Some(s"$minhashCte SELECT doc_a, doc_b FROM cand"))
+
+  /** Exact word-3-gram Jaccard over the LSH candidates, thresholded at 0.7
+    * — the verify stage that kills LSH false positives. */
+  val jaccardVerify = QueryDef(
+    "dedup_jaccard_verify",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      TextHashing
+        .jaccard(docs, TextHashing.lshCandidatePairs(docs, B, R))
+        .filter(col("jaccard") >= 0.7)
+    },
+    Some(s"$jaccardCte SELECT * FROM jac WHERE jaccard >= 0.7"))
+
+  /** 64-bit SimHash fingerprint per document (near-dup sketch whose Hamming
+    * distance approximates cosine similarity of token sets). */
+  val simhash = QueryDef(
+    "dedup_simhash",
+    (spark, dir) => TextHashing.simhash(Tables.documents(spark, dir)),
+    Some("""
+      WITH tok AS (SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents)),
+      h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+      pos AS (SELECT doc_id, h, unnest(generate_series(1, 16)) AS pos FROM h),
+      d AS (SELECT doc_id, pos,
+                   strpos('0123456789abcdef', substr(h, pos, 1)) - 1 AS d
+            FROM pos),
+      sums AS (SELECT doc_id, pos,
+                      sum((d % 2) * 2 - 1) AS s0,
+                      sum(((d // 2) % 2) * 2 - 1) AS s1,
+                      sum(((d // 4) % 2) * 2 - 1) AS s2,
+                      sum(((d // 8) % 2) * 2 - 1) AS s3
+               FROM d GROUP BY 1, 2),
+      chars AS (SELECT doc_id, pos,
+                       (CASE WHEN s0 >= 0 THEN '1' ELSE '0' END) ||
+                       (CASE WHEN s1 >= 0 THEN '1' ELSE '0' END) ||
+                       (CASE WHEN s2 >= 0 THEN '1' ELSE '0' END) ||
+                       (CASE WHEN s3 >= 0 THEN '1' ELSE '0' END) AS b4
+                FROM sums)
+      SELECT doc_id, string_agg(b4, '' ORDER BY pos) AS simhash
+      FROM chars GROUP BY 1
+    """))
+
+  /** Embedding-cosine near-dup pairs within a label block, ids only
+    * (threshold 0.45 sits in a wide empirical gap — no same-label pair
+    * scores within 0.02 of it — so engine float differences can't flip
+    * membership). Blocked by label to avoid the all-pairs cross join; the
+    * unblocked scale path is SimilarityQueries' LSH variant. */
+  val embeddingCosine = QueryDef(
+    "dedup_embedding_cosine",
+    (spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+        .withColumn("emb", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+        .withColumn("norm", expr(
+          "sqrt(aggregate(emb, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+      val a = e.select(col("vec_id").as("vec_a"), col("label"),
+        col("emb").as("ea"), col("norm").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label").as("lb"),
+        col("emb").as("eb"), col("norm").as("nb"))
+      a.join(b, col("label") === col("lb") && col("vec_a") < col("vec_b"))
+        .withColumn("cos", expr(
+          """aggregate(zip_with(ea, eb, (x, y) -> x * y),
+                       CAST(0 AS DOUBLE), (acc, v) -> acc + v) / (na * nb)"""))
+        .filter(col("cos") > 0.45)
+        .select(col("vec_a"), col("vec_b"), col("label"))
+    },
+    Some("""
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45
+    """))
+
+  /** Cluster closure: connected components (iterative smallest-id
+    * propagation, one shuffle per iteration) over the Jaccard-verified
+    * pairs; oracle uses a recursive reachability CTE. Every doc gets a
+    * component = min doc_id reachable through near-dup edges. */
+  val components = QueryDef(
+    "dedup_components",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val edges = TextHashing
+        .jaccard(docs, TextHashing.lshCandidatePairs(docs, B, R))
+        .filter(col("jaccard") >= 0.7)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      TextHashing.connectedComponents(docs.select("doc_id"), edges)
+    },
+    Some(s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.7
+                UNION ALL
+                SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.7),
+      reach AS (
+        SELECT doc_id AS a, doc_id AS b FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+      SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY 1
+    """))
+
+  val defs: Seq[QueryDef] = Seq(
+    exact, minhashLsh, jaccardVerify, simhash, embeddingCosine, components)
+}
