@@ -14,7 +14,9 @@ object SparkEntry {
     operators.CoreQueries.defs ++
       operators.RefOpQueries.defs ++
       operators.DerivedQueries.defs ++
-      operators.DedupQueries.defs
+      operators.DedupQueries.defs ++
+      operators.SimilarityQueries.defs ++
+      operators.TextQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Gap detection — the reference's core completeness check

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embedding column
+  * (SURVEY.md §2.3): brute-force cosine top-k as the correctness baseline,
+  * and a random-hyperplane LSH-bucketed variant as the 100 TB scale path
+  * (bucket join instead of cross join; candidate set shrinks by the bucket
+  * fan-out, here 2^4).
+  *
+  * Determinism: cosine is computed in double (embeddings cast up losslessly
+  * from float; the oracle casts to DOUBLE[] too); ranking carries a vec_id
+  * tiebreak; outputs are (ids, rank) only — scores never cross the oracle
+  * boundary.
+  */
+object SimilarityQueries {
+
+  private val NumPlanes = 4
+  private val Dim = 64
+
+  /** Embeddings with double vector + L2 norm. */
+  private def normed(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("emb", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      .withColumn("norm", expr(
+        "sqrt(aggregate(emb, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+
+  private val cosExpr =
+    """aggregate(zip_with(qe, ce, (x, y) -> x * y),
+                 CAST(0 AS DOUBLE), (acc, v) -> acc + v) / (qn * cn)"""
+
+  /** Brute-force cosine top-10 per query vector (queries: vec_id < 10).
+    * The query side is tiny and broadcast; the candidate scan is
+    * embarrassingly parallel — this is the exact baseline ANN answers are
+    * judged against. */
+  val bruteTopK = QueryDef(
+    "ann_topk_brute",
+    (spark, dir) => {
+      val e = normed(spark, dir)
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+          col("norm").as("qn")))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
+        col("norm").as("cn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      q.join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr(cosExpr))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    },
+    Some("""
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])) DESC,
+                 c.vec_id ASC) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rank <= 10
+    """))
+
+  /** Deterministic ±1 random-hyperplane table (p, d, w) derived from md5 —
+    * reproducible in any engine, no RNG state. */
+  private def planes(spark: SparkSession): DataFrame =
+    spark.range(0, NumPlanes).select(col("id").as("p"))
+      .crossJoin(spark.range(1, Dim + 1).select(col("id").as("d")))
+      .withColumn("w", expr(
+        """CASE WHEN (instr('0123456789abcdef',
+                           substr(md5(concat(p, ':', d)), 1, 1)) - 1) % 2 = 0
+                THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"""))
+
+  /** Sign-bucket signature per vector: bit_p = sign(dot(v, plane_p)). */
+  private def buckets(spark: SparkSession, dir: String): DataFrame = {
+    val e = normed(spark, dir)
+    val byDim = e.select(col("vec_id"),
+        posexplode(col("emb")).as(Seq("pos", "v")))
+      .withColumn("d", col("pos") + 1)
+    byDim.join(broadcast(planes(spark)), "d")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("w") * col("v")).as("s"))
+      .groupBy(col("vec_id"))
+      .agg(expr(
+        """array_join(transform(array_sort(collect_list(struct(p,
+             CASE WHEN s >= 0 THEN '1' ELSE '0' END AS bit))),
+           x -> x.bit), '')""").as("bucket"))
+  }
+
+  /** LSH-bucketed ANN: candidates restricted to the query's sign bucket,
+    * then exact cosine top-5 within the bucket. At scale the bucket join
+    * replaces the O(N·Q) cross join with O(N·Q/2^planes) and shuffles on
+    * the bucket key. */
+  val lshTopK = QueryDef(
+    "ann_topk_lsh",
+    (spark, dir) => {
+      val e = normed(spark, dir)
+      val b = buckets(spark, dir)
+      val withB = e.join(b, "vec_id")
+      val q = withB.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("bucket"),
+          col("emb").as("qe"), col("norm").as("qn"))
+      val c = withB.select(col("vec_id").as("neighbor_id"),
+        col("bucket").as("cbucket"), col("emb").as("ce"),
+        col("norm").as("cn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      q.join(c, col("bucket") === col("cbucket") &&
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr(cosExpr))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    },
+    Some(s"""
+      WITH planes AS (
+        SELECT p, d,
+               CASE WHEN (strpos('0123456789abcdef',
+                                 substr(md5(p || ':' || d), 1, 1)) - 1) % 2 = 0
+                    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS w
+        FROM (SELECT unnest(generate_series(0, ${NumPlanes - 1})) AS p),
+             (SELECT unnest(generate_series(1, $Dim)) AS d)),
+      s AS (SELECT e.vec_id, pl.p,
+                   sum(pl.w * list_extract(CAST(e.embedding AS DOUBLE[]), pl.d))
+                     AS s
+            FROM embeddings e, planes pl GROUP BY 1, 2),
+      sig AS (SELECT vec_id,
+                     string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END,
+                                '' ORDER BY p) AS bucket
+              FROM s GROUP BY 1)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(qe.embedding AS DOUBLE[]),
+                   CAST(ce.embedding AS DOUBLE[])) DESC,
+                 c.vec_id ASC) AS rank
+        FROM sig q
+        JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        JOIN embeddings qe ON qe.vec_id = q.vec_id
+        JOIN embeddings ce ON ce.vec_id = c.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rank <= 5
+    """))
+
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lshTopK)
+}

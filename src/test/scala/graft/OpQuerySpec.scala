@@ -116,6 +116,60 @@ class OpQuerySpec extends AnyFunSuite {
     assert(total === Tables.customer(spark, sf).count())
   }
 
+  test("dedup_simhash: every signature is 64 bits of 0/1") {
+    val bad = operators.DedupQueries.simhash.fn(spark, sf)
+      .filter(length(col("simhash")) =!= 64 ||
+        col("simhash").rlike("[^01]"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("dedup_components: components are min-ids and closed over edges") {
+    import spark.implicits._
+    val comp = operators.DedupQueries.components.fn(spark, sf)
+    assert(comp.filter($"component" > $"doc_id").count() === 0)
+    assert(comp.count() === Tables.documents(spark, sf).count())
+  }
+
+  test("ann_topk_brute: 10 ranked neighbors per query, none self") {
+    import spark.implicits._
+    val r = operators.SimilarityQueries.bruteTopK.fn(spark, sf)
+    assert(r.filter($"query_id" === $"neighbor_id").count() === 0)
+    val perQ = r.groupBy("query_id").agg(count(lit(1)).as("n"),
+      max("rank").as("mx"))
+    assert(perQ.filter(col("n") =!= 10 || col("mx") =!= 10).count() === 0)
+  }
+
+  test("ann_topk_lsh: results are a subset of the same-bucket candidates with sane ranks") {
+    import spark.implicits._
+    val r = operators.SimilarityQueries.lshTopK.fn(spark, sf)
+    assert(r.filter($"rank" > 5 || $"rank" < 1).count() === 0)
+    assert(r.filter($"query_id" === $"neighbor_id").count() === 0)
+  }
+
+  test("multimodal probeAll: typed mapPartitions path matches the SQL stub math") {
+    import spark.implicits._
+    val media = functions.Multimodal.documentsAsMedia(
+      Tables.documents(spark, sf))
+    val meta = functions.Multimodal.probeAll(media)
+    val viaSql = operators.TextQueries.multimodalMeta.fn(spark, sf)
+      .select($"doc_id".as("media_id"), $"n_bytes",
+        $"fake_width", $"fake_height", $"fake_frames")
+    val joined = meta.toDF().join(viaSql, "media_id")
+    assert(joined.filter(
+      col("width") =!= col("fake_width") ||
+        col("height") =!= col("fake_height") ||
+        col("n_frames") =!= col("fake_frames")).count() === 0)
+    assert(meta.filter(!_.ok).count() === 0)
+  }
+
+  test("text_lang_id: scores are non-negative, prediction is a known label") {
+    val r = operators.TextQueries.langId.fn(spark, sf)
+    assert(r.filter(col("s_en") < 0).count() === 0)
+    assert(r.filter(!col("lang_pred")
+      .isin("en", "de", "fr", "es", "zh", "und")).count() === 0)
+  }
+
   test("backfill semi/anti partition orders exactly") {
     val o = Tables.orders(spark, sf).count()
     val semi = operators.RefOpQueries.backfillSemi.fn(spark, sf).count()
