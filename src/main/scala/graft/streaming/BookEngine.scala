@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.model._
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The stateful market-data engine (reference ops 16-20 in one keyed pass,
+  * mirroring the reference's single per-exchange event loop):
+  * per (exchange, channel) key it maintains the order book, emits
+  * change-suppressed inside-book updates, normalizes trades, and flags
+  * trade-id gaps.
+  *
+  * Correctness under shuffle (SURVEY §4.3): messages are re-sorted by
+  * source-stamped `arrival` within each key/batch, because L2 replay is
+  * order-sensitive and non-commutative; a snapshot unconditionally resets
+  * book state (real_guac_async.py:61-63).
+  *
+  * Scale: state is per product (cardinality = number of tracked products),
+  * each book a few thousand levels — far under any state-store limit; the
+  * single shuffle is on the group key.
+  */
+object BookEngine {
+
+  import OrderBook._
+
+  /** Process one key's batch of messages against its state. Pure function —
+    * unit-testable without Spark. Returns (newState, outputs). */
+  def processKey(key: (String, String), state: ReplayState,
+      messages: Seq[MarketMessage]): (ReplayState, List[EngineOut]) = {
+    val (exchange, channel) = key
+    var st = state
+    var book = thaw(st)
+    val out = List.newBuilder[EngineOut]
+
+    def emitIfChanged(seq: Long, arrival: Long, product: String): Unit = {
+      val (tb, ta) = topK(book)
+      if (!st.hasEmitted || tb != st.lastBids || ta != st.lastAsks) {
+        out += EngineOut(Some(InsideBookUpdate(
+          exchange, product, if (seq >= 0) seq else arrival, tb, ta)), None)
+        st = st.copy(lastBids = tb, lastAsks = ta, hasEmitted = true)
+      }
+    }
+
+    messages.sortBy(_.arrival).foreach { m =>
+      // op 12: learn the channel→product mapping from the snapshot
+      if (m.productId.nonEmpty && st.productName.isEmpty)
+        st = st.copy(productName = m.productId)
+      val product =
+        if (m.productId.nonEmpty) m.productId
+        else if (st.productName.nonEmpty) st.productName
+        else channel
+      m.msgType match {
+        case "snapshot" =>
+          book = installSnapshot(m.bids, m.asks)
+          emitIfChanged(m.sequence, m.arrival, product)
+        case "l2update" =>
+          m.changes.foreach {
+            case Seq(side, price, size, _*) =>
+              book = applyChange(book, side, price, size)
+            case _ => // malformed change: skip (polo_ws_async.py:148-149)
+          }
+          emitIfChanged(m.sequence, m.arrival, product)
+        case "match" =>
+          val gap = detectGap(st.lastTradeId, m.tradeId)
+          out += EngineOut(None, Some(TradeOut(
+            exchange, product, m.sequence, m.tradeId, m.price, m.size,
+            m.side, m.exchangeTs, backfilled = false,
+            gapStart = gap.map(_._1).getOrElse(-1L),
+            gapEnd = gap.map(_._2).getOrElse(-1L))))
+          if (m.tradeId >= 0) st = st.copy(lastTradeId =
+            math.max(st.lastTradeId, m.tradeId))
+        case _ => // unknown type: ignore
+      }
+    }
+    (freeze(book, st), out.result())
+  }
+
+  /** Streaming operator: one flatMapGroupsWithState pass over the decoded
+    * canonical stream. Works identically on a batch Dataset (Spark runs
+    * the same function via the batch fallback path in tests). */
+  def run(messages: Dataset[MarketMessage]): Dataset[EngineOut] = {
+    import messages.sparkSession.implicits._
+    messages
+      .groupByKey(m => (m.exchange, m.channel))
+      .flatMapGroupsWithState[ReplayState, EngineOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, String), it: Iterator[MarketMessage],
+            gs: GroupState[ReplayState]) =>
+          val state = gs.getOption.getOrElse(initialState)
+          val (next, outputs) = processKey(key, state, it.toSeq)
+          gs.update(next)
+          outputs.iterator
+      }
+  }
+
+  /** Split helper: (inside-book updates, trades). */
+  def split(out: Dataset[EngineOut])
+      : (Dataset[InsideBookUpdate], Dataset[TradeOut]) = {
+    import out.sparkSession.implicits._
+    (out.flatMap(_.book), out.flatMap(_.trade))
+  }
+}

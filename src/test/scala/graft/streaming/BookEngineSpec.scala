@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.model._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests of the keyed engine core (ops 16-20 end-to-end for one key,
+  * no Spark): change suppression, out-of-order arrival repair, snapshot
+  * reset, product learning, gap detection. */
+class BookEngineSpec extends AnyFunSuite {
+
+  private def msg(arrival: Long, msgType: String,
+      productId: String = "ETH-USD",
+      bids: Seq[Seq[String]] = Nil, asks: Seq[Seq[String]] = Nil,
+      changes: Seq[Seq[String]] = Nil, tradeId: Long = -1,
+      sequence: Long = -1, price: String = "", size: String = "",
+      side: String = ""): MarketMessage =
+    MarketMessage("gdax", productId, msgType, productId, sequence, arrival,
+      bids, asks, changes, tradeId, price, size, side, null)
+
+  private val key = ("gdax", "ETH-USD")
+  private val snap = msg(1, "snapshot",
+    bids = Seq(Seq("300.10", "1.5"), Seq("300.05", "2.0")),
+    asks = Seq(Seq("300.20", "0.9")))
+
+  test("snapshot emits; unchanged-top15 deltas are suppressed (op 19)") {
+    val deep = msg(1, "snapshot",
+      bids = (1 to 20).map(i => Seq(s"${300 - i}.00", "1.0")),
+      asks = (1 to 20).map(i => Seq(s"${400 + i}.00", "1.0")))
+    // a change at depth 16+ does not alter the top-15 view → no emission
+    val deepChange = msg(2, "l2update",
+      changes = Seq(Seq("buy", "283.00", "9.9")))
+    val visible = msg(3, "l2update",
+      changes = Seq(Seq("buy", "299.50", "9.9")))
+    val (_, out) = BookEngine.processKey(key, OrderBook.initialState,
+      Seq(deep, deepChange, visible))
+    val books = out.flatMap(_.book)
+    assert(books.length === 2) // snapshot + visible change only
+    assert(books(1).bids.head === Level("299.50", "9.9"))
+  }
+
+  test("messages are replayed in arrival order even if batch is shuffled") {
+    val upd1 = msg(2, "l2update", changes = Seq(Seq("buy", "300.10", "0")))
+    val upd2 = msg(3, "l2update", changes = Seq(Seq("buy", "300.10", "7.0")))
+    val (st, out) = BookEngine.processKey(key, OrderBook.initialState,
+      Seq(upd2, snap, upd1)) // arrival order: snap, upd1, upd2
+    assert(out.flatMap(_.book).last.bids.head === Level("300.10", "7.0"))
+    assert(st.bids.head === ("300.10", "7.0"))
+  }
+
+  test("state carries across batches; suppression spans batch boundary") {
+    val (st1, out1) = BookEngine.processKey(key, OrderBook.initialState,
+      Seq(snap))
+    assert(out1.flatMap(_.book).length === 1)
+    // identical snapshot again in next batch → suppressed
+    val (st2, out2) = BookEngine.processKey(key, st1, Seq(msg(5, "snapshot",
+      bids = Seq(Seq("300.10", "1.5"), Seq("300.05", "2.0")),
+      asks = Seq(Seq("300.20", "0.9")))))
+    assert(out2.flatMap(_.book).isEmpty)
+    assert(st2.bids === st1.bids)
+  }
+
+  test("trades: normalization, first-trade init, gap flag (op 20)") {
+    val t1 = msg(10, "match", tradeId = 12345, sequence = 50,
+      price = "300.15", size = "0.25", side = "buy")
+    val t2 = msg(11, "match", tradeId = 12349, sequence = 51,
+      price = "300.16", size = "0.10", side = "sell")
+    val (st, out) = BookEngine.processKey(key, OrderBook.initialState,
+      Seq(t1, t2))
+    val trades = out.flatMap(_.trade)
+    assert(trades.length === 2)
+    assert(trades(0).gapStart === -1L && trades(0).gapEnd === -1L)
+    assert(trades(1).gapStart === 12346L && trades(1).gapEnd === 12348L)
+    assert(trades(1).volume === "0.10" && trades(1).side === "sell")
+    assert(st.lastTradeId === 12349L)
+  }
+
+  test("poloniex channel key learns product from snapshot (op 12)") {
+    val pkey = ("polo", "148")
+    val psnap = MarketMessage("polo", "148", "snapshot", "BTC_ETH", 100, 1,
+      Seq(Seq("0.03190000", "4.0")), Seq(Seq("0.03200000", "2.5")),
+      Nil, -1, "", "", "", null)
+    val ptrade = MarketMessage("polo", "148", "match", "", 101, 2,
+      Nil, Nil, Nil, 9394200, "5545.00000000", "0.00009541", "buy", null)
+    val (st, out) = BookEngine.processKey(pkey, OrderBook.initialState,
+      Seq(psnap, ptrade))
+    assert(st.productName === "BTC_ETH")
+    assert(out.flatMap(_.trade).head.productId === "BTC_ETH")
+    assert(out.flatMap(_.book).head.productId === "BTC_ETH")
+  }
+}
