@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.sql.Timestamp
+
+import graft.model.TradeOut
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Trade-gap backfill (reference op 3 + ops 21-23,
+  * redis_worker.py:43-94): when the live stream reveals missing trade ids,
+  * fetch them from the exchange's REST history with pagination, reconcile
+  * fetched vs missing (dict last-wins dedup + membership fill + set
+  * difference for the next cursor), and merge into the trades sink.
+  *
+  * The loop is deliberately driver-side imperative (SURVEY §7.4 #7): gaps
+  * are small (bounded per-gap), the fetcher is an external HTTP dependency,
+  * and idempotency comes from trade-id dedup at the sink — executor-side
+  * parallelism buys nothing here but failure modes.
+  */
+object Backfill {
+
+  /** One fetched trade from the REST history. */
+  final case class FetchedTrade(tradeId: Long, price: String, size: String,
+      side: String, ts: Timestamp)
+
+  /** Pluggable REST boundary (redis_worker.py:56's ccxt fetch_trades):
+    * returns up to `limit` trades with id > afterId, ascending. */
+  trait TradeFetcher extends Serializable {
+    def fetchPage(productId: String, afterId: Long, limit: Int): Seq[FetchedTrade]
+  }
+
+  /** Result of one gap's reconciliation (redis_worker.py:85-91 printed the
+    * same diagnostics). */
+  final case class BackfillResult(trades: Seq[TradeOut],
+      stillMissing: Set[Long], pagesFetched: Int)
+
+  /** Fill one gap [gapStart, gapEnd] for a product (both inclusive —
+    * FIXTURES §B gap semantics). Page budget = ceil(missing/pageSize)
+    * exactly as the reference (redis_worker.py:46); cursor advances to
+    * max(stillMissing) + 1 is the reference's (buggy-looking but correct
+    * for a descending-history API) update — here we page forward from the
+    * smallest still-missing id, the evident intent. */
+  def fillGap(fetcher: TradeFetcher, productId: String, exchange: String,
+      gapStart: Long, gapEnd: Long, pageSize: Int = 100,
+      maxIds: Int = 100000): BackfillResult = {
+    require(gapEnd >= gapStart, s"bad gap [$gapStart, $gapEnd]")
+    val boundedEnd = math.min(gapEnd, gapStart + maxIds - 1)
+    var missing = (gapStart to boundedEnd).toSet
+    val maxPages = (missing.size + pageSize - 1) / pageSize
+    val out = Seq.newBuilder[TradeOut]
+    var pages = 0
+    var cursor = gapStart - 1
+    var exhausted = false
+    while (missing.nonEmpty && pages < maxPages && !exhausted) {
+      val page = fetcher.fetchPage(productId, cursor, pageSize)
+      pages += 1
+      if (page.isEmpty) exhausted = true
+      else {
+        // op 22: index by id — last write wins on duplicate ids
+        val byId = page.groupBy(_.tradeId).map { case (id, ts) => id -> ts.last }
+        val matched = byId.view.filterKeys(missing.contains).toMap
+        out ++= matched.values.map { t =>
+          TradeOut(exchange, productId, sequence = -1L, t.tradeId, t.price,
+            t.size, t.side, t.ts, backfilled = true, -1L, -1L)
+        }
+        // op 23: set difference drives the next cursor + termination
+        missing = missing -- byId.keys
+        val pageMax = byId.keys.max
+        if (pageMax <= cursor) exhausted = true // no forward progress
+        else cursor = pageMax
+      }
+    }
+    BackfillResult(out.result(), missing, pages)
+  }
+
+  /** Merge backfilled trades for every flagged gap in a trade micro-batch:
+    * scan the batch for gap flags, fill each, and return live ∪ backfilled
+    * with id dedup (the union + dropDuplicates of SURVEY §7.1 step 7). */
+  def reconcileBatch(spark: SparkSession, batch: Dataset[TradeOut],
+      fetcher: TradeFetcher): Dataset[TradeOut] = {
+    import spark.implicits._
+    val gaps = batch.filter(_.gapStart >= 0)
+      .map(t => (t.exchange, t.productId, t.gapStart, t.gapEnd))
+      .distinct().collect() // gaps per batch are few and tiny by contract
+    val backfilled = gaps.toSeq.flatMap { case (ex, product, s, e) =>
+      fillGap(fetcher, product, ex, s, e).trades
+    }
+    batch.union(spark.createDataset(backfilled))
+      .dropDuplicates("exchange", "tradeId")
+  }
+
+  /** Real REST fetcher against a GDAX-style products API
+    * (GET {base}/products/{id}/trades?after={cursor}&limit={n}) using the
+    * JDK HTTP client. Kept minimal: the endpoints the reference used are
+    * retired; the pagination/reconciliation logic above is the tested
+    * surface, this adapter is the live-wire option. */
+  final class RestTradeFetcher(baseUrl: String) extends TradeFetcher {
+    @transient private lazy val http = HttpClient.newHttpClient()
+    override def fetchPage(productId: String, afterId: Long,
+        limit: Int): Seq[FetchedTrade] = {
+      val uri = URI.create(
+        s"$baseUrl/products/$productId/trades?after=$afterId&limit=$limit")
+      val resp = http.send(HttpRequest.newBuilder(uri).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200) Seq.empty
+      else parseTrades(resp.body())
+    }
+  }
+
+  /** Parse a GDAX-style trades JSON array (fields: trade_id, price, size,
+    * side, time) without external JSON deps: done via Spark's JSON reader
+    * on a one-element dataset when needed; kept out of the hot path. */
+  private[sources] def parseTrades(json: String): Seq[FetchedTrade] = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    spark.read.json(Seq(json).toDS())
+      .selectExpr("CAST(trade_id AS LONG) AS tradeId", "price", "size",
+        "side", "CAST(time AS TIMESTAMP) AS ts")
+      .as[FetchedTrade].collect().toSeq
+  }
+}

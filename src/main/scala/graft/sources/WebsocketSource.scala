@@ -1,0 +1,242 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, WebSocket}
+import java.nio.file.{Files, Paths}
+import java.util
+import java.util.concurrent.{CompletionStage, ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** Streaming websocket source (reference ops 1-2: real_guac_async.py:35-57,
+  * polo_ws_async.py:35-57) as a DataSourceV2 MicroBatchStream.
+  *
+  * Frames become rows (arrival LONG, value STRING) — exactly the decoder
+  * input contract. Two modes:
+  *
+  *  - `url` (+ optional `subscribe` payload(s), '\n'-separated): live
+  *    connection via the JDK's java.net.http.WebSocket with reconnect +
+  *    exponential backoff (realizing the reference's intended-but-no-op
+  *    sleeps, SURVEY §0.1 #2, and replacing its unbounded recursion #7).
+  *  - `replayFile`: replay a recorded frame log (one JSON frame per line) —
+  *    the offline/CI path (both reference endpoints are long dead).
+  *
+  * Offsets are cumulative frame counts; each micro-batch ships its frame
+  * slice inside the InputPartition (frames are small text; the driver is
+  * the socket owner, as in any single-connection source). `maxFramesPerTrigger`
+  * bounds batch size (pacing, op 24).
+  *
+  * Usage: spark.readStream.format("graft.sources.WebsocketSource")
+  *          .option("replayFile", path).load()
+  */
+class WebsocketSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "websocket"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WebsocketSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new WebsocketTable(new CaseInsensitiveStringMap(properties))
+}
+
+object WebsocketSource {
+  val schema: StructType = StructType(Seq(
+    StructField("arrival", LongType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+}
+
+private[sources] class WebsocketTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String =
+    Option(options.get("url")).orElse(Option(options.get("replayFile")))
+      .map(u => s"websocket($u)").getOrElse("websocket")
+  override def schema(): StructType = WebsocketSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    () => new WebsocketScan(opts)
+}
+
+private[sources] class WebsocketScan(options: CaseInsensitiveStringMap)
+    extends Scan {
+  override def readSchema(): StructType = WebsocketSource.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WebsocketMicroBatchStream(options)
+}
+
+/** Long offset = number of frames consumed so far. */
+private[sources] case class FrameOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private[sources] class WebsocketMicroBatchStream(
+    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+
+  private val maxPerTrigger =
+    Option(options.get("maxFramesPerTrigger")).map(_.toLong)
+      .getOrElse(10000L)
+
+  /** All frames seen this run, indexed by arrival. Committed prefixes are
+    * trimmed; `base` is the arrival index of buffer.head. */
+  private val buffer = new util.ArrayList[String]()
+  private var base = 0L
+
+  private val client: Option[FrameClient] = {
+    val replay = Option(options.get("replayFile"))
+    val url = Option(options.get("url"))
+    (replay, url) match {
+      case (Some(path), _) => Some(new ReplayFileClient(path))
+      case (_, Some(u)) =>
+        Some(new JdkWebsocketClient(u,
+          Option(options.get("subscribe")).toSeq
+            .flatMap(_.split('\n').toSeq)))
+      case _ =>
+        throw new IllegalArgumentException(
+          "websocket source requires option 'url' or 'replayFile'")
+    }
+  }
+
+  private def pump(): Unit = synchronized {
+    client.foreach(_.drainTo(buffer))
+  }
+
+  /** High-water mark of offsets handed to the engine — advances by at most
+    * maxFramesPerTrigger per latestOffset call (admission control / pacing,
+    * op 24). */
+  private var served = 0L
+
+  override def initialOffset(): Offset = FrameOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    FrameOffset(json.toLong)
+
+  override def latestOffset(): Offset = synchronized {
+    pump()
+    val available = base + buffer.size()
+    served = math.min(available, math.max(served, base) + maxPerTrigger)
+    FrameOffset(served)
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = synchronized {
+    val s = start.asInstanceOf[FrameOffset].n
+    val e = end.asInstanceOf[FrameOffset].n
+    served = math.max(served, e) // restart replay: never re-shrink below
+    val slice = (s until e).map { i =>
+      (i, buffer.get((i - base).toInt))
+    }.toArray
+    Array(FramesPartition(slice))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => new PartitionReader[InternalRow] {
+      private val frames = partition.asInstanceOf[FramesPartition].frames
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < frames.length }
+      override def get(): InternalRow = {
+        val (arrival, value) = frames(i)
+        InternalRow(arrival, UTF8String.fromString(value))
+      }
+      override def close(): Unit = ()
+    }
+
+  override def commit(end: Offset): Unit = synchronized {
+    val n = end.asInstanceOf[FrameOffset].n
+    while (base < n && !buffer.isEmpty) {
+      buffer.remove(0)
+      base += 1
+    }
+  }
+
+  override def stop(): Unit = client.foreach(_.close())
+}
+
+private[sources] case class FramesPartition(frames: Array[(Long, String)])
+  extends InputPartition
+
+/** Frame producers: push text frames into a queue, drained at planning. */
+private[sources] trait FrameClient {
+  def drainTo(sink: util.ArrayList[String]): Unit
+  def close(): Unit
+}
+
+/** Offline replay: the whole log is available immediately. */
+private[sources] class ReplayFileClient(path: String) extends FrameClient {
+  private var remaining: List[String] =
+    Files.readAllLines(Paths.get(path)).asScala.toList
+  override def drainTo(sink: util.ArrayList[String]): Unit = {
+    remaining.foreach(sink.add)
+    remaining = Nil
+  }
+  override def close(): Unit = ()
+}
+
+/** Live JDK websocket with reconnect + exponential backoff (caps at 30 s).
+  * Sends each subscribe payload after every (re)connect, mirroring the
+  * reference's subscribe-on-open (real_guac_async.py:40). */
+private[sources] class JdkWebsocketClient(url: String,
+    subscribePayloads: Seq[String]) extends FrameClient {
+
+  private val queue = new ConcurrentLinkedQueue[String]()
+  @volatile private var closed = false
+  @volatile private var ws: WebSocket = _
+  private val http = HttpClient.newHttpClient()
+
+  private final class Listener extends WebSocket.Listener {
+    private val sb = new StringBuilder
+    override def onText(w: WebSocket, data: CharSequence,
+        last: Boolean): CompletionStage[_] = {
+      sb.append(data)
+      if (last) { queue.add(sb.toString()); sb.clear() }
+      w.request(1)
+      null
+    }
+    override def onError(w: WebSocket, error: Throwable): Unit = reconnect()
+    override def onClose(w: WebSocket, statusCode: Int,
+        reason: String): CompletionStage[_] = { reconnect(); null }
+  }
+
+  private def connectOnce(): Unit = {
+    ws = http.newWebSocketBuilder()
+      .buildAsync(URI.create(url), new Listener).join()
+    subscribePayloads.foreach(p => ws.sendText(p, true).join())
+  }
+
+  private def reconnect(): Unit = if (!closed) {
+    new Thread(() => {
+      var backoffMs = 1000L
+      var ok = false
+      while (!ok && !closed) {
+        try { connectOnce(); ok = true }
+        catch {
+          case _: Exception =>
+            val latch = new CountDownLatch(1)
+            latch.await(backoffMs, TimeUnit.MILLISECONDS)
+            backoffMs = math.min(backoffMs * 2, 30000L)
+        }
+      }
+    }, "graft-ws-reconnect").start()
+  }
+
+  // initial connection uses the same retry loop
+  reconnect()
+
+  override def drainTo(sink: util.ArrayList[String]): Unit = {
+    var f = queue.poll()
+    while (f != null) { sink.add(f); f = queue.poll() }
+  }
+
+  override def close(): Unit = {
+    closed = true
+    val w = ws
+    if (w != null) w.sendClose(WebSocket.NORMAL_CLOSURE, "stop")
+  }
+}

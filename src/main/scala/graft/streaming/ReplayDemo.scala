@@ -6,8 +6,10 @@ import org.apache.spark.sql.SparkSession
   * shapes from the reference protocol) through decode → stateful engine →
   * console, demonstrating the library's streaming surface end-to-end.
   *
-  * Usage: runMain graft.streaming.ReplayDemo [frameLogPath]
-  * With no argument, replays a built-in fixture log.
+  * Usage: runMain graft.streaming.ReplayDemo [frameLogPath [outDir]]
+  * With no argument, replays a built-in fixture log through the batch
+  * path; with a path, streams it through the websocket DSv2 source in
+  * replay mode and the full Pipeline sink (parquet tables + flat view).
   */
 object ReplayDemo {
   val fixtureLog: Seq[(Long, String)] = Seq(
@@ -28,18 +30,35 @@ object ReplayDemo {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val frames =
-      if (args.nonEmpty)
-        spark.read.textFile(args(0)).rdd.zipWithIndex()
-          .map { case (v, i) => (i, v) }.toDF("arrival", "value")
-      else fixtureLog.toDF("arrival", "value")
-
-    val (books, trades) = BookEngine.split(
-      BookEngine.run(Decoders.gdax(frames)))
-    println("=== inside-book updates (change-suppressed) ===")
-    books.orderBy("sequence").show(50, truncate = false)
-    println("=== trades (with gap flags) ===")
-    trades.orderBy("tradeId").show(50, truncate = false)
+    if (args.nonEmpty) {
+      // streaming path: websocket source (replay mode) → engine → sinks
+      val outDir = if (args.length > 1) args(1)
+        else java.nio.file.Files.createTempDirectory("graft_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val stream = spark.readStream
+        .format("graft.sources.WebsocketSource")
+        .option("replayFile", args(0))
+        .load()
+      val q = Pipeline.start(stream, Decoders.gdax, outDir, ckpt)
+      q.processAllAvailable()
+      q.stop()
+      println(s"=== $outDir/inside_book (legacy flat view) ===")
+      Pipeline.legacyFlatView(spark.read.parquet(s"$outDir/inside_book"))
+        .orderBy("sequence")
+        .select("product_id", "sequence", "bids_1", "bids_2", "asks_1")
+        .show(50, truncate = false)
+      println(s"=== $outDir/trades ===")
+      spark.read.parquet(s"$outDir/trades")
+        .orderBy("tradeId").show(50, truncate = false)
+    } else {
+      val frames = fixtureLog.toDF("arrival", "value")
+      val (books, trades) = BookEngine.split(
+        BookEngine.run(Decoders.gdax(frames)))
+      println("=== inside-book updates (change-suppressed) ===")
+      books.orderBy("sequence").show(50, truncate = false)
+      println("=== trades (with gap flags) ===")
+      trades.orderBy("tradeId").show(50, truncate = false)
+    }
     spark.stop()
   }
 }

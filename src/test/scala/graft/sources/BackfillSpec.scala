@@ -1,0 +1,71 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import graft.model.TradeOut
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Backfill reconciliation tests (reference ops 3, 21-23,
+  * redis_worker.py:43-94): pagination cursor, last-wins dedup, membership
+  * fill, still-missing diagnostics, sink-level id dedup. */
+class BackfillSpec extends AnyFunSuite {
+  import Backfill._
+
+  private val ts = Timestamp.valueOf("2017-10-15 05:10:53")
+
+  /** Fixture history: ids 100..120 except 105 and 111 (permanently absent
+    * from the exchange history), with a duplicated id 107 whose later
+    * occurrence should win. */
+  private class FixtureFetcher extends TradeFetcher {
+    var calls = 0
+    private val history =
+      ((100L to 120L).filterNot(id => id == 105L || id == 111L)
+        .map(id => FetchedTrade(id, s"$id.00", "1.0", "buy", ts))
+        :+ FetchedTrade(107L, "107.99", "2.0", "sell", ts))
+        .sortBy(_.tradeId)
+    override def fetchPage(productId: String, afterId: Long,
+        limit: Int): Seq[FetchedTrade] = {
+      calls += 1
+      history.filter(_.tradeId > afterId).take(limit)
+    }
+  }
+
+  test("fillGap: fetches the missing range, flags backfilled, reports absentees") {
+    val f = new FixtureFetcher
+    val r = fillGap(f, "ETH-USD", "gdax", 101, 110, pageSize = 4)
+    val got = r.trades.map(_.tradeId).sorted
+    assert(got === Seq(101L, 102L, 103L, 104L, 106L, 107L, 108L, 109L, 110L))
+    assert(r.stillMissing === Set(105L))
+    assert(r.trades.forall(_.backfilled))
+    // duplicate id 107: last occurrence wins (dict-index semantics, op 22)
+    assert(r.trades.find(_.tradeId == 107L).get.price === "107.99")
+    // page budget: ceil(10/4) = 3 pages max (redis_worker.py:46)
+    assert(r.pagesFetched <= 3)
+  }
+
+  test("fillGap: empty history terminates without spinning") {
+    val empty = new TradeFetcher {
+      override def fetchPage(p: String, a: Long, l: Int): Seq[FetchedTrade] =
+        Seq.empty
+    }
+    val r = fillGap(empty, "ETH-USD", "gdax", 1, 500)
+    assert(r.trades.isEmpty && r.pagesFetched === 1)
+    assert(r.stillMissing === (1L to 500L).toSet)
+  }
+
+  test("reconcileBatch: live ∪ backfilled with id dedup (live wins at sink)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val live = Seq(
+      TradeOut("gdax", "ETH-USD", 7, 100L, "300.15", "0.25", "buy", ts,
+        backfilled = false, -1, -1),
+      TradeOut("gdax", "ETH-USD", 9, 104L, "300.16", "0.30", "sell", ts,
+        backfilled = false, 101, 103)).toDS()
+    val merged = reconcileBatch(spark, live, new FixtureFetcher).collect()
+    assert(merged.map(_.tradeId).sorted.toSeq === Seq(100L, 101L, 102L, 103L, 104L))
+    // the flagged ids came from backfill; the live rows stayed live
+    assert(merged.filter(_.backfilled).map(_.tradeId).sorted.toSeq ===
+      Seq(101L, 102L, 103L))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.model.EngineOut
+import graft.streaming.{BookEngine, Decoders, Pipeline}
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+/** Websocket DSv2 source in replay mode (the CI path — SURVEY §4.3: the
+  * source is the one piece that can't be oracle-checked live) + pipeline
+  * sink wiring. */
+class WebsocketSourceSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val frames = Seq(
+    """{"type": "snapshot", "product_id": "ETH-USD", "bids": [["300.10", "1.5"]], "asks": [["300.20", "0.9"]]}""",
+    """{"type": "l2update", "product_id": "ETH-USD", "changes": [["buy", "300.12", "2.0"]]}""",
+    """{"type": "match", "trade_id": 100, "sequence": 7, "time": "2017-10-15T05:10:53.700000Z", "product_id": "ETH-USD", "size": "0.25", "price": "300.15", "side": "buy"}""",
+    """{"type": "match", "trade_id": 104, "sequence": 9, "time": "2017-10-15T05:10:54.700000Z", "product_id": "ETH-USD", "size": "0.30", "price": "300.16", "side": "sell"}""")
+
+  private def writeLog(): String = {
+    val f = Files.createTempFile("frames", ".jsonl")
+    Files.write(f, frames.asJava)
+    f.toString
+  }
+
+  test("replay mode streams a frame log through the full pipeline") {
+    import spark.implicits._
+    val log = writeLog()
+    val stream = spark.readStream
+      .format("graft.sources.WebsocketSource")
+      .option("replayFile", log)
+      .load()
+    val q = BookEngine.run(Decoders.gdax(stream))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ws_out").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("ws_out").as[EngineOut].collect()
+      assert(out.flatMap(_.book).length === 2)
+      val trades = out.flatMap(_.trade).sortBy(_.tradeId)
+      assert(trades.map(_.tradeId).toSeq === Seq(100L, 104L))
+      assert(trades(1).gapStart === 101L)
+    } finally q.stop()
+  }
+
+  test("maxFramesPerTrigger paces batches (admission control)") {
+    val log = writeLog()
+    val stream = spark.readStream
+      .format("graft.sources.WebsocketSource")
+      .option("replayFile", log)
+      .option("maxFramesPerTrigger", "1")
+      .load()
+    var batches = 0
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (b.count() > 0) batches += 1
+        assert(b.count() <= 1)
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(batches === frames.length)
+    } finally q.stop()
+  }
+
+  test("pipeline sinks: parquet tables + legacy 32-col view + csv export") {
+    val log = writeLog()
+    val out = Files.createTempDirectory("pipe_out").toString
+    val ckpt = Files.createTempDirectory("pipe_ckpt").toString
+    val stream = spark.readStream
+      .format("graft.sources.WebsocketSource")
+      .option("replayFile", log).load()
+    val q = Pipeline.start(stream, Decoders.gdax, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val books = spark.read.parquet(s"$out/inside_book")
+    val trades = spark.read.parquet(s"$out/trades")
+    assert(books.count() === 2 && trades.count() === 2)
+
+    val flat = Pipeline.legacyFlatView(books)
+    assert(flat.columns.length === 33) // exchange, product_id, sequence + 30 cells
+    val row = flat.orderBy("sequence").collect().last
+    assert(row.getAs[String]("bids_1") === "2.0@300.12")
+    assert(row.getAs[String]("bids_2") === "1.5@300.10")
+    assert(row.getAs[String]("bids_3") === null) // null-padded past depth
+    assert(row.getAs[String]("asks_15") === null)
+
+    val csvDir = Files.createTempDirectory("csv_out").toString
+    Pipeline.exportCsv(spark, s"$out/trades", csvDir)
+    val csv = spark.read.option("header", "true").csv(csvDir)
+    assert(csv.count() === 2 && csv.columns.contains("tradeId"))
+  }
+}
