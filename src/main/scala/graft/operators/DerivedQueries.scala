@@ -189,10 +189,17 @@ object DerivedQueries {
       import spark.implicits._
       val c = Tables.customer(spark, dir)
         .filter($"c_mktsegment" === "BUILDING").select("c_custkey")
-      val o = Tables.orders(spark, dir)
+      val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
       val l = Tables.lineitem(spark, dir)
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"), "left_semi")
+      // Reduce orders by the segment filter FIRST (broadcast semi), so the
+      // expensive lineitem join sees a 1/|segments|-sized build side that
+      // AQE can broadcast; at 100 TB this is the difference between one
+      // lineitem-wide shuffle and none.
+      val qualifying = o.join(broadcast(c),
+        o("o_custkey") === c("c_custkey"), "left_semi")
+        .select("o_orderkey")
+      l.join(qualifying, l("l_orderkey") === qualifying("o_orderkey"),
+          "left_semi")
         .groupBy($"l_orderkey")
         .agg(expr("""CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
                             (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)""")

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.model.TradeOut
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Event-time streaming operators with watermarks (SURVEY §2.2 streaming
+  * row). The reference processes frames in arrival order with no event-time
+  * reasoning — late or replayed trades are double-inserted (its backfill
+  * loop even re-enqueues the accumulated page once per pagination step,
+  * SURVEY §3.3). These operators are the engine's fix: bounded-state
+  * event-time processing on the exchange timestamp.
+  *
+  * Scale: every operator keys on (exchange, productId) plus a time bucket,
+  * so state is bounded by |products| × (watermark horizon / window width)
+  * and partitions by key across executors; watermarks let the state store
+  * evict finalized windows, which is what makes these viable on an
+  * unbounded 100 TB/day feed.
+  */
+object Watermarked {
+
+  /** Exactly-once trade sink semantics: drop re-sends of the same
+    * (exchange, tradeId) arriving within the watermark horizon — the
+    * streaming-native fix for the reference's backfill double-insert
+    * (redis_worker.py:93-94 re-inserting per page). State for a trade id is
+    * evicted once the watermark passes it, so state stays bounded by the
+    * id-arrival horizon, not the stream length. */
+  def dedupTrades(trades: Dataset[TradeOut],
+      delay: String = "10 minutes"): Dataset[TradeOut] =
+    trades
+      .withWatermark("exchangeTs", delay)
+      .dropDuplicatesWithinWatermark("exchange", "tradeId")
+
+  /** Per-product tumbling-window OHLCV candles over event time (§2.2
+    * aggregation + streaming rows). Append mode: a candle is emitted once,
+    * when the watermark passes its window end. Deterministic open/close via
+    * min_by/max_by on tradeId. */
+  def ohlcvStream(trades: Dataset[TradeOut], width: String = "1 minute",
+      delay: String = "10 minutes"): DataFrame =
+    trades
+      .withWatermark("exchangeTs", delay)
+      .withColumn("p", col("price").cast("decimal(38,18)"))
+      .withColumn("v", col("volume").cast("decimal(38,18)"))
+      .groupBy(window(col("exchangeTs"), width),
+        col("exchange"), col("productId"))
+      .agg(
+        expr("min_by(p, tradeId)").as("open"),
+        max(col("p")).as("high"),
+        min(col("p")).as("low"),
+        expr("max_by(p, tradeId)").as("close"),
+        sum(col("v")).as("volume"),
+        count(lit(1)).as("n_trades"))
+
+  /** Sliding-window VWAP per product (§2.2 sliding-window row): exact
+    * decimal numerator/denominator, one division at presentation. */
+  def vwapSliding(trades: Dataset[TradeOut], width: String = "5 minutes",
+      slide: String = "1 minute", delay: String = "10 minutes"): DataFrame =
+    trades
+      .withWatermark("exchangeTs", delay)
+      .withColumn("p", col("price").cast("decimal(38,18)"))
+      .withColumn("v", col("volume").cast("decimal(38,18)"))
+      .groupBy(window(col("exchangeTs"), width, slide),
+        col("exchange"), col("productId"))
+      .agg((sum(col("p") * col("v")) / sum(col("v"))).as("vwap"),
+        count(lit(1)).as("n_trades"))
+
+  /** Session windows of trading activity per product (§2.2 session-window
+    * row): bursts separated by >= `gap` of silence collapse into one row —
+    * the event-time analogue of the reference's "activity while connected"
+    * notion. */
+  def tradeSessions(trades: Dataset[TradeOut], gap: String = "30 seconds",
+      delay: String = "10 minutes"): DataFrame =
+    trades
+      .withWatermark("exchangeTs", delay)
+      .groupBy(session_window(col("exchangeTs"), gap),
+        col("exchange"), col("productId"))
+      .agg(count(lit(1)).as("n_trades"),
+        min(col("tradeId")).as("first_trade_id"),
+        max(col("tradeId")).as("last_trade_id"))
+}
