@@ -30,16 +30,28 @@ object DedupQueries {
                   array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
            FROM idx)"""
 
-  /** h0..h15 minhash CTE + 4-band bucket CTE (mirrors TextHashing). */
+  /** h0..h15 minhash CTE + 4-band bucket CTE (mirrors TextHashing exactly:
+    * one md5 per shingle → 32-bit int → affine permutations mod 2^31-1,
+    * same (a,b) constants from TextHashing.minhashSeed). The hex parse
+    * uses exact double math (values < 2^53) then BIGINT for the affine
+    * step (products < 2^62). */
   private val minhashCte: String = {
-    val hs = (0 until B * R)
-      .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
+    val p = TextHashing.MinhashP
+    val hs = (0 until B * R).map { i =>
+      val (a, b) = TextHashing.minhashSeed(i)
+      s"min(($a * v + $b) % $p) AS h$i"
+    }.mkString(", ")
     val bandSelects = (0 until B).map { b =>
-      val cat = (b * R until (b + 1) * R).map(i => s"h$i").mkString(" || ")
-      s"SELECT doc_id, $b AS band, md5($cat) AS sig FROM mh"
+      val cat = (b * R until (b + 1) * R).map(i => s"h$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('|', $cat) AS sig FROM mh"
     }.mkString(" UNION ALL ")
     s"""$shingleCte,
-    mh AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id),
+    vs AS (SELECT doc_id,
+                  CAST(list_sum(list_transform(range(8), i ->
+                    (strpos('0123456789abcdef', substr(md5(shingle), i + 1, 1)) - 1)
+                      * (16 ** (7 - i)))) AS BIGINT) % $p AS v
+           FROM sh),
+    mh AS (SELECT doc_id, $hs FROM vs GROUP BY doc_id),
     bands AS ($bandSelects),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b
