@@ -148,18 +148,16 @@ object DedupQueries {
   val embeddingCosine = QueryDef(
     "dedup_embedding_cosine",
     (spark, dir) => {
+      graft.functions.VectorExprs.register(spark)
       val e = Tables.embeddings(spark, dir)
         .withColumn("emb", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
-        .withColumn("norm", expr(
-          "sqrt(aggregate(emb, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+        .withColumn("norm", expr("sqrt(vec_dot(emb, emb))"))
       val a = e.select(col("vec_id").as("vec_a"), col("label"),
         col("emb").as("ea"), col("norm").as("na"))
       val b = e.select(col("vec_id").as("vec_b"), col("label").as("lb"),
         col("emb").as("eb"), col("norm").as("nb"))
       a.join(b, col("label") === col("lb") && col("vec_a") < col("vec_b"))
-        .withColumn("cos", expr(
-          """aggregate(zip_with(ea, eb, (x, y) -> x * y),
-                       CAST(0 AS DOUBLE), (acc, v) -> acc + v) / (na * nb)"""))
+        .withColumn("cos", expr("vec_dot(ea, eb) / (na * nb)"))
         .filter(col("cos") > 0.45)
         .select(col("vec_a"), col("vec_b"), col("label"))
     },

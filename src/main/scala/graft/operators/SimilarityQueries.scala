@@ -21,16 +21,16 @@ object SimilarityQueries {
   private val NumPlanes = 4
   private val Dim = 64
 
-  /** Embeddings with double vector + L2 norm. */
-  private def normed(spark: SparkSession, dir: String): DataFrame =
+  /** Embeddings with double vector + L2 norm (norm via the codegen'd
+    * vec_dot — same left-to-right fold, ~50× the interpreted lambda). */
+  private def normed(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     Tables.embeddings(spark, dir)
       .withColumn("emb", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
-      .withColumn("norm", expr(
-        "sqrt(aggregate(emb, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+      .withColumn("norm", expr("sqrt(vec_dot(emb, emb))"))
+  }
 
-  private val cosExpr =
-    """aggregate(zip_with(qe, ce, (x, y) -> x * y),
-                 CAST(0 AS DOUBLE), (acc, v) -> acc + v) / (qn * cn)"""
+  private val cosExpr = "vec_dot(qe, ce) / (qn * cn)"
 
   /** Brute-force cosine top-10 per query vector (queries: vec_id < 10).
     * The query side is tiny and broadcast; the candidate scan is
@@ -67,30 +67,29 @@ object SimilarityQueries {
       WHERE rank <= 10
     """))
 
-  /** Deterministic ±1 random-hyperplane table (p, d, w) derived from md5 —
-    * reproducible in any engine, no RNG state. */
-  private def planes(spark: SparkSession): DataFrame =
-    spark.range(0, NumPlanes).select(col("id").as("p"))
-      .crossJoin(spark.range(1, Dim + 1).select(col("id").as("d")))
-      .withColumn("w", expr(
-        """CASE WHEN (instr('0123456789abcdef',
-                           substr(md5(concat(p, ':', d)), 1, 1)) - 1) % 2 = 0
-                THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"""))
+  /** Deterministic ±1 random-hyperplane weights, w(p, d) = parity of the
+    * first hex digit of md5("p:d") — the same formula the DuckDB oracle
+    * evaluates in SQL, precomputed here so the plane matrix becomes plan
+    * literals instead of a join. 1-based d matches the SQL's list_extract. */
+  private def planeWeight(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (("0123456789abcdef".indexOf(hex.charAt(0))) % 2 == 0) 1.0 else -1.0
+  }
 
-  /** Sign-bucket signature per vector: bit_p = sign(dot(v, plane_p)). */
+  /** Sign-bucket signature per vector: bit_p = sign(dot(v, plane_p)),
+    * computed as one narrow projection — each plane's dot product is an
+    * `aggregate(zip_with(emb, <literal weights>))` fold. No explode, no
+    * shuffle: at 100 TB the bucketing stage is a pure map over the corpus
+    * (the old posexplode form shuffled corpus × dim × planes rows). */
   private def buckets(spark: SparkSession, dir: String): DataFrame = {
     val e = normed(spark, dir)
-    val byDim = e.select(col("vec_id"),
-        posexplode(col("emb")).as(Seq("pos", "v")))
-      .withColumn("d", col("pos") + 1)
-    byDim.join(broadcast(planes(spark)), "d")
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(col("w") * col("v")).as("s"))
-      .groupBy(col("vec_id"))
-      .agg(expr(
-        """array_join(transform(array_sort(collect_list(struct(p,
-             CASE WHEN s >= 0 THEN '1' ELSE '0' END AS bit))),
-           x -> x.bit), '')""").as("bucket"))
+    val bits = (0 until NumPlanes).map { p =>
+      val w = (1 to Dim).map(d => s"${planeWeight(p, d)}D").mkString(",")
+      when(expr(s"vec_dot(emb, array($w))") >= 0, "1").otherwise("0")
+    }
+    e.select(col("vec_id"), concat(bits: _*).as("bucket"))
   }
 
   /** LSH-bucketed ANN: candidates restricted to the query's sign bucket,
@@ -102,7 +101,9 @@ object SimilarityQueries {
     (spark, dir) => {
       val e = normed(spark, dir)
       val b = buckets(spark, dir)
-      val withB = e.join(b, "vec_id")
+      // Both join sides derive from the bucketed table; checkpoint it so
+      // norms + bucket signatures are computed once (DISK persist at scale).
+      val withB = e.join(b, "vec_id").localCheckpoint(eager = false)
       val q = withB.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("bucket"),
           col("emb").as("qe"), col("norm").as("qn"))
