@@ -322,7 +322,94 @@ object DerivedQueries {
       FROM lineitem GROUP BY 1
     """))
 
+  /** Batch sessionization (§2.2 session-window row, oracle-checkable
+    * analogue of streaming session_window): per-user event bursts separated
+    * by > 6h of silence. lag marks session starts, a running sum numbers
+    * them — two passes over ONE window sort, then a partial+final agg.
+    * Partitioned by user_id, so at 100 TB no executor sees more than one
+    * user's timeline slice per task. */
+  val sessionize = QueryDef(
+    "sessionize",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      Tables.events(spark, dir)
+        .select($"user_id", $"ts", $"event_id")
+        .withColumn("new_sess",
+          when(lag($"ts", 1).over(w).isNull ||
+            $"ts" > lag($"ts", 1).over(w) + expr("INTERVAL 6 HOUR"), 1L)
+            .otherwise(0L))
+        .withColumn("sess_no", sum($"new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sess_no")
+        .agg(
+          min($"ts").as("session_start"),
+          max($"ts").as("session_end"),
+          min($"event_id").as("first_event_id"),
+          count(lit(1)).as("n_events"))
+    },
+    Some("""
+      WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts > lag(ts) OVER w + INTERVAL 6 HOUR
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      numbered AS (
+        SELECT user_id, ts, event_id,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        FROM marked)
+      SELECT user_id, sess_no, min(ts) AS session_start,
+             max(ts) AS session_end, min(event_id) AS first_event_id,
+             count(*) AS n_events
+      FROM numbered GROUP BY 1, 2
+    """))
+
+  /** Interval (range) join done the 100 TB way (§2.2 joins row): orders
+    * against literal price bands. A naive `lo <= v < hi` theta-join plans
+    * as a broadcast nested loop — O(rows × bands) comparisons; instead each
+    * band is exploded to the fixed-width buckets it covers and the join is
+    * an equi-join on the bucket key plus a residual predicate, so it hashes
+    * instead of scanning and survives arbitrary band widths. */
+  val rangeBandJoin = QueryDef(
+    "range_band_join",
+    (spark, dir) => {
+      import spark.implicits._
+      val W = 50000L // bucket width
+      val bands = Seq( // (band, lo, hi): [lo, hi) — deliberately uneven
+        ("micro", 0L, 75000L),
+        ("small", 75000L, 150000L),
+        ("mid", 150000L, 300000L),
+        ("large", 300000L, 600000L))
+      val bandBuckets = bands.flatMap { case (b, lo, hi) =>
+        (lo / W) to ((hi - 1) / W) map (k => (b, lo, hi, k))
+      }.toDF("band", "lo", "hi", "bucket")
+      val o = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_totalprice",
+          (floor($"o_totalprice" / W)).cast("long").as("bucket"))
+      o.join(broadcast(bandBuckets), Seq("bucket"))
+        .filter($"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
+            .as("turnover"))
+    },
+    Some("""
+      WITH bands(band, lo, hi) AS (VALUES
+        ('micro', 0, 75000), ('small', 75000, 150000),
+        ('mid', 150000, 300000), ('large', 300000, 600000))
+      SELECT band, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS turnover
+      FROM orders JOIN bands
+        ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY 1
+    """))
+
   val defs: Seq[QueryDef] = Seq(
     ohlcv, vwap, asofJoin, starJoin, q1Pricing, q3TopN,
-    rollupAgg, cubeAgg, windowRunning, topnGlobal, aggDistinct)
+    rollupAgg, cubeAgg, windowRunning, topnGlobal, aggDistinct,
+    sessionize, rangeBandJoin)
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
 import graft.model._
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** The stateful market-data engine (reference ops 16-20 in one keyed pass,
   * mirroring the reference's single per-exchange event loop):
@@ -91,6 +91,41 @@ object BookEngine {
           gs.update(next)
           outputs.iterator
       }
+  }
+
+  /** The same engine on Spark 4's `transformWithState` state API (SURVEY
+    * §4.3's canonical mechanism): per-key `ValueState[ReplayState]`, no
+    * TTL (books are per-product singletons; cardinality = |products|).
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`), which also buys
+    * changelog checkpointing + bounded executor memory for state at scale.
+    * `flatMapGroupsWithState` above stays as the batch-compatible path
+    * (transformWithState has no batch fallback). */
+  class BookStatefulProcessor
+      extends StatefulProcessor[(String, String), MarketMessage, EngineOut] {
+    @transient private var state: ValueState[ReplayState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ReplayState](
+        "book", Encoders.product[ReplayState], TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, String),
+        rows: Iterator[MarketMessage],
+        timerValues: TimerValues): Iterator[EngineOut] = {
+      val st = if (state.exists()) state.get() else initialState
+      val (next, outputs) = processKey(key, st, rows.toSeq)
+      state.update(next)
+      outputs.iterator
+    }
+  }
+
+  /** Streaming operator on the transformWithState path. */
+  def runTws(messages: Dataset[MarketMessage]): Dataset[EngineOut] = {
+    import messages.sparkSession.implicits._
+    messages
+      .groupByKey(m => (m.exchange, m.channel))
+      .transformWithState(new BookStatefulProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Split helper: (inside-book updates, trades). */
