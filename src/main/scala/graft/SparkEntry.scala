@@ -16,7 +16,8 @@ object SparkEntry {
       operators.DerivedQueries.defs ++
       operators.DedupQueries.defs ++
       operators.SimilarityQueries.defs ++
-      operators.TextQueries.defs
+      operators.TextQueries.defs ++
+      operators.ReplayBench.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Gap detection — the reference's core completeness check
