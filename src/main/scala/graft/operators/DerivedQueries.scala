@@ -408,8 +408,34 @@ object DerivedQueries {
       GROUP BY 1
     """))
 
+  /** Salted skew join (§7.1 step 8): lineitem⋈supplier through
+    * plans.SkewJoin — each hot l_suppkey spread over 8 shuffle partitions,
+    * dim side replicated 8×. The oracle is the PLAIN join: salting must be
+    * result-invariant, and the hash-match proves it. */
+  val skewSaltedJoin = QueryDef(
+    "skew_salted_join",
+    (spark, dir) => {
+      import spark.implicits._
+      val fact = Tables.lineitem(spark, dir)
+        .select($"l_suppkey".as("suppkey"), $"l_quantity")
+      val dim = Tables.supplier(spark, dir)
+        .select($"s_suppkey".as("suppkey"), $"s_nationkey")
+      graft.plans.SkewJoin.salted(fact, dim, "suppkey", salts = 8)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_lines"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)")
+            .as("total_qty"))
+    },
+    Some("""
+      SELECT s_nationkey, count(*) AS n_lines,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1
+    """))
+
   val defs: Seq[QueryDef] = Seq(
     ohlcv, vwap, asofJoin, starJoin, q1Pricing, q3TopN,
     rollupAgg, cubeAgg, windowRunning, topnGlobal, aggDistinct,
-    sessionize, rangeBandJoin)
+    sessionize, rangeBandJoin, skewSaltedJoin)
 }
