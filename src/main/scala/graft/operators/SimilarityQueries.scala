@@ -151,5 +151,72 @@ object SimilarityQueries {
       WHERE rank <= 5
     """))
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lshTopK)
+  /** IVF-style ANN (§2.3 scale path #2): a deterministic coarse quantizer
+    * — centroids are the vectors with vec_id % 100 == 7, so nlist grows
+    * ~N/100 with the corpus like a real sqrt-ish IVF sizing — assigns every
+    * vector to its nearest centroid cell (one broadcast cross of N×nlist
+    * vec_dot scores, embarrassingly parallel), and probes nprobe=1: query
+    * candidates are exactly the query's cell. At 100 TB: assignment is a
+    * map-only pass, the probe join shuffles on cell id — no cross join
+    * anywhere. */
+  val ivfTopK = QueryDef(
+    "ann_topk_ivf",
+    (spark, dir) => {
+      val e = normed(spark, dir)
+      val cents = broadcast(e.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+          col("norm").as("cnorm")))
+      val aw = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      val assign = e.select(col("vec_id"), col("emb"), col("norm"))
+        .crossJoin(cents)
+        .withColumn("ccos", expr("vec_dot(emb, cemb) / (norm * cnorm)"))
+        .withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("emb"), col("norm"))
+        .localCheckpoint(eager = false) // reused by both probe sides
+      val q = assign.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("cid"),
+          col("emb").as("qe"), col("norm").as("qn"))
+      val c = assign.select(col("vec_id").as("neighbor_id"),
+        col("cid").as("ccid"), col("emb").as("ce"), col("norm").as("cn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      q.join(c, col("cid") === col("ccid") &&
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr(cosExpr))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    },
+    Some("""
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        WHERE vec_id % 100 = 7),
+      assign AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.cemb AS DOUBLE[])) DESC,
+                   c.cid ASC) AS rn
+          FROM embeddings e, cents c)
+        WHERE rn = 1)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY qa.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])) DESC,
+                 ca.vec_id ASC) AS rank
+        FROM assign qa
+        JOIN assign ca ON qa.cid = ca.cid AND qa.vec_id <> ca.vec_id
+        JOIN embeddings q ON q.vec_id = qa.vec_id
+        JOIN embeddings c ON c.vec_id = ca.vec_id
+        WHERE qa.vec_id < 10)
+      WHERE rank <= 5
+    """))
+
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lshTopK, ivfTopK)
 }
