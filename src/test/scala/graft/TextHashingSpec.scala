@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.TextHashing
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the dedup hashing primitives (SURVEY §5.2 #2 for the
+  * §2.3 family): these hold for ANY corpus, complementing the DuckDB
+  * value-equality gate which checks one corpus exactly. */
+class TextHashingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def check(prop: Prop): Unit = {
+    // Spark jobs per case: keep the sample count moderate
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(10)
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val wordGen = Gen.oneOf(
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+  private val docGen = Gen.chooseNum(1, 12)
+    .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+
+  private def docsDf(texts: Seq[String]) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("property: minhash values lie in [0, P) and equal texts get equal signatures") {
+    check(Prop.forAll(Gen.listOfN(6, docGen)) { texts =>
+      val docs = docsDf(texts ++ texts) // every text appears twice
+      val sig = TextHashing.minhashSignatures(docs, n = 4).collect()
+      val byDoc = sig.map(r => r.getLong(0) ->
+        (1 to 4).map(r.getLong(_))).toMap
+      val inRange = byDoc.values.flatten
+        .forall(h => h >= 0 && h < TextHashing.MinhashP)
+      val dupsAgree = texts.indices.forall { i =>
+        byDoc(i.toLong) == byDoc((i + texts.length).toLong)
+      }
+      inRange && dupsAgree
+    })
+  }
+
+  test("property: jaccard of a doc with itself is 1; candidates always include exact dups") {
+    check(Prop.forAll(Gen.listOfN(4, docGen)) { texts =>
+      val docs = docsDf(texts ++ texts)
+      val pairs = TextHashing.lshCandidatePairs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // every (i, i+n) exact-dup pair must be an LSH candidate (identical
+      // signatures share every band)
+      val dupsCaught = texts.indices.forall { i =>
+        pairs.contains((i.toLong, (i + texts.length).toLong))
+      }
+      val jac = TextHashing.jaccard(docs,
+          Seq((0L, texts.length.toLong)).toDF("doc_a", "doc_b"))
+        .collect().headOption
+      dupsCaught && jac.forall(_.getAs[Double]("jaccard") == 1.0)
+    })
+  }
+
+  test("property: simhash is 64 bits of '0'/'1' and equal for equal texts") {
+    check(Prop.forAll(Gen.listOfN(4, docGen)) { texts =>
+      val docs = docsDf(texts ++ texts)
+      val sh = TextHashing.simhash(docs).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      sh.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')) &&
+        texts.indices.forall(i => sh(i.toLong) == sh((i + texts.length).toLong))
+    })
+  }
+}
