@@ -55,6 +55,75 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a media payload. */
+  final case class MediaFrame(media_id: Long, frame_no: Int,
+      payload: Array[Byte])
+
+  /** One extracted feature vector (the bridge into the ANN family — these
+    * rows feed the same vec_dot/LSH/IVF search paths as the embeddings
+    * table). */
+  final case class MediaFeature(media_id: Long, embedding: Array[Double])
+
+  /** Resize: payload → transformed payload with new dimensions. STUB
+    * transform (deterministic byte fold to the target size); real plumbing:
+    * partition-local, 1→1, output carries the transformed payload so a
+    * downstream sink can write the derived asset next to the original. */
+  def resize(media: Dataset[MediaRow], width: Int, height: Int,
+      decoder: MediaDecoder = FakeDecoder): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    val target = width * height
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out = new Array[Byte](math.min(target, math.max(1, target)))
+        var i = 0
+        while (i < out.length) {
+          out(i) = if (r.payload.isEmpty) 0
+            else r.payload(i % r.payload.length)
+          i += 1
+        }
+        MediaRow(r.media_id, r.kind, out)
+      }
+    }
+  }
+
+  /** Frame sampling: one media row → every `stride`-th frame (1→N flatMap
+    * shape). STUB framing (fixed-size payload chunks); real plumbing: the
+    * explode happens on executors, frames inherit the row's partition, and
+    * the output is bounded by n_frames/stride — the knob that makes video
+    * corpora tractable. */
+  def frameSample(media: Dataset[MediaRow], stride: Int,
+      frameBytes: Int = 64): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    require(stride > 0, "stride must be positive")
+    media.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (chunk, i) if i % stride == 0 => MediaFrame(r.media_id, i, chunk)
+      }
+    }
+  }
+
+  /** Feature extraction: payload → fixed-dim embedding. STUB features
+    * (per-dim rolling byte hash, L2-normalized — deterministic); real
+    * plumbing: one "model" per partition, output is ARRAY<DOUBLE> ready
+    * for the vec_dot / LSH / IVF similarity operators. */
+  def features(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition "model init" happens here (amortized across rows)
+      rows.map { r =>
+        val v = new Array[Double](dim)
+        var i = 0
+        while (i < r.payload.length) {
+          v(i % dim) = v(i % dim) * 31.0 % 1e9 + (r.payload(i) & 0xff)
+          i += 1
+        }
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        MediaFeature(r.media_id,
+          if (norm == 0) v else v.map(_ / norm))
+      }
+    }
+  }
+
   /** Lift the documents table into a media table (payload = utf-8 bytes) —
     * the test harness for the plumbing above. */
   def documentsAsMedia(docs: DataFrame): Dataset[MediaRow] = {

@@ -163,6 +163,30 @@ class OpQuerySpec extends AnyFunSuite {
     assert(meta.filter(!_.ok).count() === 0)
   }
 
+  test("multimodal resize/frameSample/features: distributed plumbing shapes") {
+    import spark.implicits._
+    val media = functions.Multimodal.documentsAsMedia(
+      Tables.documents(spark, sf).limit(50))
+    // resize: 1→1, payload takes the target size
+    val resized = functions.Multimodal.resize(media, 8, 8)
+    assert(resized.count() === 50)
+    assert(resized.collect().forall(_.payload.length === 64))
+    // frameSample: 1→N, strided frame numbers only
+    val frames = functions.Multimodal.frameSample(media, stride = 2)
+    assert(frames.count() > 0)
+    assert(frames.filter($"frame_no" % 2 =!= 0).count() === 0)
+    // features: unit-norm vectors of the requested dim, ANN-ready
+    val feats = functions.Multimodal.features(media, dim = 16)
+    val arr = feats.collect()
+    assert(arr.length === 50 && arr.forall(_.embedding.length == 16))
+    assert(arr.forall(f =>
+      math.abs(math.sqrt(f.embedding.map(x => x * x).sum) - 1.0) < 1e-9))
+    // determinism: second run bit-identical
+    val again = functions.Multimodal.features(media, dim = 16).collect()
+      .map(f => f.media_id -> f.embedding.toSeq).toMap
+    assert(arr.forall(f => again(f.media_id) == f.embedding.toSeq))
+  }
+
   test("text_lang_id: scores are non-negative, prediction is a known label") {
     val r = operators.TextQueries.langId.fn(spark, sf)
     assert(r.filter(col("s_en") < 0).count() === 0)
