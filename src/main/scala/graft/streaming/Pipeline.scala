@@ -35,10 +35,16 @@ object Pipeline {
   }
 
   /** Start the ingest pipeline for one exchange feed: a single stateful
-    * pass whose micro-batches append to `<outDir>/inside_book` and
+    * pass whose micro-batches write to `<outDir>/inside_book` and
     * `<outDir>/trades` (trade rows deduped by id within each batch —
     * replayed frames can't double-insert, fixing §0.1's backfill
-    * duplication for free). */
+    * duplication for free).
+    *
+    * Sink idempotence: foreachBatch is at-least-once — a batch that fails
+    * after a partial write is retried with the SAME batchId. Each write is
+    * therefore partitioned by batch_id with dynamic partition overwrite:
+    * the retry replaces exactly its own partition, never duplicating or
+    * touching earlier batches — exactly-once at the table level. */
   def start(frames: DataFrame, decode: DataFrame => Dataset[MarketMessage],
       outDir: String, checkpointDir: String,
       fetcher: Option[graft.sources.Backfill.TradeFetcher] = None)
@@ -46,19 +52,34 @@ object Pipeline {
     BookEngine.run(decode(frames))
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[EngineOut], _: Long) =>
-        val spark = batch.sparkSession
-        val (books, trades) = BookEngine.split(batch)
-        books.write.mode("append").parquet(s"$outDir/inside_book")
-        val merged = fetcher match {
-          case Some(f) => // op 22-23: fill flagged gaps, merge, dedup
-            graft.sources.Backfill.reconcileBatch(spark, trades, f)
-          case None => trades.dropDuplicates("exchange", "tradeId")
-        }
-        merged.write.mode("append").parquet(s"$outDir/trades")
-        ()
+      .foreachBatch { (batch: Dataset[EngineOut], batchId: Long) =>
+        commitBatch(batch, batchId, outDir, fetcher)
       }
       .start()
+  }
+
+  /** One micro-batch commit — public so idempotence is directly testable:
+    * re-running the same (batch, batchId) leaves the tables unchanged. */
+  def commitBatch(batch: Dataset[EngineOut], batchId: Long, outDir: String,
+      fetcher: Option[graft.sources.Backfill.TradeFetcher]): Unit = {
+    val spark = batch.sparkSession
+    val (books, trades) = BookEngine.split(batch)
+    books.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$outDir/inside_book")
+    val merged = fetcher match {
+      case Some(f) => // op 22-23: fill flagged gaps, merge, dedup
+        graft.sources.Backfill.reconcileBatch(spark, trades, f)
+      case None => trades.dropDuplicates("exchange", "tradeId")
+    }
+    merged.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$outDir/trades")
+    ()
   }
 
   /** Full-table CSV export with header (op 8, export_to_csv.py intent —

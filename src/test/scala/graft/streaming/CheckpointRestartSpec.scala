@@ -63,4 +63,25 @@ class CheckpointRestartSpec extends AnyFunSuite {
     assert(trades.last.getAs[Long]("gapStart") === 101L)
     assert(trades.last.getAs[Long]("gapEnd") === 103L)
   }
+
+  test("commitBatch is idempotent: a retried batchId replaces, never appends") {
+    val outDir = Files.createTempDirectory("idem_out").toString
+    val engineOut = BookEngine.run(Decoders.gdax(Seq(
+      1L -> """{"type": "snapshot", "product_id": "ETH-USD",
+        "bids": [["300.10", "1.5"]], "asks": [["300.20", "0.9"]]}""",
+      2L -> """{"type": "match", "trade_id": 100, "sequence": 7,
+        "time": "2017-10-15T05:10:53.700000Z", "product_id": "ETH-USD",
+        "size": "0.25", "price": "300.15", "side": "buy"}""")
+      .toDF("arrival", "value")))
+    Pipeline.commitBatch(engineOut, batchId = 0L, outDir, None)
+    val booksOnce = spark.read.parquet(s"$outDir/inside_book").count()
+    val tradesOnce = spark.read.parquet(s"$outDir/trades").count()
+    // simulate the foreachBatch retry: same data, same batchId
+    Pipeline.commitBatch(engineOut, batchId = 0L, outDir, None)
+    assert(spark.read.parquet(s"$outDir/inside_book").count() === booksOnce)
+    assert(spark.read.parquet(s"$outDir/trades").count() === tradesOnce)
+    // a NEW batchId lands in its own partition
+    Pipeline.commitBatch(engineOut, batchId = 1L, outDir, None)
+    assert(spark.read.parquet(s"$outDir/trades").count() === tradesOnce * 2)
+  }
 }
