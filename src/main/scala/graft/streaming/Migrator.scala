@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** DDL migrator (reference op 7: db_utils.py:34-45 applying
+  * schema/gdax_schema.sql + polo_schema.sql) — realized as idempotent
+  * catalog registration over the parquet sink directories.
+  *
+  * Deliberately NOT replicated: the reference's migration scripts
+  * `DROP TABLE IF EXISTS` and its worker re-runs them on every restart
+  * (SURVEY §0.1 #4) — every restart destroyed all collected data. Here
+  * `CREATE TABLE IF NOT EXISTS` is a no-op when the table exists; data
+  * files are never touched.
+  */
+object Migrator {
+
+  /** Register the two sink tables for an exchange under
+    * `<exchange>_inside_book` / `<exchange>_trades` (mirroring the
+    * reference's {gdax,polo}_order_book / {gdax,polo}_trades naming),
+    * pointing at the Pipeline's parquet output. Safe to call on every
+    * startup. */
+  def ensureTables(spark: SparkSession, exchange: String,
+      outDir: String): Unit = {
+    Seq(s"${exchange}_inside_book" -> s"$outDir/inside_book",
+        s"${exchange}_trades" -> s"$outDir/trades").foreach {
+      case (table, location) =>
+        spark.sql(
+          s"CREATE TABLE IF NOT EXISTS $table USING PARQUET LOCATION '$location'")
+        // The sinks write batch_id=N partitions; recover them into the
+        // catalog (idempotent). A live deployment queries the path directly
+        // (always current) or repairs on a schedule; the catalog entry is
+        // the discoverability/BI surface.
+        spark.sql(s"MSCK REPAIR TABLE $table")
+    }
+  }
+}

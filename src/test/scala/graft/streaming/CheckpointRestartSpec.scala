@@ -83,5 +83,15 @@ class CheckpointRestartSpec extends AnyFunSuite {
     // a NEW batchId lands in its own partition
     Pipeline.commitBatch(engineOut, batchId = 1L, outDir, None)
     assert(spark.read.parquet(s"$outDir/trades").count() === tradesOnce * 2)
+
+    // op 7 migrator over the sink: idempotent, never destructive — the
+    // reference re-ran DROP+CREATE on every worker restart (§0.1 #4)
+    Migrator.ensureTables(spark, "test_ex", outDir)
+    val viaTable = spark.table("test_ex_trades").count()
+    assert(viaTable === tradesOnce * 2)
+    Migrator.ensureTables(spark, "test_ex", outDir) // restart: no-op
+    assert(spark.table("test_ex_trades").count() === viaTable)
+    spark.sql("DROP TABLE test_ex_inside_book")
+    spark.sql("DROP TABLE test_ex_trades")
   }
 }
