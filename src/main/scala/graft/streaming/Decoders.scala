@@ -73,6 +73,9 @@ object Decoders {
         from_json(get_json_object(col("value"), "$[2]"),
           ArrayType(StringType)).as("subs"))
       .filter(col("chan").isNotNull && col("subs").isNotNull)
+      // a malformed envelope may carry a non-numeric sequence: the cast
+      // NULLs it, and a NULL would kill the non-nullable encoder field
+      .withColumn("seq", coalesce(col("seq"), lit(-1L)))
       .select(col("arrival"), col("chan"), col("seq"),
         posexplode(col("subs")).as(Seq("subIdx", "sub")))
       // fold sub-message order into arrival: frames are far apart (one
@@ -123,7 +126,10 @@ object Decoders {
       expr(emptyPairs).as("bids"),
       expr(emptyPairs).as("asks"),
       expr(emptyPairs).as("changes"),
-      get_json_object(col("sub"), "$[1]").cast("long").as("tradeId"),
+      // truncated/garbled trade sub-messages cast to NULL → treat as
+      // id-less (-1, excluded from gap tracking) instead of crashing
+      coalesce(get_json_object(col("sub"), "$[1]").cast("long"), lit(-1L))
+        .as("tradeId"),
       coalesce(get_json_object(col("sub"), "$[3]"), lit("")).as("price"),
       coalesce(get_json_object(col("sub"), "$[4]"), lit("")).as("size"),
       expr("""CASE WHEN get_json_object(sub, '$[2]') = '1'
