@@ -34,15 +34,24 @@ object OrderBook {
     Book(TreeMap.empty[BigDecimal, String](bidOrdering),
       TreeMap.empty[BigDecimal, String])
 
+  /** Exact decimal parse, None for corrupt input — one garbled level from
+    * an exchange must drop that level, not kill the stream (the crash an
+    * engine-level fuzz test found; the reference's analogue was its blanket
+    * IndexError swallow, polo_ws_async.py:148-149). */
+  private def dec(s: String): Option[BigDecimal] =
+    try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
+
   /** Install a full snapshot, unconditionally replacing prior state
     * (real_guac_async.py:61-63). Input pairs are [price, size]; arrival
     * order is irrelevant because sortedness is structural (the reference
     * relied on GDAX pre-sorting and explicitly sorted Poloniex maps,
-    * polo_ws_async.py:69-70). Zero-size levels are dropped. */
+    * polo_ws_async.py:69-70). Zero-size and unparseable levels are
+    * dropped. */
   def installSnapshot(bids: Seq[Seq[String]], asks: Seq[Seq[String]]): Book = {
     def side(levels: Seq[Seq[String]], ord: Ordering[BigDecimal]): Side =
       TreeMap.from(levels.collect {
-        case Seq(price, size, _*) if BigDecimal(size).signum != 0 =>
+        case Seq(price, size, _*)
+            if dec(price).isDefined && dec(size).exists(_.signum != 0) =>
           BigDecimal(price) -> size
       })(ord)
     Book(side(bids, bidOrdering), side(asks, Ordering[BigDecimal]))
@@ -50,16 +59,21 @@ object OrderBook {
 
   /** Apply one L2 change [side, price, size]: size==0 deletes the level,
     * otherwise upsert (real_guac_async.py:67-92; the async Poloniex
-    * comparison-position fix of SURVEY §0.1 #3 is inherent here). */
+    * comparison-position fix of SURVEY §0.1 #3 is inherent here).
+    * Unparseable price/size → the change is dropped. */
   def applyChange(book: Book, side: String, price: String,
-      size: String): Book = {
-    val p = BigDecimal(price)
-    val delete = BigDecimal(size).signum == 0
-    if (side == "buy")
-      book.copy(bids = if (delete) book.bids - p else book.bids.updated(p, size))
-    else
-      book.copy(asks = if (delete) book.asks - p else book.asks.updated(p, size))
-  }
+      size: String): Book =
+    (dec(price), dec(size)) match {
+      case (Some(p), Some(sz)) =>
+        val delete = sz.signum == 0
+        if (side == "buy")
+          book.copy(bids =
+            if (delete) book.bids - p else book.bids.updated(p, size))
+        else
+          book.copy(asks =
+            if (delete) book.asks - p else book.asks.updated(p, size))
+      case _ => book
+    }
 
   /** Top-k levels per side, best-first (bids high→low, asks low→high);
     * returns actual depth ≤ k — thin books no longer throw

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.model._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Golden tests of the keyed engine core (ops 16-20 end-to-end for one key,
@@ -87,4 +88,53 @@ class BookEngineSpec extends AnyFunSuite {
     assert(out.flatMap(_.trade).head.productId === "BTC_ETH")
     assert(out.flatMap(_.book).head.productId === "BTC_ETH")
   }
+
+  test("property: processKey never throws and preserves engine invariants on arbitrary logs") {
+    val priceGen = Gen.oneOf(Gen.chooseNum(1, 500).map(n => s"$n.${n % 10}0"),
+      Gen.const(""), Gen.const("garbage"))
+    val sizeGen = Gen.oneOf(Gen.const("0"), Gen.const(""),
+      Gen.chooseNum(1, 99).map(n => s"$n.25"))
+    val sideGen = Gen.oneOf("buy", "sell", "", "held")
+    val pairGen = for (p <- priceGen; s <- sizeGen) yield Seq(p, s)
+    val changeGen = for {
+      side <- sideGen; p <- priceGen; s <- sizeGen
+    } yield Seq(side, p, s)
+    val msgGen: Gen[MarketMessage] = for {
+      t <- Gen.oneOf("snapshot", "l2update", "match", "weird")
+      bids <- Gen.listOfN(3, pairGen)
+      asks <- Gen.listOfN(3, pairGen)
+      chs <- Gen.listOf(changeGen)
+      tid <- Gen.oneOf(Gen.const(-1L), Gen.chooseNum(1L, 50L))
+      price <- priceGen; size <- sizeGen; side <- sideGen
+      arrival <- Gen.chooseNum(1L, 1000L)
+    } yield MarketMessage("gdax", "ETH-USD", t, "ETH-USD", arrival, arrival,
+      if (t == "snapshot") bids else Nil,
+      if (t == "snapshot") asks else Nil,
+      if (t == "l2update") chs else Nil, tid, price, size, side, null)
+
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(Gen.listOf(msgGen)) { msgs =>
+        val (_, out) = BookEngine.processKey(key, OrderBook.initialState, msgs)
+        val books = out.flatMap(_.book)
+        // emitted books: ≤15 levels per side, bids strictly desc, asks asc
+        val shapeOk = books.forall { b =>
+          b.bids.length <= 15 && b.asks.length <= 15 &&
+            isSorted(b.bids.map(l => BigDecimal(l.price)).reverse) &&
+            isSorted(b.asks.map(l => BigDecimal(l.price)))
+        }
+        // suppression: no two consecutive identical top-15 views
+        val noDupEmit = books.sliding(2).forall {
+          case Seq(a, b) => a.bids != b.bids || a.asks != b.asks
+          case _ => true
+        }
+        // one trade row per match message, in replay order
+        val nMatches = msgs.count(_.msgType == "match")
+        shapeOk && noDupEmit && out.flatMap(_.trade).length == nMatches
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  private def isSorted(xs: Seq[BigDecimal]): Boolean =
+    xs.zip(xs.drop(1)).forall { case (a, b) => a < b }
 }
