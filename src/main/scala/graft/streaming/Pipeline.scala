@@ -88,4 +88,31 @@ object Pipeline {
   def exportCsv(spark: SparkSession, tableDir: String, out: String): Unit =
     spark.read.parquet(tableDir)
       .write.mode("overwrite").option("header", "true").csv(out)
+
+  /** Small-file compaction for a batch_id-partitioned sink table: every
+    * micro-batch commit writes one file per shuffle partition per trigger,
+    * and at feed rates that means millions of tiny files per day — the
+    * classic streaming-sink operational failure at scale. Rewrites each
+    * batch_id partition into one file (hash-clustered so a partition's
+    * rows land in a single task) via dynamic partition overwrite — the
+    * same idempotent mechanism as the sink itself, so a crashed compaction
+    * is simply re-run. Run out-of-band against partitions older than the
+    * active trigger.
+    *
+    * The table is materialized (lineage cut) before the overwrite because
+    * Spark refuses to overwrite a path it is still reading from; on a real
+    * cluster with huge partitions, write to a temp location and rename
+    * instead. */
+  def compact(spark: SparkSession, tableDir: String): Unit = {
+    val df = spark.read.parquet(tableDir)
+    require(df.columns.contains("batch_id"),
+      s"$tableDir is not a batch_id-partitioned sink table")
+    val nParts = df.select("batch_id").distinct().count().toInt.max(1)
+    df.repartition(nParts, col("batch_id"))
+      .localCheckpoint(eager = true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(tableDir)
+  }
 }
