@@ -68,4 +68,40 @@ class BackfillSpec extends AnyFunSuite {
     assert(merged.filter(_.backfilled).map(_.tradeId).sorted.toSeq ===
       Seq(101L, 102L, 103L))
   }
+
+  test("property: fillGap terminates with exact partition of the gap under adversarial fetchers") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Adversarial fetcher: ignores its contract — returns a pseudo-random
+    // (but deterministic) page possibly containing duplicates, ids below
+    // the cursor, ids outside the gap, or nothing at all.
+    final class Chaos(seed: Long, lo: Long, hi: Long) extends TradeFetcher {
+      override def fetchPage(productId: String, afterId: Long,
+          limit: Int): Seq[FetchedTrade] = {
+        val r = new scala.util.Random(seed ^ afterId)
+        val n = r.nextInt(limit + 1)
+        Seq.fill(n) {
+          val id = lo - 3 + r.nextLong(hi - lo + 7)
+          FetchedTrade(id, "1.00", "1.00", "buy", ts)
+        }
+      }
+    }
+    val gen = for {
+      seed <- Gen.long
+      start <- Gen.chooseNum(1L, 1000L)
+      len <- Gen.chooseNum(0L, 200L)
+    } yield (seed, start, start + len)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(gen) { case (seed, s, e) =>
+        val r = fillGap(new Chaos(seed, s, e), "P", "gdax", s, e, pageSize = 10)
+        val got = r.trades.map(_.tradeId)
+        val full = (s to e).toSet
+        got.distinct.length == got.length && // no duplicate emissions
+          got.toSet.subsetOf(full) &&        // nothing outside the gap
+          (got.toSet ++ r.stillMissing) == full && // exact partition
+          got.toSet.intersect(r.stillMissing).isEmpty &&
+          r.pagesFetched <= (full.size + 9) / 10 + 1 // page budget respected
+      })
+    assert(res.passed, res.status.toString)
+  }
 }
