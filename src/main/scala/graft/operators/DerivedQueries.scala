@@ -434,8 +434,50 @@ object DerivedQueries {
       GROUP BY 1
     """))
 
+  /** Discrete quantiles per group (§2.2 aggregation row): p50/p90/p99 of
+    * order totals per order-priority, selected by explicit rank math
+    * (rn == ceil(q·n), ordered by value with key tiebreak) — discrete
+    * selection picks an actual row, so both engines agree exactly; no
+    * interpolation arithmetic crosses the oracle boundary. One window sort
+    * + one agg; at scale this is the shuffle-cheap exact-quantile form
+    * (approx_percentile is the sketch alternative when one pass matters). */
+  val quantiles = QueryDef(
+    "quantiles_disc",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+      Tables.orders(spark, dir)
+        .select($"o_orderpriority", $"o_totalprice", $"o_orderkey")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy($"o_orderpriority")))
+        .filter($"rn" === ceil($"n" * 0.5) || $"rn" === ceil($"n" * 0.9) ||
+          $"rn" === ceil($"n" * 0.99))
+        .groupBy($"o_orderpriority")
+        .agg(
+          max(when($"rn" === ceil($"n" * 0.5), $"o_totalprice")).as("p50"),
+          max(when($"rn" === ceil($"n" * 0.9), $"o_totalprice")).as("p90"),
+          max(when($"rn" === ceil($"n" * 0.99), $"o_totalprice")).as("p99"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders)
+      SELECT o_orderpriority,
+             max(CASE WHEN rn = ceil(n * 0.5) THEN o_totalprice END) AS p50,
+             max(CASE WHEN rn = ceil(n * 0.9) THEN o_totalprice END) AS p90,
+             max(CASE WHEN rn = ceil(n * 0.99) THEN o_totalprice END) AS p99
+      FROM ranked
+      WHERE rn = ceil(n * 0.5) OR rn = ceil(n * 0.9) OR rn = ceil(n * 0.99)
+      GROUP BY 1
+    """))
+
   val defs: Seq[QueryDef] = Seq(
     ohlcv, vwap, asofJoin, starJoin, q1Pricing, q3TopN,
     rollupAgg, cubeAgg, windowRunning, topnGlobal, aggDistinct,
-    sessionize, rangeBandJoin, skewSaltedJoin)
+    sessionize, rangeBandJoin, skewSaltedJoin, quantiles)
 }
