@@ -110,34 +110,64 @@ object DedupQueries {
     },
     Some(s"$jaccardCte SELECT * FROM jac WHERE jaccard >= 0.7"))
 
+  /** Shared DuckDB CTE producing (doc_id, simhash) — mirrors
+    * TextHashing.simhash bit for bit. */
+  private val simhashCte = """
+    WITH tok AS (SELECT DISTINCT doc_id, tok FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents)),
+    h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    pos AS (SELECT doc_id, h, unnest(generate_series(1, 16)) AS pos FROM h),
+    d AS (SELECT doc_id, pos,
+                 strpos('0123456789abcdef', substr(h, pos, 1)) - 1 AS d
+          FROM pos),
+    sums AS (SELECT doc_id, pos,
+                    sum((d % 2) * 2 - 1) AS s0,
+                    sum(((d // 2) % 2) * 2 - 1) AS s1,
+                    sum(((d // 4) % 2) * 2 - 1) AS s2,
+                    sum(((d // 8) % 2) * 2 - 1) AS s3
+             FROM d GROUP BY 1, 2),
+    chars AS (SELECT doc_id, pos,
+                     (CASE WHEN s0 >= 0 THEN '1' ELSE '0' END) ||
+                     (CASE WHEN s1 >= 0 THEN '1' ELSE '0' END) ||
+                     (CASE WHEN s2 >= 0 THEN '1' ELSE '0' END) ||
+                     (CASE WHEN s3 >= 0 THEN '1' ELSE '0' END) AS b4
+              FROM sums),
+    sh AS (SELECT doc_id, string_agg(b4, '' ORDER BY pos) AS simhash
+           FROM chars GROUP BY 1)"""
+
   /** 64-bit SimHash fingerprint per document (near-dup sketch whose Hamming
     * distance approximates cosine similarity of token sets). */
   val simhash = QueryDef(
     "dedup_simhash",
     (spark, dir) => TextHashing.simhash(Tables.documents(spark, dir)),
-    Some("""
-      WITH tok AS (SELECT DISTINCT doc_id, tok FROM (
-             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-             FROM documents)),
-      h AS (SELECT doc_id, md5(tok) AS h FROM tok),
-      pos AS (SELECT doc_id, h, unnest(generate_series(1, 16)) AS pos FROM h),
-      d AS (SELECT doc_id, pos,
-                   strpos('0123456789abcdef', substr(h, pos, 1)) - 1 AS d
-            FROM pos),
-      sums AS (SELECT doc_id, pos,
-                      sum((d % 2) * 2 - 1) AS s0,
-                      sum(((d // 2) % 2) * 2 - 1) AS s1,
-                      sum(((d // 4) % 2) * 2 - 1) AS s2,
-                      sum(((d // 8) % 2) * 2 - 1) AS s3
-               FROM d GROUP BY 1, 2),
-      chars AS (SELECT doc_id, pos,
-                       (CASE WHEN s0 >= 0 THEN '1' ELSE '0' END) ||
-                       (CASE WHEN s1 >= 0 THEN '1' ELSE '0' END) ||
-                       (CASE WHEN s2 >= 0 THEN '1' ELSE '0' END) ||
-                       (CASE WHEN s3 >= 0 THEN '1' ELSE '0' END) AS b4
-                FROM sums)
-      SELECT doc_id, string_agg(b4, '' ORDER BY pos) AS simhash
-      FROM chars GROUP BY 1
+    Some(s"$simhashCte SELECT doc_id, simhash FROM sh"))
+
+  /** SimHash near-dup PAIRS within Hamming distance 3 — the decision step
+    * on top of the fingerprints: pigeonhole 4×16-bit block banding for
+    * candidates, exact Hamming verify. */
+  val simhashPairs = QueryDef(
+    "dedup_simhash_pairs",
+    (spark, dir) =>
+      TextHashing.simhashPairs(Tables.documents(spark, dir), maxDist = 3),
+    Some(s"""$simhashCte,
+      blocked AS (
+        SELECT doc_id, b AS blk, substr(simhash, 1 + b * 16, 16) AS bits
+        FROM sh, (SELECT unnest(generate_series(0, 3)) AS b)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM blocked a JOIN blocked b
+                 ON a.blk = b.blk AND a.bits = b.bits
+                    AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             list_sum(list_transform(range(64), i ->
+               CASE WHEN substr(sa.simhash, i + 1, 1) <> substr(sb.simhash, i + 1, 1)
+                    THEN 1 ELSE 0 END)) AS hamming
+      FROM cand
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b
+      WHERE list_sum(list_transform(range(64), i ->
+              CASE WHEN substr(sa.simhash, i + 1, 1) <> substr(sb.simhash, i + 1, 1)
+                   THEN 1 ELSE 0 END)) <= 3
     """))
 
   /** Embedding-cosine near-dup pairs within a label block, ids only
@@ -194,5 +224,6 @@ object DedupQueries {
     """))
 
   val defs: Seq[QueryDef] = Seq(
-    exact, minhashLsh, jaccardVerify, simhash, embeddingCosine, components)
+    exact, minhashLsh, jaccardVerify, simhash, simhashPairs,
+    embeddingCosine, components)
 }
