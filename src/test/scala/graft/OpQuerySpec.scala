@@ -147,6 +147,28 @@ class OpQuerySpec extends AnyFunSuite {
     assert(r.filter($"query_id" === $"neighbor_id").count() === 0)
   }
 
+  test("ann recall: approximate paths agree with the brute-force gold standard") {
+    import spark.implicits._
+    def topsOf(name: String, k: Int): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf)
+        .filter(col("rank") <= k).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rows) =>
+          q -> rows.map(_.getAs[Long]("neighbor_id")).toSet
+        }
+    val brute = topsOf("ann_topk_brute", 5)
+    for (approx <- Seq("ann_topk_lsh", "ann_topk_ivf")) {
+      val got = topsOf(approx, 5)
+      // every query answered, and mean recall@5 is well above chance —
+      // a broken bucketing (empty or single bucket) fails this hard
+      assert(got.keySet === brute.keySet, s"$approx dropped queries")
+      val recall = brute.keys.toSeq.map { q =>
+        (brute(q) & got(q)).size.toDouble / brute(q).size
+      }.sum / brute.size
+      assert(recall >= 0.5, s"$approx mean recall@5 = $recall")
+    }
+  }
+
   test("multimodal probeAll: typed mapPartitions path matches the SQL stub math") {
     import spark.implicits._
     val media = functions.Multimodal.documentsAsMedia(
