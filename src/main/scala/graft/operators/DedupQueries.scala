@@ -158,10 +158,12 @@ object DedupQueries {
                FROM blocked a JOIN blocked b
                  ON a.blk = b.blk AND a.bits = b.bits
                     AND a.doc_id < b.doc_id)
+      -- CAST: list_sum yields HUGEINT, which pandas renders as float64
+      -- ("3.0") while Spark's BIGINT stays "3" — cast or the hash diverges.
       SELECT doc_a, doc_b,
-             list_sum(list_transform(range(64), i ->
+             CAST(list_sum(list_transform(range(64), i ->
                CASE WHEN substr(sa.simhash, i + 1, 1) <> substr(sb.simhash, i + 1, 1)
-                    THEN 1 ELSE 0 END)) AS hamming
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
       FROM cand
       JOIN sh sa ON sa.doc_id = doc_a
       JOIN sh sb ON sb.doc_id = doc_b

@@ -357,9 +357,11 @@ object DerivedQueries {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
       numbered AS (
+        -- CAST: sum(INTEGER) yields HUGEINT → float64 through pandas,
+        -- diverging from Spark's BIGINT in the driver's hash compare.
         SELECT user_id, ts, event_id,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no
         FROM marked)
       SELECT user_id, sess_no, min(ts) AS session_start,
              max(ts) AS session_end, min(event_id) AS first_event_id,

@@ -71,11 +71,15 @@ object RefOpQueries {
     "trade_normalize",
     (spark, dir) => {
       import spark.implicits._
+      // price normalizes through DECIMAL(18,6) (the engine's canonical
+      // price type, SURVEY §1.3) but is compared as DOUBLE: Spark parquet
+      // decimals surface as exact java Decimals ("6.550000") while DuckDB
+      // decimals become float64 ("6.55") in the driver's pandas compare.
       Tables.events(spark, dir).select(
         $"ts".as("exchange_ts"),
         $"event_id".as("trade_id"),
         concat(lit("P-"), $"user_id").as("product_id"),
-        expr("CAST(value AS DECIMAL(18,6))").as("price"),
+        expr("CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE)").as("price"),
         when($"event_type".isin("purchase", "click", "signup"), lit("buy"))
           .otherwise(lit("sell")).as("side"),
         lit(false).as("backfilled"))
@@ -83,7 +87,7 @@ object RefOpQueries {
     Some("""
       SELECT ts AS exchange_ts, event_id AS trade_id,
              'P-' || user_id AS product_id,
-             CAST(value AS DECIMAL(18,6)) AS price,
+             CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS price,
              CASE WHEN event_type IN ('purchase','click','signup')
                   THEN 'buy' ELSE 'sell' END AS side,
              false AS backfilled

@@ -58,8 +58,10 @@ object TextQueries {
           }).mkString(" AND ")
         s"WHEN $conds THEN '$lang'"
       }.mkString(" ")
+      // CAST: sum(INTEGER) yields HUGEINT → float64 through pandas,
+      // diverging from Spark's BIGINT in the driver's hash compare.
       s"""
-      SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+      SELECT doc_id, ${langs.map(l => s"CAST(s_$l AS BIGINT) AS s_$l").mkString(", ")},
              CASE $argmax ELSE 'und' END AS lang_pred
       FROM (
         SELECT doc_id, $scores
@@ -186,7 +188,10 @@ object TextQueries {
         .select(
           col("doc_id"),
           length(col("payload")).cast("long").as("n_bytes"),
-          hex(expr("substring(payload, 1, 8)")).as("head_hex"),
+          // substr-then-encode (chars → bytes), matching the oracle's
+          // encode(substr(text,1,8)): slicing the encoded payload instead
+          // would split multi-byte sequences and diverge on non-ASCII text.
+          hex(expr("CAST(substring(text, 1, 8) AS BINARY)")).as("head_hex"),
           (lit(16) + length(col("payload")) % 64).cast("long").as("fake_width"),
           (lit(16) + (length(col("payload")).cast("long") / lit(64L)).cast("long") % 64)
             .cast("long").as("fake_height"),

@@ -28,8 +28,13 @@ import scala.jdk.CollectionConverters._
   *    connection via the JDK's java.net.http.WebSocket with reconnect +
   *    exponential backoff (realizing the reference's intended-but-no-op
   *    sleeps, SURVEY §0.1 #2, and replacing its unbounded recursion #7).
+  *    Received frames are logged to a WAL under the checkpoint dir before
+  *    their offsets are exposed, so checkpointed offsets stay valid across
+  *    driver restarts (exactly-once recovery; without it a restart would
+  *    silently re-number fresh frames under old offsets).
   *  - `replayFile`: replay a recorded frame log (one JSON frame per line) —
-  *    the offline/CI path (both reference endpoints are long dead).
+  *    the offline/CI path (both reference endpoints are long dead). The
+  *    file itself is the stable log; no WAL.
   *
   * Offsets are cumulative frame counts; each micro-batch ships its frame
   * slice inside the InputPartition (frames are small text; the driver is
@@ -70,7 +75,7 @@ private[sources] class WebsocketScan(options: CaseInsensitiveStringMap)
     extends Scan {
   override def readSchema(): StructType = WebsocketSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new WebsocketMicroBatchStream(options)
+    new WebsocketMicroBatchStream(options, checkpointLocation)
 }
 
 /** Long offset = number of frames consumed so far. */
@@ -79,7 +84,8 @@ private[sources] case class FrameOffset(n: Long) extends Offset {
 }
 
 private[sources] class WebsocketMicroBatchStream(
-    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    options: CaseInsensitiveStringMap,
+    checkpointLocation: String) extends MicroBatchStream {
 
   private val maxPerTrigger =
     Option(options.get("maxFramesPerTrigger")).map(_.toLong)
@@ -89,6 +95,8 @@ private[sources] class WebsocketMicroBatchStream(
     * trimmed; `base` is the arrival index of buffer.head. */
   private val buffer = new util.ArrayList[String]()
   private var base = 0L
+
+  private val isLive = options.get("replayFile") == null
 
   private val client: Option[FrameClient] = {
     val replay = Option(options.get("replayFile"))
@@ -105,8 +113,28 @@ private[sources] class WebsocketMicroBatchStream(
     }
   }
 
+  /** Live-mode WAL: an offset is only checkpoint-stable if the frame it
+    * names survives a driver restart, so every live frame is logged to
+    * chunk files under the query's checkpoint dir BEFORE its offset is
+    * exposed via latestOffset(). On restart the chunks are replayed into
+    * the buffer, making recovery exactly-once (frames contain no raw
+    * newlines — websocket JSON text frames escape them). Replay-file mode
+    * needs no WAL: the file itself is the stable log. */
+  private val wal: Option[FrameWal] =
+    if (isLive) Some(new FrameWal(checkpointLocation)) else None
+
+  wal.foreach { w =>
+    w.readAll().foreach(buffer.add)
+  }
+
   private def pump(): Unit = synchronized {
+    val before = buffer.size()
     client.foreach(_.drainTo(buffer))
+    wal.foreach { w =>
+      if (buffer.size() > before)
+        w.append(base + before,
+          buffer.subList(before, buffer.size()).asScala.toSeq)
+    }
   }
 
   /** High-water mark of offsets handed to the engine — advances by at most
@@ -127,9 +155,18 @@ private[sources] class WebsocketMicroBatchStream(
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = synchronized {
+    // On checkpoint restart Spark re-plans the last planned-but-uncommitted
+    // batch BEFORE any latestOffset() call — the buffer is only filled by
+    // pump(), so pump here too or replay-mode recovery finds it empty.
+    pump()
     val s = start.asInstanceOf[FrameOffset].n
     val e = end.asInstanceOf[FrameOffset].n
     served = math.max(served, e) // restart replay: never re-shrink below
+    if (s < base || e > base + buffer.size())
+      throw new IllegalStateException(
+        s"websocket source cannot replay offsets [$s,$e): buffered range is " +
+          s"[$base,${base + buffer.size()}). The checkpoint references " +
+          "frames this run never saw (frame WAL missing or truncated).")
     val slice = (s until e).map { i =>
       (i, buffer.get((i - base).toInt))
     }.toArray
@@ -161,6 +198,43 @@ private[sources] class WebsocketMicroBatchStream(
 
 private[sources] case class FramesPartition(frames: Array[(Long, String)])
   extends InputPartition
+
+/** Live-frame write-ahead log: one immutable chunk file per pump that saw
+  * new frames, named by the absolute index of its first frame (zero-padded
+  * so lexicographic order == offset order). Create-only — no appends — so
+  * it works on any Hadoop filesystem, including object stores. */
+private[sources] class FrameWal(checkpointLocation: String) {
+  import org.apache.hadoop.fs.Path
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  private val dir = new Path(checkpointLocation, "graft-frame-wal")
+  private val fs = {
+    val conf = scala.util.Try(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    dir.getFileSystem(conf)
+  }
+  fs.mkdirs(dir)
+
+  /** All logged frames in offset order (chunk files sorted by name). */
+  def readAll(): Seq[String] = {
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).map(_.getPath).filter(_.getName.startsWith("chunk-"))
+      .sortBy(_.getName).toSeq.flatMap { p =>
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), UTF_8)
+          .split('\n').toSeq.filter(_.nonEmpty)
+        finally in.close()
+      }
+  }
+
+  def append(startIdx: Long, frames: Seq[String]): Unit = {
+    val p = new Path(dir, f"chunk-$startIdx%020d")
+    val out = fs.create(p, false)
+    try out.write(frames.mkString("", "\n", "\n").getBytes(UTF_8))
+    finally out.close()
+  }
+}
 
 /** Frame producers: push text frames into a queue, drained at planning. */
 private[sources] trait FrameClient {

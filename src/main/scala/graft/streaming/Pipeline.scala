@@ -62,6 +62,17 @@ object Pipeline {
     * re-running the same (batch, batchId) leaves the tables unchanged. */
   def commitBatch(batch: Dataset[EngineOut], batchId: Long, outDir: String,
       fetcher: Option[graft.sources.Backfill.TradeFetcher]): Unit = {
+    // Two sink writes (plus reconcileBatch's collect) each re-run the
+    // decode + stateful pass unless the batch is pinned first.
+    batch.persist()
+    try {
+      commitBatchInner(batch, batchId, outDir, fetcher)
+    } finally batch.unpersist()
+  }
+
+  private def commitBatchInner(batch: Dataset[EngineOut], batchId: Long,
+      outDir: String,
+      fetcher: Option[graft.sources.Backfill.TradeFetcher]): Unit = {
     val spark = batch.sparkSession
     val (books, trades) = BookEngine.split(batch)
     books.withColumn("batch_id", lit(batchId))

@@ -44,13 +44,16 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            res = con.execute(sql)
-            oracle_cols = [d[0] for d in res.description]
-            oracle_rows = res.fetchall()
-            sres = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            spark_cols = [d[0] for d in sres.description]
-            spark_rows = sres.fetchall()
+            # Go through pandas on BOTH sides, like the driver does: DuckDB
+            # HUGEINT/DECIMAL become float64 while Spark parquet int64/Decimal
+            # stay exact — a fetchall()-based compare hides that divergence.
+            odf = con.execute(sql).df()
+            oracle_cols = list(odf.columns)
+            oracle_rows = list(odf.itertuples(index=False, name=None))
+            import pandas as pd
+            sdf = pd.read_parquet(f"{out_dir}/{name}")
+            spark_cols = list(sdf.columns)
+            spark_rows = list(sdf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
