@@ -14,6 +14,7 @@ object SparkEntry {
     operators.CoreQueries.defs ++
       operators.RefOpQueries.defs ++
       operators.DerivedQueries.defs ++
+      operators.SqlSurfaceQueries.defs ++
       operators.DedupQueries.defs ++
       operators.SimilarityQueries.defs ++
       operators.TextQueries.defs ++
