@@ -67,6 +67,47 @@ class WebsocketSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("restart re-plan: planInputPartitions before any latestOffset pumps") {
+    // Checkpoint-restart contract: Spark re-plans the last
+    // planned-but-uncommitted batch on a FRESH stream instance before ever
+    // calling latestOffset — the buffer must be refilled inside planning.
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val log = writeLog()
+    val ckpt = Files.createTempDirectory("ws_ckpt").toString
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("replayFile", log))
+    val fresh = new WebsocketMicroBatchStream(opts, ckpt)
+    val parts = fresh.planInputPartitions(FrameOffset(1), FrameOffset(3))
+    val got = parts.head.asInstanceOf[FramesPartition].frames.map(_._2).toSeq
+    assert(got === frames.slice(1, 3))
+    fresh.stop()
+  }
+
+  test("out-of-range replan fails with a clear error, not IndexOutOfBounds") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val log = writeLog()
+    val ckpt = Files.createTempDirectory("ws_ckpt2").toString
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("replayFile", log))
+    val s = new WebsocketMicroBatchStream(opts, ckpt)
+    val ex = intercept[IllegalStateException] {
+      s.planInputPartitions(FrameOffset(2), FrameOffset(100))
+    }
+    assert(ex.getMessage.contains("cannot replay"))
+    s.stop()
+  }
+
+  test("frame WAL: append/readAll round-trips in offset order") {
+    val ckpt = Files.createTempDirectory("wal_ckpt").toString
+    val w = new FrameWal(ckpt)
+    w.append(0, Seq("f0", "f1"))
+    w.append(2, Seq("f2"))
+    w.append(3, Seq("f3", "f4"))
+    assert(w.readAll() === Seq("f0", "f1", "f2", "f3", "f4"))
+    // a fresh instance (restart) sees the same log
+    assert(new FrameWal(ckpt).readAll() === Seq("f0", "f1", "f2", "f3", "f4"))
+  }
+
   test("pipeline sinks: parquet tables + legacy 32-col view + csv export") {
     val log = writeLog()
     val out = Files.createTempDirectory("pipe_out").toString
