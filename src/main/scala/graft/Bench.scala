@@ -23,7 +23,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Stop Spark BEFORE printing so no executor/log output can interleave
+    // with (or trail) the one JSON line the driver parses.
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }
