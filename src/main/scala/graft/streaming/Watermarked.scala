@@ -77,4 +77,37 @@ object Watermarked {
       .agg(count(lit(1)).as("n_trades"),
         min(col("tradeId")).as("first_trade_id"),
         max(col("tradeId")).as("last_trade_id"))
+
+  /** Stream-stream interval join (§2.2): pair each trade with trades for
+    * the same product from a DIFFERENT exchange whose event time falls in
+    * the `band` before it — the cross-exchange comparison the reference
+    * runs two isolated processes for (real_guac_async + polo_ws_async)
+    * but can never actually correlate. Both sides carry watermarks and the
+    * join condition carries the event-time range, so each side's buffered
+    * state is evicted once the watermark clears the band — bounded state
+    * on an unbounded feed. The join shuffles on productId: cross-exchange
+    * rows for a product co-locate, everything else streams through. */
+  def crossExchangeMatches(left: Dataset[TradeOut], right: Dataset[TradeOut],
+      band: String = "1 minute", delay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("exchangeTs", delay)
+      .select(col("exchange").as("l_exchange"),
+        col("productId"),
+        col("tradeId").as("l_trade_id"),
+        col("price").as("l_price"),
+        col("exchangeTs").as("l_ts"))
+    val r = right.withWatermark("exchangeTs", delay)
+      .select(col("exchange").as("r_exchange"),
+        col("productId").as("r_product_id"),
+        col("tradeId").as("r_trade_id"),
+        col("price").as("r_price"),
+        col("exchangeTs").as("r_ts"))
+    l.join(r,
+      col("productId") === col("r_product_id") &&
+        col("l_exchange") =!= col("r_exchange") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $band") &&
+        col("r_ts") <= col("l_ts"))
+      .select(col("productId"), col("l_exchange"), col("r_exchange"),
+        col("l_trade_id"), col("r_trade_id"),
+        col("l_price"), col("r_price"), col("l_ts"), col("r_ts"))
+  }
 }

@@ -102,4 +102,37 @@ class WatermarkedSpec extends AnyFunSuite {
         r.getAs[Long]("n_trades"))).sortBy(_._1)
     assert(sessions.toSeq === Seq((1L, 2L, 2L), (3L, 3L, 1L)))
   }
+
+  private def poloTrade(id: Long, at: String, price: String,
+      product: String = "ETH-USD"): TradeOut =
+    TradeOut("polo", product, id, id, price, "1.0", "buy", ts(at),
+      backfilled = false, gapStart = -1L, gapEnd = -1L)
+
+  test("crossExchangeMatches: interval join pairs same-product trades across exchanges within the band") {
+    val gdax = MemoryStream[TradeOut]
+    val polo = MemoryStream[TradeOut]
+    val q = Watermarked
+      .crossExchangeMatches(gdax.toDS(), polo.toDS(), band = "1 minute",
+        delay = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wm_xex").start()
+    try {
+      // polo trade 30s before the gdax trade → inside the band;
+      // polo trade 2min before → outside; different product → never
+      gdax.addData(trade(10, "2017-10-15 05:10:00", "300.10", "1.0"))
+      polo.addData(
+        poloTrade(91, "2017-10-15 05:09:30", "300.05"),
+        poloTrade(92, "2017-10-15 05:08:00", "299.00"),
+        poloTrade(93, "2017-10-15 05:09:40", "310.00", product = "BTC-USD"))
+      q.processAllAvailable()
+      // advance both watermarks so buffered state can finalize
+      gdax.addData(trade(11, "2017-10-15 05:30:00", "301.00", "1.0"))
+      polo.addData(poloTrade(94, "2017-10-15 05:30:00", "301.10"))
+      q.processAllAvailable()
+      val pairs = spark.table("wm_xex").collect()
+        .map(r => (r.getAs[Long]("l_trade_id"), r.getAs[Long]("r_trade_id")))
+        .sorted
+      assert(pairs.toSeq === Seq((10L, 91L), (11L, 94L)))
+    } finally q.stop()
+  }
 }
