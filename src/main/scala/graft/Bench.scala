@@ -10,11 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Session warmup (codegen compiler, shuffle machinery, parquet footers)
-    // so the first timed query measures itself, not JVM startup; queries
-    // run in sorted name order for cross-round comparability.
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable => () }
+    // Session warmup (codegen compiler, shuffle machinery, broadcast +
+    // window execs, parquet footers) so the first timed query measures
+    // itself, not JVM startup; queries run in sorted name order for
+    // cross-round comparability.
+    try {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      val r = spark.range(1000).select(col("id"), (col("id") % 7).as("k"))
+      r.groupBy(col("k")).agg(sum(col("id")).as("s"))       // shuffle agg
+        .join(broadcast(r.limit(14)), Seq("k"), "left")     // broadcast join
+        .withColumn("rn", row_number().over(                // window exec
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("k")).orderBy(col("s"))))
+        .count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -74,17 +74,26 @@ case class VecDot(left: Expression, right: Expression)
 
 object VectorExprs {
 
+  private def builder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "vec_dot takes exactly 2 arguments")
+    VecDot(children.head, children.last)
+  }
+
   /** Idempotently register `vec_dot` with the session's function registry.
     * Safe to call from every query constructor. */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier("vec_dot")
-    registry.registerFunction(
-      ident,
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => {
-        require(children.size == 2, "vec_dot takes exactly 2 arguments")
-        VecDot(children.head, children.last)
-      })
-  }
+      builder)
+
+  /** Inject into a [[org.apache.spark.sql.SparkSessionExtensions]] — the
+    * production wiring (`spark.sql.extensions=graft.GraftExtensions`): every
+    * session in the cluster gets the function at build time, no runtime
+    * registration call needed. */
+  def inject(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      builder))
 }

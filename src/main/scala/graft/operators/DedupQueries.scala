@@ -21,41 +21,35 @@ object DedupQueries {
   private val B = 4  // LSH bands
   private val R = 4  // minhash rows per band
 
-  /** Session-scoped materialized intermediates of the near-dup pipeline.
-    *
-    * The dedup family is a staged pipeline — signatures → LSH candidates →
-    * Jaccard-verified pairs → connected components — and every stage's
-    * output feeds multiple downstream consumers. At 100 TB each stage is a
-    * persisted staging table (you never re-shingle the corpus to verify
-    * candidates you already generated); this memo is the single-session
-    * analogue: the first consumer materializes the stage via
-    * localCheckpoint, later consumers reuse the materialized RDD. Keyed by
-    * (session, data dir, stage) so different scale factors or sessions
-    * never cross-contaminate. */
-  private val stagedMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
-  private def staged(spark: SparkSession, dir: String, stage: String)(
-      build: => DataFrame): DataFrame =
-    stagedMemo.computeIfAbsent((spark, dir, stage),
-      _ => build.localCheckpoint(eager = false))
+  /** Staged intermediates of the near-dup pipeline (see [[Staged]]):
+    * LSH candidates → Jaccard-verified pairs, and the SimHash fingerprint
+    * table — each materialized once per session and shared by every
+    * consumer query. */
+  /** Stage 0: distinct (doc_id, shingle) — one corpus explode serves both
+    * the MinHash fold (duplicate-insensitive) and the Jaccard intersection
+    * (duplicate-sensitive, needs the dedup anyway). */
+  private def shinglesStage(spark: SparkSession, dir: String): DataFrame =
+    Staged(spark, dir, "shingles") {
+      TextHashing.shingleSetsRaw(Tables.documents(spark, dir))
+        .dropDuplicates("doc_id", "shingle")
+    }
 
-  /** Stage 1-2: banded-LSH candidate pairs (doc_a, doc_b). */
   private def candidatesStage(spark: SparkSession, dir: String): DataFrame =
-    staged(spark, dir, "lsh_candidates") {
-      TextHashing.lshCandidatePairs(Tables.documents(spark, dir), B, R)
+    Staged(spark, dir, "lsh_candidates") {
+      TextHashing.lshCandidatePairsFrom(shinglesStage(spark, dir), B, R)
     }
 
   /** Stage 3: exact-Jaccard-verified near-dup pairs (threshold 0.7). */
   private def verifiedStage(spark: SparkSession, dir: String): DataFrame =
-    staged(spark, dir, "jaccard_verified") {
-      TextHashing
-        .jaccard(Tables.documents(spark, dir), candidatesStage(spark, dir))
+    Staged(spark, dir, "jaccard_verified") {
+      TextHashing.jaccardFrom(shinglesStage(spark, dir),
+        candidatesStage(spark, dir))
         .filter(col("jaccard") >= 0.7)
     }
 
   /** SimHash fingerprint table (shared by the fingerprint + pairs queries). */
   private def simhashStage(spark: SparkSession, dir: String): DataFrame =
-    staged(spark, dir, "simhash") {
+    Staged(spark, dir, "simhash") {
       TextHashing.simhash(Tables.documents(spark, dir))
     }
 
@@ -213,10 +207,7 @@ object DedupQueries {
   val embeddingCosine = QueryDef(
     "dedup_embedding_cosine",
     (spark, dir) => {
-      graft.functions.VectorExprs.register(spark)
-      val e = Tables.embeddings(spark, dir)
-        .withColumn("emb", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
-        .withColumn("norm", expr("sqrt(vec_dot(emb, emb))"))
+      val e = SimilarityQueries.normed(spark, dir)
       val a = e.select(col("vec_id").as("vec_a"), col("label"),
         col("emb").as("ea"), col("norm").as("na"))
       val b = e.select(col("vec_id").as("vec_b"), col("label").as("lb"),

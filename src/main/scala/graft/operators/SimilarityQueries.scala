@@ -23,12 +23,16 @@ object SimilarityQueries {
   private val Dim = 64
 
   /** Embeddings with double vector + L2 norm (norm via the codegen'd
-    * vec_dot — same left-to-right fold, ~50× the interpreted lambda). */
-  private def normed(spark: SparkSession, dir: String): DataFrame = {
+    * vec_dot — same left-to-right fold, ~50× the interpreted lambda).
+    * Staged once per session: all three index variants (and the cosine
+    * dedup) read the same normalized table, as they would at 100 TB. */
+  private[operators] def normed(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
-    Tables.embeddings(spark, dir)
-      .withColumn("emb", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
-      .withColumn("norm", expr("sqrt(vec_dot(emb, emb))"))
+    Staged(spark, dir, "normed_embeddings") {
+      Tables.embeddings(spark, dir)
+        .withColumn("emb", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+        .withColumn("norm", expr("sqrt(vec_dot(emb, emb))"))
+    }
   }
 
   private val cosExpr = "vec_dot(qe, ce) / (qn * cn)"
@@ -110,7 +114,7 @@ object SimilarityQueries {
   val lshTopK = QueryDef(
     "ann_topk_lsh",
     (spark, dir) => {
-      val e = normed(spark, dir).localCheckpoint(eager = false)
+      val e = normed(spark, dir)
       val b = buckets(spark, dir).localCheckpoint(eager = false)
       // candidates = union over tables of same-bucket pairs, deduped
       val cand = b.filter(col("vec_id") < 10)
