@@ -85,7 +85,7 @@ object VectorExprs {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      builder)
+      (children: Seq[Expression]) => builder(children))
 
   /** Inject into a [[org.apache.spark.sql.SparkSessionExtensions]] — the
     * production wiring (`spark.sql.extensions=graft.GraftExtensions`): every
@@ -95,5 +95,5 @@ object VectorExprs {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      builder))
+      (children: Seq[Expression]) => builder(children)))
 }

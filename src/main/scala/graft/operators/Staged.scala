@@ -15,10 +15,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * stage) so scale factors and sessions never cross-contaminate. */
 object Staged {
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    scala.collection.mutable.HashMap.empty[(SparkSession, String, String), DataFrame]
 
+  // Stage builds recurse into Staged (verified → shingles), so the build runs
+  // OUTSIDE the lock: a racing duplicate build is harmless (first write wins,
+  // the loser's lazy checkpoint is never materialized), whereas building under
+  // the lock would serialize unrelated stages and computeIfAbsent forbids the
+  // recursion outright.
   def apply(spark: SparkSession, dir: String, stage: String)(
-      build: => DataFrame): DataFrame =
-    memo.computeIfAbsent((spark, dir, stage),
-      _ => build.localCheckpoint(eager = false))
+      build: => DataFrame): DataFrame = {
+    val key = (spark, dir, stage)
+    memo.synchronized(memo.get(key)) match {
+      case Some(df) => df
+      case None =>
+        val built = build.localCheckpoint(eager = false)
+        memo.synchronized(memo.getOrElseUpdate(key, built))
+    }
+  }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -85,7 +85,8 @@ private[sources] case class FrameOffset(n: Long) extends Offset {
 
 private[sources] class WebsocketMicroBatchStream(
     options: CaseInsensitiveStringMap,
-    checkpointLocation: String) extends MicroBatchStream {
+    checkpointLocation: String) extends MicroBatchStream
+    with SupportsAdmissionControl {
 
   private val maxPerTrigger =
     Option(options.get("maxFramesPerTrigger")).map(_.toLong)
@@ -124,7 +125,9 @@ private[sources] class WebsocketMicroBatchStream(
     if (isLive) Some(new FrameWal(checkpointLocation)) else None
 
   wal.foreach { w =>
-    w.readAll().foreach(buffer.add)
+    val (replayBase, frames) = w.readAll()
+    base = replayBase
+    frames.foreach(buffer.add)
   }
 
   private def pump(): Unit = synchronized {
@@ -139,19 +142,37 @@ private[sources] class WebsocketMicroBatchStream(
 
   /** High-water mark of offsets handed to the engine — advances by at most
     * maxFramesPerTrigger per latestOffset call (admission control / pacing,
-    * op 24). */
+    * op 24). Anchored to the engine-supplied start offset each call, so a
+    * driver restart whose last batch was fully committed resumes pacing from
+    * the checkpointed offset instead of regressing to 0 (which would make
+    * Spark record a lower offset and re-emit committed frames). */
   private var served = 0L
 
   override def initialOffset(): Offset = FrameOffset(0L)
   override def deserializeOffset(json: String): Offset =
     FrameOffset(json.toLong)
 
-  override def latestOffset(): Offset = synchronized {
-    pump()
-    val available = base + buffer.size()
-    served = math.min(available, math.max(served, base) + maxPerTrigger)
-    FrameOffset(served)
-  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerTrigger)
+
+  // With SupportsAdmissionControl the engine always calls the 2-arg variant.
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    synchronized {
+      pump()
+      val s = start.asInstanceOf[FrameOffset].n
+      trimBelow(s) // everything below the engine's start offset is committed
+      val cap = limit match {
+        case r: ReadMaxRows => r.maxRows()
+        case _              => maxPerTrigger
+      }
+      val available = base + buffer.size()
+      served = math.min(available, math.max(served, s) + cap)
+      served = math.max(served, s)
+      FrameOffset(served)
+    }
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = synchronized {
@@ -187,10 +208,20 @@ private[sources] class WebsocketMicroBatchStream(
 
   override def commit(end: Offset): Unit = synchronized {
     val n = end.asInstanceOf[FrameOffset].n
+    trimBelow(n)
+    wal.foreach(_.pruneBelow(n))
+  }
+
+  /** Drop committed frames from the in-memory buffer. If the buffer drains
+    * with base still behind (restart after the WAL was fully pruned), jump
+    * base forward so newly pumped frames are numbered after the committed
+    * prefix rather than reusing committed offsets. */
+  private def trimBelow(n: Long): Unit = {
     while (base < n && !buffer.isEmpty) {
       buffer.remove(0)
       base += 1
     }
+    if (buffer.isEmpty && base < n) base = n
   }
 
   override def stop(): Unit = client.foreach(_.close())
@@ -200,9 +231,12 @@ private[sources] case class FramesPartition(frames: Array[(Long, String)])
   extends InputPartition
 
 /** Live-frame write-ahead log: one immutable chunk file per pump that saw
-  * new frames, named by the absolute index of its first frame (zero-padded
-  * so lexicographic order == offset order). Create-only — no appends — so
-  * it works on any Hadoop filesystem, including object stores. */
+  * new frames, named `chunk-<start>-<count>` where start is the absolute
+  * index of its first frame (zero-padded so lexicographic order == offset
+  * order) and count its frame count — so commit-time pruning can tell from
+  * the name alone whether a chunk lies entirely below the committed offset.
+  * Create-only — no appends — so it works on any Hadoop filesystem,
+  * including object stores. */
 private[sources] class FrameWal(checkpointLocation: String) {
   import org.apache.hadoop.fs.Path
   import java.nio.charset.StandardCharsets.UTF_8
@@ -216,24 +250,63 @@ private[sources] class FrameWal(checkpointLocation: String) {
   }
   fs.mkdirs(dir)
 
-  /** All logged frames in offset order (chunk files sorted by name). */
-  def readAll(): Seq[String] = {
+  /** (start, count) parsed from a chunk file name. */
+  private def span(name: String): (Long, Long) = {
+    val parts = name.stripPrefix("chunk-").split('-')
+    (parts(0).toLong, parts(1).toLong)
+  }
+
+  private def chunks(): Seq[Path] = {
     if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir).map(_.getPath).filter(_.getName.startsWith("chunk-"))
-      .sortBy(_.getName).toSeq.flatMap { p =>
-        val in = fs.open(p)
+      .sortBy(_.getName).toSeq
+  }
+
+  /** All surviving frames in offset order, plus the absolute offset of the
+    * first one (after pruning the log no longer starts at 0). Verifies the
+    * surviving chunks are contiguous — a gap means the WAL was corrupted
+    * and replaying past it would silently misnumber frames. */
+  def readAll(): (Long, Seq[String]) = {
+    val cs = chunks()
+    if (cs.isEmpty) return (0L, Seq.empty)
+    var first = -1L
+    var expected = -1L
+    val frames = Seq.newBuilder[String]
+    cs.foreach { p =>
+      val (start, count) = span(p.getName)
+      if (first < 0) { first = start; expected = start }
+      if (start != expected)
+        throw new IllegalStateException(
+          s"frame WAL gap: chunk starts at $start, expected $expected ($p)")
+      val in = fs.open(p)
+      val lines =
         try new String(in.readAllBytes(), UTF_8)
           .split('\n').toSeq.filter(_.nonEmpty)
         finally in.close()
-      }
+      if (lines.size != count)
+        throw new IllegalStateException(
+          s"frame WAL chunk $p holds ${lines.size} frames, name says $count")
+      frames ++= lines
+      expected = start + count
+    }
+    (first, frames.result())
   }
 
   def append(startIdx: Long, frames: Seq[String]): Unit = {
-    val p = new Path(dir, f"chunk-$startIdx%020d")
+    val p = new Path(dir, f"chunk-$startIdx%020d-${frames.size}")
     val out = fs.create(p, false)
     try out.write(frames.mkString("", "\n", "\n").getBytes(UTF_8))
     finally out.close()
   }
+
+  /** Delete chunks whose frame range lies entirely below the committed
+    * offset — keeps the WAL (and restart replay cost) bounded by the
+    * uncommitted tail instead of the full frame history. */
+  def pruneBelow(n: Long): Unit =
+    chunks().foreach { p =>
+      val (start, count) = span(p.getName)
+      if (start + count <= n) fs.delete(p, false)
+    }
 }
 
 /** Frame producers: push text frames into a queue, drained at planning. */

@@ -97,15 +97,44 @@ class WebsocketSourceSpec extends AnyFunSuite {
     s.stop()
   }
 
+  test("restart after full commit: latestOffset never regresses below start") {
+    // If the last batch was fully committed before a crash, the fresh
+    // instance's pacing counter starts at 0; latestOffset must still return
+    // an offset >= the engine-restored start or Spark would checkpoint a
+    // regressed offset and re-emit committed frames.
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val log = writeLog()
+    val ckpt = Files.createTempDirectory("ws_ckpt3").toString
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("replayFile", log, "maxFramesPerTrigger", "1"))
+    val fresh = new WebsocketMicroBatchStream(opts, ckpt)
+    val off = fresh.latestOffset(FrameOffset(3), ReadLimit.maxRows(1))
+    assert(off.asInstanceOf[FrameOffset].n === 4) // start 3 + 1 paced frame
+    // at end-of-log: offset stays pinned at start, never below
+    val at4 = fresh.latestOffset(FrameOffset(4), ReadLimit.maxRows(1))
+    assert(at4.asInstanceOf[FrameOffset].n === 4)
+    fresh.stop()
+  }
+
   test("frame WAL: append/readAll round-trips in offset order") {
     val ckpt = Files.createTempDirectory("wal_ckpt").toString
     val w = new FrameWal(ckpt)
     w.append(0, Seq("f0", "f1"))
     w.append(2, Seq("f2"))
     w.append(3, Seq("f3", "f4"))
-    assert(w.readAll() === Seq("f0", "f1", "f2", "f3", "f4"))
+    assert(w.readAll() === ((0L, Seq("f0", "f1", "f2", "f3", "f4"))))
     // a fresh instance (restart) sees the same log
-    assert(new FrameWal(ckpt).readAll() === Seq("f0", "f1", "f2", "f3", "f4"))
+    assert(new FrameWal(ckpt).readAll() ===
+      ((0L, Seq("f0", "f1", "f2", "f3", "f4"))))
+    // commit-time pruning deletes only chunks entirely below the offset;
+    // replay resumes at the first surviving chunk's start
+    w.pruneBelow(3) // drops [0,2) and [2,3); keeps [3,5)
+    assert(new FrameWal(ckpt).readAll() === ((3L, Seq("f3", "f4"))))
+    w.pruneBelow(4) // [3,5) straddles the offset — kept
+    assert(new FrameWal(ckpt).readAll() === ((3L, Seq("f3", "f4"))))
+    w.pruneBelow(5)
+    assert(new FrameWal(ckpt).readAll() === ((0L, Seq.empty[String])))
   }
 
   test("pipeline sinks: parquet tables + legacy 32-col view + csv export") {
