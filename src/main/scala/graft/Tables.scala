@@ -36,7 +36,6 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
-
 /** One named, oracle-checkable batch operator.
   *
   * @param oracle equivalent ANSI SQL for DuckDB over the same tables;

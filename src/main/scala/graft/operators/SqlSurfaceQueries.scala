@@ -239,37 +239,37 @@ object SqlSurfaceQueries {
   val charNgramJaccard = QueryDef(
     "char_ngram_jaccard",
     (spark, dir) => {
+      graft.functions.NgramExprs.register(spark)
       val docs = Tables.documents(spark, dir)
-      // Per-array array_distinct, NOT raw-explode + shuffle dedup: char
-      // 3-grams repeat heavily within a document (~55% dup rate here, vs
-      // <1% for word shingles), so the in-array dedup removes most rows
-      // before they reach the exchange — measured 1.4s faster than the
-      // dropDuplicates form at sf0.1.
+      // Raw (undeduplicated) codegen'd gram explode: in-doc duplicate grams
+      // (~55% of char 3-grams) are collapsed by the map-side partial agg of
+      // the (pair, g) groupBy below — the same hash probe the dedup would
+      // cost, minus a per-array distinct pass.
       val grams = docs.select(col("doc_id"),
-          explode(array_distinct(expr(
-            "transform(sequence(1, greatest(char_length(text) - 2, 1))," +
-              " i -> substr(text, i, 3))"))).as("g"))
-        .localCheckpoint(eager = false)
-      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val pairs = docs.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
-        .join(docs.select(col("doc_id").as("doc_b")), Seq("doc_b"))
-      val inter = pairs
-        .join(grams.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
-        .join(grams.select(col("doc_id").as("doc_b"), col("g")),
-          Seq("doc_b", "g"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      pairs.join(inter, Seq("doc_a", "doc_b"), "left")
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
-          Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
-          Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          coalesce(col("n_inter"), lit(0L)).as("n_inter"),
-          (coalesce(col("n_inter"), lit(0L)).cast("double") /
-            (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L)))
-              .cast("double")).as("jaccard"))
+        explode(call_function("char_ngrams", col("text"), lit(3))).as("g"))
+      // The (2k, 2k+1) pairing makes the pair id a projection of doc_id, so
+      // intersection AND both set sizes fold out of ONE groupBy(pair, g)
+      // (per-gram side flags, duplicate-insensitive max) + ONE
+      // groupBy(pair) — two shuffles total, replacing the generic
+      // pairs-join formulation (two gram joins + three assembly joins). A
+      // pair whose odd side doesn't exist (odd corpus size) yields n_b = 0
+      // and is dropped, matching the oracle's inner join with documents on
+      // doc_b.
+      grams
+        .select((col("doc_id") / 2).cast("long").as("pair"),
+          (col("doc_id") % 2).as("side"), col("g"))
+        .groupBy(col("pair"), col("g"))
+        .agg(max(when(col("side") === 0, 1).otherwise(0)).as("in_a"),
+          max(when(col("side") === 1, 1).otherwise(0)).as("in_b"))
+        .groupBy(col("pair"))
+        .agg(sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"),
+          sum(col("in_a") * col("in_b")).as("n_inter"))
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+        .select((col("pair") * 2).as("doc_a"), (col("pair") * 2 + 1).as("doc_b"),
+          col("n_inter"),
+          (col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+            .as("jaccard"))
     },
     Some("""
       WITH grams AS (

@@ -139,12 +139,11 @@ object TextQueries {
   val fingerprint = QueryDef(
     "text_fingerprint",
     (spark, dir) => {
+      graft.functions.NgramExprs.register(spark)
       val toks = Tables.documents(spark, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
       val sh = toks.select(col("doc_id"),
-          posexplode(expr(
-            """transform(sequence(1, greatest(size(toks) - 2, 1)),
-                 i -> concat_ws(' ', slice(toks, i, 3)))"""))
+          posexplode(call_function("word_ngrams", col("toks"), lit(3)))
             .as(Seq("i", "shingle")))
         .withColumn("h", md5(col("shingle")))
       val winMin = sh.withColumn("win_min",

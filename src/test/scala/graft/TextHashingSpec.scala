@@ -60,6 +60,52 @@ class TextHashingSpec extends AnyFunSuite {
     })
   }
 
+  test("property: codegen char_ngrams/word_ngrams match the transform(sequence) formulation") {
+    graft.functions.NgramExprs.register(spark)
+    val textGen = for {
+      n <- Gen.chooseNum(0, 30)
+      cs <- Gen.listOfN(n, Gen.oneOf(('a' to 'e') :+ ' '))
+    } yield cs.mkString
+    check(Prop.forAll(Gen.listOfN(6, textGen)) { texts =>
+      val df = docsDf(texts)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          call_function("char_ngrams", col("text"), lit(3)).as("cg_new"),
+          expr("transform(sequence(1, greatest(char_length(text) - 2, 1))," +
+            " i -> substr(text, i, 3))").as("cg_old"),
+          call_function("word_ngrams", col("toks"), lit(3)).as("wg_new"),
+          expr("transform(sequence(1, greatest(size(toks) - 2, 1))," +
+            " i -> concat_ws(' ', slice(toks, i, 3)))").as("wg_old"))
+      df.collect().forall { r =>
+        r.getSeq[String](0) == r.getSeq[String](1) &&
+          r.getSeq[String](2) == r.getSeq[String](3)
+      }
+    })
+  }
+
+  test("property: local union-find and distributed propagation agree on random graphs") {
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 20)                 // vertices 0..n-1
+      m <- Gen.chooseNum(0, 25)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1)
+        b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield (n, es.filter { case (a, b) => a != b })
+    check(Prop.forAll(edgeGen) { case (n, es) =>
+      val vertices = (0L until n.toLong).toDF("doc_id")
+      val edges = es.toDF("src", "dst")
+      def labelsOf(threshold: Long): Map[Long, Long] =
+        TextHashing.connectedComponents(vertices, edges,
+            localEdgeThreshold = threshold)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = labelsOf(Long.MaxValue)
+      val distributed = labelsOf(-1L) // force the iterative path
+      local == distributed && local.size == n &&
+        local.forall { case (v, c) => c <= v }
+    })
+  }
+
   test("property: simhash is 64 bits of '0'/'1' and equal for equal texts") {
     check(Prop.forAll(Gen.listOfN(4, docGen)) { texts =>
       val docs = docsDf(texts ++ texts)
