@@ -19,6 +19,7 @@ object SparkEntry {
       operators.DedupQueries.defs ++
       operators.SimilarityQueries.defs ++
       operators.TextQueries.defs ++
+      operators.MultimodalQueries.defs ++
       operators.ReplayBench.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -103,9 +103,13 @@ object Multimodal {
   }
 
   /** Feature extraction: payload → fixed-dim embedding. STUB features
-    * (per-dim rolling byte hash, L2-normalized — deterministic); real
-    * plumbing: one "model" per partition, output is ARRAY<DOUBLE> ready
-    * for the vec_dot / LSH / IVF similarity operators. */
+    * (dim d = sum of byte values at positions ≡ d mod dim, L2-normalized)
+    * — deterministic AND oracle-expressible: the per-dim sums are exact
+    * integers, their squares sum exactly in doubles, so the normalized
+    * vector is bit-identical to the DuckDB formulation in
+    * MultimodalQueries. Real plumbing: one "model" per partition, output
+    * is ARRAY<DOUBLE> ready for the vec_dot / LSH / IVF similarity
+    * operators. */
   def features(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -114,7 +118,7 @@ object Multimodal {
         val v = new Array[Double](dim)
         var i = 0
         while (i < r.payload.length) {
-          v(i % dim) = v(i % dim) * 31.0 % 1e9 + (r.payload(i) & 0xff)
+          v(i % dim) += (r.payload(i) & 0xff)
           i += 1
         }
         val norm = math.sqrt(v.map(x => x * x).sum)

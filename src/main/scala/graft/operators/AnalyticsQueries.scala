@@ -155,6 +155,58 @@ object AnalyticsQueries {
       WHERE rn <= 20
     """))
 
+  private val KmvK = 64
+
+  /** KMV (k-minimum-values) distinct-count sketch, per return flag: keep
+    * the k smallest md5-derived 32-bit hashes of the distinct keys; the
+    * k-th smallest, normalized to [0,1), estimates density so
+    * est ≈ (k-1)/h_(k). The sketch shape is the 100 TB story — a bounded
+    * k-row state per group that merges associatively (min-union), versus
+    * an exact distinct whose state grows with the key space. Unlike
+    * engine-native approx_count_distinct (HLL, implementation-defined),
+    * this sketch is deterministic md5 arithmetic, so the DuckDB oracle
+    * computes the identical estimate — an exactly-checkable approximate
+    * operator. */
+  val kmvDistinct = QueryDef(
+    "approx_distinct_kmv",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("grp"),
+          conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val w = Window.partitionBy(col("grp")).orderBy(col("h").asc)
+      h.withColumn("rn", row_number().over(w)).filter(col("rn") <= KmvK)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("k_used"), max(col("h")).as("hk"))
+        .select(col("grp"), col("k_used"),
+          when(col("k_used") < KmvK, col("k_used").cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble) /
+              (col("hk").cast("double") / 4294967296.0))
+            .as("est_distinct"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT DISTINCT l_returnflag AS grp,
+               CAST(list_sum(list_transform(range(8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(l_partkey AS VARCHAR)), i + 1, 1)) - 1)
+                   * (16 ** (7 - i)))) AS BIGINT) AS h
+        FROM lineitem),
+      r AS (SELECT grp, h,
+                   row_number() OVER (PARTITION BY grp ORDER BY h ASC) AS rn
+            FROM h),
+      k AS (SELECT grp, CAST(count(*) AS BIGINT) AS k_used, max(h) AS hk
+            FROM r WHERE rn <= $KmvK GROUP BY 1)
+      SELECT grp, k_used,
+             CASE WHEN k_used < $KmvK THEN CAST(k_used AS DOUBLE)
+                  ELSE ${(KmvK - 1).toDouble} /
+                       (CAST(hk AS DOUBLE) / 4294967296.0)
+             END AS est_distinct
+      FROM k
+    """))
+
   /** TPC-H Q5 analogue: revenue by nation for one region — the canonical
     * multi-way star join (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation
     * ⋈ region) with small dims broadcast; the only shuffle is the final
@@ -248,5 +300,5 @@ object AnalyticsQueries {
 
   val defs: Seq[QueryDef] = Seq(
     quantilesCont, statsAgg, arrayFuncs, histogramBins, stratifiedSample,
-    q5RegionRevenue, q13CustDistribution, q18LargeOrders)
+    kmvDistinct, q5RegionRevenue, q13CustDistribution, q18LargeOrders)
 }

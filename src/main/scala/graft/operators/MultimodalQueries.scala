@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries over the multimodal plumbing (SURVEY.md §2.3):
+  * the typed mapPartitions/flatMap operators in functions/Multimodal.scala
+  * — frame sampling, feature extraction, resize — run end-to-end on the
+  * documents-as-media corpus and their outputs are value-checked against
+  * DuckDB reformulations.
+  *
+  * The corpus is pure printable ASCII (verified against the testdata), so
+  * byte positions == char positions and `ord(substr(text, i, 1))` in the
+  * oracle sees exactly the payload byte the Spark side folds — that parity
+  * is what makes the stubbed codec steps value-checkable rather than
+  * rows-only. (`multimodal_meta` in TextQueries covers the probe/decode
+  * envelope the same way.)
+  */
+object MultimodalQueries {
+
+  private def media(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Multimodal.documentsAsMedia(Tables.documents(spark, dir))
+
+  /** Strided frame sampling (video-corpus shape): every 2nd 64-byte frame,
+    * checked by frame number and size. The 1→N flatMap runs on executors;
+    * the oracle recomputes the chunk arithmetic. */
+  val frameSample = QueryDef(
+    "multimodal_framesample",
+    (spark, dir) =>
+      Multimodal.frameSample(media(spark, dir), stride = 2, frameBytes = 64)
+        .toDF()
+        .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+          length(col("payload")).cast("long").as("n_bytes")),
+    Some("""
+      WITH fr AS (
+        SELECT doc_id AS media_id,
+               unnest(generate_series(0,
+                 CAST(ceil(length(text) / 64.0) AS BIGINT) - 1)) AS frame_no,
+               length(text) AS nb
+        FROM documents)
+      SELECT media_id, frame_no, LEAST(64, nb - frame_no * 64) AS n_bytes
+      FROM fr WHERE frame_no % 2 = 0
+    """))
+
+  /** Feature extraction into the ANN-ready embedding shape, emitted long
+    * (media_id, dim, value) so the hash compare sees scalars. The per-dim
+    * byte sums are exact integers and their squares sum exactly in
+    * doubles, so normalization is bit-identical across engines. */
+  val features = QueryDef(
+    "multimodal_features",
+    (spark, dir) =>
+      Multimodal.features(media(spark, dir), dim = 16)
+        .toDF()
+        .select(col("media_id"),
+          posexplode(col("embedding")).as(Seq("d", "v")))
+        .select(col("media_id"), col("d").cast("long").as("d"), col("v")),
+    Some("""
+      WITH b AS (
+        SELECT doc_id AS media_id, text,
+               unnest(generate_series(1, length(text))) AS i
+        FROM documents),
+      by_pos AS (
+        SELECT media_id, (i - 1) % 16 AS d,
+               ord(substr(text, CAST(i AS INT), 1)) AS byte
+        FROM b),
+      f AS (SELECT media_id, d, CAST(sum(byte) AS DOUBLE) AS fd
+            FROM by_pos GROUP BY 1, 2),
+      n AS (SELECT media_id, sqrt(sum(fd * fd)) AS norm FROM f GROUP BY 1)
+      SELECT f.media_id, CAST(f.d AS BIGINT) AS d, f.fd / n.norm AS v
+      FROM f JOIN n ON n.media_id = f.media_id
+    """))
+
+  /** Resize to a fixed 32×48 target: output size + byte checksum. The stub
+    * transform tiles the source payload across the target buffer; the
+    * oracle counts how many times each source byte lands in the output
+    * (floor((target-1-p)/nb)+1) instead of materializing it. */
+  val resize = QueryDef(
+    "multimodal_resize",
+    (spark, dir) => {
+      val spark2 = spark
+      import spark2.implicits._
+      Multimodal.resize(media(spark, dir), width = 32, height = 48)
+        .map { r =>
+          var s = 0L
+          var i = 0
+          while (i < r.payload.length) { s += (r.payload(i) & 0xff); i += 1 }
+          (r.media_id, r.payload.length.toLong, s)
+        }
+        .toDF("media_id", "out_bytes", "sum_bytes")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id AS media_id, text, length(text) AS nb,
+               unnest(generate_series(1, length(text))) AS i
+        FROM documents),
+      s AS (SELECT media_id, nb, i - 1 AS p,
+                   ord(substr(text, CAST(i AS INT), 1)) AS byte
+            FROM b)
+      SELECT media_id, CAST(1536 AS BIGINT) AS out_bytes,
+             CAST(sum(byte * (CASE WHEN p >= 1536 THEN 0
+                                   ELSE (1535 - p) // nb + 1 END))
+                  AS BIGINT) AS sum_bytes
+      FROM s GROUP BY media_id
+    """))
+
+  val defs: Seq[QueryDef] = Seq(frameSample, features, resize)
+}

@@ -12,6 +12,10 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bucketed-table tests write through the catalog; keep the warehouse
+      // out of the repo tree
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       // production function wiring — the whole suite runs through the
       // extension-injected registry (VectorExprs.register stays idempotent)
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -62,6 +62,45 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "no partial aggregate below the shuffle:\n" + p)
   }
 
+  test("bucketed tables co-locate the join: no exchange below the sort-merge join") {
+    // The 100 TB co-location story: both fact tables bucketed on the join
+    // key with equal bucket counts join WITHOUT a shuffle on either side —
+    // the only exchange in the whole plan is the final group-by. Broadcast
+    // is disabled so the bucketing (not dim-table size) is what's tested.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sf).write
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_orders")
+      Tables.lineitem(spark, sf).write
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("b_lineitem")
+      val j = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      j.collect() // AQE finalizes the plan on execution
+      // toString prints "== Final Plan ==" then "== Initial Plan ==";
+      // assert on the final section only
+      val whole = j.queryExecution.executedPlan.toString
+      val p = whole.split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin"), "expected SMJ over bucketed scans:\n" + p)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges <= 1,
+        s"bucketed join should shuffle only the final agg, got $exchanges:\n" + p)
+      // and the co-located join agrees with the plain one
+      val direct = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .count()
+      assert(j.collect().map(_.getLong(1)).sum === direct)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("dedup_exact: whole-stage codegen covers the hash/agg pipeline") {
     // AQE only inserts WholeStageCodegen nodes into the final plan, so
     // execute before inspecting.
