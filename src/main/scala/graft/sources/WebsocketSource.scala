@@ -161,9 +161,16 @@ private[sources] class WebsocketMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     synchronized {
-      pump()
       val s = start.asInstanceOf[FrameOffset].n
-      trimBelow(s) // everything below the engine's start offset is committed
+      // Trim/pump order is mode-dependent. LIVE: frames are ephemeral and
+      // position is restored by the WAL — trim FIRST, so after a fully-
+      // committed restart (empty buffer, base 0) base jumps to the engine's
+      // start before new frames are numbered; pumping first would number
+      // them from 0 and the trim would swallow them as committed. REPLAY:
+      // the file re-delivers everything from position 0 — pump FIRST so
+      // frames regain their file positions, then trim the committed prefix.
+      if (isLive) { trimBelow(s); pump() }
+      else { pump(); trimBelow(s) }
       val cap = limit match {
         case r: ReadMaxRows => r.maxRows()
         case _              => maxPerTrigger
@@ -384,6 +391,14 @@ private[sources] class JdkWebsocketClient(url: String,
   override def close(): Unit = {
     closed = true
     val w = ws
-    if (w != null) w.sendClose(WebSocket.NORMAL_CLOSURE, "stop")
+    if (w != null) {
+      try w.sendClose(WebSocket.NORMAL_CLOSURE, "stop")
+      catch { case _: Exception => () }
+      // Don't wait for the peer's Close reply — the source is shutting
+      // down and its durability lives in the frame WAL + offsets, not the
+      // socket; a peer that never completes the close handshake would
+      // otherwise keep the connection (and its frame flow) half-open.
+      w.abort()
+    }
   }
 }
