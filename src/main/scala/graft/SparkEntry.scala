@@ -16,6 +16,7 @@ object SparkEntry {
       operators.DerivedQueries.defs ++
       operators.SqlSurfaceQueries.defs ++
       operators.AnalyticsQueries.defs ++
+      operators.TpchMoreQueries.defs ++
       operators.DedupQueries.defs ++
       operators.SimilarityQueries.defs ++
       operators.TextQueries.defs ++
