@@ -101,6 +101,28 @@ class PlanAssertionsSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned write: a day filter prunes partitions at the scan") {
+    // The 100 TB table layout: facts land date-partitioned, and a
+    // date-filtered read must list only the matching directories
+    // (PartitionFilters), not scan-and-discard.
+    import org.apache.spark.sql.functions.{col, to_date}
+    val out = java.nio.file.Files.createTempDirectory("part_prune").toString
+    Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    val day = back.select(col("day")).distinct().orderBy(col("day")).head()
+      .getDate(0)
+    val filtered = back.filter(col("day") === day)
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && !p.contains("PartitionFilters: []"),
+      "day filter did not reach the partition listing:\n" + p)
+    // parity with filtering the unpartitioned table
+    val direct = Tables.events(spark, sf)
+      .filter(to_date(col("ts")) === day).count()
+    assert(filtered.count() === direct)
+  }
+
   test("dedup_exact: whole-stage codegen covers the hash/agg pipeline") {
     // AQE only inserts WholeStageCodegen nodes into the final plan, so
     // execute before inspecting.

@@ -137,6 +137,33 @@ class WebsocketSourceSpec extends AnyFunSuite {
     assert(new FrameWal(ckpt).readAll() === ((0L, Seq.empty[String])))
   }
 
+  test("frame WAL: a gap in the chunk sequence refuses to replay, not misnumber") {
+    val ckpt = Files.createTempDirectory("wal_gap_ckpt").toString
+    val w = new FrameWal(ckpt)
+    w.append(0, Seq("f0", "f1"))
+    w.append(2, Seq("f2"))
+    w.append(3, Seq("f3", "f4"))
+    // lose the middle chunk (manual deletion / object-store mishap): replay
+    // past the gap would silently renumber f3/f4 as offsets 2/3
+    val walDir = java.nio.file.Paths.get(ckpt, "graft-frame-wal")
+    java.nio.file.Files.delete(walDir.resolve(f"chunk-${2}%020d-1"))
+    val ex = intercept[IllegalStateException] { new FrameWal(ckpt).readAll() }
+    assert(ex.getMessage.contains("gap"))
+    // a chunk whose content was truncated is also refused
+    val ckpt2 = Files.createTempDirectory("wal_trunc_ckpt").toString
+    val w2 = new FrameWal(ckpt2)
+    w2.append(0, Seq("g0", "g1"))
+    val chunk = java.nio.file.Paths.get(ckpt2, "graft-frame-wal")
+      .resolve(f"chunk-${0}%020d-2")
+    java.nio.file.Files.write(chunk, "g0\n".getBytes)
+    // drop the Hadoop LocalFS checksum sidecar so the WAL's own frame-count
+    // check (not the CRC) is what catches the truncation
+    java.nio.file.Files.deleteIfExists(
+      chunk.getParent.resolve(s".${chunk.getFileName}.crc"))
+    val ex2 = intercept[IllegalStateException] { new FrameWal(ckpt2).readAll() }
+    assert(ex2.getMessage.contains("name says 2"))
+  }
+
   test("pipeline sinks: parquet tables + legacy 32-col view + csv export") {
     val log = writeLog()
     val out = Files.createTempDirectory("pipe_out").toString
