@@ -254,5 +254,40 @@ object TpchMoreQueries {
       GROUP BY 1
     """))
 
-  val defs: Seq[QueryDef] = Seq(q6, q7, q10, q14, q19, q22)
+  /** Pure-inequality band join where a broadcast nested-loop IS the right
+    * plan: the band table is 3 rows, so NLJ costs 3 comparisons per
+    * lineitem row with zero shuffle — the deliberate counterpart to
+    * `range_band_join`, which explodes bands to fixed-width buckets
+    * precisely because ITS band table scales with the data. Together they
+    * pin the engine's rule: tiny side → broadcast NLJ; growing side →
+    * bucketed equi-join. Band edges sit at .5 so the DOUBLE quantity can
+    * never hit a boundary. */
+  val quantityBandNlj = QueryDef(
+    "quantity_band_nlj",
+    (spark, dir) => {
+      import spark.implicits._
+      val bands = Seq(
+        ("low", 0.5, 17.5), ("mid", 17.5, 34.5), ("high", 34.5, 1.0e9))
+        .toDF("band", "lo", "hi")
+      Tables.lineitem(spark, dir)
+        .join(broadcast(bands),
+          col("l_quantity") > col("lo") && col("l_quantity") <= col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_items"), sum(expr(rev4)).as("rev4"))
+        .select(col("band"), col("n_items"),
+          (col("rev4").cast("double") / lit(10000.0)).as("revenue"))
+    },
+    Some("""
+      SELECT band, count(*) AS n_items,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS DOUBLE) / 10000.0 AS revenue
+      FROM lineitem
+      JOIN (VALUES ('low', 0.5, 17.5), ('mid', 17.5, 34.5),
+                   ('high', 34.5, 1000000000.0)) b(band, lo, hi)
+        ON l_quantity > lo AND l_quantity <= hi
+      GROUP BY 1
+    """))
+
+  val defs: Seq[QueryDef] = Seq(q6, q7, q10, q14, q19, q22, quantityBandNlj)
 }

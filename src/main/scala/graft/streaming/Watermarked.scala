@@ -78,6 +78,16 @@ object Watermarked {
         min(col("tradeId")).as("first_trade_id"),
         max(col("tradeId")).as("last_trade_id"))
 
+  /** Stream-static join (§2.2): enrich the trade stream with a static
+    * product dimension (tick size, base/quote currency...) via a broadcast
+    * hash join — the static side is planned once per micro-batch, never
+    * buffered as state, so this costs nothing at watermark level and the
+    * stream side never shuffles (the dim broadcasts to wherever trades
+    * already are; at 100 TB/day of trades that no-shuffle property is the
+    * whole point). */
+  def enrichTrades(trades: Dataset[TradeOut], productDim: DataFrame): DataFrame =
+    trades.join(broadcast(productDim), Seq("productId"), "left")
+
   /** Stream-stream interval join (§2.2): pair each trade with trades for
     * the same product from a DIFFERENT exchange whose event time falls in
     * the `band` before it — the cross-exchange comparison the reference

@@ -39,6 +39,12 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("quantity_band_nlj: tiny-side inequality join plans the broadcast NLJ deliberately") {
+    val p = plan("quantity_band_nlj")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "expected deliberate broadcast NLJ over the 3-row band table:\n" + p)
+  }
+
   test("asof_join: no cartesian product in the as-of pattern") {
     val p = plan("asof_join")
     assert(!p.contains("CartesianProduct"), p)

@@ -135,4 +135,28 @@ class WatermarkedSpec extends AnyFunSuite {
       assert(pairs.toSeq === Seq((10L, 91L), (11L, 94L)))
     } finally q.stop()
   }
+
+  test("enrichTrades: stream-static broadcast join adds dim columns without stream shuffle") {
+    val dim = Seq(
+      ("ETH-USD", "ETH", "USD", 0.01),
+      ("BTC-USD", "BTC", "USD", 0.01))
+      .toDF("productId", "base", "quote", "tick")
+    val input = MemoryStream[TradeOut]
+    val enriched = Watermarked.enrichTrades(input.toDS(), dim)
+    val q = enriched.writeStream
+      .outputMode("append").format("memory").queryName("wm_enrich").start()
+    try {
+      input.addData(
+        trade(1, "2017-10-15 05:10:00", "300.10", "1.0"),
+        trade(2, "2017-10-15 05:10:01", "300.11", "0.5", product = "XMR-BTC"))
+      q.processAllAvailable()
+      val rows = spark.table("wm_enrich").collect()
+        .map(r => (r.getAs[Long]("tradeId"), r.getAs[String]("base")))
+        .sortBy(_._1)
+      // known product enriched; unknown product kept (left join), null dim
+      assert(rows.toSeq === Seq((1L, "ETH"), (2L, null)))
+      assert(spark.table("wm_enrich").columns.toSet
+        .intersect(Set("base", "quote", "tick")).size === 3)
+    } finally q.stop()
+  }
 }
