@@ -62,9 +62,12 @@ class TextHashingSpec extends AnyFunSuite {
 
   test("property: codegen char_ngrams/word_ngrams match the transform(sequence) formulation") {
     graft.functions.NgramExprs.register(spark)
+    // alphabet includes multi-byte UTF-8 (2-, 3-, 4-byte) — substringSQL
+    // indexes by CHAR; a byte-offset bug would shear these
     val textGen = for {
       n <- Gen.chooseNum(0, 30)
-      cs <- Gen.listOfN(n, Gen.oneOf(('a' to 'e') :+ ' '))
+      cs <- Gen.listOfN(n,
+        Gen.oneOf("a", "b", "c", " ", " ", "é", "ß", "中", "文", "🦀"))
     } yield cs.mkString
     check(Prop.forAll(Gen.listOfN(6, textGen)) { texts =>
       val df = docsDf(texts)
