@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.sources.WsTestServer
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference user's switch path, live: `LiveIngest`'s exact wiring —
+  * websocket source (url + subscribe) → gdax decoder → stateful book
+  * engine → idempotent parquet sinks — driven end-to-end against an
+  * in-process websocket server, including a mid-stream connection drop.
+  * (LiveIngest.main itself only parses args and awaits termination; the
+  * wiring under test here is everything it starts.) */
+class LiveIngestE2ESpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val frames = Seq(
+    """{"type": "snapshot", "product_id": "ETH-USD", "bids": [["300.10", "1.5"]], "asks": [["300.20", "0.9"]]}""",
+    """{"type": "l2update", "product_id": "ETH-USD", "changes": [["buy", "300.12", "2.0"]]}""",
+    """{"type": "match", "trade_id": 100, "sequence": 7, "time": "2017-10-15T05:10:53.700000Z", "product_id": "ETH-USD", "size": "0.25", "price": "300.15", "side": "buy"}""")
+
+  private val lateFrame =
+    """{"type": "match", "trade_id": 104, "sequence": 9, "time": "2017-10-15T05:10:54.700000Z", "product_id": "ETH-USD", "size": "0.30", "price": "300.16", "side": "sell"}"""
+
+  private def await(cond: => Boolean, what: String,
+      timeoutMs: Long = 30000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    assert(cond, s"timed out waiting for $what")
+  }
+
+  test("live ingest app wiring: websocket → decode → engine → parquet, across a reconnect") {
+    val server = new WsTestServer
+    val out = Files.createTempDirectory("live_ingest_out").toString
+    val ckpt = Files.createTempDirectory("live_ingest_ckpt").toString
+    try {
+      server.push(frames)
+      val (_, subs, decode) = LiveIngest.adapter("gdax")
+      val stream = spark.readStream
+        .format("graft.sources.WebsocketSource")
+        .option("url", server.url)
+        .option("subscribe", subs.mkString("\n"))
+        .option("maxFramesPerTrigger", "2")
+        .load()
+      val q = Pipeline.start(stream, decode, out, ckpt)
+      try {
+        def trades = scala.util.Try(
+          spark.read.parquet(s"$out/trades").count()).getOrElse(0L)
+        def books = scala.util.Try(
+          spark.read.parquet(s"$out/inside_book").count()).getOrElse(0L)
+        await(trades >= 1 && books >= 2, "first batch of sink rows")
+        // feed drop mid-stream: reconnect (1s backoff), then the late trade
+        server.kill()
+        server.push(Seq(lateFrame))
+        await(trades >= 2, "post-reconnect trade")
+        val t = spark.read.parquet(s"$out/trades")
+        assert(t.select("tradeId").collect().map(_.getLong(0)).sorted
+          === Array(100L, 104L))
+        // the missing ids 101..103 between the two matches must be flagged
+        assert(t.filter("tradeId = 104 AND gapStart = 101 AND gapEnd = 103")
+          .count() === 1)
+      } finally q.stop()
+    } finally server.close()
+  }
+}
