@@ -39,6 +39,28 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("q6_forecast_revenue: all three range predicates push to the scan") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"), p)
+    assert(p.contains("l_shipdate") && p.contains("l_discount") &&
+      p.contains("l_quantity"), "expected all predicates at the scan:\n" + p)
+  }
+
+  test("q7/q10/q14/q19: dimension and part sides broadcast, facts never NLJ") {
+    for (q <- Seq("q7_nation_volume", "q10_returned_revenue",
+        "q14_promo_ratio", "q19_disjunctive")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: no broadcast join:\n" + p)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"$q: degenerate join:\n" + p)
+    }
+  }
+
+  test("q22_idle_customers: recent-orders exclusion is a real anti join") {
+    val p = plan("q22_idle_customers")
+    assert(p.contains("LeftAnti"), "expected anti join:\n" + p)
+  }
+
   test("quantity_band_nlj: tiny-side inequality join plans the broadcast NLJ deliberately") {
     val p = plan("quantity_band_nlj")
     assert(p.contains("BroadcastNestedLoopJoin"),
