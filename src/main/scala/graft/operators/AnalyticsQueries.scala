@@ -158,28 +158,26 @@ object AnalyticsQueries {
   private val KmvK = 64
 
   /** KMV (k-minimum-values) distinct-count sketch, per return flag: keep
-    * the k smallest md5-derived 32-bit hashes of the distinct keys; the
-    * k-th smallest, normalized to [0,1), estimates density so
-    * est ≈ (k-1)/h_(k). The sketch shape is the 100 TB story — a bounded
-    * k-row state per group that merges associatively (min-union), versus
-    * an exact distinct whose state grows with the key space. Unlike
-    * engine-native approx_count_distinct (HLL, implementation-defined),
-    * this sketch is deterministic md5 arithmetic, so the DuckDB oracle
-    * computes the identical estimate — an exactly-checkable approximate
-    * operator. */
+    * the k smallest md5-derived 32-bit hashes; the k-th smallest,
+    * normalized to [0,1), estimates density so est ≈ (k-1)/h_(k).
+    * Implemented as the [[graft.functions.KmvSketch]] typed Aggregator
+    * (the UDAF surface): the raw hash stream feeds it directly — no
+    * distinct, no window rank — and map-side partial aggregation moves at
+    * most k longs per (partition, group). Unlike engine-native
+    * approx_count_distinct (HLL, implementation-defined), the sketch is
+    * deterministic md5 arithmetic, so the DuckDB oracle computes the
+    * identical estimate — an exactly-checkable approximate operator. */
   val kmvDistinct = QueryDef(
     "approx_distinct_kmv",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val h = Tables.lineitem(spark, dir)
+      val kmv = udaf(new graft.functions.KmvSketch(KmvK))
+      Tables.lineitem(spark, dir)
         .select(col("l_returnflag").as("grp"),
           conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10)
             .cast("long").as("h"))
-        .distinct()
-      val w = Window.partitionBy(col("grp")).orderBy(col("h").asc)
-      h.withColumn("rn", row_number().over(w)).filter(col("rn") <= KmvK)
         .groupBy(col("grp"))
-        .agg(count(lit(1)).as("k_used"), max(col("h")).as("hk"))
+        .agg(kmv(col("h")).as("s"))
+        .select(col("grp"), col("s._1").as("k_used"), col("s._2").as("hk"))
         .select(col("grp"), col("k_used"),
           when(col("k_used") < KmvK, col("k_used").cast("double"))
             .otherwise(lit((KmvK - 1).toDouble) /
