@@ -199,17 +199,26 @@ object SimilarityQueries {
         .select(col("vec_id"), col("cid"), col("rn"), col("emb"), col("norm"))
         .localCheckpoint(eager = false) // reused by both probe sides
       val q = ranked.filter(col("vec_id") < 10) // nprobe=2: both cells
-        .select(col("vec_id").as("query_id"), col("cid"),
-          col("emb").as("qe"), col("norm").as("qn"))
+        .select(col("vec_id").as("query_id"), col("cid"))
       val c = ranked.filter(col("rn") === 1) // neighbors live in ONE cell
-        .select(col("vec_id").as("neighbor_id"),
-        col("cid").as("ccid"), col("emb").as("ce"), col("norm").as("cn"))
+        .select(col("vec_id").as("neighbor_id"), col("cid").as("ccid"))
+      // Dedup on the ID pair BEFORE fetching vectors: a (query, neighbor)
+      // pair probing two shared cells would otherwise be deduped by
+      // hashing rows that carry four 64-double arrays — ids shuffle in a
+      // handful of bytes, embeddings join back once per surviving pair
+      // (the same shape lshTopK uses).
+      val cand = q.join(c, col("cid") === col("ccid") &&
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id")).distinct()
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id").asc)
-      q.join(c, col("cid") === col("ccid") &&
-          col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"), col("qe"), col("qn"),
-          col("ce"), col("cn")).distinct()
+      cand
+        .join(ranked.select(col("vec_id").as("query_id"),
+          col("emb").as("qe"), col("norm").as("qn"), col("rn"))
+          .filter(col("rn") === 1).drop("rn"), "query_id")
+        .join(ranked.select(col("vec_id").as("neighbor_id"),
+          col("emb").as("ce"), col("norm").as("cn"), col("rn"))
+          .filter(col("rn") === 1).drop("rn"), "neighbor_id")
         .withColumn("cos", expr(cosExpr))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
