@@ -50,12 +50,19 @@ object LiveIngest {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // GRAFT_ENGINE=tws selects the transformWithState/RocksDB engine path
+    val useTws = sys.env.get("GRAFT_ENGINE").contains("tws")
+    if (useTws)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
     val frames = spark.readStream
       .format("graft.sources.WebsocketSource")
       .option("url", url)
       .option("subscribe", subs.mkString("\n"))
       .load()
-    val query = Pipeline.start(frames, decode, outDir, ckpt)
+    val query = Pipeline.start(frames, decode, outDir, ckpt,
+      useTransformWithState = useTws)
     query.awaitTermination()
   }
 }

@@ -45,11 +45,22 @@ object Pipeline {
     * therefore partitioned by batch_id with dynamic partition overwrite:
     * the retry replaces exactly its own partition, never duplicating or
     * touching earlier batches — exactly-once at the table level. */
+  /** Start the full ingest pipeline. `useTransformWithState` switches the
+    * engine to the transformWithState/RocksDB path (the production state
+    * backend for large key × large book regimes) — the caller's session
+    * must set `spark.sql.streaming.stateStore.providerClass` to the
+    * RocksDB provider first; the default flatMapGroupsWithState path runs
+    * on any provider and has a batch fallback. Both run the same pure
+    * processKey core (golden-tested against each other). */
   def start(frames: DataFrame, decode: DataFrame => Dataset[MarketMessage],
       outDir: String, checkpointDir: String,
-      fetcher: Option[graft.sources.Backfill.TradeFetcher] = None)
+      fetcher: Option[graft.sources.Backfill.TradeFetcher] = None,
+      useTransformWithState: Boolean = false)
       : StreamingQuery = {
-    BookEngine.run(decode(frames))
+    val engineOut =
+      if (useTransformWithState) BookEngine.runTws(decode(frames))
+      else BookEngine.run(decode(frames))
+    engineOut
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[EngineOut], batchId: Long) =>

@@ -30,10 +30,15 @@ class LiveIngestE2ESpec extends AnyFunSuite {
     assert(cond, s"timed out waiting for $what")
   }
 
-  test("live ingest app wiring: websocket → decode → engine → parquet, across a reconnect") {
+  for (tws <- Seq(false, true))
+  test(s"live ingest wiring (${if (tws) "transformWithState/RocksDB" else "flatMapGroupsWithState"}): websocket → decode → engine → parquet, across a reconnect") {
     val server = new WsTestServer
     val out = Files.createTempDirectory("live_ingest_out").toString
     val ckpt = Files.createTempDirectory("live_ingest_ckpt").toString
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    if (tws) spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       server.push(frames)
       val (_, subs, decode) = LiveIngest.adapter("gdax")
@@ -43,7 +48,8 @@ class LiveIngestE2ESpec extends AnyFunSuite {
         .option("subscribe", subs.mkString("\n"))
         .option("maxFramesPerTrigger", "2")
         .load()
-      val q = Pipeline.start(stream, decode, out, ckpt)
+      val q = Pipeline.start(stream, decode, out, ckpt,
+        useTransformWithState = tws)
       try {
         def trades = scala.util.Try(
           spark.read.parquet(s"$out/trades").count()).getOrElse(0L)
@@ -61,6 +67,14 @@ class LiveIngestE2ESpec extends AnyFunSuite {
         assert(t.filter("tradeId = 104 AND gapStart = 101 AND gapEnd = 103")
           .count() === 1)
       } finally q.stop()
-    } finally server.close()
+    } finally {
+      server.close()
+      prevProvider match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 }
