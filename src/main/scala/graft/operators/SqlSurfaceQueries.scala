@@ -241,32 +241,30 @@ object SqlSurfaceQueries {
     (spark, dir) => {
       graft.functions.NgramExprs.register(spark)
       val docs = Tables.documents(spark, dir)
-      // Raw (undeduplicated) codegen'd gram explode: in-doc duplicate grams
-      // (~55% of char 3-grams) are collapsed by the map-side partial agg of
-      // the (pair, g) groupBy below — the same hash probe the dedup would
-      // cost, minus a per-array distinct pass.
-      val grams = docs.select(col("doc_id"),
-        explode(call_function("char_ngrams", col("text"), lit(3))).as("g"))
-      // The (2k, 2k+1) pairing makes the pair id a projection of doc_id, so
-      // intersection AND both set sizes fold out of ONE groupBy(pair, g)
-      // (per-gram side flags, duplicate-insensitive max) + ONE
-      // groupBy(pair) — two shuffles total, replacing the generic
-      // pairs-join formulation (two gram joins + three assembly joins). A
-      // pair whose odd side doesn't exist (odd corpus size) yields n_b = 0
-      // and is dropped, matching the oracle's inner join with documents on
-      // doc_b.
-      grams
-        .select((col("doc_id") / 2).cast("long").as("pair"),
-          (col("doc_id") % 2).as("side"), col("g"))
-        .groupBy(col("pair"), col("g"))
-        .agg(max(when(col("side") === 0, 1).otherwise(0)).as("in_a"),
-          max(when(col("side") === 1, 1).otherwise(0)).as("in_b"))
-        .groupBy(col("pair"))
-        .agg(sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"),
-          sum(col("in_a") * col("in_b")).as("n_inter"))
-        .filter(col("n_a") > 0 && col("n_b") > 0)
-        .select((col("pair") * 2).as("doc_a"), (col("pair") * 2 + 1).as("doc_b"),
-          col("n_inter"),
+      // The (2k, 2k+1) pairing is known up front, so the right plan never
+      // ships grams at all: join the two TEXTS per pair (one shuffle of
+      // corpus bytes), then gram-generate (codegen char_ngrams), dedup and
+      // intersect per ROW with array functions. The generic
+      // unknown-pairing path — explode + bucket join — lives in the
+      // MinHash/LSH family; this shape is what you run when the pairing
+      // is an id projection. Replaced a 2-shuffle formulation moving ~300×
+      // the rows.
+      val a = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      val b = docs.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") - 1).as("doc_a"),
+          col("doc_id").as("doc_b"), col("text").as("tb"))
+      a.join(b, "doc_a")
+        .withColumn("ga",
+          array_distinct(call_function("char_ngrams", col("ta"), lit(3))))
+        .withColumn("gb",
+          array_distinct(call_function("char_ngrams", col("tb"), lit(3))))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ga"), col("gb"))).cast("long")
+            .as("n_inter"),
+          size(col("ga")).cast("long").as("n_a"),
+          size(col("gb")).cast("long").as("n_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_inter"),
           (col("n_inter").cast("double") /
             (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
             .as("jaccard"))
