@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -86,7 +86,7 @@ private[sources] case class FrameOffset(n: Long) extends Offset {
 private[sources] class WebsocketMicroBatchStream(
     options: CaseInsensitiveStringMap,
     checkpointLocation: String) extends MicroBatchStream
-    with SupportsAdmissionControl {
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val maxPerTrigger =
     Option(options.get("maxFramesPerTrigger")).map(_.toLong)
@@ -154,6 +154,18 @@ private[sources] class WebsocketMicroBatchStream(
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerTrigger)
 
+  /** Trigger.AvailableNow: snapshot the end of the currently-available
+    * frame range; latestOffset then paces batches toward (never past) it,
+    * and the engine stops once it's reached. Without this, Spark's
+    * fallback wrapper snapshots offsets itself and bypasses the
+    * maxFramesPerTrigger admission control (one giant batch). */
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    pump()
+    availableNowCap = Some(base + buffer.size())
+  }
+
   // With SupportsAdmissionControl the engine always calls the 2-arg variant.
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -177,6 +189,10 @@ private[sources] class WebsocketMicroBatchStream(
       }
       val available = base + buffer.size()
       served = math.min(available, math.max(served, s) + cap)
+      // AvailableNow: never admit past the prepared snapshot (frames that
+      // arrive during the run belong to the next run); a snapshot below the
+      // restored start just means "nothing new as of start".
+      availableNowCap.foreach(c => served = math.min(served, math.max(c, s)))
       served = math.max(served, s)
       FrameOffset(served)
     }
