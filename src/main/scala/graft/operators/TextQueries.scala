@@ -205,6 +205,66 @@ object TextQueries {
       FROM documents
     """))
 
+  /** The composed corpus-cleaning flow (§2.3's point, end to end in one
+    * plan): quality-filter → exact-dedup (keep the smallest doc_id per
+    * content hash) → md5-ranked stratified sample of 10 per source. Each
+    * stage is its own oracle-checked operator elsewhere; this pins that
+    * they COMPOSE — filters push below the dedup aggregation, the sample
+    * window runs on the deduped survivors only. */
+  val cleanCorpus = QueryDef(
+    "pipeline_clean_corpus",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      val quality = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("source"), col("lang"), col("text"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("tok").isin(stop: _*), 1).otherwise(0)).as("n_stop"),
+          sum(when(length(col("tok")) <= 2, 1).otherwise(0)).as("n_short"))
+        // integer cross-multiply: keep docs with stopwords > short tokens
+        // (the "quality > 0" cut), exact in both engines
+        .filter(col("n_stop") > col("n_short"))
+      val deduped = quality
+        .withColumn("rep",
+          min(col("doc_id")).over(
+            Window.partitionBy(md5(col("text")))))
+        .filter(col("doc_id") === col("rep"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("lang"))), col("doc_id"))
+      deduped
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT doc_id, source, lang, text,
+               sum(CASE WHEN tok IN ('the','a','of','and','to','in','is')
+                        THEN 1 ELSE 0 END) AS n_stop,
+               sum(CASE WHEN length(tok) <= 2 THEN 1 ELSE 0 END) AS n_short
+        FROM (SELECT doc_id, source, lang, text,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY 1, 2, 3, 4
+        HAVING n_stop > n_short),
+      d AS (
+        SELECT doc_id, source, lang FROM (
+          SELECT doc_id, source, lang,
+                 min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+          FROM q)
+        WHERE doc_id = rep)
+      SELECT doc_id, source, rn FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(doc_id || ':' || lang), doc_id) AS rn
+        FROM d)
+      WHERE rn <= 10
+    """))
+
   val defs: Seq[QueryDef] = Seq(
-    langId, quality, tokenCount, fingerprint, multimodalMeta)
+    langId, quality, tokenCount, fingerprint, multimodalMeta, cleanCorpus)
 }
