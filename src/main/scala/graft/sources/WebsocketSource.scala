@@ -380,20 +380,25 @@ private[sources] class JdkWebsocketClient(url: String,
     subscribePayloads.foreach(p => ws.sendText(p, true).join())
   }
 
+  // Shared latch: counted down on close(), so a reconnect loop mid-backoff
+  // wakes and exits immediately instead of sleeping out up to 30 s.
+  private val closeLatch = new CountDownLatch(1)
+
   private def reconnect(): Unit = if (!closed) {
-    new Thread(() => {
+    val t = new Thread(() => {
       var backoffMs = 1000L
       var ok = false
       while (!ok && !closed) {
         try { connectOnce(); ok = true }
         catch {
           case _: Exception =>
-            val latch = new CountDownLatch(1)
-            latch.await(backoffMs, TimeUnit.MILLISECONDS)
+            closeLatch.await(backoffMs, TimeUnit.MILLISECONDS)
             backoffMs = math.min(backoffMs * 2, 30000L)
         }
       }
-    }, "graft-ws-reconnect").start()
+    }, "graft-ws-reconnect")
+    t.setDaemon(true)
+    t.start()
   }
 
   // initial connection uses the same retry loop
@@ -406,6 +411,7 @@ private[sources] class JdkWebsocketClient(url: String,
 
   override def close(): Unit = {
     closed = true
+    closeLatch.countDown()
     val w = ws
     if (w != null) {
       try w.sendClose(WebSocket.NORMAL_CLOSURE, "stop")
