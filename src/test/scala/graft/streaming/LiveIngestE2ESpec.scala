@@ -30,6 +30,37 @@ class LiveIngestE2ESpec extends AnyFunSuite {
     assert(cond, s"timed out waiting for $what")
   }
 
+  test("live ingest, poloniex adapter: channel state resolves products over the wire") {
+    val server = new WsTestServer
+    val out = Files.createTempDirectory("live_polo_out").toString
+    val ckpt = Files.createTempDirectory("live_polo_ckpt").toString
+    try {
+      // real polo frames are single-line JSON (the WAL is newline-framed)
+      server.push(Seq(
+        """[148, 100, [["i", {"currencyPair": "BTC_ETH", "orderBook": [{"0.03200000": "2.5"}, {"0.03190000": "4.0"}]}]]]""",
+        """[148, 101, [["t", "9394200", 1, "5545.00000000", "0.00009541", 1508060546]]]""",
+        """[1010]"""))
+      val (_, subs, decode) = LiveIngest.adapter("polo")
+      val q = Pipeline.start(
+        spark.readStream
+          .format("graft.sources.WebsocketSource")
+          .option("url", server.url)
+          .option("subscribe", subs.mkString("\n"))
+          .load(),
+        decode, out, ckpt)
+      try {
+        def trades = scala.util.Try(
+          spark.read.parquet(s"$out/trades").count()).getOrElse(0L)
+        await(trades >= 1, "polo trade in sink")
+        val t = spark.read.parquet(s"$out/trades").collect().head
+        // product resolved from the channel id learned in an EARLIER frame
+        assert(t.getAs[String]("productId") === "BTC_ETH")
+        assert(t.getAs[String]("volume") === "0.00009541")
+        assert(t.getAs[String]("exchange") === "polo")
+      } finally q.stop()
+    } finally server.close()
+  }
+
   test("live ingest restart: engine state and sink exactly-once survive a stop/start") {
     val server = new WsTestServer
     val out = Files.createTempDirectory("live_restart_out").toString
