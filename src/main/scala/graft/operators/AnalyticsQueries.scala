@@ -205,6 +205,73 @@ object AnalyticsQueries {
       FROM k
     """))
 
+  private val ThetaK = 16
+
+  /** Theta-sketch set-INTERSECTION estimate (sketch composition, the
+    * companion to [[kmvDistinct]]'s counting): estimate the overlap of two
+    * sources' token vocabularies from their k-minimum-value sketches —
+    * θ = the k-th smallest hash of the UNION, the estimate counts hashes
+    * ≤ θ present in both sides, scaled by 1/θ_norm. Exactly the merge
+    * machinery a 100 TB system uses to answer overlap questions from
+    * per-shard sketches without re-reading shards. The same row carries
+    * the EXACT intersection, so sketch error is visible in the output —
+    * and both are deterministic md5 arithmetic, so the DuckDB oracle
+    * reproduces estimate AND truth bit-for-bit. */
+  val thetaOverlap = QueryDef(
+    "approx_overlap_theta",
+    (spark, dir) => {
+      val h = Tables.documents(spark, dir)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .select(col("source"),
+          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+        .distinct()
+        .localCheckpoint(eager = false) // feeds union, both join sides
+      val a = h.filter(col("source") === "src0").select(col("h"))
+      val b = h.filter(col("source") === "src1").select(col("h").as("hb"))
+      val stats = broadcast(
+        a.union(b.select(col("hb").as("h"))).distinct()
+          .orderBy(col("h").asc).limit(ThetaK)
+          .agg(max(col("h")).as("theta"), count(lit(1)).as("k_used")))
+      val both = a.join(b, col("h") === col("hb")) // exact intersection
+      both.crossJoin(stats)
+        .agg(
+          first(col("k_used")).as("k_used"),
+          first(col("theta")).as("theta"),
+          sum(when(col("h") <= col("theta"), 1L).otherwise(0L)).as("n_cand"),
+          count(lit(1)).as("n_exact"))
+        .select(col("k_used"), col("n_cand"), col("n_exact"),
+          when(col("k_used") < ThetaK, col("n_cand").cast("double"))
+            .otherwise(col("n_cand").cast("double") /
+              (col("theta").cast("double") / 4294967296.0))
+            .as("est_inter"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT DISTINCT source,
+               CAST(list_sum(list_transform(range(8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(tok), i + 1, 1)) - 1)
+                   * (16 ** (7 - i)))) AS BIGINT) AS h
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE source IN ('src0', 'src1'))),
+      u AS (SELECT DISTINCT h FROM h ORDER BY h ASC LIMIT $ThetaK),
+      s AS (SELECT max(h) AS theta, CAST(count(*) AS BIGINT) AS k_used FROM u),
+      ab AS (SELECT a.h FROM h a JOIN h b ON a.h = b.h
+             WHERE a.source = 'src0' AND b.source = 'src1')
+      SELECT k_used,
+             CAST(count(*) FILTER (WHERE h <= theta) AS BIGINT) AS n_cand,
+             CAST(count(*) AS BIGINT) AS n_exact,
+             CASE WHEN k_used < $ThetaK
+                  THEN CAST(count(*) FILTER (WHERE h <= theta) AS DOUBLE)
+                  ELSE CAST(count(*) FILTER (WHERE h <= theta) AS DOUBLE) /
+                       (CAST(theta AS DOUBLE) / 4294967296.0)
+             END AS est_inter
+      FROM ab, s
+      GROUP BY k_used, theta
+    """))
+
   /** TPC-H Q5 analogue: revenue by nation for one region — the canonical
     * multi-way star join (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation
     * ⋈ region) with small dims broadcast; the only shuffle is the final
@@ -298,5 +365,5 @@ object AnalyticsQueries {
 
   val defs: Seq[QueryDef] = Seq(
     quantilesCont, statsAgg, arrayFuncs, histogramBins, stratifiedSample,
-    kmvDistinct, q5RegionRevenue, q13CustDistribution, q18LargeOrders)
+    kmvDistinct, thetaOverlap, q5RegionRevenue, q13CustDistribution, q18LargeOrders)
 }
