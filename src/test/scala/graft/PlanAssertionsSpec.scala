@@ -56,6 +56,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_distinct_kmv: the sketch UDAF partially aggregates before the exchange") {
+    // the point of the sketch: map-side combine ships <= k longs per
+    // (partition, group), so a partial aggregate must sit below the shuffle
+    val p = plan("approx_distinct_kmv")
+    assert(p.contains("ObjectHashAggregate"),
+      "typed Aggregator should plan ObjectHashAggregate:\n" + p)
+    assert(p.contains("partial_kmvsketch") || p.contains("partial_"),
+      "no partial aggregation below the exchange:\n" + p)
+  }
+
   test("q22_idle_customers: recent-orders exclusion is a real anti join") {
     val p = plan("q22_idle_customers")
     assert(p.contains("LeftAnti"), "expected anti join:\n" + p)
