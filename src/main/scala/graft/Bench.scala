@@ -30,11 +30,28 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def ent(kv: (String, Double)) = f""""${kv._1}":${kv._2}%.3f"""
+    // Full per-query map, for humans and for BASELINE.md round tables. This
+    // line is long and scrolls out of the harness's capture window — fine.
+    println("BENCH_FULL " + results.map(ent).mkString("{", ",", "}"))
+    // The machine-read line: the harness keeps only the LAST ~2000 chars of
+    // output and json.loads per line, so the line must (a) be the final
+    // thing printed, (b) carry no logger prefix (forked run + StdoutOutput),
+    // and (c) fit the window with room for sbt's trailing "[success] …"
+    // line. Per-query detail is slowest-first and truncated to the budget;
+    // "queries_total"/"queries_shown" make the truncation explicit.
+    val prefix =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","queries_total":${results.size},"queries":{"""
+    val budget = 1700
+    val bySlowest = results.sortBy(-_._2).map(ent)
+    val shown = new scala.collection.mutable.ArrayBuffer[String]
+    var used = prefix.length + 40 // room for the closing brace + counters
+    for (e <- bySlowest if used + e.length + 1 <= budget) {
+      shown += e; used += e.length + 1
+    }
+    val line = prefix + shown.mkString(",") +
+      s"""},"queries_shown":${shown.size}}"""
     // Stop Spark BEFORE printing so no executor/log output can interleave
     // with (or trail) the one JSON line the driver parses.
     spark.stop()

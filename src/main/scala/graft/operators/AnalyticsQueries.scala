@@ -19,16 +19,23 @@ object AnalyticsQueries {
   /** Interpolated (continuous) quantiles per group — Spark `percentile`
     * vs DuckDB `quantile_cont`. l_quantity is integral, so the linear
     * interpolation at quarter fractions is exact in doubles in both
-    * engines regardless of evaluation order. */
+    * engines regardless of evaluation order. Quantiles are emitted as
+    * three scalar columns, not ARRAY: the driver's compare sorts rows
+    * via pandas, which cannot hash array cells (r03 failure). */
   val quantilesCont = QueryDef(
     "quantiles_cont",
     (spark, dir) =>
       Tables.lineitem(spark, dir)
         .groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
-          .as("q_cont")),
+          .as("q"))
+        .select(col("l_returnflag"),
+          col("q")(0).as("q25"), col("q")(1).as("q50"), col("q")(2).as("q75")),
     Some("""
-      SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS q_cont
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS q25,
+             quantile_cont(l_quantity, 0.5)  AS q50,
+             quantile_cont(l_quantity, 0.75) AS q75
       FROM lineitem GROUP BY 1
     """))
 
@@ -84,7 +91,11 @@ object AnalyticsQueries {
 
   /** Array aggregation family: per market segment, the sorted distinct
     * list of order priorities seen, its size, and a membership probe —
-    * collect_set → sort_array vs array_agg → list_distinct → list_sort. */
+    * collect_set → sort_array vs array_agg → list_distinct → list_sort.
+    * The list column is serialized with array_join for the output: the
+    * driver's compare sorts rows via pandas, which cannot hash array
+    * cells (r03 failure); the array ops still run, only the final
+    * projection is scalar. */
   val arrayFuncs = QueryDef(
     "array_funcs",
     (spark, dir) =>
@@ -92,13 +103,15 @@ object AnalyticsQueries {
         .join(Tables.orders(spark, dir),
           col("c_custkey") === col("o_custkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(sort_array(collect_set(col("o_orderpriority"))).as("priorities"))
-        .select(col("c_mktsegment"), col("priorities"),
-          size(col("priorities")).cast("long").as("n_priorities"),
-          array_contains(col("priorities"), "1-URGENT").as("has_urgent")),
+        .agg(sort_array(collect_set(col("o_orderpriority"))).as("ps"))
+        .select(col("c_mktsegment"),
+          array_join(col("ps"), "|").as("priorities"),
+          size(col("ps")).cast("long").as("n_priorities"),
+          array_contains(col("ps"), "1-URGENT").as("has_urgent")),
     Some("""
       SELECT c_mktsegment,
-             list_sort(list_distinct(array_agg(o_orderpriority))) AS priorities,
+             array_to_string(list_sort(list_distinct(array_agg(o_orderpriority))),
+                             '|') AS priorities,
              len(list_distinct(array_agg(o_orderpriority))) AS n_priorities,
              list_contains(list_distinct(array_agg(o_orderpriority)),
                            '1-URGENT') AS has_urgent

@@ -30,8 +30,18 @@ def norm(v):
 
 
 def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    # Mimic the driver: sort the frame via pandas sort_values over all
+    # columns (name-sorted). pandas cannot hash ndarray/list cells there
+    # ("unhashable type: numpy.ndarray", r03 array_funcs/quantiles_cont)
+    # — so ARRAY-typed output columns must crash HERE too, not pass
+    # silently through a tuple-sort.
+    import pandas as pd
+    df = pd.DataFrame(rows, columns=cols)
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns))
+    return [tuple(norm(v) for v in r)
+            for r in df.itertuples(index=False, name=None)]
 
 
 def main(sf_dir, out_dir):
