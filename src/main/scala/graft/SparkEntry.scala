@@ -17,6 +17,7 @@ object SparkEntry {
       operators.SqlSurfaceQueries.defs ++
       operators.AnalyticsQueries.defs ++
       operators.TpchMoreQueries.defs ++
+      operators.TpchFinalQueries.defs ++
       operators.DedupQueries.defs ++
       operators.SimilarityQueries.defs ++
       operators.TextQueries.defs ++
