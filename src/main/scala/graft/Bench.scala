@@ -1,9 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query N times (default 3) and
+  * reports per-query MEDIANS. Round 4 proved why: a single recorded pass
+  * absorbed end-of-round machine contention and read 89.7 s where a
+  * same-code re-run read 51.6 s. Medians over interleaved passes are the
+  * only number worth comparing round-over-round.
+  */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,30 +40,50 @@ object Bench {
             .partitionBy(col("k")).orderBy(col("s"))))
         .count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Each pass runs the full suite in order, so a transient load spike hits
+    // one pass of every query rather than every pass of one query — that is
+    // what makes the per-query median robust to machine noise.
+    val samples: Seq[Seq[(String, Option[Double])]] = (1 to passes).map { _ =>
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+      }
     }
-    val total = results.map(_._2).sum
+    val byName: Seq[(String, Seq[Option[Double]])] =
+      names.map { case (n, _) => n -> samples.map(_.find(_._1 == n).flatMap(_._2)) }
+    // A query "fails" only if every pass failed; its median is -1 and it is
+    // excluded from the total so a crash cannot masquerade as a fast run.
+    val med = byName.map { case (n, ts) => n -> median(ts.flatten) }
+    val mins = byName.map { case (n, ts) =>
+      n -> ts.flatten.foldLeft(Double.MaxValue)(math.min) }
+    val failed = med.collect { case (n, t) if t < 0 => n }
+    val total = med.collect { case (_, t) if t >= 0 => t }.sum
     def ent(kv: (String, Double)) = f""""${kv._1}":${kv._2}%.3f"""
-    // Full per-query map, for humans and for BASELINE.md round tables. This
-    // line is long and scrolls out of the harness's capture window — fine.
-    println("BENCH_FULL " + results.map(ent).mkString("{", ",", "}"))
+    // Full per-query maps, for humans and for BASELINE.md round tables. These
+    // lines are long and scroll out of the harness's capture window — fine.
+    println("BENCH_MEDIAN " + med.map(ent).mkString("{", ",", "}"))
+    println("BENCH_MIN " + mins.filter(_._2 < Double.MaxValue)
+      .map(ent).mkString("{", ",", "}"))
     // The machine-read line: the harness keeps only the LAST ~2000 chars of
     // output and json.loads per line, so the line must (a) be the final
     // thing printed, (b) carry no logger prefix (forked run + StdoutOutput),
     // and (c) fit the window with room for sbt's trailing "[success] …"
-    // line. Per-query detail is slowest-first and truncated to the budget;
-    // "queries_total"/"queries_shown" make the truncation explicit.
+    // line. Per-query medians are slowest-first and truncated at the FIRST
+    // entry that does not fit, so the shown set really is the N slowest;
+    // "queries_total"/"queries_shown"/"queries_failed" make it explicit.
     val prefix =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","queries_total":${results.size},"queries":{"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","passes":$passes,"queries_total":${med.size},"queries_failed":${failed.size},"queries":{"""
     val budget = 1700
-    val bySlowest = results.sortBy(-_._2).map(ent)
+    val bySlowest = med.sortBy(-_._2).map(ent)
     val shown = new scala.collection.mutable.ArrayBuffer[String]
-    var used = prefix.length + 40 // room for the closing brace + counters
-    for (e <- bySlowest if used + e.length + 1 <= budget) {
-      shown += e; used += e.length + 1
+    var used = prefix.length + 60 // room for closing brace + counters
+    var fits = true
+    for (e <- bySlowest if fits) {
+      if (used + e.length + 1 <= budget) { shown += e; used += e.length + 1 }
+      else fits = false
     }
     val line = prefix + shown.mkString(",") +
       s"""},"queries_shown":${shown.size}}"""
