@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.model.MarketMessage
 import graft.streaming.BookEngine
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Throughput benchmark for the stateful book engine (reference ops 16-20,
@@ -10,14 +11,24 @@ import org.apache.spark.sql.functions._
   * log from the `events` table (one frame per event, keyed per user as a
   * product) and replays it through the SAME flatMapGroupsWithState path
   * the streaming pipeline runs, via Spark's batch fallback. ~600k frames
-  * at sf0.1 — the number Bench reports is frames/engine-pass wall-clock,
-  * the analogue of the reference's single-node ingest ceiling (SURVEY §6).
+  * at sf0.1 — the wall-clock Bench reports is an engine pass, the analogue
+  * of the reference's single-node ingest ceiling (SURVEY §6).
   *
-  * Not SQL-expressible (order-sensitive keyed state), so no DuckDB oracle:
-  * the driver records the weaker rows-only check; value-level coverage for
-  * the engine itself lives in OrderBookSpec/StreamingE2ESpec golden tests.
+  * Output = the FINAL inside book (top-15 per side per product), which IS
+  * relationally recomputable, so the engine core enters the driver's hard
+  * DuckDB signal: change-suppression emits the exact top-k on every top-k
+  * change (real_guac_async.py:94-101's emit-on-change), so the last
+  * emission per product equals the final book state, and the final state
+  * is a pure function of the synthesized log — last snapshot resets, later
+  * l2updates last-write-win per (side, price), zero sizes delete
+  * (real_guac_async.py:61-92). All prices/sizes are synthesized via
+  * integer-cent string formatting so the oracle recomputes the exact
+  * strings with no cross-engine float rounding surface.
   */
 object ReplayBench {
+
+  /** Cents → the canonical "d.dd" string both sides of the oracle build. */
+  private def cents(c: Long): String = f"${c / 100}.${c % 100}%02d"
 
   val bookReplay = QueryDef(
     "book_replay",
@@ -31,11 +42,10 @@ object ReplayBench {
           val product = s"P-$uid"
           // Deterministic mix: ~1% snapshots (state reset), 20% trades
           // (gap detection — ids stride 5, so every trade reveals a gap),
-          // the rest L2 upserts/deletes over a 100-price level universe
+          // the rest L2 upserts/deletes over a 10000-price-cent universe
           // (size "0" deletes ~1 in 7).
-          val price = "%.2f".format((eid * 37 % 10000) / 100.0)
-          val size = if (eid % 7 == 0) "0"
-            else "%.2f".format((eid * 13 % 900) / 100.0 + 0.01)
+          val price = cents(eid * 37 % 10000)
+          val size = if (eid % 7 == 0) "0" else cents(eid * 13 % 900 + 1)
           val side = if (eid % 2 == 0) "buy" else "sell"
           if (eid % 97 == 0)
             MarketMessage("bench", product, "snapshot", product, eid, eid,
@@ -48,19 +58,65 @@ object ReplayBench {
             MarketMessage("bench", product, "l2update", product, eid, eid,
               Nil, Nil, Seq(Seq(side, price, size)), -1L, "", "", "", ts)
         }
-      BookEngine.run(msgs)
-        .map(e => (
-          e.book.map(_.productId).orElse(e.trade.map(_.productId)).getOrElse(""),
-          if (e.book.isDefined) 1L else 0L,
-          if (e.trade.isDefined) 1L else 0L,
-          e.trade.map(t => if (t.gapStart >= 0) 1L else 0L).getOrElse(0L)))
-        .toDF("product_id", "is_book", "is_trade", "has_gap")
-        .groupBy(col("product_id"))
-        .agg(sum(col("is_book")).as("n_book_rows"),
-          sum(col("is_trade")).as("n_trades"),
-          sum(col("has_gap")).as("n_gapped"))
+      val lastBook = BookEngine.run(msgs)
+        .flatMap(_.book)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("productId")).orderBy(col("sequence").desc)))
+        .filter(col("rn") === 1)
+      def sideRows(sideName: String, arr: String) =
+        lastBook.select(col("productId").as("product_id"), posexplode(col(arr)))
+          .select(col("product_id"), lit(sideName).as("side"),
+            (col("pos") + 1).cast("long").as("lvl"),
+            col("col.price").as("price"), col("col.size").as("size"))
+      sideRows("buy", "bids").unionByName(sideRows("sell", "asks"))
     },
-    None)
+    // The oracle replays the same log relationally: classify frames off
+    // event_id arithmetic, reset at the last snapshot, last-write-wins per
+    // (product, side, price-cents) among the snapshot's levels and the
+    // l2updates after it, drop zero sizes, rank top-15 per side (bids
+    // descending, asks ascending), and rebuild the exact level strings
+    // from integer cents.
+    Some("""
+      WITH typed AS (
+        SELECT event_id AS eid,
+               'P-' || CAST(user_id AS VARCHAR) AS product,
+               CASE WHEN event_id % 97 = 0 THEN 'snapshot'
+                    WHEN event_id % 5 = 0 THEN 'match'
+                    ELSE 'l2update' END AS mtype,
+               event_id * 37 % 10000 AS pc,
+               CASE WHEN event_id % 7 = 0 THEN 0
+                    ELSE event_id * 13 % 900 + 1 END AS sc,
+               CASE WHEN event_id % 2 = 0 THEN 'buy' ELSE 'sell' END AS side
+        FROM events),
+      last_snap AS (
+        SELECT product, max(eid) AS snap_eid
+        FROM typed WHERE mtype = 'snapshot' GROUP BY 1),
+      snap_levels AS (
+        SELECT t.product, s.side, t.pc, 100 AS size_c, t.eid
+        FROM typed t
+        JOIN last_snap ls ON t.product = ls.product AND t.eid = ls.snap_eid
+        CROSS JOIN (SELECT 'buy' AS side UNION ALL SELECT 'sell') s),
+      upds AS (
+        SELECT t.product, t.side, t.pc, t.sc AS size_c, t.eid
+        FROM typed t LEFT JOIN last_snap ls ON t.product = ls.product
+        WHERE t.mtype = 'l2update'
+          AND (ls.snap_eid IS NULL OR t.eid > ls.snap_eid)),
+      final AS (
+        SELECT product, side, pc, size_c FROM (
+          SELECT *, row_number() OVER (PARTITION BY product, side, pc
+                      ORDER BY eid DESC) AS rn
+          FROM (SELECT * FROM snap_levels UNION ALL SELECT * FROM upds))
+        WHERE rn = 1 AND size_c > 0),
+      ranked AS (
+        SELECT product AS product_id, side, pc, size_c,
+               row_number() OVER (PARTITION BY product, side
+                 ORDER BY CASE WHEN side = 'buy' THEN -pc ELSE pc END) AS lvl
+        FROM final)
+      SELECT product_id, side, CAST(lvl AS BIGINT) AS lvl,
+             printf('%d.%02d', pc // 100, pc % 100) AS price,
+             printf('%d.%02d', size_c // 100, size_c % 100) AS size
+      FROM ranked WHERE lvl <= 15
+    """))
 
   val defs: Seq[QueryDef] = Seq(bookReplay)
 }
