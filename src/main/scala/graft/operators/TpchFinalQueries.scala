@@ -199,12 +199,18 @@ object TpchFinalQueries {
 
   /** Q15: top supplier — quarterly revenue per supplier, then select the
     * max via a broadcast scalar aggregate; equality on the EXACT BIGINT
-    * revenue, so ties are engine-independent. */
+    * revenue, so ties are engine-independent. The explicit non-null filter
+    * on the join key matters for the PLAN, not the data: without it the
+    * supplier join infers isnotnull(l_suppkey) into only ONE of the two
+    * `rev` subtrees, the shared exchange stops canonicalizing equal, and
+    * ReusedExchange (pinned in PlanAssertionsSpec) can't fire — two full
+    * lineitem scans at 100 TB. */
   val q15 = QueryDef(
     "q15_top_supplier",
     (spark, dir) => {
       val rev = Tables.lineitem(spark, dir)
-        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        .filter(col("l_suppkey").isNotNull &&
+          col("l_shipdate") >= lit("1996-01-01") &&
           col("l_shipdate") < lit("1996-04-01"))
         .groupBy(col("l_suppkey"))
         .agg(sum(expr(rev4)).as("rev4v"))
@@ -273,26 +279,34 @@ object TpchFinalQueries {
   /** Q21: suppliers who kept orders waiting — for finished orders with
     * ≥2 suppliers where EXACTLY ONE supplier shipped late, count the
     * orders per (late) supplier of one nation. The classic
-    * exists/not-exists pair is decorrelated into one per-order
-    * aggregation (distinct supplier count + distinct LATE supplier
-    * count): one shuffle by orderkey instead of two correlated probes —
-    * the shape that survives 100 TB. */
+    * exists/not-exists pair is decorrelated through ONE per-(order,
+    * supplier) aggregation whose exchange both consumers share: the
+    * per-order distinct counts are a second-level aggregate over the pair
+    * frame, and the late pairs are a filter of the SAME pair frame — so
+    * lineitem is scanned once and the pair exchange is a ReusedExchange
+    * (pinned in PlanAssertionsSpec), instead of two correlated probes or
+    * a double fact build. The shape that survives 100 TB. */
   val q21 = QueryDef(
     "q21_waiting_supplier",
     (spark, dir) => {
-      val li = Tables.lineitem(spark, dir)
+      // Explicit non-null keys for the same reason as q15: the supplier
+      // join infers isnotnull(l_suppkey) into only the late-pairs branch;
+      // stating it once at the base keeps both pair subtrees canonically
+      // equal so the pair exchange is reused (one lineitem scan).
+      val pairs = Tables.lineitem(spark, dir)
+        .filter(col("l_orderkey").isNotNull && col("l_suppkey").isNotNull)
         .join(Tables.orders(spark, dir)
           .filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey"), col("l_suppkey"),
-          (col("l_shipdate") > col("o_orderdate") + expr(late)).as("is_late"))
-      val perOrder = li.groupBy(col("l_orderkey").as("ok"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("is_late"), col("l_suppkey")))
-            .as("n_late_supp"))
-      li.filter(col("is_late"))
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate") > col("o_orderdate") + expr(late))
+          .as("is_late"))
+      val perOrder = pairs.groupBy(col("l_orderkey").as("ok"))
+        .agg(count(lit(1)).as("n_supp"),
+          count(when(col("is_late"), 1)).as("n_late_supp"))
+      pairs.filter(col("is_late"))
+        .select(col("l_orderkey"), col("l_suppkey"))
         .join(perOrder, col("l_orderkey") === col("ok"))
         .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
         .join(broadcast(Tables.supplier(spark, dir)
@@ -442,6 +456,55 @@ object TpchFinalQueries {
       GROUP BY 1, 2, 3
     """))
 
+  /** Q20 analogue: suppliers with excess observed volume — the last of the
+    * 22 TPC-H shapes (semi join against an aggregated-threshold subquery
+    * over the observed part-supplier relationships). With no partsupp
+    * table, "available quantity" := the pair's all-time observed quantity,
+    * and the excess test is `total > 2 × one-year-window quantity` (the
+    * pair shipped less than half its volume recently). One shuffle on
+    * (l_partkey, l_suppkey) computes BOTH sums; everything downstream is
+    * dim-sized: part slice broadcast-semi onto the pair aggregate, the
+    * surviving suppkeys broadcast-semi onto the supplier dim. Quantities
+    * are integral, so the threshold compares exact BIGINTs. */
+  val q20 = QueryDef(
+    "q20_excess_volume",
+    (spark, dir) => {
+      val pairs = Tables.lineitem(spark, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("tot_qty"),
+          sum(when(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01"),
+            col("l_quantity").cast("long")).otherwise(0L)).as("win_qty"))
+      val excessSupp = pairs
+        .filter(col("tot_qty") > lit(2L) * col("win_qty"))
+        .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_name").contains("widget")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name") === "NATION_2")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(excessSupp), col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    },
+    Some("""
+      WITH pair AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(l_quantity) AS BIGINT) AS tot_qty,
+               CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                              AND l_shipdate < TIMESTAMP '1997-01-01'
+                             THEN l_quantity ELSE 0 END) AS BIGINT) AS win_qty
+        FROM lineitem GROUP BY 1, 2)
+      SELECT s_suppkey, s_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_2'
+        AND EXISTS (SELECT 1 FROM pair JOIN part ON l_partkey = p_partkey
+                    WHERE l_suppkey = s_suppkey AND p_name LIKE '%widget%'
+                      AND tot_qty > 2 * win_qty)
+    """))
+
   val defs: Seq[QueryDef] = Seq(
-    q2, q4, q8, q9, q11, q12, q15, q16, q17, q21)
+    q2, q4, q8, q9, q11, q12, q15, q16, q17, q20, q21)
 }

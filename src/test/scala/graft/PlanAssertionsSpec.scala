@@ -100,6 +100,31 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "no partial aggregate below the shuffle:\n" + p)
   }
 
+  test("q15/q11/q21: the self-referencing aggregate builds its fact scan ONCE (ReusedExchange)") {
+    // Each of these queries consumes one aggregated frame twice (q15/q11:
+    // the frame and its scalar max/sum; q21: the per-(order,supplier) pair
+    // frame and its per-order rollup). The 100 TB property: the shared
+    // exchange canonicalizes equal so the fact side is scanned and
+    // shuffled once, not twice. AQE defers reuse to runtime (and at
+    // sf0.001 empty-relation propagation can preempt it), so pin the
+    // property via the static ReuseExchange rule with AQE off — canonical
+    // exchange equality is exactly what AQE's stage cache keys on too.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("q15_top_supplier", "q11_part_value",
+          "q21_waiting_supplier")) {
+        val p = plan(q)
+        assert(p.contains("ReusedExchange"),
+          s"$q: shared aggregate subtree no longer reused:\n" + p)
+        val liScans = p.split('\n')
+          .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+        assert(liScans == 1,
+          s"$q: expected exactly one lineitem scan, got $liScans:\n" + p)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("bucketed tables co-locate the join: no exchange below the sort-merge join") {
     // The 100 TB co-location story: both fact tables bucketed on the join
     // key with equal bucket counts join WITHOUT a shuffle on either side —
