@@ -18,7 +18,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // junk or non-positive pass counts fall back to the default rather
+    // than crashing the round's bench (or silently sampling nothing)
+    val passes = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(_.toIntOption).getOrElse(3))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,8 +46,13 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // Each pass runs the full suite in order, so a transient load spike hits
     // one pass of every query rather than every pass of one query — that is
-    // what makes the per-query median robust to machine noise.
-    val samples: Seq[Seq[(String, Option[Double])]] = (1 to passes).map { _ =>
+    // what makes the per-query median robust to machine noise. The Staged
+    // memo is cleared BETWEEN passes so every pass pays stage-build cost:
+    // within a pass the memo still models the persisted-staging-table reuse
+    // (minhash → components share signatures), but pass 2's median must
+    // measure the operator, not a localCheckpoint read of pass 1's work.
+    val samples: Seq[Seq[(String, Option[Double])]] = (1 to passes).map { i =>
+      if (i > 1) operators.Staged.reset(spark)
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -54,13 +62,20 @@ object Bench {
     }
     val byName: Seq[(String, Seq[Option[Double]])] =
       names.map { case (n, _) => n -> samples.map(_.find(_._1 == n).flatMap(_._2)) }
-    // A query "fails" only if every pass failed; its median is -1 and it is
-    // excluded from the total so a crash cannot masquerade as a fast run.
+    // A query "fails" if every pass failed; it is excluded from the total,
+    // and any failure at all flips the headline status to "fail" with
+    // value -1 — a crashed or flaky query must never read as a fast round
+    // to a gate that only compares totals. Flaky (some-but-not-all passes
+    // failed) queries are surfaced separately: their median over surviving
+    // passes is still reported, but they count against the status.
     val med = byName.map { case (n, ts) => n -> median(ts.flatten) }
     val mins = byName.map { case (n, ts) =>
       n -> ts.flatten.foldLeft(Double.MaxValue)(math.min) }
     val failed = med.collect { case (n, t) if t < 0 => n }
-    val total = med.collect { case (_, t) if t >= 0 => t }.sum
+    val flaky = byName.collect { case (n, ts)
+      if ts.exists(_.isEmpty) && ts.exists(_.nonEmpty) => n }
+    val ok = failed.isEmpty && flaky.isEmpty
+    val total = if (ok) med.map(_._2).sum else -1.0
     def ent(kv: (String, Double)) = f""""${kv._1}":${kv._2}%.3f"""
     // Full per-query maps, for humans and for BASELINE.md round tables. These
     // lines are long and scroll out of the harness's capture window — fine.
@@ -75,7 +90,7 @@ object Bench {
     // entry that does not fit, so the shown set really is the N slowest;
     // "queries_total"/"queries_shown"/"queries_failed" make it explicit.
     val prefix =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","passes":$passes,"queries_total":${med.size},"queries_failed":${failed.size},"queries":{"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","status":"${if (ok) "ok" else "fail"}","sf":"$sfDir","passes":$passes,"queries_total":${med.size},"queries_failed":${failed.size},"queries_flaky":${flaky.size},"queries":{"""
     val budget = 1700
     val bySlowest = med.sortBy(-_._2).map(ent)
     val shown = new scala.collection.mutable.ArrayBuffer[String]

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped materialized intermediates shared across queries.
@@ -12,24 +14,63 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * never re-normalize embeddings per index. This memo is the single-session
   * analogue: the first consumer materializes the stage via localCheckpoint,
   * later consumers reuse the materialized RDD. Keyed by (session, data dir,
-  * stage) so scale factors and sessions never cross-contaminate. */
+  * stage) so scale factors and sessions never cross-contaminate.
+  *
+  * Lifecycle: entries (and their checkpointed RDDs) are dropped by
+  * [[evict]] (one session), [[reset]] (alias, used by Bench between passes
+  * so medians measure the operator, not a checkpoint read), or
+  * automatically when the application ends (a SparkListener installed once
+  * per SparkContext clears everything — checkpointed blocks die with the
+  * executors anyway; the listener keeps the MAP from pinning DataFrames,
+  * and with them their sessions, for the life of a long-running JVM).
+  */
 object Staged {
   private val memo =
     scala.collection.mutable.HashMap.empty[(SparkSession, String, String), DataFrame]
+  // WeakHashMap-backed set: a context that was stopped and dropped by user
+  // code must not be pinned here just to remember we once hooked it.
+  private val hooked = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkContext, java.lang.Boolean]())
 
   // Stage builds recurse into Staged (verified → shingles), so the build runs
   // OUTSIDE the lock: a racing duplicate build is harmless (first write wins,
   // the loser's lazy checkpoint is never materialized), whereas building under
   // the lock would serialize unrelated stages and computeIfAbsent forbids the
-  // recursion outright.
+  // reentrant stage recursion.
   def apply(spark: SparkSession, dir: String, stage: String)(
       build: => DataFrame): DataFrame = {
     val key = (spark, dir, stage)
-    memo.synchronized(memo.get(key)) match {
+    memo.synchronized {
+      val sc = spark.sparkContext
+      if (hooked.add(sc)) sc.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+          onAppEnd()
+      })
+      memo.get(key)
+    } match {
       case Some(df) => df
       case None =>
         val built = build.localCheckpoint(eager = false)
         memo.synchronized(memo.getOrElseUpdate(key, built))
     }
   }
+
+  /** Drop every staged entry belonging to `spark`. Safe to call on a live
+    * session — the next consumer simply rebuilds (and re-memoizes). */
+  def evict(spark: SparkSession): Unit = memo.synchronized {
+    memo.filterInPlace { case ((s, _, _), _) => s ne spark }
+  }
+
+  /** Bench hook: make every pass pay the stage-build cost, so per-query
+    * medians report cold operator time rather than memoized reuse. */
+  def reset(spark: SparkSession): Unit = evict(spark)
+
+  private[graft] def onAppEnd(): Unit =
+    memo.synchronized(memo.clear())
+
+  private[graft] def isStaged(spark: SparkSession, dir: String,
+      stage: String): Boolean =
+    memo.synchronized(memo.contains((spark, dir, stage)))
+
+  private[graft] def size: Int = memo.synchronized(memo.size)
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Staged
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lifecycle tests for the staged-intermediate memo: entries must be
+  * per-session evictable (Bench resets between passes so medians measure
+  * operators, not checkpoint reads) and must all drop on application end
+  * (the SparkListener path), so a long-lived JVM never pins stage
+  * DataFrames — and through them sessions — forever. */
+class StagedSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  test("evict drops exactly the session's entries; rebuild re-memoizes") {
+    val other = spark.newSession()
+    var builds = 0
+    def stage(s: org.apache.spark.sql.SparkSession) =
+      Staged(s, "/tmp/staged-spec", "stage-a") {
+        builds += 1; s.range(10).toDF()
+      }
+    stage(spark).count()
+    stage(other).count()
+    assert(Staged.isStaged(spark, "/tmp/staged-spec", "stage-a"))
+    assert(Staged.isStaged(other, "/tmp/staged-spec", "stage-a"))
+    assert(builds === 2)
+
+    stage(spark).count() // memo hit, no rebuild
+    assert(builds === 2)
+
+    Staged.evict(spark)
+    assert(!Staged.isStaged(spark, "/tmp/staged-spec", "stage-a"))
+    assert(Staged.isStaged(other, "/tmp/staged-spec", "stage-a"),
+      "evict(spark) must not touch other sessions")
+
+    stage(spark).count() // rebuilds and re-memoizes after eviction
+    assert(builds === 3)
+    assert(Staged.isStaged(spark, "/tmp/staged-spec", "stage-a"))
+
+    Staged.evict(other)
+    Staged.evict(spark)
+  }
+
+  test("application end clears every entry") {
+    Staged(spark, "/tmp/staged-spec", "stage-b") { spark.range(3).toDF() }
+    assert(Staged.size > 0)
+    Staged.onAppEnd() // what the installed SparkListener invokes
+    assert(Staged.size === 0)
+  }
+}
