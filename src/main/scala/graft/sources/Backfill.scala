@@ -109,14 +109,29 @@ object Backfill {
   }
 
   /** Parse a GDAX-style trades JSON array (fields: trade_id, price, size,
-    * side, time) without external JSON deps: done via Spark's JSON reader
-    * on a one-element dataset when needed; kept out of the hot path. */
+    * side, time) driver-locally with Jackson (already on Spark's
+    * classpath). Deliberately NOT a Spark job: a gap storm fetches many
+    * ~100-trade pages, and one scheduler round-trip per page would flood
+    * the driver with micro-jobs for kilobytes of JSON. Malformed entries
+    * are skipped (same drop-don't-crash posture as the decoders). */
   private[sources] def parseTrades(json: String): Seq[FetchedTrade] = {
-    val spark = SparkSession.active
-    import spark.implicits._
-    spark.read.json(Seq(json).toDS())
-      .selectExpr("CAST(trade_id AS LONG) AS tradeId", "price", "size",
-        "side", "CAST(time AS TIMESTAMP) AS ts")
-      .as[FetchedTrade].collect().toSeq
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    import scala.jdk.CollectionConverters._
+    val root =
+      try new ObjectMapper().readTree(json)
+      catch { case _: Exception => return Seq.empty }
+    if (root == null || !root.isArray) return Seq.empty
+    root.elements().asScala.flatMap { n: JsonNode =>
+      try {
+        val id = n.get("trade_id")
+        val time = n.get("time")
+        if (id == null || !id.canConvertToLong || time == null) None
+        else Some(FetchedTrade(id.asLong(),
+          Option(n.get("price")).map(_.asText()).getOrElse(""),
+          Option(n.get("size")).map(_.asText()).getOrElse(""),
+          Option(n.get("side")).map(_.asText()).getOrElse(""),
+          Timestamp.from(java.time.Instant.parse(time.asText()))))
+      } catch { case _: Exception => None }
+    }.toSeq
   }
 }

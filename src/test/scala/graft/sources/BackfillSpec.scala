@@ -104,4 +104,27 @@ class BackfillSpec extends AnyFunSuite {
       })
     assert(res.passed, res.status.toString)
   }
+
+  test("parseTrades: driver-local Jackson parse of a GDAX trades page — no Spark job") {
+    val json = """[
+      {"time":"2017-10-15T05:10:53.10Z","trade_id":42,"price":"6000.01",
+       "size":"0.25","side":"buy"},
+      {"time":"2017-10-15T05:10:54Z","trade_id":43,"price":"6000.02",
+       "size":"1.00","side":"sell"},
+      {"trade_id":"not-a-number","time":"2017-10-15T05:10:55Z"},
+      {"price":"9.99","size":"1","side":"buy","time":"2017-10-15T05:10:56Z"},
+      {"trade_id":44,"price":"6000.03","size":"0.5","side":"buy",
+       "time":"garbage"}
+    ]"""
+    val out = Backfill.parseTrades(json)
+    // valid entries survive, malformed ones (bad id, missing id, bad time)
+    // are dropped — and no SparkSession is touched (works pre-session)
+    assert(out.map(_.tradeId) === Seq(42L, 43L))
+    assert(out.head.price === "6000.01" && out.head.side === "buy")
+    assert(out.head.ts === Timestamp.from(
+      java.time.Instant.parse("2017-10-15T05:10:53.10Z")))
+    assert(Backfill.parseTrades("not json at all").isEmpty)
+    assert(Backfill.parseTrades("""{"an":"object"}""").isEmpty)
+    assert(Backfill.parseTrades("[]").isEmpty)
+  }
 }
