@@ -1,0 +1,71 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import graft.model.MarketMessage
+import graft.streaming.BookEngine
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Legacy JDBC store round-trip (reference ops 4/5's SQLite surface,
+  * db_utils.py:17-32 / 47-60) against the Derby engine that ships with
+  * Spark: batch writes are idempotent under foreachBatch retry, the flat
+  * book view and deduped trades land as SQL rows, and the partitioned
+  * read path returns the same rows as the plain scan. */
+class LegacyStoreSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  System.setProperty("derby.system.home",
+    java.nio.file.Files.createTempDirectory("graft_derby").toString)
+  private val url = "jdbc:derby:memory:graftlegacy;create=true"
+
+  private def ts(s: Int) = Timestamp.valueOf(f"2017-10-15 05:10:$s%02d")
+
+  private def engineBatch(ids: Seq[Long]) = {
+    import spark.implicits._
+    val msgs = Seq(
+      MarketMessage("gdax", "BTC-USD", "snapshot", "BTC-USD", 1L, 1L,
+        Seq(Seq("6000.00", "1.5"), Seq("5999.00", "2.0")),
+        Seq(Seq("6001.00", "0.7")), Nil, -1L, "", "", "", ts(1)),
+      MarketMessage("gdax", "BTC-USD", "l2update", "BTC-USD", 2L, 2L,
+        Nil, Nil, Seq(Seq("buy", "6000.50", "0.3")), -1L, "", "", "", ts(2))
+    ) ++ ids.zipWithIndex.map { case (id, i) =>
+      MarketMessage("gdax", "BTC-USD", "match", "BTC-USD", 10L + i,
+        10L + i, Nil, Nil, Nil, id, "6000.25", "0.1", "buy", ts(3))
+    }
+    BookEngine.run(msgs.toDS())
+  }
+
+  test("jdbcSink: idempotent batch replace, flat book + deduped trades round-trip") {
+    val sink = LegacyStore.jdbcSink(url, "gdax_order_book", "trades")
+    sink(engineBatch(Seq(100L, 101L, 101L)), 0L)
+    sink(engineBatch(Seq(100L, 101L, 101L)), 0L) // foreachBatch retry
+    val books = LegacyStore.read(spark, url, "gdax_order_book")
+    val trades = LegacyStore.read(spark, url, "trades")
+    // retry replaced, not duplicated; trade id 101 deduped within batch
+    assert(trades.count() === 2)
+    assert(books.columns.toSet.contains("bids_1") &&
+      books.columns.toSet.contains("asks_15"))
+    // two book emissions (snapshot + l2update), best bid updated by the l2
+    val rows = books.collect().sortBy(_.getAs[Long]("sequence"))
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("bids_1") === "1.5@6000.00")
+    assert(rows(1).getAs[String]("bids_1") === "0.3@6000.50")
+
+    // a second batch appends alongside the first
+    sink(engineBatch(Seq(200L)), 1L)
+    assert(LegacyStore.read(spark, url, "trades").count() === 3)
+    assert(LegacyStore.read(spark, url, "trades")
+      .where("batch_id = 0").count() === 2)
+  }
+
+  test("readPartitioned: ranged parallel scan sees exactly the plain scan's rows") {
+    val plain = LegacyStore.read(spark, url, "trades")
+      .collect().map(_.getAs[Long]("tradeId")).sorted
+    val ranged = LegacyStore.readPartitioned(spark, url, "trades",
+      "tradeId", 0L, 300L, 4)
+    assert(ranged.rdd.getNumPartitions === 4)
+    assert(ranged.collect().map(_.getAs[Long]("tradeId")).sorted
+      === plain)
+  }
+}
