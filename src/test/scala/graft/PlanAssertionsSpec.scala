@@ -125,6 +125,35 @@ class PlanAssertionsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("q20_excess_volume: the total/windowed sums share ONE lineitem scan") {
+    // Q20 computes both the per-(part,supp) total and the date-windowed sum
+    // as conditional aggregates over a single groupBy — the single-scan
+    // formulation. Pin it: an innocent refactor into two aggregates would
+    // double the 100 TB fact scan (the exact regression 415c253 fixed for
+    // q15 when an inferred isnotnull split the subtrees).
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("q20_excess_volume")
+      val liScans = p.split('\n')
+        .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+      assert(liScans == 1,
+        s"q20: expected exactly one lineitem scan, got $liScans:\n" + p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("book_replay: final-book extraction aggregates, never windows the emission stream") {
+    // The last emission per product comes from max_by partial aggregation
+    // (one row per product-partition crosses the exchange), not a
+    // row_number window that would shuffle and sort every emission — at
+    // 100× the emission stream is the biggest intermediate in the query.
+    val p = plan("book_replay")
+    assert(!p.contains("Window"),
+      "emission stream is being window-sorted:\n" + p)
+    assert(p.contains("Aggregate"),
+      "expected a (partial) aggregate for the final book:\n" + p)
+  }
+
   test("bucketed tables co-locate the join: no exchange below the sort-merge join") {
     // The 100 TB co-location story: both fact tables bucketed on the join
     // key with equal bucket counts join WITHOUT a shuffle on either side —
