@@ -29,6 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object LegacyStore {
 
+  /** Spark's JDBC writer interpolates the table name UNQUOTED into its DDL
+    * and DML, so this module must address the same identifier the writer
+    * created — quoting here would resolve to a different (case-preserved)
+    * identifier on case-folding servers. Instead the name is validated
+    * against the safe unquoted-identifier grammar (optionally
+    * schema-qualified), which also closes the interpolation surface. */
+  private val SafeIdent =
+    "^[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?$".r
+
   /** Append `df` tagged with batch_id, idempotently: delete any rows of a
     * previous attempt of the same batch first (no-op when the table does
     * not exist yet — the first write creates it). */
@@ -39,23 +48,44 @@ object LegacyStore {
       .write.mode("append").jdbc(url, table, new java.util.Properties)
   }
 
-  /** Driver-side transactional delete of one batch's rows; swallows only
-    * the missing-table error so the first-ever write can proceed. */
+  /** Metadata probe for the table, tried in as-given / upper / lower case
+    * because an unquoted name is case-folded per the server's rules (Derby
+    * and most servers upper-case, PostgreSQL lower-cases). */
+  private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
+    val (schema, name) = table.lastIndexOf('.') match {
+      case -1 => (null: String, table)
+      case i  => (table.substring(0, i), table.substring(i + 1))
+    }
+    val md = conn.getMetaData
+    def probe(s: String, n: String): Boolean = {
+      val rs = md.getTables(null, s, n, null)
+      try rs.next() finally rs.close()
+    }
+    val schemas = Option(schema)
+      .map(s => Seq(s, s.toUpperCase, s.toLowerCase).distinct)
+      .getOrElse(Seq(null: String))
+    Seq(name, name.toUpperCase, name.toLowerCase).distinct
+      .exists(n => schemas.exists(s => probe(s, n)))
+  }
+
+  /** Driver-side transactional delete of one batch's rows. Missing table is
+    * detected by a metadata probe (first-ever write creates it) — every
+    * OTHER delete failure propagates, because a swallowed failed delete
+    * followed by the append would double-insert the batch on retry, the
+    * exact duplication [[writeBatch]] exists to prevent (a permission or
+    * schema error must fail the batch, not corrupt the table). */
   private def deleteBatch(url: String, table: String, batchId: Long): Unit = {
+    require(SafeIdent.matches(table), s"unsafe table identifier: $table")
     val conn = DriverManager.getConnection(url)
     try {
-      // Spark's JDBC writer creates columns with QUOTED (case-preserved)
-      // identifiers, so the predicate must quote too — unquoted batch_id
-      // would be uppercased by Derby and miss the column.
-      val st = conn.prepareStatement(
-        s"""DELETE FROM $table WHERE "batch_id" = ?""")
-      st.setLong(1, batchId)
-      st.executeUpdate()
-      st.close()
-    } catch {
-      case e: java.sql.SQLException
-        if e.getSQLState != null && e.getSQLState.startsWith("42") => ()
-      // 42X05 etc.: table/view does not exist — first write creates it
+      if (tableExists(conn, table)) {
+        // Spark's JDBC writer creates columns with QUOTED (case-preserved)
+        // identifiers, so the predicate must quote too — unquoted batch_id
+        // would be uppercased by Derby and miss the column.
+        val st = conn.prepareStatement(
+          s"""DELETE FROM $table WHERE "batch_id" = ?""")
+        try { st.setLong(1, batchId); st.executeUpdate(); () } finally st.close()
+      }
     } finally conn.close()
   }
 

@@ -59,6 +59,32 @@ class LegacyStoreSpec extends AnyFunSuite {
       .where("batch_id = 0").count() === 2)
   }
 
+  test("writeBatch: a delete failure on an EXISTING table propagates (no retry double-append)") {
+    // The idempotence contract: only a genuinely missing table may skip the
+    // delete. Here the table exists but lacks batch_id, so the DELETE fails
+    // — swallowing that (the old blanket SQLState-42 catch) would append
+    // anyway and double-insert on every foreachBatch retry.
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement()
+      .executeUpdate("CREATE TABLE no_batch_col (x INT)")
+    finally conn.close()
+    import spark.implicits._
+    val df = Seq((1, "a")).toDF("x", "y")
+    intercept[java.sql.SQLException] {
+      LegacyStore.writeBatch(df, url, "no_batch_col", 0L)
+    }
+    // and nothing was appended by the failed batch
+    assert(LegacyStore.read(spark, url, "no_batch_col").count() === 0)
+  }
+
+  test("writeBatch: rejects table names outside the unquoted-identifier grammar") {
+    import spark.implicits._
+    val df = Seq((1, "a")).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      LegacyStore.writeBatch(df, url, """trades" WHERE 1=1; --""", 0L)
+    }
+  }
+
   test("readPartitioned: ranged parallel scan sees exactly the plain scan's rows") {
     val plain = LegacyStore.read(spark, url, "trades")
       .collect().map(_.getAs[Long]("tradeId")).sorted
