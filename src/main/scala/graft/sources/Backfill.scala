@@ -90,21 +90,64 @@ object Backfill {
       .dropDuplicates("exchange", "tradeId")
   }
 
+  /** Default transport: one GET via the shared JDK HTTP client. */
+  @transient private lazy val jdkHttp = HttpClient.newHttpClient()
+  private[sources] def jdkTransport(uri: URI): (Int, String) = {
+    val resp = jdkHttp.send(HttpRequest.newBuilder(uri).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
   /** Real REST fetcher against a GDAX-style products API
-    * (GET {base}/products/{id}/trades?after={cursor}&limit={n}) using the
-    * JDK HTTP client. Kept minimal: the endpoints the reference used are
-    * retired; the pagination/reconciliation logic above is the tested
-    * surface, this adapter is the live-wire option. */
-  final class RestTradeFetcher(baseUrl: String) extends TradeFetcher {
-    @transient private lazy val http = HttpClient.newHttpClient()
+    * (GET {base}/products/{id}/trades?after={cursor}&limit={n}).
+    *
+    * Requests are PACED: at least `pageDelayMillis` between consecutive
+    * requests — the reference intended 0.5 s/page but its un-awaited
+    * `asyncio.sleep` never actually paused (redis_worker.py:52, SURVEY
+    * §0.1 #2); this realizes the intent, so a gap storm cannot hammer the
+    * endpoint. Transient failures (I/O errors, 5xx) retry up to
+    * `maxAttempts` total, each attempt paced; a 4xx is permanent (an
+    * unknown product will not improve on retry) and an exhausted budget
+    * returns the empty page, which [[fillGap]] already treats as
+    * history-exhausted and terminates on. Clock, sleeper, and transport
+    * are injectable for deterministic tests. */
+  final class RestTradeFetcher(baseUrl: String,
+      pageDelayMillis: Long = 500L,
+      maxAttempts: Int = 3,
+      nowMillis: () => Long = () => System.currentTimeMillis(),
+      sleep: Long => Unit = Thread.sleep,
+      transport: URI => (Int, String) = jdkTransport) extends TradeFetcher {
+
+    private var lastRequestAt = Long.MinValue
+
+    /** Block until `pageDelayMillis` has elapsed since the last request. */
+    private def awaitTurn(): Unit = synchronized {
+      val now = nowMillis()
+      if (lastRequestAt != Long.MinValue) {
+        val wait = lastRequestAt + pageDelayMillis - now
+        if (wait > 0) sleep(wait)
+      }
+      lastRequestAt = nowMillis()
+    }
+
     override def fetchPage(productId: String, afterId: Long,
         limit: Int): Seq[FetchedTrade] = {
       val uri = URI.create(
         s"$baseUrl/products/$productId/trades?after=$afterId&limit=$limit")
-      val resp = http.send(HttpRequest.newBuilder(uri).GET().build(),
-        HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() != 200) Seq.empty
-      else parseTrades(resp.body())
+      var attempt = 0
+      var out: Option[Seq[FetchedTrade]] = None
+      while (out.isEmpty && attempt < maxAttempts) {
+        attempt += 1
+        awaitTurn()
+        out =
+          try {
+            val (status, body) = transport(uri)
+            if (status == 200) Some(parseTrades(body))
+            else if (status >= 400 && status < 500) Some(Seq.empty)
+            else None // 5xx: transient, retry
+          } catch { case _: java.io.IOException => None }
+      }
+      out.getOrElse(Seq.empty)
     }
   }
 
@@ -123,15 +166,36 @@ object Backfill {
     if (root == null || !root.isArray) return Seq.empty
     root.elements().asScala.flatMap { n: JsonNode =>
       try {
-        val id = n.get("trade_id")
-        val time = n.get("time")
-        if (id == null || !id.canConvertToLong || time == null) None
-        else Some(FetchedTrade(id.asLong(),
+        // Tolerant typing, no stricter than a SQL CAST: a server emitting
+        // trade_id as the JSON string "42" (canConvertToLong is false for
+        // textual nodes) or a time with an explicit offset must parse.
+        val idOpt = Option(n.get("trade_id")).flatMap { id =>
+          if (id.canConvertToLong) Some(id.asLong())
+          else if (id.isTextual) id.asText().trim.toLongOption
+          else None
+        }
+        for {
+          id <- idOpt
+          time <- Option(n.get("time"))
+          inst <- parseInstant(time.asText())
+        } yield FetchedTrade(id,
           Option(n.get("price")).map(_.asText()).getOrElse(""),
           Option(n.get("size")).map(_.asText()).getOrElse(""),
           Option(n.get("side")).map(_.asText()).getOrElse(""),
-          Timestamp.from(java.time.Instant.parse(time.asText()))))
+          Timestamp.from(inst))
       } catch { case _: Exception => None }
     }.toSeq
+  }
+
+  /** ISO instant, offset datetime, or bare local datetime (read as UTC) —
+    * the shapes CAST(time AS TIMESTAMP) accepted before the driver-local
+    * parser replaced it. */
+  private def parseInstant(s: String): Option[java.time.Instant] = {
+    def attempt(f: => java.time.Instant): Option[java.time.Instant] =
+      try Some(f) catch { case _: java.time.format.DateTimeParseException => None }
+    attempt(java.time.Instant.parse(s))
+      .orElse(attempt(java.time.OffsetDateTime.parse(s).toInstant))
+      .orElse(attempt(java.time.LocalDateTime.parse(s)
+        .toInstant(java.time.ZoneOffset.UTC)))
   }
 }

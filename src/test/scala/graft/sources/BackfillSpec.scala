@@ -105,6 +105,73 @@ class BackfillSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  /** Deterministic harness for RestTradeFetcher: virtual clock where only
+    * sleep() advances time, scripted transport responses. */
+  private class FetcherHarness(script: Iterator[() => (Int, String)]) {
+    var clock = 0L
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var requests = 0
+    val fetcher = new Backfill.RestTradeFetcher("http://x",
+      pageDelayMillis = 500L, maxAttempts = 3,
+      nowMillis = () => clock,
+      sleep = d => { sleeps += d; clock += d },
+      transport = _ => { requests += 1; script.next()() })
+  }
+
+  test("RestTradeFetcher: consecutive pages are paced 500ms apart (counting fake clock)") {
+    val ok = () => (200, """[{"trade_id":1,"price":"1","size":"1",
+      "side":"buy","time":"2017-10-15T05:10:53Z"}]""")
+    val h = new FetcherHarness(Iterator.continually(ok))
+    h.fetcher.fetchPage("P", 0, 10)
+    h.fetcher.fetchPage("P", 1, 10)
+    h.fetcher.fetchPage("P", 2, 10)
+    // first request unpaced, each subsequent waits the full inter-page delay
+    assert(h.requests === 3)
+    assert(h.sleeps.toSeq === Seq(500L, 500L))
+  }
+
+  test("RestTradeFetcher: transient failures retry paced, capped at maxAttempts") {
+    val boom = () => throw new java.io.IOException("connection reset")
+    val h = new FetcherHarness(Iterator.continually(boom))
+    assert(h.fetcher.fetchPage("P", 0, 10).isEmpty) // budget exhausted → empty
+    assert(h.requests === 3)                        // exactly maxAttempts
+    assert(h.sleeps.toSeq === Seq(500L, 500L))      // retries paced too
+
+    // 5xx twice then success: the page comes back on the third attempt
+    val h2 = new FetcherHarness(Iterator(
+      () => (503, ""), () => (500, ""),
+      () => (200, """[{"trade_id":7,"price":"1","size":"1",
+        "side":"buy","time":"2017-10-15T05:10:53Z"}]""")))
+    assert(h2.fetcher.fetchPage("P", 0, 10).map(_.tradeId) === Seq(7L))
+    assert(h2.requests === 3)
+  }
+
+  test("RestTradeFetcher: 4xx is permanent — one attempt, empty page") {
+    val h = new FetcherHarness(Iterator.continually(() => (404, "not found")))
+    assert(h.fetcher.fetchPage("NO-SUCH", 0, 10).isEmpty)
+    assert(h.requests === 1)
+    assert(h.sleeps.isEmpty)
+  }
+
+  test("parseTrades: tolerant typing — string trade_id and offset/local times parse") {
+    val json = """[
+      {"trade_id":"42","price":"1.00","size":"0.5","side":"buy",
+       "time":"2017-10-15T05:10:53Z"},
+      {"trade_id":43,"price":"1.01","size":"0.5","side":"sell",
+       "time":"2017-10-15T05:10:54+00:00"},
+      {"trade_id":"44 ","price":"1.02","size":"0.5","side":"buy",
+       "time":"2017-10-15T05:10:55"},
+      {"trade_id":"4x","price":"1.03","size":"0.5","side":"buy",
+       "time":"2017-10-15T05:10:56Z"}
+    ]"""
+    val out = Backfill.parseTrades(json)
+    assert(out.map(_.tradeId) === Seq(42L, 43L, 44L))
+    assert(out(1).ts === Timestamp.from(
+      java.time.Instant.parse("2017-10-15T05:10:54Z")))
+    assert(out(2).ts === Timestamp.from(
+      java.time.Instant.parse("2017-10-15T05:10:55Z")))
+  }
+
   test("parseTrades: driver-local Jackson parse of a GDAX trades page — no Spark job") {
     val json = """[
       {"time":"2017-10-15T05:10:53.10Z","trade_id":42,"price":"6000.01",
