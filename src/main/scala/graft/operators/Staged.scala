@@ -55,10 +55,30 @@ object Staged {
     }
   }
 
-  /** Drop every staged entry belonging to `spark`. Safe to call on a live
-    * session — the next consumer simply rebuilds (and re-memoizes). */
-  def evict(spark: SparkSession): Unit = memo.synchronized {
-    memo.filterInPlace { case ((s, _, _), _) => s ne spark }
+  /** Drop every staged entry belonging to `spark`, unpersisting any
+    * materialized checkpoint blocks — dropping only the map entry would
+    * leave the previous pass's RDD blocks in the block manager until the
+    * ContextCleaner gets to them, so later bench passes would run under
+    * avoidable memory pressure. Safe to call on a live session — the next
+    * consumer simply rebuilds (and re-memoizes). */
+  def evict(spark: SparkSession): Unit = {
+    val dropped = memo.synchronized {
+      val mine = memo.collect { case ((s, d, st), df) if s eq spark =>
+        ((s, d, st), df) }.toList
+      mine.foreach { case (k, _) => memo.remove(k) }
+      mine.map(_._2)
+    }
+    // Unpersist OUTSIDE the lock, and the CHECKPOINTED RDD specifically:
+    // localCheckpoint persists the internal RDD inside the LogicalRDD leaf
+    // — df.rdd would be a freshly-derived RDD with its own id, whose
+    // unpersist frees nothing.
+    dropped.foreach { df =>
+      try df.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false); ()
+        case _ => ()
+      } catch { case _: Throwable => () } // a dead session: nothing to free
+    }
   }
 
   /** Bench hook: make every pass pay the stage-build cost, so per-query

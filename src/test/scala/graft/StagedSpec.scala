@@ -40,6 +40,20 @@ class StagedSpec extends AnyFunSuite {
     Staged.evict(spark)
   }
 
+  test("evict unpersists the checkpointed blocks, not just the memo entry") {
+    val df = Staged(spark, "/tmp/staged-spec", "stage-unpersist") {
+      spark.range(1000).toDF()
+    }
+    df.count() // materialize the lazy localCheckpoint
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    assert(persistedBefore.nonEmpty,
+      "expected the checkpointed RDD in the block manager")
+    Staged.evict(spark)
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.keySet
+    assert(persistedBefore.exists(id => !persistedAfter.contains(id)),
+      s"no RDD was unpersisted by evict: before=$persistedBefore after=$persistedAfter")
+  }
+
   test("application end clears every entry") {
     Staged(spark, "/tmp/staged-spec", "stage-b") { spark.range(3).toDF() }
     assert(Staged.size > 0)
