@@ -1,0 +1,101 @@
+package graft
+
+import graft.model.MarketMessage
+import graft.operators.ReplayBench
+import graft.streaming.Pipeline
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+
+/** Paired throughput bench for the two stateful engine paths.
+  *
+  * `book_replay` in the main Bench drives only the flatMapGroupsWithState
+  * BATCH fallback; the production streaming deployment runs either that
+  * operator under a real trigger or transformWithState on the RocksDB
+  * state store (the 100-TB state path — changelog checkpointing, bounded
+  * executor memory for state). This main gives both STREAMING paths a
+  * number: it materializes the same deterministic frame log `book_replay`
+  * replays (ReplayBench.syntheticLog — ~600k frames at sf0.1), range-
+  * partitioned by arrival so file listing order approximates feed order,
+  * then runs a Trigger.AvailableNow pass through the full
+  * [[Pipeline.start]] (decode-shaped input → engine → idempotent parquet
+  * sinks) per engine, in interleaved passes, and reports median frames/s.
+  *
+  * Run: `sbt "runMain graft.EngineBench"`; env: SPARK_GRAFT_SF_DIR,
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_PASSES, SPARK_GRAFT_ENGINE_FILES
+  * (files per trigger — 8 micro-batches by default so per-batch state
+  * store load/commit churn is inside the measurement). Prints one JSON
+  * line; numbers are recorded in BASELINE.md §measured.
+  */
+object EngineBench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(_.toIntOption).getOrElse(3))
+    val filesPerTrigger = math.max(1, sys.env.get("SPARK_GRAFT_ENGINE_FILES")
+      .flatMap(_.toIntOption).getOrElse(8))
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = java.nio.file.Files.createTempDirectory("engine_bench").toString
+    val logDir = s"$work/frames"
+    ReplayBench.syntheticLog(spark, sfDir).toDF()
+      .repartitionByRange(64, col("arrival"))
+      .write.parquet(logDir)
+    val frames = spark.read.parquet(logDir).count()
+
+    val msgSchema = Encoders.product[MarketMessage].schema
+    val decode = (df: DataFrame) =>
+      df.as[MarketMessage](Encoders.product[MarketMessage])
+
+    def run(mode: String, useTws: Boolean, pass: Int): Double = {
+      if (useTws)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+      else
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      val stream = spark.readStream
+        .schema(msgSchema)
+        .option("maxFilesPerTrigger", filesPerTrigger.toString)
+        .parquet(logDir)
+      val t0 = System.nanoTime()
+      val q = Pipeline.start(stream, decode,
+        s"$work/out_${mode}_$pass", s"$work/ckpt_${mode}_$pass",
+        useTransformWithState = useTws,
+        trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Interleaved passes (same discipline as Bench): a load spike hits one
+    // pass of each mode, not every pass of one mode.
+    val modes = Seq("fmgws" -> false, "tws" -> true)
+    val times: Map[String, Seq[Double]] = {
+      val all = for {
+        pass <- 1 to passes
+        (mode, tws) <- modes
+      } yield mode -> run(mode, tws, pass)
+      all.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    }
+    val medSec = modes.map { case (m, _) => m -> median(times(m)) }.toMap
+    val line =
+      f"""{"metric":"engine_frames_per_sec","frames":$frames,"sf":"$sfDir","passes":$passes,"files_per_trigger":$filesPerTrigger,"fmgws_sec":${medSec("fmgws")}%.3f,"tws_sec":${medSec("tws")}%.3f,"fmgws_fps":${frames / medSec("fmgws")}%.0f,"tws_fps":${frames / medSec("tws")}%.0f}"""
+    spark.stop()
+    println(line)
+    System.out.flush()
+  }
+}

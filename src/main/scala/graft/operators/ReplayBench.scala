@@ -42,11 +42,13 @@ object ReplayBench {
   /** Cents → the canonical "d.dd" string both sides of the oracle build. */
   private def cents(c: Long): String = f"${c / 100}.${c % 100}%02d"
 
-  val bookReplay = QueryDef(
-    "book_replay",
-    (spark, dir) => {
-      import spark.implicits._
-      val msgs = Tables.events(spark, dir)
+  /** The deterministic synthesized frame log (shared with
+    * [[graft.EngineBench]], which streams the same log through both
+    * stateful engine paths for paired throughput numbers). */
+  private[graft] def syntheticLog(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[MarketMessage] = {
+    import spark.implicits._
+    Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"),
           expr("CAST(ts AS TIMESTAMP)").as("tsz"))
         .as[(Long, Long, java.sql.Timestamp)]
@@ -85,6 +87,13 @@ object ReplayBench {
               Nil, Nil, changes, -1L, "", "", "", ts)
           }
         }
+  }
+
+  val bookReplay = QueryDef(
+    "book_replay",
+    (spark, dir) => {
+      import spark.implicits._
+      val msgs = syntheticLog(spark, dir)
       // Final emission per product via max_by partial aggregation (map-side
       // combine moves one row per product-partition) — NOT a row_number
       // window, which would shuffle and sort the whole emission stream.

@@ -55,18 +55,20 @@ object Pipeline {
   def start(frames: DataFrame, decode: DataFrame => Dataset[MarketMessage],
       outDir: String, checkpointDir: String,
       fetcher: Option[graft.sources.Backfill.TradeFetcher] = None,
-      useTransformWithState: Boolean = false)
+      useTransformWithState: Boolean = false,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
       : StreamingQuery = {
     val engineOut =
       if (useTransformWithState) BookEngine.runTws(decode(frames))
       else BookEngine.run(decode(frames))
-    engineOut
+    val writer = engineOut
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[EngineOut], batchId: Long) =>
         commitBatch(batch, batchId, outDir, fetcher)
       }
-      .start()
+    trigger.foreach(writer.trigger)
+    writer.start()
   }
 
   /** One micro-batch commit — public so idempotence is directly testable:
