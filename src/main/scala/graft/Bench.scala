@@ -63,11 +63,14 @@ object Bench {
     val byName: Seq[(String, Seq[Option[Double]])] =
       names.map { case (n, _) => n -> samples.map(_.find(_._1 == n).flatMap(_._2)) }
     // A query "fails" if every pass failed; it is excluded from the total,
-    // and any failure at all flips the headline status to "fail" with
-    // value -1 — a crashed or flaky query must never read as a fast round
-    // to a gate that only compares totals. Flaky (some-but-not-all passes
-    // failed) queries are surfaced separately: their median over surviving
-    // passes is still reported, but they count against the status.
+    // and any failure at all flips the headline status to "fail" — a
+    // crashed or flaky query must never read as a fast round. The fail
+    // VALUE is a huge sentinel, not -1: a gate that only compares totals
+    // smaller-is-better would read -1 as the fastest round ever recorded,
+    // whereas 9e9 seconds cannot pass any threshold. Flaky (some-but-not-
+    // all passes failed) queries are surfaced separately: their median over
+    // surviving passes is still reported, but they count against the
+    // status.
     val med = byName.map { case (n, ts) => n -> median(ts.flatten) }
     val mins = byName.map { case (n, ts) =>
       n -> ts.flatten.foldLeft(Double.MaxValue)(math.min) }
@@ -75,7 +78,7 @@ object Bench {
     val flaky = byName.collect { case (n, ts)
       if ts.exists(_.isEmpty) && ts.exists(_.nonEmpty) => n }
     val ok = failed.isEmpty && flaky.isEmpty
-    val total = if (ok) med.map(_._2).sum else -1.0
+    val total = if (ok) med.map(_._2).sum else 9e9
     def ent(kv: (String, Double)) = f""""${kv._1}":${kv._2}%.3f"""
     // Full per-query maps, for humans and for BASELINE.md round tables. These
     // lines are long and scroll out of the harness's capture window — fine.
