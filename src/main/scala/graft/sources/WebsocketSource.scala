@@ -107,7 +107,9 @@ private[sources] class WebsocketMicroBatchStream(
       case (_, Some(u)) =>
         Some(new JdkWebsocketClient(u,
           Option(options.get("subscribe")).toSeq
-            .flatMap(_.split('\n').toSeq)))
+            .flatMap(_.split('\n').toSeq),
+          Option(options.get("truststore")).map(p =>
+            (p, Option(options.get("truststorePassword")).getOrElse("")))))
       case _ =>
         throw new IllegalArgumentException(
           "websocket source requires option 'url' or 'replayFile'")
@@ -351,14 +353,35 @@ private[sources] class ReplayFileClient(path: String) extends FrameClient {
 
 /** Live JDK websocket with reconnect + exponential backoff (caps at 30 s).
   * Sends each subscribe payload after every (re)connect, mirroring the
-  * reference's subscribe-on-open (real_guac_async.py:40). */
+  * reference's subscribe-on-open (real_guac_async.py:40).
+  *
+  * `wss://` URLs (both real endpoints were TLS — real_guac_async.py:22,
+  * polo_ws_async.py:26) handshake with the platform truststore by default;
+  * `truststore` = (PKCS12 path, password) pins a custom CA instead — the
+  * private-gateway / test-server case. Certificate and hostname
+  * verification stay ON either way. */
 private[sources] class JdkWebsocketClient(url: String,
-    subscribePayloads: Seq[String]) extends FrameClient {
+    subscribePayloads: Seq[String],
+    truststore: Option[(String, String)] = None) extends FrameClient {
 
   private val queue = new ConcurrentLinkedQueue[String]()
   @volatile private var closed = false
   @volatile private var ws: WebSocket = _
-  private val http = HttpClient.newHttpClient()
+  private val http = {
+    val b = HttpClient.newBuilder()
+    truststore.foreach { case (path, pass) =>
+      val ks = java.security.KeyStore.getInstance("PKCS12")
+      val in = new java.io.FileInputStream(path)
+      try ks.load(in, pass.toCharArray) finally in.close()
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ks)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, tmf.getTrustManagers, null)
+      b.sslContext(ctx)
+    }
+    b.build()
+  }
 
   private final class Listener extends WebSocket.Listener {
     private val sb = new StringBuilder

@@ -92,4 +92,57 @@ class LiveWebsocketSpec extends AnyFunSuite {
       assert(got2.asScala.map(_._1).toSeq.sorted === (6L until 9L))
     } finally server.close()
   }
+
+  test("live mode over TLS (wss): real handshake against a test-scoped CA, frames flow") {
+    // Both real endpoints were wss (real_guac_async.py:22,
+    // polo_ws_async.py:26); this drives the TLS branch end-to-end: a
+    // self-signed server cert (generated with the JDK's own keytool, test
+    // scope only) served by an SSL-wrapped WsTestServer, trusted by the
+    // source via its `truststore` option — verification stays ON, which is
+    // the point: a wrong CA must fail the handshake, not silently connect.
+    val dir = Files.createTempDirectory("ws_tls")
+    val ks = s"$dir/server.p12"
+    val cer = s"$dir/server.cer"
+    val ts = s"$dir/trust.p12"
+    def keytool(args: String*): Unit = {
+      val bin = s"${System.getProperty("java.home")}/bin/keytool"
+      val p = new ProcessBuilder((bin +: args).asJava)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes())
+      assert(p.waitFor() === 0, s"keytool ${args.head} failed: $out")
+    }
+    keytool("-genkeypair", "-alias", "ws", "-keyalg", "RSA",
+      "-keysize", "2048", "-storetype", "PKCS12", "-keystore", ks,
+      "-storepass", "changeit", "-dname", "CN=127.0.0.1",
+      "-validity", "2", "-ext", "san=ip:127.0.0.1")
+    keytool("-exportcert", "-alias", "ws", "-keystore", ks,
+      "-storepass", "changeit", "-file", cer)
+    keytool("-importcert", "-noprompt", "-alias", "ws", "-file", cer,
+      "-storetype", "PKCS12", "-keystore", ts, "-storepass", "changeit")
+
+    val server = new WsTestServer(keystore = Some((ks, "changeit")))
+    assert(server.url.startsWith("wss://"))
+    val ckpt = Files.createTempDirectory("live_wss_ckpt").toString
+    try {
+      val frames = (0 until 4).map(i => s"""{"seq": $i}""")
+      server.push(frames)
+      val got = new ConcurrentLinkedQueue[(Long, String)]()
+      val q = spark.readStream
+        .format("graft.sources.WebsocketSource")
+        .option("url", server.url)
+        .option("subscribe", """{"type":"subscribe"}""")
+        .option("truststore", ts)
+        .option("truststorePassword", "changeit")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => drainTo(got, b) }
+        .start()
+      awaitCount(got, 4, q)
+      q.processAllAvailable()
+      q.stop()
+      assert(got.asScala.map(_._2).toSet === frames.toSet)
+      assert(got.asScala.map(_._1).toSeq.sorted === (0L until 4L))
+    } finally server.close()
+  }
 }

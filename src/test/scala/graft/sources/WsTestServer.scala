@@ -12,11 +12,28 @@ import scala.jdk.CollectionConverters._
   * TCP buffer). Frames are a shared feed — like a live exchange, a frame
   * is sent to whichever connection is active when it reaches the head of
   * the queue, and is gone once sent. `kill()` hard-closes the active
-  * connection to exercise client reconnect. */
-private[graft] class WsTestServer {
-  private val server = new ServerSocket(0)
+  * connection to exercise client reconnect.
+  *
+  * `keystore` = (PKCS12 path, password) serves TLS instead of plaintext
+  * (`wss://` url) — both real endpoints were wss, so the handshake branch
+  * needs an in-process exerciser too. */
+private[graft] class WsTestServer(keystore: Option[(String, String)] = None) {
+  private val server: ServerSocket = keystore match {
+    case Some((path, pass)) =>
+      val ks = java.security.KeyStore.getInstance("PKCS12")
+      val in = new java.io.FileInputStream(path)
+      try ks.load(in, pass.toCharArray) finally in.close()
+      val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+        javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+      kmf.init(ks, pass.toCharArray)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(kmf.getKeyManagers, null, null)
+      ctx.getServerSocketFactory.createServerSocket(0)
+    case None => new ServerSocket(0)
+  }
   def port: Int = server.getLocalPort
-  def url: String = s"ws://127.0.0.1:$port/"
+  def url: String =
+    s"${if (keystore.isDefined) "wss" else "ws"}://127.0.0.1:$port/"
 
   private val pending = new LinkedBlockingQueue[String]()
   @volatile private var closed = false
