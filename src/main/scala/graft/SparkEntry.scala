@@ -18,7 +18,9 @@ object SparkEntry {
       operators.AnalyticsQueries.defs ++
       operators.TpchMoreQueries.defs ++
       operators.TpchFinalQueries.defs ++
+      operators.ShapeQueries.defs ++
       operators.DedupQueries.defs ++
+      operators.VocabQueries.defs ++
       operators.SimilarityQueries.defs ++
       operators.TextQueries.defs ++
       operators.MultimodalQueries.defs ++

@@ -28,13 +28,13 @@ object DedupQueries {
   /** Stage 0: distinct (doc_id, shingle) — one corpus explode serves both
     * the MinHash fold (duplicate-insensitive) and the Jaccard intersection
     * (duplicate-sensitive, needs the dedup anyway). */
-  private def shinglesStage(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def shinglesStage(spark: SparkSession, dir: String): DataFrame =
     Staged(spark, dir, "shingles") {
       TextHashing.shingleSetsRaw(Tables.documents(spark, dir))
         .dropDuplicates("doc_id", "shingle")
     }
 
-  private def candidatesStage(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def candidatesStage(spark: SparkSession, dir: String): DataFrame =
     Staged(spark, dir, "lsh_candidates") {
       TextHashing.lshCandidatePairsFrom(shinglesStage(spark, dir), B, R)
     }
@@ -92,7 +92,7 @@ object DedupQueries {
   }
 
   /** Candidate pairs + exact Jaccard CTE (LSH verify stage). */
-  private val jaccardCte: String =
+  private[operators] val jaccardCte: String =
     s"""$minhashCte,
     sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
     inter AS (SELECT doc_a, doc_b, count(*) AS n_inter

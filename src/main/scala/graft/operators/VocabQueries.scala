@@ -1,0 +1,230 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextHashing
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics operators over `documents` (SURVEY.md §2.3) — the
+  * vocabulary/frequency side of an LLM-training-data pipeline: top-k token
+  * vocabulary, bigram language-model counts, TF-IDF term ranking, shingle
+  * containment, and a count-min-sketch heavy-hitter estimate.
+  *
+  * Oracle-parity design (same discipline as DedupQueries/TextQueries):
+  * counts stay integral, every hash bottoms out in md5, and the only float
+  * operations are single exactly-rounded IEEE divisions/multiplications
+  * with identical operand order in both engines. The TF-IDF weight is the
+  * log-free `tf * (N/df)` form for that reason: `ln` is libm-dependent and
+  * could differ in the last bit between engines, `*` and `/` cannot.
+  */
+object VocabQueries {
+
+  private def tokens(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+
+  /** Top-100 vocabulary by corpus term frequency (ties broken by token):
+    * the vocabulary-building scan. The global top-k is orderBy+limit —
+    * Spark plans TakeOrderedAndProject (per-partition heaps, no global
+    * sort); the rank column is computed by a window AFTER the limit, over
+    * 100 rows. */
+  val vocabTopK = QueryDef(
+    "vocab_topk",
+    (spark, dir) => {
+      val counted = tokens(spark, dir)
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("tok"))
+        .limit(100)
+      counted.withColumn("rank",
+        row_number().over(Window.orderBy(col("tf").desc, col("tok")))
+          .cast("long"))
+    },
+    Some("""
+      SELECT tok, tf, df, rank FROM (
+        SELECT tok, tf, df,
+               row_number() OVER (ORDER BY tf DESC, tok) AS rank
+        FROM (
+          SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+          GROUP BY tok))
+      WHERE rank <= 100
+    """))
+
+  /** Top-100 word bigrams — n-gram language-model count tables. Gram
+    * generation runs on the codegen `word_ngrams` expression; the oracle
+    * mirrors its short-document clamp (a 1-token doc yields its lone token
+    * as the single "bigram"). */
+  val bigramTopK = QueryDef(
+    "bigram_topk",
+    (spark, dir) => {
+      graft.functions.NgramExprs.register(spark)
+      val grams = Tables.documents(spark, dir)
+        .select(explode(
+          call_function("word_ngrams", split(col("text"), " "), lit(2)))
+          .as("bigram"))
+      grams.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(100)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("bigram")))
+            .cast("long"))
+    },
+    Some("""
+      SELECT bigram, n, rank FROM (
+        SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram) AS rank
+        FROM (
+          SELECT bigram, count(*) AS n FROM (
+            SELECT array_to_string(list_slice(toks, i, i + 1), ' ') AS bigram
+            FROM (SELECT toks,
+                         unnest(generate_series(1, greatest(len(toks) - 1, 1)))
+                           AS i
+                  FROM (SELECT string_split(text, ' ') AS toks
+                        FROM documents)))
+          GROUP BY bigram))
+      WHERE rank <= 100
+    """))
+
+  /** Per-document top-3 terms by TF-IDF (log-free `tf * (N/df)` weight —
+    * see object scaladoc). tf and df are exact integers; the weight is one
+    * division and one multiplication, identical operand order in both
+    * engines; rank ties break by term. */
+  val tfidfTopTerms = QueryDef(
+    "tfidf_topterms",
+    (spark, dir) => {
+      val tf = tokens(spark, dir)
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(spark, dir)
+        .agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "tok")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf").cast("double") *
+            (col("n_docs").cast("double") / col("df").cast("double")))
+      scored
+        .withColumn("rank",
+          row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("tok"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          col("score"), col("rank"))
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT doc_id, tok, tf, df, score, rank FROM (
+        SELECT t.doc_id, t.tok, t.tf, d.df,
+               CAST(t.tf AS DOUBLE) *
+                 (CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS score,
+               row_number() OVER (
+                 PARTITION BY t.doc_id
+                 ORDER BY CAST(t.tf AS DOUBLE) *
+                          (CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE))
+                            DESC,
+                          t.tok) AS rank
+        FROM tf t JOIN df d ON t.tok = d.tok CROSS JOIN n)
+      WHERE rank <= 3
+    """))
+
+  /** Asymmetric shingle containment over the LSH candidate pairs —
+    * `|A∩B| / |A|` catches the doc-inside-doc duplication that symmetric
+    * Jaccard misses (a paragraph fully contained in a bigger page scores
+    * low Jaccard but containment 1.0). Reuses the staged shingle +
+    * candidate tables (DedupQueries), so at scale this is one more
+    * consumer of the persisted staging pipeline, not a re-shingle. */
+  val containment = QueryDef(
+    "dedup_containment",
+    (spark, dir) =>
+      TextHashing.jaccardFrom(
+          DedupQueries.shinglesStage(spark, dir),
+          DedupQueries.candidatesStage(spark, dir))
+        .select(col("doc_a"), col("doc_b"), col("n_inter"),
+          col("n_a"), col("n_b"),
+          (col("n_inter").cast("double") / col("n_a").cast("double"))
+            .as("cont_a"),
+          (col("n_inter").cast("double") / col("n_b").cast("double"))
+            .as("cont_b")),
+    Some(s"""${DedupQueries.jaccardCte}
+      SELECT doc_a, doc_b, n_inter, n_a, n_b,
+             CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS cont_a,
+             CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE) AS cont_b
+      FROM jac
+    """))
+
+  private val CmsW = 256 // buckets per row
+  private val CmsD = 3   // hash rows
+
+  /** Count-min-sketch heavy hitters: build a d×w sketch over the token
+    * stream (one shuffle of at most d·w = 768 partial counts thanks to
+    * map-side combine — THE point of the sketch at 100 TB: the shuffle is
+    * O(sketch), not O(vocabulary)), then report the sketch estimate next
+    * to the exact count for the exact top-20 tokens — `est >= exact` by
+    * construction, equality when no collision. Hashing is seeded md5 →
+    * first 8 hex digits → mod w, deterministic and reproduced digit-by-
+    * digit in the oracle, so the ESTIMATE itself is hash-checked (same
+    * discipline as the KMV sketch). */
+  val cmsTopK = QueryDef(
+    "approx_topk_cms",
+    (spark, dir) => {
+      def bucket(seed: Int, tok: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit(seed.toString), tok)), 1, 8), 16, 10)
+          .cast("long") % CmsW
+      val tok = tokens(spark, dir).select(col("tok"))
+      val sketch = tok
+        .select(posexplode(array((0 until CmsD).map(s => bucket(s, col("tok"))): _*))
+          .as(Seq("r", "bucket")))
+        .groupBy(col("r"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val top = tok.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok"))
+        .limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("exact_cnt").desc, col("tok")))
+            .cast("long"))
+      top
+        .select(col("tok"), col("exact_cnt"), col("rank"),
+          posexplode(array((0 until CmsD).map(s => bucket(s, col("tok"))): _*))
+            .as(Seq("r", "bucket")))
+        .join(broadcast(sketch), Seq("r", "bucket"))
+        .groupBy(col("tok"), col("exact_cnt"), col("rank"))
+        .agg(min(col("c")).as("cms_est"))
+    },
+    Some {
+      // md5-hex → int parse, digit by digit (exact doubles < 2^32)
+      def duckBucket(tokExpr: String, seed: Int) =
+        s"""CAST(list_sum(list_transform(range(8), i ->
+             (strpos('0123456789abcdef',
+                     substr(md5('$seed' || $tokExpr), i + 1, 1)) - 1)
+               * (16 ** (7 - i)))) AS BIGINT) % $CmsW"""
+      val sketchRows = (0 until CmsD).map(s =>
+        s"SELECT $s AS r, ${duckBucket("tok", s)} AS bucket FROM tok")
+        .mkString(" UNION ALL ")
+      val topBuckets = (0 until CmsD).map(s =>
+        s"SELECT tok, exact_cnt, rank, $s AS r, ${duckBucket("tok", s)} AS bucket FROM top")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+      tb AS ($sketchRows),
+      sketch AS (SELECT r, bucket, count(*) AS c FROM tb GROUP BY 1, 2),
+      top AS (SELECT tok, exact_cnt, rank FROM (
+                SELECT tok, count(*) AS exact_cnt,
+                       row_number() OVER (ORDER BY count(*) DESC, tok) AS rank
+                FROM tok GROUP BY tok)
+              WHERE rank <= 20),
+      hb AS ($topBuckets)
+      SELECT hb.tok, hb.exact_cnt, hb.rank, min(sketch.c) AS cms_est
+      FROM hb JOIN sketch ON hb.r = sketch.r AND hb.bucket = sketch.bucket
+      GROUP BY 1, 2, 3
+      """
+    })
+
+  val defs: Seq[QueryDef] = Seq(
+    vocabTopK, bigramTopK, tfidfTopTerms, containment, cmsTopK)
+}

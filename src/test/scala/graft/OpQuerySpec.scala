@@ -223,6 +223,61 @@ class OpQuerySpec extends AnyFunSuite {
       .isin("en", "de", "fr", "es", "zh", "und")).count() === 0)
   }
 
+  test("approx_topk_cms: the estimate never undercounts (CMS one-sided error)") {
+    val bad = operators.VocabQueries.cmsTopK.fn(spark, sf)
+      .filter(col("cms_est") < col("exact_cnt"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("dedup_containment: containment in (0,1], intersection bounded by both sets") {
+    val bad = operators.VocabQueries.containment.fn(spark, sf)
+      .filter(col("n_inter") > col("n_a") || col("n_inter") > col("n_b") ||
+        col("cont_a") <= 0 || col("cont_a") > 1 ||
+        col("cont_b") <= 0 || col("cont_b") > 1)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("tfidf_topterms: exactly <=3 ranked terms per doc, scores non-increasing") {
+    import spark.implicits._
+    val r = operators.VocabQueries.tfidfTopTerms.fn(spark, sf)
+    assert(r.filter($"rank" < 1 || $"rank" > 3).count() === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"rank")
+    assert(r.withColumn("prev", lag($"score", 1).over(w))
+      .filter($"prev".isNotNull && $"score" > $"prev")
+      .count() === 0)
+  }
+
+  test("interval_overlap_join: overlap days positive and at most the window span sum") {
+    val bad = operators.ShapeQueries.intervalOverlap.fn(spark, sf)
+      .filter(col("n_overlaps") <= 0 ||
+        col("sum_overlap_days") < col("n_overlaps") ||
+        col("sum_overlap_days") > col("n_overlaps") * 8)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("mode_per_key: one row per user, the mode count is the per-user max") {
+    import spark.implicits._
+    val r = operators.ShapeQueries.modePerKey.fn(spark, sf)
+    assert(r.groupBy("user_id").count().filter($"count" > 1).count() === 0)
+    val trueMax = Tables.events(spark, sf)
+      .groupBy($"user_id", $"event_type").count()
+      .groupBy($"user_id").agg(max($"count").as("mx"))
+    assert(r.join(trueMax, "user_id").filter($"n" =!= $"mx").count() === 0)
+  }
+
+  test("cohort_retention: week zero covers every user exactly once") {
+    import spark.implicits._
+    val r = operators.ShapeQueries.cohortRetention.fn(spark, sf)
+    val wk0 = r.filter($"week_no" === 0)
+      .agg(sum($"n_users")).collect().head.getLong(0)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(wk0 === users)
+  }
+
   test("backfill semi/anti partition orders exactly") {
     val o = Tables.orders(spark, sf).count()
     val semi = operators.RefOpQueries.backfillSemi.fn(spark, sf).count()

@@ -215,6 +215,27 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(filtered.count() === direct)
   }
 
+  test("interval_overlap_join: overlap is a residual on an equi-join, never a join-free product") {
+    val p = plan("interval_overlap_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval overlap degenerated to a range nested loop:\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "no equi-join on the customer key:\n" + p)
+  }
+
+  test("vocab_topk/bigram_topk: global top-k plans TakeOrdered, not a global sort") {
+    for (q <- Seq("vocab_topk", "bigram_topk")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: top-k not a per-partition heap:\n" + p)
+    }
+  }
+
+  test("approx_topk_cms: the sketch side broadcasts (768 rows), never shuffles the estimate join") {
+    val p = plan("approx_topk_cms")
+    assert(p.contains("BroadcastHashJoin"), "sketch join not broadcast:\n" + p)
+  }
+
   test("dedup_exact: whole-stage codegen covers the hash/agg pipeline") {
     // AQE only inserts WholeStageCodegen nodes into the final plan, so
     // execute before inspecting.
