@@ -99,7 +99,9 @@ object VocabQueries {
       val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val n = Tables.documents(spark, dir)
         .agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(df, "tok")
+      // df is vocabulary-sized — broadcast it so the tf side (doc ×
+      // distinct-token rows, the big one) never shuffles for this join
+      val scored = tf.join(broadcast(df), "tok")
         .crossJoin(broadcast(n))
         .withColumn("score",
           col("tf").cast("double") *
@@ -175,13 +177,19 @@ object VocabQueries {
       def bucket(seed: Int, tok: org.apache.spark.sql.Column) =
         conv(substring(md5(concat(lit(seed.toString), tok)), 1, 8), 16, 10)
           .cast("long") % CmsW
-      val tok = tokens(spark, dir).select(col("tok"))
-      val sketch = tok
-        .select(posexplode(array((0 until CmsD).map(s => bucket(s, col("tok"))): _*))
-          .as(Seq("r", "bucket")))
+      // ONE scan + occurrence count first, md5 only on the DISTINCT
+      // vocabulary after the reduction: sketch cell = Σ counts of the
+      // tokens hashing into it, identical to hashing every occurrence but
+      // 3 md5s per vocab entry instead of 3 per token occurrence.
+      val counts = tokens(spark, dir)
+        .groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      val sketch = counts
+        .select(col("exact_cnt"),
+          posexplode(array((0 until CmsD).map(s => bucket(s, col("tok"))): _*))
+            .as(Seq("r", "bucket")))
         .groupBy(col("r"), col("bucket"))
-        .agg(count(lit(1)).as("c"))
-      val top = tok.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        .agg(sum(col("exact_cnt")).as("c"))
+      val top = counts
         .orderBy(col("exact_cnt").desc, col("tok"))
         .limit(20)
         .withColumn("rank",
