@@ -25,13 +25,15 @@ object DedupQueries {
     * LSH candidates → Jaccard-verified pairs, and the SimHash fingerprint
     * table — each materialized once per session and shared by every
     * consumer query. */
-  /** Stage 0: distinct (doc_id, shingle) — one corpus explode serves both
-    * the MinHash fold (duplicate-insensitive) and the Jaccard intersection
-    * (duplicate-sensitive, needs the dedup anyway). */
+  /** Stage 0: RAW (doc_id, shingle) — one corpus explode, NO corpus-wide
+    * dedup. The MinHash fold is duplicate-insensitive (min over repeats ==
+    * min over the set), and the duplicate-sensitive Jaccard verify dedups
+    * only the candidate docs' shingles (see
+    * [[TextHashing.jaccardOnCandidates]]) — so nothing in the pipeline
+    * ever shuffles the full corpus' shingle sets just to dedup them. */
   private[operators] def shinglesStage(spark: SparkSession, dir: String): DataFrame =
-    Staged(spark, dir, "shingles") {
+    Staged(spark, dir, "shingles_raw") {
       TextHashing.shingleSetsRaw(Tables.documents(spark, dir))
-        .dropDuplicates("doc_id", "shingle")
     }
 
   private[operators] def candidatesStage(spark: SparkSession, dir: String): DataFrame =
@@ -42,7 +44,7 @@ object DedupQueries {
   /** Stage 3: exact-Jaccard-verified near-dup pairs (threshold 0.7). */
   private def verifiedStage(spark: SparkSession, dir: String): DataFrame =
     Staged(spark, dir, "jaccard_verified") {
-      TextHashing.jaccardFrom(shinglesStage(spark, dir),
+      TextHashing.jaccardOnCandidates(shinglesStage(spark, dir),
         candidatesStage(spark, dir))
         .filter(col("jaccard") >= 0.7)
     }

@@ -143,7 +143,7 @@ object VocabQueries {
   val containment = QueryDef(
     "dedup_containment",
     (spark, dir) =>
-      TextHashing.jaccardFrom(
+      TextHashing.jaccardOnCandidates(
           DedupQueries.shinglesStage(spark, dir),
           DedupQueries.candidatesStage(spark, dir))
         .select(col("doc_a"), col("doc_b"), col("n_inter"),
