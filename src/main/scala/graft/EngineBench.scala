@@ -15,7 +15,7 @@ import org.apache.spark.sql.streaming.Trigger
   * state store (the 100-TB state path — changelog checkpointing, bounded
   * executor memory for state). This main gives both STREAMING paths a
   * number: it materializes the same deterministic frame log `book_replay`
-  * replays (ReplayBench.syntheticLog — ~600k frames at sf0.1), range-
+  * replays (ReplayBench.syntheticLog — ~100k frames at sf0.1), range-
   * partitioned by arrival so file listing order approximates feed order,
   * then runs a Trigger.AvailableNow pass through the full
   * [[Pipeline.start]] (decode-shaped input → engine → idempotent parquet

@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * the heart of the system): synthesizes a deterministic L2/match frame
   * log from the `events` table (one frame per event, keyed per user as a
   * product) and replays it through the SAME flatMapGroupsWithState path
-  * the streaming pipeline runs, via Spark's batch fallback. ~600k frames
-  * at sf0.1 — the wall-clock Bench reports is an engine pass, the analogue
-  * of the reference's single-node ingest ceiling (SURVEY §6).
+  * the streaming pipeline runs, via Spark's batch fallback. ~100k frames
+  * at sf0.1 (one per events row) — the wall-clock Bench reports is an
+  * engine pass, the analogue of the reference's single-node ingest
+  * ceiling (SURVEY §6).
   *
   * The log exercises every order-sensitive engine behavior:
   *   - snapshots carry FIVE levels per side (incl. ~1/13 zero-size levels

@@ -41,6 +41,12 @@ object BookEngine {
       }
     }
 
+    // In-memory per-group sort: bounded by micro-batch size in streaming
+    // (admission control caps frames/trigger). A BATCH replay hands each
+    // group its entire history — fine for the bench's ~thousands of frames
+    // per product, but replaying one product's multi-year history through
+    // the batch path should chunk by time range first (the streaming path
+    // already does, per trigger).
     messages.sortBy(_.arrival).foreach { m =>
       // op 12: learn the channel→product mapping from the snapshot
       if (m.productId.nonEmpty && st.productName.isEmpty)
