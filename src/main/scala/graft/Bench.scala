@@ -8,20 +8,28 @@ import org.apache.spark.sql.SparkSession
   * only number worth comparing round-over-round.
   */
 object Bench {
-  private def median(xs: Seq[Double]): Double = {
+  /** Shared with [[EngineBench]] — one definition of "the median" (and of
+    * the empty-sample sentinel) for every bench in the repo. */
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) -1.0
     else if (s.size % 2 == 1) s(s.size / 2)
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** Env knobs shared by both bench mains. */
+  private[graft] def envSfDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  private[graft] def envCpus: String =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  private[graft] def envPasses: Int =
+    math.max(1, sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(_.toIntOption).getOrElse(3))
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // junk or non-positive pass counts fall back to the default rather
     // than crashing the round's bench (or silently sampling nothing)
-    val passes = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .flatMap(_.toIntOption).getOrElse(3))
+    val (sfDir, cpus, passes) = (envSfDir, envCpus, envPasses)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -28,18 +28,10 @@ import org.apache.spark.sql.streaming.Trigger
   * line; numbers are recorded in BASELINE.md §measured.
   */
 object EngineBench {
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
-    if (s.isEmpty) -1.0
-    else if (s.size % 2 == 1) s(s.size / 2)
-    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-  }
+  import Bench.median
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val passes = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .flatMap(_.toIntOption).getOrElse(3))
+    val (sfDir, cpus, passes) = (Bench.envSfDir, Bench.envCpus, Bench.envPasses)
     val filesPerTrigger = math.max(1, sys.env.get("SPARK_GRAFT_ENGINE_FILES")
       .flatMap(_.toIntOption).getOrElse(8))
     val spark = SparkSession.builder()

@@ -73,11 +73,18 @@ object Staged {
     // — df.rdd would be a freshly-derived RDD with its own id, whose
     // unpersist frees nothing.
     dropped.foreach { df =>
+      // NonFatal only: a dead session means nothing to free, but an OOM or
+      // interrupt must not be swallowed here (and the interrupt flag must
+      // survive for whoever is shutting the bench down).
       try df.queryExecution.logical match {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
           lr.rdd.unpersist(blocking = false); ()
         case _ => ()
-      } catch { case _: Throwable => () } // a dead session: nothing to free
+      } catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        case scala.util.control.NonFatal(_) => ()
+      }
     }
   }
 

@@ -90,8 +90,11 @@ object Backfill {
       .dropDuplicates("exchange", "tradeId")
   }
 
-  /** Default transport: one GET via the shared JDK HTTP client. */
-  @transient private lazy val jdkHttp = HttpClient.newHttpClient()
+  /** Default transport: one GET via the shared JDK HTTP client. Follows
+    * redirects (the JDK default is NEVER) — an http→https 301 from the
+    * API must not surface as a permanently-failing page. */
+  @transient private lazy val jdkHttp = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NORMAL).build()
   private[sources] def jdkTransport(uri: URI): (Int, String) = {
     val resp = jdkHttp.send(HttpRequest.newBuilder(uri).GET().build(),
       HttpResponse.BodyHandlers.ofString())
@@ -105,16 +108,20 @@ object Backfill {
     * requests — the reference intended 0.5 s/page but its un-awaited
     * `asyncio.sleep` never actually paused (redis_worker.py:52, SURVEY
     * §0.1 #2); this realizes the intent, so a gap storm cannot hammer the
-    * endpoint. Transient failures (I/O errors, 5xx) retry up to
-    * `maxAttempts` total, each attempt paced; a 4xx is permanent (an
-    * unknown product will not improve on retry) and an exhausted budget
-    * returns the empty page, which [[fillGap]] already treats as
-    * history-exhausted and terminates on. Clock, sleeper, and transport
-    * are injectable for deterministic tests. */
+    * endpoint. Transient failures (I/O errors, 5xx, and 408/429 — rate
+    * limiting is precisely what the pacing manages, so a 429 must retry
+    * after the delay, not abort) retry up to `maxAttempts` total, each
+    * attempt paced; any other non-200 is permanent (an unknown product
+    * will not improve on retry; redirects are followed by the transport)
+    * and an exhausted budget returns the empty page, which [[fillGap]]
+    * already treats as history-exhausted and terminates on. Clock,
+    * sleeper, and transport are injectable for deterministic tests; the
+    * default clock is MONOTONIC (nanoTime) so an NTP step back can never
+    * stretch the inter-page wait into a pipeline stall. */
   final class RestTradeFetcher(baseUrl: String,
       pageDelayMillis: Long = 500L,
       maxAttempts: Int = 3,
-      nowMillis: () => Long = () => System.currentTimeMillis(),
+      nowMillis: () => Long = () => System.nanoTime() / 1000000L,
       sleep: Long => Unit = Thread.sleep,
       transport: URI => (Int, String) = jdkTransport) extends TradeFetcher {
 
@@ -143,8 +150,9 @@ object Backfill {
           try {
             val (status, body) = transport(uri)
             if (status == 200) Some(parseTrades(body))
-            else if (status >= 400 && status < 500) Some(Seq.empty)
-            else None // 5xx: transient, retry
+            else if (status == 408 || status == 429 || status >= 500)
+              None // transient: timeout, rate-limited, server error — retry
+            else Some(Seq.empty) // other non-200: permanent for this page
           } catch { case _: java.io.IOException => None }
       }
       out.getOrElse(Seq.empty)

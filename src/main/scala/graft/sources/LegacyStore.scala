@@ -50,7 +50,20 @@ object LegacyStore {
 
   /** Metadata probe for the table, tried in as-given / upper / lower case
     * because an unquoted name is case-folded per the server's rules (Derby
-    * and most servers upper-case, PostgreSQL lower-cases). */
+    * and most servers upper-case, PostgreSQL lower-cases).
+    *
+    * getTables takes LIKE patterns, so the name's `_` (ubiquitous in table
+    * names) can match ANY character — `trade_log` would "exist" because
+    * `tradeXlog` does, and the subsequent DELETE against the truly-missing
+    * table would fail the first-ever write. Escaping the pattern is NOT
+    * portable (Derby reports an empty escape string and treats a backslash
+    * literally — an escaped pattern matches nothing), so the probe goes
+    * the other way: wildcards can only ever WIDEN the result set, so run
+    * the raw pattern and post-filter the returned rows by exact
+    * TABLE_NAME/TABLE_SCHEM equality. Unqualified names are checked
+    * against the connection's CURRENT schema (where the unqualified
+    * DELETE/CREATE resolve) — a same-named table in another schema must
+    * not count as existing. */
   private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
     val (schema, name) = table.lastIndexOf('.') match {
       case -1 => (null: String, table)
@@ -59,11 +72,23 @@ object LegacyStore {
     val md = conn.getMetaData
     def probe(s: String, n: String): Boolean = {
       val rs = md.getTables(null, s, n, null)
-      try rs.next() finally rs.close()
+      try {
+        var found = false
+        while (!found && rs.next())
+          found = rs.getString(3) == n &&
+            (s == null || rs.getString(2) == s)
+        found
+      } finally rs.close()
     }
+    val defaultSchema =
+      try Option(conn.getSchema).filter(_.nonEmpty).orNull
+      catch { // pre-4.1 drivers: no getSchema — fall back to any-schema
+        case _: AbstractMethodError | _: java.sql.SQLException |
+            _: UnsupportedOperationException => null
+      }
     val schemas = Option(schema)
       .map(s => Seq(s, s.toUpperCase, s.toLowerCase).distinct)
-      .getOrElse(Seq(null: String))
+      .getOrElse(Seq(defaultSchema))
     Seq(name, name.toUpperCase, name.toLowerCase).distinct
       .exists(n => schemas.exists(s => probe(s, n)))
   }

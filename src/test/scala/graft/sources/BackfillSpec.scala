@@ -153,6 +153,16 @@ class BackfillSpec extends AnyFunSuite {
     assert(h.sleeps.isEmpty)
   }
 
+  test("RestTradeFetcher: 429 rate-limit retries paced — the case the pacing exists for") {
+    val h = new FetcherHarness(Iterator(
+      () => (429, "slow down"),
+      () => (200, """[{"trade_id":9,"price":"1","size":"1",
+        "side":"buy","time":"2017-10-15T05:10:53Z"}]""")))
+    assert(h.fetcher.fetchPage("P", 0, 10).map(_.tradeId) === Seq(9L))
+    assert(h.requests === 2)
+    assert(h.sleeps.toSeq === Seq(500L)) // the retry waited its turn
+  }
+
   test("parseTrades: tolerant typing — string trade_id and offset/local times parse") {
     val json = """[
       {"trade_id":"42","price":"1.00","size":"0.5","side":"buy",

@@ -77,6 +77,22 @@ class LegacyStoreSpec extends AnyFunSuite {
     assert(LegacyStore.read(spark, url, "no_batch_col").count() === 0)
   }
 
+  test("writeBatch: a LIKE-wildcard sibling table does not shadow a missing one") {
+    // getTables takes LIKE patterns: unescaped, the '_' in wild_card would
+    // match WILDXCARD, the probe would report the table as existing, and
+    // the DELETE against the truly-missing WILD_CARD would fail the
+    // first-ever write. With escaping, the probe says missing and the
+    // first write creates the table normally.
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement()
+      .executeUpdate("""CREATE TABLE wildxcard (x INT)""")
+    finally conn.close()
+    import spark.implicits._
+    val df = Seq((1, "a")).toDF("x", "y")
+    LegacyStore.writeBatch(df, url, "wild_card", 0L) // must not throw
+    assert(LegacyStore.read(spark, url, "wild_card").count() === 1)
+  }
+
   test("writeBatch: rejects table names outside the unquoted-identifier grammar") {
     import spark.implicits._
     val df = Seq((1, "a")).toDF("x", "y")
