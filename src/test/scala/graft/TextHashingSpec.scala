@@ -60,6 +60,26 @@ class TextHashingSpec extends AnyFunSuite {
     })
   }
 
+  test("property: jaccardOnCandidates over the raw explode equals jaccardFrom over the distinct sets") {
+    // the raw-shingle staging refactor's contract: restricting to candidate
+    // docs and dedup-ing only that sliver changes nothing about the
+    // numbers — for ANY corpus and ANY candidate pair set
+    check(Prop.forAll(Gen.listOfN(5, docGen)) { texts =>
+      val docs = docsDf(texts ++ texts.headOption.toSeq) // ensure ≥1 dup pair
+      val raw = TextHashing.shingleSetsRaw(docs)
+      val pairs = TextHashing.lshCandidatePairsFrom(raw)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")
+      val viaCandidates =
+        TextHashing.jaccardOnCandidates(raw, pairs).collect().map(key).toMap
+      val viaDistinct =
+        TextHashing.jaccardFrom(
+          raw.dropDuplicates("doc_id", "shingle"), pairs)
+          .collect().map(key).toMap
+      viaCandidates == viaDistinct
+    })
+  }
+
   test("property: codegen char_ngrams/word_ngrams match the transform(sequence) formulation") {
     graft.functions.NgramExprs.register(spark)
     // alphabet includes multi-byte UTF-8 (2-, 3-, 4-byte) — substringSQL
