@@ -128,6 +128,25 @@ object Multimodal {
     }
   }
 
+  /** As [[features]] but WITHOUT normalization: the per-dim byte sums as
+    * integral doubles. Every value (and every pairwise dot product) stays
+    * far below 2^53, so downstream arithmetic is exact — the composed
+    * multimodal→ANN query ranks by these with zero float-ordering risk. */
+  def featuresRaw(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val v = new Array[Double](dim)
+        var i = 0
+        while (i < r.payload.length) {
+          v(i % dim) += (r.payload(i) & 0xff)
+          i += 1
+        }
+        MediaFeature(r.media_id, v)
+      }
+    }
+  }
+
   /** Lift the documents table into a media table (payload = utf-8 bytes) —
     * the test harness for the plumbing above. */
   def documentsAsMedia(docs: DataFrame): Dataset[MediaRow] = {

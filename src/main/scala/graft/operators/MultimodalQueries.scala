@@ -104,5 +104,58 @@ object MultimodalQueries {
       FROM s GROUP BY media_id
     """))
 
-  val defs: Seq[QueryDef] = Seq(frameSample, features, resize)
+  /** The composed multimodal→ANN flow in ONE plan (the §2.3 point: the
+    * typed feature extractor's output feeds the similarity family
+    * directly): media → raw byte-sum feature profiles → exact
+    * inner-product top-3 per query. Ranking by the UN-normalized integer
+    * dot (MIPS) keeps every compared value exactly representable — the
+    * per-dim sums and their products sit far below 2^53, so both engines
+    * agree bit-for-bit regardless of summation order, and the composed
+    * query needs no float-gap argument at all. Queries broadcast; the
+    * candidate scan is embarrassingly parallel — the same shape as
+    * ann_topk_brute. */
+  val annMips = QueryDef(
+    "multimodal_ann_mips",
+    (spark, dir) => {
+      graft.functions.VectorExprs.register(spark)
+      import org.apache.spark.sql.expressions.Window
+      val feats = Multimodal.featuresRaw(media(spark, dir), dim = 16).toDF()
+        .select(col("media_id"), col("embedding").as("f"))
+      val q = broadcast(feats.filter(col("media_id") % 20 === 0)
+        .select(col("media_id").as("query_id"), col("f").as("qf")))
+      val c = feats.select(col("media_id").as("neighbor_id"),
+        col("f").as("cf"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dot").desc, col("neighbor_id"))
+      q.join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("dot", expr("CAST(vec_dot(qf, cf) AS BIGINT)"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("dot"), col("rank"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id AS media_id, text,
+               unnest(generate_series(1, length(text))) AS i
+        FROM documents),
+      by_pos AS (
+        SELECT media_id, (i - 1) % 16 AS d,
+               ord(substr(text, CAST(i AS INT), 1)) AS byte
+        FROM b),
+      f AS (SELECT media_id, d, sum(byte) AS fd FROM by_pos GROUP BY 1, 2),
+      q AS (SELECT * FROM f WHERE media_id % 20 = 0),
+      dots AS (
+        SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
+               CAST(sum(q.fd * c.fd) AS BIGINT) AS dot
+        FROM q JOIN f c ON q.d = c.d AND q.media_id <> c.media_id
+        GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, dot, rank FROM (
+        SELECT query_id, neighbor_id, dot,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, neighbor_id) AS rank
+        FROM dots)
+      WHERE rank <= 3
+    """))
+
+  val defs: Seq[QueryDef] = Seq(frameSample, features, resize, annMips)
 }

@@ -278,6 +278,19 @@ class OpQuerySpec extends AnyFunSuite {
     assert(wk0 === users)
   }
 
+  test("multimodal_ann_mips: 3 ranked non-self neighbors per query, dot non-increasing") {
+    import spark.implicits._
+    val r = operators.MultimodalQueries.annMips.fn(spark, sf)
+    assert(r.filter($"query_id" === $"neighbor_id").count() === 0)
+    val perQ = r.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"))
+    assert(perQ.filter(col("n") =!= 3 || col("mx") =!= 3).count() === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"rank")
+    assert(r.withColumn("prev", lag($"dot", 1).over(w))
+      .filter($"prev".isNotNull && $"dot" > $"prev").count() === 0)
+  }
+
   test("backfill semi/anti partition orders exactly") {
     val o = Tables.orders(spark, sf).count()
     val semi = operators.RefOpQueries.backfillSemi.fn(spark, sf).count()
