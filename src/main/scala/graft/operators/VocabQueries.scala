@@ -233,6 +233,51 @@ object VocabQueries {
       """
     })
 
+  /** Benchmark decontamination — the cross-set cousin of self-dedup: for
+    * every doc of the held-out "eval" source (src0), every training doc
+    * sharing ≥ 2 distinct word-3-shingles, with the overlap count. The
+    * 100 TB shape: the eval set is tiny (benchmarks are), so its shingles
+    * BROADCAST and the corpus-side raw explode is probed map-locally — no
+    * corpus shuffle; only matched rows reach the (eval, train) aggregate,
+    * where countDistinct absorbs in-doc repeat shingles without any
+    * corpus-wide dedup. */
+  val decontaminate = QueryDef(
+    "decontaminate_eval",
+    (spark, dir) => {
+      graft.functions.NgramExprs.register(spark)
+      val sh = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          explode(call_function("word_ngrams", split(col("text"), " "), lit(3)))
+            .as("shingle"))
+      val eval = sh.filter(col("source") === "src0")
+        .select(col("doc_id").as("eval_id"), col("shingle"))
+        .dropDuplicates("eval_id", "shingle")
+      val train = sh.filter(col("source") =!= "src0")
+        .select(col("doc_id").as("train_id"), col("shingle"))
+      train.join(broadcast(eval), "shingle")
+        .groupBy(col("eval_id"), col("train_id"))
+        .agg(countDistinct(col("shingle")).as("n_common"))
+        .filter(col("n_common") >= 2)
+    },
+    Some("""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, source,
+               array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+        FROM (SELECT doc_id, source, toks,
+                     unnest(generate_series(1, greatest(len(toks) - 2, 1)))
+                       AS i
+              FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+                    FROM documents))),
+      ev AS (SELECT doc_id AS eval_id, shingle FROM sh
+             WHERE source = 'src0'),
+      tr AS (SELECT doc_id AS train_id, shingle FROM sh
+             WHERE source <> 'src0')
+      SELECT eval_id, train_id, count(*) AS n_common
+      FROM tr JOIN ev USING (shingle)
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    """))
+
   val defs: Seq[QueryDef] = Seq(
-    vocabTopK, bigramTopK, tfidfTopTerms, containment, cmsTopK)
+    vocabTopK, bigramTopK, tfidfTopTerms, containment, cmsTopK, decontaminate)
 }

@@ -291,6 +291,17 @@ class OpQuerySpec extends AnyFunSuite {
       .filter($"prev".isNotNull && $"dot" > $"prev").count() === 0)
   }
 
+  test("decontaminate_eval: pairs cross the split — eval from src0, train never") {
+    import spark.implicits._
+    val r = operators.VocabQueries.decontaminate.fn(spark, sf)
+    val src0 = Tables.documents(spark, sf).filter($"source" === "src0")
+      .select($"doc_id").as[Long].collect().toSet
+    val rows = r.collect()
+    assert(rows.forall(x => src0.contains(x.getAs[Long]("eval_id"))))
+    assert(rows.forall(x => !src0.contains(x.getAs[Long]("train_id"))))
+    assert(rows.forall(_.getAs[Long]("n_common") >= 2))
+  }
+
   test("backfill semi/anti partition orders exactly") {
     val o = Tables.orders(spark, sf).count()
     val semi = operators.RefOpQueries.backfillSemi.fn(spark, sf).count()
