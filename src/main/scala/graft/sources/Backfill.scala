@@ -86,8 +86,8 @@ object Backfill {
     val backfilled = gaps.toSeq.flatMap { case (ex, product, s, e) =>
       fillGap(fetcher, product, ex, s, e).trades
     }
-    batch.union(spark.createDataset(backfilled))
-      .dropDuplicates("exchange", "tradeId")
+    graft.streaming.Pipeline.dedupTradeIds(
+      batch.union(spark.createDataset(backfilled)))
   }
 
   /** Default transport: one GET via the shared JDK HTTP client. Follows

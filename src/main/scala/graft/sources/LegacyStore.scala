@@ -140,7 +140,7 @@ object LegacyStore {
       val (books, trades) = BookEngine.split(batch)
       writeBatch(Pipeline.legacyFlatView(books.toDF()), url, bookTable,
         batchId)
-      writeBatch(trades.dropDuplicates("exchange", "tradeId").toDF(),
+      writeBatch(Pipeline.dedupTradeIds(trades).toDF(),
         url, tradeTable, batchId)
     } finally { batch.unpersist(); () }
   }

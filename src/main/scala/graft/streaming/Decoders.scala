@@ -91,11 +91,13 @@ object Decoders {
         .as("productId"),
       col("seq").as("sequence"),
       col("arrival"),
-      // orderBook[1] = bids, orderBook[0] = asks (price→size maps)
-      expr("""transform(map_entries(from_json(get_json_object(sub, '$[1].orderBook[1]'),
-               'map<string,string>')), e -> array(e.key, e.value))""").as("bids"),
-      expr("""transform(map_entries(from_json(get_json_object(sub, '$[1].orderBook[0]'),
-               'map<string,string>')), e -> array(e.key, e.value))""").as("asks"),
+      // orderBook[1] = bids, orderBook[0] = asks (price→size maps); a
+      // garbled 'i' frame yields NULL from the json path — coalesce to
+      // empty like every other array column, or installSnapshot NPEs
+      expr(s"""coalesce(transform(map_entries(from_json(get_json_object(sub, '$$[1].orderBook[1]'),
+               'map<string,string>')), e -> array(e.key, e.value)), $emptyPairs)""").as("bids"),
+      expr(s"""coalesce(transform(map_entries(from_json(get_json_object(sub, '$$[1].orderBook[0]'),
+               'map<string,string>')), e -> array(e.key, e.value)), $emptyPairs)""").as("asks"),
       expr(emptyPairs).as("changes"),
       lit(-1L).as("tradeId"),
       lit("").as("price"), lit("").as("size"), lit("").as("side"),

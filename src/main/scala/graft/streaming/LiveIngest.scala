@@ -24,8 +24,10 @@ object LiveIngest {
     exchange match {
       case "gdax" => (
         sys.env.getOrElse("GRAFT_WS_URL", "wss://ws-feed.gdax.com"),
-        Seq("""{"type": "subscribe", "product_ids": ["ETH-USD", "ETH-EUR"],
-               "channels": ["level2", "matches"]}"""),
+        // ONE line: WebsocketSource's `subscribe` option is
+        // newline-separated packets, so an embedded newline would split
+        // this JSON into two invalid fragments on the wire
+        Seq("""{"type": "subscribe", "product_ids": ["ETH-USD", "ETH-EUR"], "channels": ["level2", "matches"]}"""),
         Decoders.gdax)
       case "polo" => (
         sys.env.getOrElse("GRAFT_WS_URL", "wss://api2.poloniex.com"),

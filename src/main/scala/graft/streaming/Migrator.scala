@@ -18,12 +18,29 @@ object Migrator {
     * `<exchange>_inside_book` / `<exchange>_trades` (mirroring the
     * reference's {gdax,polo}_order_book / {gdax,polo}_trades naming),
     * pointing at the Pipeline's parquet output. Safe to call on every
-    * startup. */
+    * startup, INCLUDING before the first micro-batch has committed: a
+    * location with no parquet files yet has no schema to infer (and no
+    * partitions to recover), so registration is deferred — call again
+    * after data lands (each sink path is skipped independently). Returns
+    * the tables actually registered this call. */
   def ensureTables(spark: SparkSession, exchange: String,
-      outDir: String): Unit = {
+      outDir: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    def hasParquet(location: String): Boolean =
+      try {
+        val p = new org.apache.hadoop.fs.Path(location)
+        val fs = p.getFileSystem(conf)
+        fs.exists(p) && {
+          val it = fs.listFiles(p, true)
+          var found = false
+          while (!found && it.hasNext)
+            found = it.next().getPath.getName.endsWith(".parquet")
+          found
+        }
+      } catch { case scala.util.control.NonFatal(_) => false }
     Seq(s"${exchange}_inside_book" -> s"$outDir/inside_book",
-        s"${exchange}_trades" -> s"$outDir/trades").foreach {
-      case (table, location) =>
+        s"${exchange}_trades" -> s"$outDir/trades").collect {
+      case (table, location) if hasParquet(location) =>
         spark.sql(
           s"CREATE TABLE IF NOT EXISTS $table USING PARQUET LOCATION '$location'")
         // The sinks write batch_id=N partitions; recover them into the
@@ -31,6 +48,7 @@ object Migrator {
         // (always current) or repairs on a schedule; the catalog entry is
         // the discoverability/BI surface.
         spark.sql(s"MSCK REPAIR TABLE $table")
+        table
     }
   }
 }

@@ -39,7 +39,8 @@ object OrderBook {
     * engine-level fuzz test found; the reference's analogue was its blanket
     * IndexError swallow, polo_ws_async.py:148-149). */
   private def dec(s: String): Option[BigDecimal] =
-    try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
+    if (s == null) None // a null decode cell must drop, not NPE (fuzz class)
+    else try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
 
   /** Install a full snapshot, unconditionally replacing prior state
     * (real_guac_async.py:61-63). Input pairs are [price, size]; arrival
@@ -49,10 +50,11 @@ object OrderBook {
     * dropped. */
   def installSnapshot(bids: Seq[Seq[String]], asks: Seq[Seq[String]]): Book = {
     def side(levels: Seq[Seq[String]], ord: Ordering[BigDecimal]): Side =
-      TreeMap.from(levels.collect {
-        case Seq(price, size, _*)
-            if dec(price).isDefined && dec(size).exists(_.signum != 0) =>
-          BigDecimal(price) -> size
+      TreeMap.from(Option(levels).getOrElse(Nil).iterator.flatMap {
+        case Seq(price, size, _*) => // parse once; keep the original string
+          for (p <- dec(price); sz <- dec(size) if sz.signum != 0)
+            yield p -> size
+        case _ => None
       })(ord)
     Book(side(bids, bidOrdering), side(asks, Ordering[BigDecimal]))
   }
@@ -60,18 +62,18 @@ object OrderBook {
   /** Apply one L2 change [side, price, size]: size==0 deletes the level,
     * otherwise upsert (real_guac_async.py:67-92; the async Poloniex
     * comparison-position fix of SURVEY §0.1 #3 is inherent here).
-    * Unparseable price/size → the change is dropped. */
+    * Unparseable price/size — or a side that is neither "buy" nor "sell"
+    * (a null from a truncated frame must not silently mutate the ask
+    * book) — drops the change. */
   def applyChange(book: Book, side: String, price: String,
       size: String): Book =
-    (dec(price), dec(size)) match {
-      case (Some(p), Some(sz)) =>
-        val delete = sz.signum == 0
-        if (side == "buy")
-          book.copy(bids =
-            if (delete) book.bids - p else book.bids.updated(p, size))
-        else
-          book.copy(asks =
-            if (delete) book.asks - p else book.asks.updated(p, size))
+    (side, dec(price), dec(size)) match {
+      case ("buy", Some(p), Some(sz)) =>
+        book.copy(bids =
+          if (sz.signum == 0) book.bids - p else book.bids.updated(p, size))
+      case ("sell", Some(p), Some(sz)) =>
+        book.copy(asks =
+          if (sz.signum == 0) book.asks - p else book.asks.updated(p, size))
       case _ => book
     }
 

@@ -15,10 +15,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object Pipeline {
 
-  /** Legacy 32-column flat view of the inside book
-    * (schema/gdax_schema.sql:8-41): server_datetime, product_id,
-    * bids_1..15, asks_1..15 with "volume@price" cells, null-padded to
-    * exactly 15 per side (SURVEY §0.1 #6 fixed). */
+  /** Legacy flat view of the inside book (schema/gdax_schema.sql:8-41):
+    * server_datetime (stamped at view/write time, as the reference stamped
+    * emission time — real_guac_async.py:100), product_id, bids_1..15,
+    * asks_1..15 with "volume@price" cells, null-padded to exactly 15 per
+    * side (SURVEY §0.1 #6 fixed) — plus exchange and sequence, which the
+    * reference encoded in the table NAME and dropped respectively. */
   def legacyFlatView(books: DataFrame): DataFrame = {
     val cells =
       (1 to 15).map(i => expr(
@@ -30,9 +32,20 @@ object Pipeline {
             THEN concat(asks[${i - 1}].size, '@', asks[${i - 1}].price)
             END""").as(s"asks_$i"))
     books.select(
-      (Seq(col("exchange"), col("productId").as("product_id"),
-        col("sequence")) ++ cells): _*)
+      (Seq(current_timestamp().as("server_datetime"), col("exchange"),
+        col("productId").as("product_id"), col("sequence")) ++ cells): _*)
   }
+
+  /** Trade-id dedup with the CORRECT key: exchange trade ids are
+    * per-product counters (an ETH-USD id can equal an ETH-EUR id), so the
+    * key is (exchange, productId, tradeId); and the id-less sentinel rows
+    * (tradeId = -1, e.g. truncated frames the decoder salvaged) pass
+    * through untouched — deduping on the sentinel would collapse distinct
+    * trades into one arbitrary row. */
+  private[graft] def dedupTradeIds[T](trades: Dataset[T]): Dataset[T] =
+    trades.filter(col("tradeId") =!= -1L)
+      .dropDuplicates("exchange", "productId", "tradeId")
+      .unionByName(trades.filter(col("tradeId") === -1L))
 
   /** Start the ingest pipeline for one exchange feed: a single stateful
     * pass whose micro-batches write to `<outDir>/inside_book` and
@@ -44,14 +57,15 @@ object Pipeline {
     * after a partial write is retried with the SAME batchId. Each write is
     * therefore partitioned by batch_id with dynamic partition overwrite:
     * the retry replaces exactly its own partition, never duplicating or
-    * touching earlier batches — exactly-once at the table level. */
-  /** Start the full ingest pipeline. `useTransformWithState` switches the
-    * engine to the transformWithState/RocksDB path (the production state
-    * backend for large key × large book regimes) — the caller's session
-    * must set `spark.sql.streaming.stateStore.providerClass` to the
-    * RocksDB provider first; the default flatMapGroupsWithState path runs
-    * on any provider and has a batch fallback. Both run the same pure
-    * processKey core (golden-tested against each other). */
+    * touching earlier batches — exactly-once at the table level.
+    *
+    * `useTransformWithState` switches the engine to the
+    * transformWithState/RocksDB path (the production state backend for
+    * large key × large book regimes) — the caller's session must set
+    * `spark.sql.streaming.stateStore.providerClass` to the RocksDB
+    * provider first; the default flatMapGroupsWithState path runs on any
+    * provider and has a batch fallback. Both run the same pure processKey
+    * core (golden-tested against each other). */
   def start(frames: DataFrame, decode: DataFrame => Dataset[MarketMessage],
       outDir: String, checkpointDir: String,
       fetcher: Option[graft.sources.Backfill.TradeFetcher] = None,
@@ -96,7 +110,7 @@ object Pipeline {
     val merged = fetcher match {
       case Some(f) => // op 22-23: fill flagged gaps, merge, dedup
         graft.sources.Backfill.reconcileBatch(spark, trades, f)
-      case None => trades.dropDuplicates("exchange", "tradeId")
+      case None => dedupTradeIds(trades)
     }
     merged.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
@@ -120,17 +134,25 @@ object Pipeline {
     * batch_id partition into one file (hash-clustered so a partition's
     * rows land in a single task) via dynamic partition overwrite — the
     * same idempotent mechanism as the sink itself, so a crashed compaction
-    * is simply re-run. Run out-of-band against partitions older than the
-    * active trigger.
+    * is simply re-run.
+    *
+    * `upToBatchId` bounds the rewrite to partitions the stream has moved
+    * past: a live deployment passes lastCommittedBatch - 1 so compaction
+    * can never race the sink's own retry of the ACTIVE partition (two
+    * writers interleaving delete/rename in one directory is exactly the
+    * corruption the batch_id isolation exists to prevent). The default
+    * rewrites everything — only safe for a stopped or offline table.
     *
     * The table is materialized (lineage cut) before the overwrite because
     * Spark refuses to overwrite a path it is still reading from; on a real
     * cluster with huge partitions, write to a temp location and rename
     * instead. */
-  def compact(spark: SparkSession, tableDir: String): Unit = {
-    val df = spark.read.parquet(tableDir)
-    require(df.columns.contains("batch_id"),
+  def compact(spark: SparkSession, tableDir: String,
+      upToBatchId: Long = Long.MaxValue): Unit = {
+    val all = spark.read.parquet(tableDir)
+    require(all.columns.contains("batch_id"),
       s"$tableDir is not a batch_id-partitioned sink table")
+    val df = all.filter(col("batch_id") <= upToBatchId)
     val nParts = df.select("batch_id").distinct().count().toInt.max(1)
     df.repartition(nParts, col("batch_id"))
       .localCheckpoint(eager = true)

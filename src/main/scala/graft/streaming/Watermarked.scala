@@ -26,15 +26,23 @@ object Watermarked {
     * evicted once the watermark passes it, so state stays bounded by the
     * id-arrival horizon, not the stream length. */
   def dedupTrades(trades: Dataset[TradeOut],
-      delay: String = "10 minutes"): Dataset[TradeOut] =
-    trades
+      delay: String = "10 minutes"): Dataset[TradeOut] = {
+    // Key includes productId — exchange trade ids are per-product counters
+    // — and the id-less sentinel (-1, decoder-salvaged truncated frames)
+    // bypasses the dedup: distinct id-less trades must not collapse.
+    val withId = trades.filter(col("tradeId") =!= -1L)
       .withWatermark("exchangeTs", delay)
-      .dropDuplicatesWithinWatermark("exchange", "tradeId")
+      .dropDuplicatesWithinWatermark("exchange", "productId", "tradeId")
+    withId.unionByName(
+      trades.filter(col("tradeId") === -1L).withWatermark("exchangeTs", delay))
+  }
 
   /** Per-product tumbling-window OHLCV candles over event time (§2.2
     * aggregation + streaming rows). Append mode: a candle is emitted once,
     * when the watermark passes its window end. Deterministic open/close via
-    * min_by/max_by on tradeId. */
+    * min_by/max_by on (event time, tradeId) — event time first, because
+    * ids are per-product counters and the id-less sentinel (-1) would
+    * otherwise always win "open" regardless of when it traded. */
   def ohlcvStream(trades: Dataset[TradeOut], width: String = "1 minute",
       delay: String = "10 minutes"): DataFrame =
     trades
@@ -44,10 +52,10 @@ object Watermarked {
       .groupBy(window(col("exchangeTs"), width),
         col("exchange"), col("productId"))
       .agg(
-        expr("min_by(p, tradeId)").as("open"),
+        expr("min_by(p, struct(exchangeTs, tradeId))").as("open"),
         max(col("p")).as("high"),
         min(col("p")).as("low"),
-        expr("max_by(p, tradeId)").as("close"),
+        expr("max_by(p, struct(exchangeTs, tradeId))").as("close"),
         sum(col("v")).as("volume"),
         count(lit(1)).as("n_trades"))
 

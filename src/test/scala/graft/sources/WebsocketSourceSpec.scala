@@ -179,7 +179,8 @@ class WebsocketSourceSpec extends AnyFunSuite {
     assert(books.count() === 2 && trades.count() === 2)
 
     val flat = Pipeline.legacyFlatView(books)
-    assert(flat.columns.length === 33) // exchange, product_id, sequence + 30 cells
+    assert(flat.columns.length === 34) // server_datetime, exchange, product_id, sequence + 30 cells
+    assert(flat.columns.head === "server_datetime")
     val row = flat.orderBy("sequence").collect().last
     assert(row.getAs[String]("bids_1") === "2.0@300.12")
     assert(row.getAs[String]("bids_2") === "1.5@300.10")

@@ -85,8 +85,12 @@ class CheckpointRestartSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$outDir/trades").count() === tradesOnce * 2)
 
     // op 7 migrator over the sink: idempotent, never destructive — the
-    // reference re-ran DROP+CREATE on every worker restart (§0.1 #4)
-    Migrator.ensureTables(spark, "test_ex", outDir)
+    // reference re-ran DROP+CREATE on every worker restart (§0.1 #4).
+    // Before any data exists, registration defers instead of crashing on
+    // schema inference (first-startup ordering).
+    assert(Migrator.ensureTables(spark,
+      "fresh_ex", s"$outDir/__nonexistent__").isEmpty)
+    assert(Migrator.ensureTables(spark, "test_ex", outDir).size === 2)
     val viaTable = spark.table("test_ex_trades").count()
     assert(viaTable === tradesOnce * 2)
     Migrator.ensureTables(spark, "test_ex", outDir) // restart: no-op

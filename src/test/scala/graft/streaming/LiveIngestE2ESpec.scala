@@ -147,4 +147,12 @@ class LiveIngestE2ESpec extends AnyFunSuite {
       }
     }
   }
+
+  test("adapter subscribe payloads are single-line (the source splits the option on newline)") {
+    for (ex <- Seq("gdax", "polo"); p <- LiveIngest.adapter(ex)._2) {
+      assert(!p.contains("\n"), s"$ex payload would fragment on the wire: $p")
+      // and each payload is one complete JSON object
+      assert(p.trim.startsWith("{") && p.trim.endsWith("}"))
+    }
+  }
 }

@@ -39,6 +39,21 @@ class OrderBookSpec extends AnyFunSuite {
     assert(asks === Seq(Level("300.25", "3.1"), Level("300.40", "1.0")))
   }
 
+  test("null cells, null level lists, null side: dropped, never NPE") {
+    // BigDecimal(null) throws NPE, not NumberFormatException — a truncated
+    // frame decoding to null cells must drop the level/change, not kill
+    // the stream (the crash class the decoder fuzz documents as fixed)
+    val b = installSnapshot(
+      Seq(Seq("300.10", "1.5"), Seq(null, "2.0"), Seq("300.05", null), null),
+      null)
+    assert(b.bids.size === 1 && b.asks.isEmpty)
+    assert(applyChange(b, null, "300.10", "0") === b)    // null side: dropped
+    assert(applyChange(b, "sell", null, "1") === b)      // null price: dropped
+    assert(applyChange(b, "buy", "300.10", null) === b)  // null size: dropped
+    // and an unknown side must not silently mutate the ASK book
+    assert(applyChange(b, "bid", "1.00", "1.0") === b)
+  }
+
   test("thin book: topK returns actual depth (no IndexError analogue, §0.1 #6)") {
     val b = installSnapshot(Seq(Seq("1.00", "1")), Seq.empty)
     val (bids, asks) = topK(b)

@@ -56,6 +56,39 @@ class WatermarkedSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupTrades: ids are per-product — a cross-product id collision survives; id-less rows pass through") {
+    val input = MemoryStream[TradeOut]
+    val q = Watermarked.dedupTrades(input.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("wm_dedup_prod").start()
+    try {
+      input.addData(
+        trade(7, "2017-10-15 05:10:00", "300.10", "1.0", product = "ETH-USD"),
+        trade(7, "2017-10-15 05:10:01", "0.05", "9.0", product = "ETH-EUR"),
+        // two DISTINCT id-less salvaged trades: must both survive
+        trade(-1, "2017-10-15 05:10:02", "1.00", "1.0"),
+        trade(-1, "2017-10-15 05:10:03", "2.00", "2.0"))
+      q.processAllAvailable()
+      val rows = spark.table("wm_dedup_prod").as[TradeOut].collect()
+      assert(rows.count(_.tradeId == 7L) === 2,
+        "cross-product id collision must not dedup")
+      assert(rows.count(_.tradeId == -1L) === 2,
+        "id-less sentinel rows must pass through")
+    } finally q.stop()
+  }
+
+  test("ohlcvStream: the id-less sentinel cannot steal 'open' — ordering is event time first") {
+    val rows = runAppend("wm_ohlcv_sentinel")(ds => Watermarked.ohlcvStream(ds,
+      width = "1 minute", delay = "0 seconds"))(
+      Seq(
+        trade(100, "2017-10-15 05:10:05", "300.10", "1.0"),
+        // id-less trade LATER in the window: must be close, never open
+        trade(-1, "2017-10-15 05:10:50", "299.00", "0.5")),
+      Seq(trade(101, "2017-10-15 05:12:00", "301.00", "1.0")))
+    assert(rows.length === 1)
+    assert(rows.head.getAs[java.math.BigDecimal]("open").doubleValue() === 300.10)
+    assert(rows.head.getAs[java.math.BigDecimal]("close").doubleValue() === 299.00)
+  }
+
   test("ohlcvStream emits one finalized candle per window with min_by/max_by open/close") {
     val rows = runAppend("wm_ohlcv")(ds => Watermarked.ohlcvStream(ds,
       width = "1 minute", delay = "0 seconds"))(
