@@ -71,10 +71,12 @@ object Multimodal {
   def resize(media: Dataset[MediaRow], width: Int, height: Int,
       decoder: MediaDecoder = FakeDecoder): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    val target = width * height
+    require(width > 0 && height > 0,
+      s"resize: dimensions must be positive, got ${width}x$height")
+    val target = math.multiplyExact(width, height) // overflow → loud, not 0
     media.mapPartitions { rows =>
       rows.map { r =>
-        val out = new Array[Byte](math.min(target, math.max(1, target)))
+        val out = new Array[Byte](target)
         var i = 0
         while (i < out.length) {
           out(i) = if (r.payload.isEmpty) 0
@@ -110,17 +112,24 @@ object Multimodal {
     * MultimodalQueries. Real plumbing: one "model" per partition, output
     * is ARRAY<DOUBLE> ready for the vec_dot / LSH / IVF similarity
     * operators. */
+  /** The shared byte-sum fold both feature paths run — ONE definition, so
+    * the normalized and raw variants can never silently diverge. */
+  private def byteSums(payload: Array[Byte], dim: Int): Array[Double] = {
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < payload.length) {
+      v(i % dim) += (payload(i) & 0xff)
+      i += 1
+    }
+    v
+  }
+
   def features(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition "model init" happens here (amortized across rows)
       rows.map { r =>
-        val v = new Array[Double](dim)
-        var i = 0
-        while (i < r.payload.length) {
-          v(i % dim) += (r.payload(i) & 0xff)
-          i += 1
-        }
+        val v = byteSums(r.payload, dim)
         val norm = math.sqrt(v.map(x => x * x).sum)
         MediaFeature(r.media_id,
           if (norm == 0) v else v.map(_ / norm))
@@ -135,15 +144,7 @@ object Multimodal {
   def featuresRaw(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.map { r =>
-        val v = new Array[Double](dim)
-        var i = 0
-        while (i < r.payload.length) {
-          v(i % dim) += (r.payload(i) & 0xff)
-          i += 1
-        }
-        MediaFeature(r.media_id, v)
-      }
+      rows.map(r => MediaFeature(r.media_id, byteSums(r.payload, dim)))
     }
   }
 

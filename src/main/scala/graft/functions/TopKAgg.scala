@@ -16,14 +16,21 @@ import org.apache.spark.sql.expressions.Aggregator
   * the window formulation exactly (duplicates retained, descending).
   */
 case class TopKAgg(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
+  require(k > 0, s"TopKAgg: k must be positive, got $k")
+
+  // Total order with NaN largest — the same order Spark's ORDER BY DESC
+  // window uses, so the two formulations agree even on NaN inputs (the
+  // primitive `v > buf.last` is false for NaN and would drop it).
+  private val total = Ordering.Double.TotalOrdering
+
   private def trim(s: Seq[Double]): Seq[Double] =
-    s.sorted(Ordering[Double].reverse).take(k)
+    s.sorted(total.reverse).take(k)
 
   override def zero: Seq[Double] = Seq.empty
 
   override def reduce(buf: Seq[Double], v: Double): Seq[Double] =
     if (buf.size < k) trim(buf :+ v)
-    else if (v > buf.last) trim(buf :+ v)
+    else if (total.gt(v, buf.last)) trim(buf :+ v)
     else buf
 
   override def merge(a: Seq[Double], b: Seq[Double]): Seq[Double] =

@@ -39,13 +39,28 @@ case class VecDot(left: Expression, right: Expression)
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
   }
 
+  // Result can be NULL even for non-null array inputs (length mismatch or
+  // a null element — the same cases where the aggregate(zip_with) form
+  // yields NULL; silently truncating or reading a null slot as 0.0 would
+  // be a wrong number, not an error).
+  override def nullable: Boolean = true
+
+  /** Static skip: only emit per-element null checks when either child's
+    * element type admits nulls. */
+  private lazy val mayHaveNullElements: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, n1), ArrayType(_, n2)) => n1 || n2
+    case _ => true
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (mayHaveNullElements && (x.isNullAt(i) || y.isNullAt(i))) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -57,13 +72,22 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val elemNullCheck =
+        if (mayHaveNullElements)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $s += $a.getDouble($i) * $b.getDouble($i);
+        int $n = $a.numElements();
+        if ($b.numElements() != $n) {
+          ${ev.isNull} = true;
+        } else {
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $elemNullCheck
+            $s += $a.getDouble($i) * $b.getDouble($i);
+          }
+          if (!${ev.isNull}) ${ev.value} = $s;
         }
-        ${ev.value} = $s;
       """
     })
 

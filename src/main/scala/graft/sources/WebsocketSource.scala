@@ -162,10 +162,17 @@ private[sources] class WebsocketMicroBatchStream(
     * fallback wrapper snapshots offsets itself and bypasses the
     * maxFramesPerTrigger admission control (one giant batch). */
   private var availableNowCap: Option[Long] = None
+  private var capAtFirstLatest = false
 
+  /** The snapshot is DEFERRED to the first latestOffset call: prepare runs
+    * before any engine-supplied start offset has re-anchored `base` via
+    * trimBelow, so pumping here on a live restart after a full commit
+    * (WAL pruned, base restored to 0) would number fresh frames from 0
+    * and the first trim would swallow them as already-committed — the
+    * exact pump-before-trim hazard latestOffset's ordering exists to
+    * avoid. */
   override def prepareForTriggerAvailableNow(): Unit = synchronized {
-    pump()
-    availableNowCap = Some(base + buffer.size())
+    capAtFirstLatest = true
   }
 
   // With SupportsAdmissionControl the engine always calls the 2-arg variant.
@@ -185,6 +192,10 @@ private[sources] class WebsocketMicroBatchStream(
       // frames regain their file positions, then trim the committed prefix.
       if (isLive) { trimBelow(s); pump() }
       else { pump(); trimBelow(s) }
+      if (capAtFirstLatest) { // AvailableNow snapshot, post-anchor
+        availableNowCap = Some(base + buffer.size())
+        capAtFirstLatest = false
+      }
       val cap = limit match {
         case r: ReadMaxRows => r.maxRows()
         case _              => maxPerTrigger
@@ -287,32 +298,69 @@ private[sources] class FrameWal(checkpointLocation: String) {
       .sortBy(_.getName).toSeq
   }
 
+  // One frame per line, ESCAPED: a websocket text frame may legally
+  // contain raw newlines (pretty-printed JSON) or be empty — unescaped,
+  // either corrupts the chunk's line count and wedges every restart.
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\n", "\\n").replace("\r", "\\r")
+  private def unesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n'   => b.append('\n'); i += 2
+          case 'r'   => b.append('\r'); i += 2
+          case '\\'  => b.append('\\'); i += 2
+          case other => b.append(c).append(other); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   /** All surviving frames in offset order, plus the absolute offset of the
     * first one (after pruning the log no longer starts at 0). Verifies the
     * surviving chunks are contiguous — a gap means the WAL was corrupted
-    * and replaying past it would silently misnumber frames. */
+    * and replaying past it would silently misnumber frames. A SHORT final
+    * chunk is a torn last append (crash mid-write): those frames were
+    * never exposed through latestOffset, so the torn tail is dropped and
+    * recovery proceeds — if the checkpoint somehow references them anyway,
+    * planInputPartitions still refuses. Any other count mismatch throws. */
   def readAll(): (Long, Seq[String]) = {
     val cs = chunks()
     if (cs.isEmpty) return (0L, Seq.empty)
     var first = -1L
     var expected = -1L
     val frames = Seq.newBuilder[String]
-    cs.foreach { p =>
+    cs.zipWithIndex.foreach { case (p, ci) =>
       val (start, count) = span(p.getName)
       if (first < 0) { first = start; expected = start }
       if (start != expected)
         throw new IllegalStateException(
           s"frame WAL gap: chunk starts at $start, expected $expected ($p)")
       val in = fs.open(p)
-      val lines =
-        try new String(in.readAllBytes(), UTF_8)
-          .split('\n').toSeq.filter(_.nonEmpty)
-        finally in.close()
-      if (lines.size != count)
+      val content = try new String(in.readAllBytes(), UTF_8) finally in.close()
+      // every complete line ends with '\n'; a torn write's partial last
+      // line (no terminator) is excluded by the dropRight below
+      val lines = content.split("\n", -1).toSeq.dropRight(1)
+      if (lines.size < count && ci == cs.size - 1) {
+        // torn final append: unexposed tail — drop it, and REWRITE the
+        // chunk under its true count so the next restart's contiguity
+        // check doesn't see the over-claiming name
+        val recovered = lines.map(unesc)
+        fs.delete(p, false)
+        if (recovered.nonEmpty) append(start, recovered)
+        frames ++= recovered
+        expected = start + recovered.size
+      } else if (lines.size != count) {
         throw new IllegalStateException(
           s"frame WAL chunk $p holds ${lines.size} frames, name says $count")
-      frames ++= lines
-      expected = start + count
+      } else {
+        frames ++= lines.map(unesc)
+        expected = start + count
+      }
     }
     (first, frames.result())
   }
@@ -320,7 +368,7 @@ private[sources] class FrameWal(checkpointLocation: String) {
   def append(startIdx: Long, frames: Seq[String]): Unit = {
     val p = new Path(dir, f"chunk-$startIdx%020d-${frames.size}")
     val out = fs.create(p, false)
-    try out.write(frames.mkString("", "\n", "\n").getBytes(UTF_8))
+    try out.write(frames.map(esc).mkString("", "\n", "\n").getBytes(UTF_8))
     finally out.close()
   }
 
@@ -364,6 +412,7 @@ private[sources] class JdkWebsocketClient(url: String,
     subscribePayloads: Seq[String],
     truststore: Option[(String, String)] = None) extends FrameClient {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[JdkWebsocketClient])
   private val queue = new ConcurrentLinkedQueue[String]()
   @volatile private var closed = false
   @volatile private var ws: WebSocket = _
@@ -398,9 +447,19 @@ private[sources] class JdkWebsocketClient(url: String,
   }
 
   private def connectOnce(): Unit = {
-    ws = http.newWebSocketBuilder()
+    val w = http.newWebSocketBuilder()
       .buildAsync(URI.create(url), new Listener).join()
-    subscribePayloads.foreach(p => ws.sendText(p, true).join())
+    // a failed subscribe must not leak the just-opened socket into a
+    // retry: two live connections would both feed the queue (duplicates)
+    try subscribePayloads.foreach(p => w.sendText(p, true).join())
+    catch { case e: Throwable =>
+      try w.abort() catch { case _: Exception => () }
+      throw e
+    }
+    ws = w
+    // close() may have run between our loop check and here — don't leave
+    // a freshly subscribed socket alive past stop()
+    if (closed) try w.abort() catch { case _: Exception => () }
   }
 
   // Shared latch: counted down on close(), so a reconnect loop mid-backoff
@@ -414,7 +473,11 @@ private[sources] class JdkWebsocketClient(url: String,
       while (!ok && !closed) {
         try { connectOnce(); ok = true }
         catch {
-          case _: Exception =>
+          case e: Exception =>
+            // surface every failed attempt: a permanent error (bad URL,
+            // DNS, TLS) must not look like a healthy zero-row stream
+            log.warn(s"websocket connect to $url failed, " +
+              s"retrying in ${backoffMs} ms: $e")
             closeLatch.await(backoffMs, TimeUnit.MILLISECONDS)
             backoffMs = math.min(backoffMs * 2, 30000L)
         }

@@ -31,7 +31,9 @@ class VectorExprsSpec extends AnyFunSuite {
     }
   }
 
-  test("vec_dot: null input yields null; length mismatch folds the shorter prefix") {
+  test("vec_dot: null input, null element, and length mismatch all yield NULL") {
+    // the same cases where the aggregate(zip_with) formulation yields NULL
+    // — truncating or reading a null slot as 0.0 would be a wrong NUMBER
     val r1 = spark.sql(
       "SELECT vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D))")
       .collect().head
@@ -39,7 +41,11 @@ class VectorExprsSpec extends AnyFunSuite {
     val r2 = spark.sql(
       "SELECT vec_dot(array(1.0D, 2.0D, 99.0D), array(10.0D, 20.0D))")
       .collect().head
-    assert(r2.getDouble(0) === 50.0)
+    assert(r2.isNullAt(0), "length mismatch must be NULL, not a truncated fold")
+    val r3 = spark.sql(
+      "SELECT vec_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(10.0D, 20.0D))")
+      .collect().head
+    assert(r3.isNullAt(0), "a null element must be NULL, not read as 0.0")
   }
 
   test("vec_dot rejects non-double-array inputs at analysis") {

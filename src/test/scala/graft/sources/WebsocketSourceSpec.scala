@@ -149,10 +149,12 @@ class WebsocketSourceSpec extends AnyFunSuite {
     java.nio.file.Files.delete(walDir.resolve(f"chunk-${2}%020d-1"))
     val ex = intercept[IllegalStateException] { new FrameWal(ckpt).readAll() }
     assert(ex.getMessage.contains("gap"))
-    // a chunk whose content was truncated is also refused
+    // an INTERIOR chunk whose content was truncated is also refused —
+    // its frames were exposed, so silently dropping them would misnumber
     val ckpt2 = Files.createTempDirectory("wal_trunc_ckpt").toString
     val w2 = new FrameWal(ckpt2)
     w2.append(0, Seq("g0", "g1"))
+    w2.append(2, Seq("g2"))
     val chunk = java.nio.file.Paths.get(ckpt2, "graft-frame-wal")
       .resolve(f"chunk-${0}%020d-2")
     java.nio.file.Files.write(chunk, "g0\n".getBytes)
@@ -162,6 +164,34 @@ class WebsocketSourceSpec extends AnyFunSuite {
       chunk.getParent.resolve(s".${chunk.getFileName}.crc"))
     val ex2 = intercept[IllegalStateException] { new FrameWal(ckpt2).readAll() }
     assert(ex2.getMessage.contains("name says 2"))
+  }
+
+  test("frame WAL: a torn FINAL append recovers the intact prefix, and rewrites the chunk") {
+    // crash mid-append: the last chunk holds fewer complete lines than its
+    // name claims; those frames were never exposed via latestOffset, so
+    // recovery drops the torn tail instead of wedging every restart
+    val ckpt = Files.createTempDirectory("wal_torn_ckpt").toString
+    val w = new FrameWal(ckpt)
+    w.append(0, Seq("h0", "h1"))
+    w.append(2, Seq("h2", "h3"))
+    val torn = java.nio.file.Paths.get(ckpt, "graft-frame-wal")
+      .resolve(f"chunk-${2}%020d-2")
+    java.nio.file.Files.write(torn, "h2\nh3-par".getBytes) // partial last line
+    java.nio.file.Files.deleteIfExists(
+      torn.getParent.resolve(s".${torn.getFileName}.crc"))
+    assert(new FrameWal(ckpt).readAll() === ((0L, Seq("h0", "h1", "h2"))))
+    // the over-claiming name was rewritten: a SECOND restart is clean too
+    assert(new FrameWal(ckpt).readAll() === ((0L, Seq("h0", "h1", "h2"))))
+  }
+
+  test("frame WAL: frames with raw newlines and empty frames round-trip (escaped)") {
+    // pretty-printed JSON frames and empty text frames are legal websocket
+    // frames; unescaped they would corrupt the chunk line count
+    val ckpt = Files.createTempDirectory("wal_esc_ckpt").toString
+    val w = new FrameWal(ckpt)
+    val frames = Seq("{\n  \"a\": 1\n}", "", "literal\\n backslash", "cr\rlf\n")
+    w.append(0, frames)
+    assert(new FrameWal(ckpt).readAll() === ((0L, frames)))
   }
 
   test("pipeline sinks: parquet tables + legacy 32-col view + csv export") {
