@@ -21,10 +21,11 @@ object DedupQueries {
   private val B = 4  // LSH bands
   private val R = 4  // minhash rows per band
 
-  /** Staged intermediates of the near-dup pipeline (see [[Staged]]):
-    * LSH candidates → Jaccard-verified pairs, and the SimHash fingerprint
-    * table — each materialized once per session and shared by every
-    * consumer query. */
+  // Staged intermediates of the near-dup pipeline (see Staged): shingles →
+  // LSH candidates → Jaccard-verified pairs, plus the SimHash fingerprint
+  // table — each materialized once per session and shared by every
+  // consumer query.
+
   /** Stage 0: RAW (doc_id, shingle) — one corpus explode, NO corpus-wide
     * dedup. The MinHash fold is duplicate-insensitive (min over repeats ==
     * min over the set), and the duplicate-sensitive Jaccard verify dedups

@@ -142,7 +142,14 @@ object MultimodalQueries {
         SELECT media_id, (i - 1) % 16 AS d,
                ord(substr(text, CAST(i AS INT), 1)) AS byte
         FROM b),
-      f AS (SELECT media_id, d, sum(byte) AS fd FROM by_pos GROUP BY 1, 2),
+      sums AS (SELECT media_id, d, sum(byte) AS fd FROM by_pos GROUP BY 1, 2),
+      -- dims-complete: every doc gets all 16 dims (0 where no bytes land),
+      -- exactly like the Spark side's zero-initialized array — a doc with
+      -- short or EMPTY text must not vanish from the pair set
+      f AS (SELECT m.doc_id AS media_id, dims.d, coalesce(s.fd, 0) AS fd
+            FROM documents m
+            CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS d) dims
+            LEFT JOIN sums s ON s.media_id = m.doc_id AND s.d = dims.d),
       q AS (SELECT * FROM f WHERE media_id % 20 = 0),
       dots AS (
         SELECT q.media_id AS query_id, c.media_id AS neighbor_id,

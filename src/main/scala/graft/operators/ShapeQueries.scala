@@ -93,9 +93,11 @@ object ShapeQueries {
   val cohortRetention = QueryDef(
     "cohort_retention",
     (spark, dir) => {
-      // week stays a TIMESTAMP on both sides: a DATE column reaches the
-      // driver's pandas compare as datetime64 from DuckDB but as python
-      // date from Spark parquet — same value, different string, hash diff
+      // wk must NOT be cast to DATE on the Spark side: Spark parquet DATE
+      // reaches the driver's pandas compare as python date ("2024-01-01")
+      // while DuckDB's week-trunc (a DATE) arrives as datetime64
+      // ("2024-01-01 00:00:00") — Spark's TIMESTAMP_NTZ is what matches
+      // the datetime64 stringification
       val uw = Tables.events(spark, dir)
         .select(col("user_id"),
           date_trunc("week", col("ts")).as("wk"))
