@@ -119,12 +119,17 @@ object MultimodalQueries {
     (spark, dir) => {
       graft.functions.VectorExprs.register(spark)
       import org.apache.spark.sql.expressions.Window
-      val feats = Multimodal.featuresRaw(media(spark, dir), dim = 16).toDF()
-        .select(col("media_id"), col("embedding").as("f"))
-      val q = broadcast(feats.filter(col("media_id") % 20 === 0)
-        .select(col("media_id").as("query_id"), col("f").as("qf")))
-      val c = feats.select(col("media_id").as("neighbor_id"),
-        col("f").as("cf"))
+      val m = media(spark, dir)
+      // the query-side filter runs BEFORE the typed extractor — a
+      // mapPartitions blocks Catalyst's own pushdown, so left after it the
+      // query side would feature-extract the whole corpus just to keep
+      // 1/20th; candidates scan the corpus exactly once
+      val q = broadcast(
+        Multimodal.featuresRaw(m.filter(col("media_id") % 20 === 0), dim = 16)
+          .toDF()
+          .select(col("media_id").as("query_id"), col("embedding").as("qf")))
+      val c = Multimodal.featuresRaw(m, dim = 16).toDF()
+        .select(col("media_id").as("neighbor_id"), col("embedding").as("cf"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("dot").desc, col("neighbor_id"))
       q.join(c, col("query_id") =!= col("neighbor_id"))
