@@ -104,14 +104,6 @@ object Multimodal {
     }
   }
 
-  /** Feature extraction: payload → fixed-dim embedding. STUB features
-    * (dim d = sum of byte values at positions ≡ d mod dim, L2-normalized)
-    * — deterministic AND oracle-expressible: the per-dim sums are exact
-    * integers, their squares sum exactly in doubles, so the normalized
-    * vector is bit-identical to the DuckDB formulation in
-    * MultimodalQueries. Real plumbing: one "model" per partition, output
-    * is ARRAY<DOUBLE> ready for the vec_dot / LSH / IVF similarity
-    * operators. */
   /** The shared byte-sum fold both feature paths run — ONE definition, so
     * the normalized and raw variants can never silently diverge. */
   private def byteSums(payload: Array[Byte], dim: Int): Array[Double] = {
@@ -124,6 +116,14 @@ object Multimodal {
     v
   }
 
+  /** Feature extraction: payload → fixed-dim embedding. STUB features
+    * (dim d = sum of byte values at positions ≡ d mod dim, L2-normalized)
+    * — deterministic AND oracle-expressible: the per-dim sums are exact
+    * integers, their squares sum exactly in doubles, so the normalized
+    * vector is bit-identical to the DuckDB formulation in
+    * MultimodalQueries. Real plumbing: one "model" per partition, output
+    * is ARRAY<DOUBLE> ready for the vec_dot / LSH / IVF similarity
+    * operators. */
   def features(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>

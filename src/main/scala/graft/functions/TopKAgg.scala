@@ -28,10 +28,15 @@ case class TopKAgg(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] 
 
   override def zero: Seq[Double] = Seq.empty
 
-  override def reduce(buf: Seq[Double], v: Double): Seq[Double] =
-    if (buf.size < k) trim(buf :+ v)
-    else if (total.gt(v, buf.last)) trim(buf :+ v)
+  override def reduce(buf: Seq[Double], v: Double): Seq[Double] = {
+    // canonicalize -0.0 → 0.0: Spark's sort treats them EQUAL (and breaks
+    // the tie arbitrarily), while TotalOrdering ranks them — emitting the
+    // canonical zero is the one choice value-identical under both
+    val nv = if (v == 0.0) 0.0 else v
+    if (buf.size < k) trim(buf :+ nv)
+    else if (total.gt(nv, buf.last)) trim(buf :+ nv)
     else buf
+  }
 
   override def merge(a: Seq[Double], b: Seq[Double]): Seq[Double] =
     trim(a ++ b)

@@ -301,6 +301,12 @@ private[sources] class FrameWal(checkpointLocation: String) {
   // One frame per line, ESCAPED: a websocket text frame may legally
   // contain raw newlines (pretty-printed JSON) or be empty — unescaped,
   // either corrupts the chunk's line count and wedges every restart.
+  // The escape format is marked by a `format-v2` file: chunks written by
+  // the pre-escape build are read verbatim (running unesc on them would
+  // corrupt frames containing literal backslash sequences — any JSON
+  // string escape).
+  private val v2Marker = new Path(dir, "format-v2")
+
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\n", "\\n").replace("\r", "\\r")
   private def unesc(s: String): String = {
@@ -331,6 +337,7 @@ private[sources] class FrameWal(checkpointLocation: String) {
   def readAll(): (Long, Seq[String]) = {
     val cs = chunks()
     if (cs.isEmpty) return (0L, Seq.empty)
+    val v2 = fs.exists(v2Marker)
     var first = -1L
     var expected = -1L
     val frames = Seq.newBuilder[String]
@@ -343,9 +350,12 @@ private[sources] class FrameWal(checkpointLocation: String) {
       val in = fs.open(p)
       val content = try new String(in.readAllBytes(), UTF_8) finally in.close()
       // every complete line ends with '\n'; a torn write's partial last
-      // line (no terminator) is excluded by the dropRight below
-      val lines = content.split("\n", -1).toSeq.dropRight(1)
-      if (lines.size < count && ci == cs.size - 1) {
+      // line (no terminator) is excluded by the dropRight below. Legacy
+      // (pre-marker) chunks were written unescaped and never empty-lined.
+      val lines =
+        if (v2) content.split("\n", -1).toSeq.dropRight(1)
+        else content.split('\n').toSeq.filter(_.nonEmpty)
+      if (v2 && lines.size < count && ci == cs.size - 1) {
         // torn final append: unexposed tail — drop it, and REWRITE the
         // chunk under its true count so the next restart's contiguity
         // check doesn't see the over-claiming name
@@ -358,14 +368,26 @@ private[sources] class FrameWal(checkpointLocation: String) {
         throw new IllegalStateException(
           s"frame WAL chunk $p holds ${lines.size} frames, name says $count")
       } else {
-        frames ++= lines.map(unesc)
+        frames ++= (if (v2) lines.map(unesc) else lines)
         expected = start + count
       }
     }
-    (first, frames.result())
+    val out = frames.result()
+    if (!v2) {
+      // one-time migration: rewrite the legacy tail as a single escaped
+      // chunk + marker, so subsequent appends never mix formats in one WAL
+      cs.foreach(fs.delete(_, false))
+      if (out.nonEmpty) append(first, out)
+      else try fs.create(v2Marker, false).close()
+        catch { case _: java.io.IOException => () }
+    }
+    (first, out)
   }
 
   def append(startIdx: Long, frames: Seq[String]): Unit = {
+    if (!fs.exists(v2Marker))
+      try fs.create(v2Marker, false).close()
+      catch { case _: java.io.IOException => () } // concurrent creator: fine
     val p = new Path(dir, f"chunk-$startIdx%020d-${frames.size}")
     val out = fs.create(p, false)
     try out.write(frames.map(esc).mkString("", "\n", "\n").getBytes(UTF_8))

@@ -26,18 +26,42 @@ object Migrator {
   def ensureTables(spark: SparkSession, exchange: String,
       outDir: String): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
+    // Spark's file index ignores _/.-prefixed paths, so a part file under
+    // an in-flight _temporary dir must not count as data — CREATE TABLE
+    // over only-temporary files still fails schema inference.
+    def visibleUnder(base: org.apache.hadoop.fs.Path,
+        p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null && cur != base) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return false
+        cur = cur.getParent
+      }
+      true
+    }
     def hasParquet(location: String): Boolean =
       try {
         val p = new org.apache.hadoop.fs.Path(location)
         val fs = p.getFileSystem(conf)
-        fs.exists(p) && {
-          val it = fs.listFiles(p, true)
+        val qualified = fs.makeQualified(p)
+        fs.exists(qualified) && {
+          val it = fs.listFiles(qualified, true)
           var found = false
-          while (!found && it.hasNext)
-            found = it.next().getPath.getName.endsWith(".parquet")
+          while (!found && it.hasNext) {
+            val f = it.next().getPath
+            found = f.getName.endsWith(".parquet") &&
+              visibleUnder(qualified, f)
+          }
           found
         }
-      } catch { case scala.util.control.NonFatal(_) => false }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // deferral must be visible: a permanent FS failure (bad URI,
+          // credentials) must not silently read as "no data yet"
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"Migrator: cannot probe $location, deferring: $e")
+          false
+      }
     Seq(s"${exchange}_inside_book" -> s"$outDir/inside_book",
         s"${exchange}_trades" -> s"$outDir/trades").collect {
       case (table, location) if hasParquet(location) =>

@@ -38,14 +38,23 @@ object Pipeline {
 
   /** Trade-id dedup with the CORRECT key: exchange trade ids are
     * per-product counters (an ETH-USD id can equal an ETH-EUR id), so the
-    * key is (exchange, productId, tradeId); and the id-less sentinel rows
-    * (tradeId = -1, e.g. truncated frames the decoder salvaged) pass
-    * through untouched — deduping on the sentinel would collapse distinct
-    * trades into one arbitrary row. */
-  private[graft] def dedupTradeIds[T](trades: Dataset[T]): Dataset[T] =
-    trades.filter(col("tradeId") =!= -1L)
-      .dropDuplicates("exchange", "productId", "tradeId")
-      .unionByName(trades.filter(col("tradeId") === -1L))
+    * key is (exchange, productId, tradeId); the id-less sentinel rows
+    * (tradeId = -1, e.g. truncated frames the decoder salvaged) extend the
+    * key with a content surrogate — distinct salvaged trades never
+    * collapse, exact replays still dedup. One pass over the input (no
+    * filter/union plan duplication). */
+  private[graft] def dedupTradeIds(
+      trades: Dataset[graft.model.TradeOut]): Dataset[graft.model.TradeOut] =
+    trades
+      .withColumn("__idless_key",
+        when(col("tradeId") === -1L,
+          concat_ws("|", col("sequence"), col("price"), col("volume"),
+            col("side")))
+          .otherwise(lit("")))
+      .dropDuplicates("exchange", "productId", "tradeId", "__idless_key")
+      .drop("__idless_key")
+      .as[graft.model.TradeOut](
+        org.apache.spark.sql.Encoders.product[graft.model.TradeOut])
 
   /** Start the ingest pipeline for one exchange feed: a single stateful
     * pass whose micro-batches write to `<outDir>/inside_book` and

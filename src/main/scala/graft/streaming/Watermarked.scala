@@ -27,22 +27,37 @@ object Watermarked {
     * id-arrival horizon, not the stream length. */
   def dedupTrades(trades: Dataset[TradeOut],
       delay: String = "10 minutes"): Dataset[TradeOut] = {
-    // Key includes productId — exchange trade ids are per-product counters
-    // — and the id-less sentinel (-1, decoder-salvaged truncated frames)
-    // bypasses the dedup: distinct id-less trades must not collapse.
-    val withId = trades.filter(col("tradeId") =!= -1L)
+    // Key includes productId — exchange trade ids are per-product counters.
+    // The id-less sentinel (-1, decoder-salvaged truncated frames) gets a
+    // CONTENT surrogate key, so distinct salvaged trades never collapse
+    // while an exact replay of the same frame still dedups. ONE pass —
+    // a filter/union split would instantiate the upstream plan (often the
+    // stateful engine) twice: double state, double compute, and a
+    // different stateful-operator layout than existing checkpoints.
+    import trades.sparkSession.implicits._
+    trades
       .withWatermark("exchangeTs", delay)
-      .dropDuplicatesWithinWatermark("exchange", "productId", "tradeId")
-    withId.unionByName(
-      trades.filter(col("tradeId") === -1L).withWatermark("exchangeTs", delay))
+      .withColumn("__idless_key",
+        when(col("tradeId") === -1L,
+          concat_ws("|", col("sequence"), col("price"), col("volume"),
+            col("side")))
+          .otherwise(lit("")))
+      .dropDuplicatesWithinWatermark(
+        "exchange", "productId", "tradeId", "__idless_key")
+      .drop("__idless_key")
+      .as[TradeOut]
   }
 
   /** Per-product tumbling-window OHLCV candles over event time (§2.2
     * aggregation + streaming rows). Append mode: a candle is emitted once,
     * when the watermark passes its window end. Deterministic open/close via
-    * min_by/max_by on (event time, tradeId) — event time first, because
+    * min_by/max_by on (event time, rank-id) — event time first, because
     * ids are per-product counters and the id-less sentinel (-1) would
-    * otherwise always win "open" regardless of when it traded. */
+    * otherwise always win "open" regardless of when it traded; and the
+    * sentinel's rank-id maps to MaxValue so an event-time TIE (routine at
+    * Poloniex's one-second resolution) still ranks every real trade ahead
+    * of a salvaged one — a sentinel can never steal "open" from a real
+    * trade, and on a tie it is deterministically the "latest". */
   def ohlcvStream(trades: Dataset[TradeOut], width: String = "1 minute",
       delay: String = "10 minutes"): DataFrame =
     trades
@@ -52,10 +67,14 @@ object Watermarked {
       .groupBy(window(col("exchangeTs"), width),
         col("exchange"), col("productId"))
       .agg(
-        expr("min_by(p, struct(exchangeTs, tradeId))").as("open"),
+        expr("min_by(p, struct(exchangeTs, " +
+          s"CASE WHEN tradeId = -1 THEN ${Long.MaxValue}L ELSE tradeId END))")
+          .as("open"),
         max(col("p")).as("high"),
         min(col("p")).as("low"),
-        expr("max_by(p, struct(exchangeTs, tradeId))").as("close"),
+        expr("max_by(p, struct(exchangeTs, " +
+          s"CASE WHEN tradeId = -1 THEN ${Long.MaxValue}L ELSE tradeId END))")
+          .as("close"),
         sum(col("v")).as("volume"),
         count(lit(1)).as("n_trades"))
 

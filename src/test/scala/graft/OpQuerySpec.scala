@@ -297,6 +297,7 @@ class OpQuerySpec extends AnyFunSuite {
     val src0 = Tables.documents(spark, sf).filter($"source" === "src0")
       .select($"doc_id").as[Long].collect().toSet
     val rows = r.collect()
+    assert(rows.nonEmpty, "fixtures contain cross-set overlaps; empty = broken join")
     assert(rows.forall(x => src0.contains(x.getAs[Long]("eval_id"))))
     assert(rows.forall(x => !src0.contains(x.getAs[Long]("train_id"))))
     assert(rows.forall(_.getAs[Long]("n_common") >= 2))

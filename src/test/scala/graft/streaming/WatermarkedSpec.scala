@@ -89,6 +89,21 @@ class WatermarkedSpec extends AnyFunSuite {
     assert(rows.head.getAs[java.math.BigDecimal]("close").doubleValue() === 299.00)
   }
 
+  test("ohlcvStream: on an event-time TIE (1s resolution) real trades rank ahead of the sentinel") {
+    // polo stamps whole seconds, so ties are routine — a salvaged (-1)
+    // trade in the same second must not beat a real trade to "open"
+    val rows = runAppend("wm_ohlcv_tie")(ds => Watermarked.ohlcvStream(ds,
+      width = "1 minute", delay = "0 seconds"))(
+      Seq(
+        trade(-1, "2017-10-15 05:10:05", "111.11", "0.5"),
+        trade(100, "2017-10-15 05:10:05", "300.10", "1.0")),
+      Seq(trade(101, "2017-10-15 05:12:00", "301.00", "1.0")))
+    assert(rows.length === 1)
+    assert(rows.head.getAs[java.math.BigDecimal]("open").doubleValue() === 300.10)
+    // on the tie the sentinel deterministically ranks latest → close
+    assert(rows.head.getAs[java.math.BigDecimal]("close").doubleValue() === 111.11)
+  }
+
   test("ohlcvStream emits one finalized candle per window with min_by/max_by open/close") {
     val rows = runAppend("wm_ohlcv")(ds => Watermarked.ohlcvStream(ds,
       width = "1 minute", delay = "0 seconds"))(
