@@ -24,6 +24,7 @@ object SparkEntry {
       operators.SimilarityQueries.defs ++
       operators.TextQueries.defs ++
       operators.MultimodalQueries.defs ++
+      operators.CurationQueries.defs ++
       operators.ReplayBench.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

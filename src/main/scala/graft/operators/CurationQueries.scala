@@ -1,0 +1,286 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators over `documents` / `embeddings` — the
+  * pipeline steps a 100 TB pretraining-data build needs BETWEEN the dedup /
+  * similarity / text-analysis families already in [[DedupQueries]],
+  * [[SimilarityQueries]] and [[TextQueries]]: packing docs into token-budget
+  * shards, Gopher-style repetition filtering, PII redaction, int8-quantized
+  * ANN, hash-rate source sampling, and corpus-frequency rarity scoring.
+  *
+  * Determinism rules are the family standard: integer arithmetic end to
+  * end, each exported double is ONE division of exact integers with the
+  * identical expression shape in the oracle SQL, rankings carry id
+  * tiebreaks, and regexes stick to character-class + bounded-repeat syntax
+  * that Java and RE2 interpret identically.
+  */
+object CurationQueries {
+
+  /** Tokens per training shard for [[packSequences]]. */
+  private val ShardBudget = 2000L
+
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * shards. The packing is CONTIGUOUS per source — docs in doc_id order
+    * fill a shard until the budget rolls over (shard = exclusive running
+    * token sum DIV budget) — because greedy first-fit packing is inherently
+    * sequential: the scalable formulation partitions the running sum by a
+    * corpus dimension (source here; source × date-bucket at 100 TB) so each
+    * partition packs independently and the window never sees more than one
+    * partition's rows. A single global ORDER BY doc_id window would funnel
+    * the whole corpus through one task. */
+  val packSequences = QueryDef(
+    "pack_sequences",
+    (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val cumW = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val c = d.withColumn("cum_before",
+          coalesce(sum(col("n_tok")).over(cumW), lit(0L)))
+        .withColumn("shard_id", expr(s"cum_before DIV $ShardBudget"))
+      val posW = Window.partitionBy(col("source"), col("shard_id"))
+        .orderBy(col("doc_id"))
+      c.withColumn("pos_in_shard", row_number().over(posW).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("shard_id"),
+          col("pos_in_shard"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tok,
+               CAST(coalesce(sum(n_tok) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM d)
+      SELECT doc_id, source, n_tok,
+             CAST(cum_before // $ShardBudget AS BIGINT) AS shard_id,
+             CAST(row_number() OVER (
+               PARTITION BY source, cum_before // $ShardBudget
+               ORDER BY doc_id) AS BIGINT) AS pos_in_shard
+      FROM c
+    """))
+
+  /** Gopher-style repetition filter: per-doc word-2-gram statistics —
+    * duplicate-gram fraction and most-frequent-gram fraction — plus the
+    * keep decision as an integer cross-multiply (dup_frac < 0.2 ⟺
+    * 5·(n−distinct) < n) so the filter itself never compares doubles.
+    * Two-level aggregation: (doc, gram) counts first (map-side combinable),
+    * then per-doc rollup — no window, no per-doc gram list in memory. */
+  val repetition2gram = QueryDef(
+    "repetition_2gram",
+    (spark, dir) => {
+      graft.functions.NgramExprs.register(spark)
+      val g = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(call_function("word_ngrams", split(col("text"), " "),
+            lit(2))).as("g"))
+      g.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_grams"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_cnt"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          col("top_cnt"),
+          ((col("n_grams") - col("n_distinct")).cast("double") /
+            col("n_grams").cast("double")).as("dup_frac"),
+          (col("top_cnt").cast("double") / col("n_grams").cast("double"))
+            .as("top_frac"),
+          when((col("n_grams") - col("n_distinct")) * 5 < col("n_grams"),
+            1L).otherwise(0L).as("keep"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      g AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ')
+                     AS g
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, greatest(len(toks) - 1, 1)))
+                           AS i
+                  FROM t)),
+      per AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_grams,
+             count(*) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top_cnt,
+             CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+               AS dup_frac,
+             CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac,
+             CAST(CASE WHEN (sum(c) - count(*)) * 5 < sum(c) THEN 1 ELSE 0 END
+               AS BIGINT) AS keep
+      FROM per GROUP BY doc_id
+    """))
+
+  /** PII redaction: detect and mask email- and number-shaped spans. The
+    * synthetic corpus carries no PII, so the fixture INJECTS deterministic
+    * fake PII (an email and a phone fragment derived from doc_id) and the
+    * operator under test is the scan/redact pass over the augmented text —
+    * a map-only pass at any scale. Patterns are character classes +
+    * bounded repeats only, identical under Java regex and RE2; the
+    * redacted text crosses the oracle boundary as length + md5. */
+  val piiRedact = QueryDef(
+    "pii_redact",
+    (spark, dir) => {
+      val aug = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or call 555-"),
+        ((col("doc_id") * 7) % 10000).cast("string"))
+      Tables.documents(spark, dir)
+        .withColumn("aug", aug)
+        .withColumn("red",
+          regexp_replace(
+            regexp_replace(col("aug"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+            "[0-9]{3,}", "<NUM>"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("aug"),
+            lit("([a-z0-9.]+@[a-z0-9.]+)"), lit(1))).cast("long")
+            .as("n_emails"),
+          size(regexp_extract_all(col("aug"), lit("([0-9]{3,})"), lit(1)))
+            .cast("long").as("n_nums"),
+          length(col("red")).cast("long").as("red_len"),
+          md5(col("red")).as("red_md5"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com or call 555-' ||
+               CAST((doc_id * 7) % 10000 AS VARCHAR) AS aug
+        FROM documents),
+      r AS (
+        SELECT doc_id, aug,
+               regexp_replace(
+                 regexp_replace(aug, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                 '[0-9]{3,}', '<NUM>', 'g') AS red
+        FROM a)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(aug, '([a-z0-9.]+@[a-z0-9.]+)', 1))
+               AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(aug, '([0-9]{3,})', 1)) AS BIGINT)
+               AS n_nums,
+             CAST(length(red) AS BIGINT) AS red_len,
+             md5(red) AS red_md5
+      FROM r
+    """))
+
+  /** Int8-quantized ANN top-10: embeddings quantized to [-127, 127] via
+    * floor(v·64) (floor, not round — round's half-case tie rules differ
+    * across engines; floor of a double is exact everywhere), then ranked by
+    * the integer dot product. Quantization is the memory/IO lever at scale:
+    * int8 is 4× smaller than float32, so a 100 TB float corpus becomes a
+    * 25 TB scan, and the int dot is exact integer arithmetic (≤ 127²·64 ≪
+    * 2^53) — rank order is bit-stable across engines, unlike float cosine.
+    * This is the exhaustive-rescore shape; the LSH/IVF variants in
+    * [[SimilarityQueries]] show the candidate-pruning side. */
+  val int8TopK = QueryDef(
+    "ann_topk_int8",
+    (spark, dir) => {
+      graft.functions.VectorExprs.register(spark)
+      val e = Tables.embeddings(spark, dir)
+        .withColumn("q8", expr(
+          "transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+            "v -> greatest(least(floor(v * 64D), 127D), -127D))"))
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q8").as("qv")))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("q8").as("cv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dot").desc, col("neighbor_id").asc)
+      q.join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("dot", expr("vec_dot(qv, cv)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    },
+    Some("""
+      WITH q8 AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 v -> greatest(least(floor(v * 64), 127), -127)) AS qv
+        FROM embeddings)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.qv, c.qv) DESC,
+                 c.vec_id ASC) AS rank
+        FROM q8 q JOIN q8 c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rank <= 10
+    """))
+
+  /** Domain-mixture sampling by hash rate: keep a per-source fraction of
+    * docs selected by a deterministic LCG hash of doc_id — a pure filter,
+    * embarrassingly parallel, no shuffle and no window, which is why it is
+    * the 100 TB sampler ([[SqlSurfaceQueries]]'s stratified_sample shows
+    * the window-ranked alternative for exact-count-per-stratum needs). The
+    * per-source keep rate ramps down with the source index: rate(srcN) =
+    * (100000 − 4500·N) / 100000. Output is the per-source audit aggregate
+    * (kept counts + kept-id checksum), exact integers throughout. */
+  val rateSample = QueryDef(
+    "rate_sample_hash",
+    (spark, dir) => {
+      val h = (col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(100000L)
+      val rate = lit(100000L) -
+        substring(col("source"), 4, 10).cast("long") * lit(4500L)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), h.as("h"), rate.as("rate"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("h") < col("rate"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("h") < col("rate"), col("doc_id")).otherwise(0L))
+            .as("kept_sum"))
+    },
+    Some("""
+      SELECT source, count(*) AS n_total,
+             CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(sum(CASE WHEN h < rate THEN doc_id ELSE 0 END) AS BIGINT)
+               AS kept_sum
+      FROM (SELECT source, doc_id,
+                   (doc_id * 1103515245 + 12345) % 100000 AS h,
+                   100000 - CAST(substr(source, 4) AS BIGINT) * 4500 AS rate
+            FROM documents)
+      GROUP BY source
+    """))
+
+  /** Corpus-frequency rarity score: token-level corpus counts joined back
+    * onto each doc's tokens; a doc full of corpus-rare tokens scores low
+    * average frequency. Companion to [[VocabQueries]]' tf-idf (which ranks
+    * terms within a doc) — this scores whole docs for filtering. The join
+    * shuffles on the token key; at 100 TB the Zipf head (a few thousand
+    * tokens carrying most of the mass) would be broadcast and only the
+    * long tail shuffled. Exported double = one division of exact ints. */
+  val tokenRarity = QueryDef(
+    "token_rarity",
+    (spark, dir) => {
+      val tok = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      tok.join(freq, "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("tf")).as("sum_freq"))
+        .select(col("doc_id"), col("n_tok"), col("sum_freq"),
+          (col("sum_freq").cast("double") / col("n_tok").cast("double"))
+            .as("avg_freq"))
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+      freq AS (SELECT tok, count(*) AS tf FROM tok GROUP BY 1)
+      SELECT doc_id, count(*) AS n_tok,
+             CAST(sum(tf) AS BIGINT) AS sum_freq,
+             CAST(sum(tf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_freq
+      FROM tok JOIN freq USING (tok)
+      GROUP BY doc_id
+    """))
+
+  val defs: Seq[QueryDef] = Seq(
+    packSequences, repetition2gram, piiRedact, int8TopK, rateSample,
+    tokenRarity)
+}

@@ -309,4 +309,76 @@ class OpQuerySpec extends AnyFunSuite {
     val anti = operators.RefOpQueries.backfillAnti.fn(spark, sf).count()
     assert(semi + anti === o)
   }
+
+  test("pack_sequences matches a sequential greedy re-simulation per source") {
+    import spark.implicits._
+    val rows = operators.CurationQueries.packSequences.fn(spark, sf)
+      .select($"doc_id", $"source", $"n_tok", $"shard_id", $"pos_in_shard")
+      .as[(Long, String, Long, Long, Long)].collect()
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (_, _, nTok, shard, _) =>
+        assert(shard === cum / 2000L)
+        cum += nTok
+      }
+      // positions are 1..k within each shard in doc_id order
+      docs.groupBy(_._4).foreach { case (_, inShard) =>
+        assert(inShard.sortBy(_._1).map(_._5).toSeq ===
+          (1L to inShard.size).toSeq)
+      }
+    }
+  }
+
+  test("repetition_2gram: counts consistent, keep is the integer cross-multiply") {
+    val bad = operators.CurationQueries.repetition2gram.fn(spark, sf)
+      .filter(col("n_distinct") > col("n_grams") ||
+        col("top_cnt") > col("n_grams") || col("n_grams") < 1 ||
+        col("keep") =!= when(
+          (col("n_grams") - col("n_distinct")) * 5 < col("n_grams"), 1L)
+          .otherwise(0L))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("pii_redact: injected PII is found and masked in every doc") {
+    val r = operators.CurationQueries.piiRedact.fn(spark, sf)
+    assert(r.filter(col("n_emails") < 1 || col("n_nums") < 1 ||
+      col("red_len") < 1).count() === 0)
+    // the fixture injects exactly one email per doc and the corpus itself
+    // holds none, so n_emails is exactly 1
+    assert(r.filter(col("n_emails") =!= 1).count() === 0)
+  }
+
+  test("ann_topk_int8: valid ranks and >=0.7 recall@10 vs the brute gold standard") {
+    import spark.implicits._
+    val int8 = operators.CurationQueries.int8TopK.fn(spark, sf)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect()
+    assert(int8.forall(r => r._1 != r._2 && r._3 >= 1 && r._3 <= 10))
+    assert(int8.groupBy(_._1).forall(_._2.map(_._3).sorted.toSeq == (1 to 10)))
+    val gold = operators.SimilarityQueries.bruteTopK.fn(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val got = int8.map(r => (r._1, r._2)).toSet
+    val recall = gold.intersect(got).size.toDouble / gold.size
+    assert(recall >= 0.7, s"int8 quantized recall@10 $recall")
+  }
+
+  test("rate_sample_hash: src0 keeps everything, no source keeps more than total") {
+    import spark.implicits._
+    val r = operators.CurationQueries.rateSample.fn(spark, sf)
+      .select($"source", $"n_total", $"n_kept")
+      .as[(String, Long, Long)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall { case (_, total, kept) => kept <= total })
+    val src0 = r.find(_._1 == "src0").get
+    assert(src0._3 === src0._2, "src0 rate is 100% — every doc kept")
+  }
+
+  test("token_rarity: avg frequency at least 1 (every token counts itself)") {
+    val bad = operators.CurationQueries.tokenRarity.fn(spark, sf)
+      .filter(col("avg_freq") < 1.0 || col("n_tok") < 1 ||
+        col("sum_freq") < col("n_tok"))
+      .count()
+    assert(bad === 0)
+  }
 }
