@@ -236,6 +236,31 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "sketch join not broadcast:\n" + p)
   }
 
+  test("curation family: the scale-critical plan shapes hold") {
+    // rate_sample_hash is a pure filter + one aggregation: exactly one
+    // exchange (the final per-source rollup), nothing else may shuffle
+    val rs = plan("rate_sample_hash")
+    assert("Exchange".r.findAllIn(rs.replace("BroadcastExchange", "")).size <= 1,
+      "hash-rate sampler grew an extra shuffle:\n" + rs)
+    // pack_sequences: both windows (running sum, position) must share the
+    // single per-source exchange — a second exchange means the shard
+    // window repartitioned and the packing is no longer one-pass
+    val ps = plan("pack_sequences")
+    assert("Exchange".r.findAllIn(ps.replace("BroadcastExchange", "")).size == 1,
+      "packing windows no longer share one source partitioning:\n" + ps)
+    // token_rarity: the vocabulary side broadcasts (corpus-distinct tokens
+    // ≪ token occurrences); a sort-merge join here would shuffle the full
+    // exploded token stream twice
+    val tr = plan("token_rarity")
+    assert(tr.contains("BroadcastHashJoin"),
+      "vocab join-back not broadcast:\n" + tr)
+    // repetition_2gram: per-(doc, gram) counts must partially aggregate
+    // before their exchange (map-side combine on the widest stream)
+    val rg = plan("repetition_2gram")
+    assert(rg.contains("partial_count"),
+      "gram counts not map-side combined:\n" + rg)
+  }
+
   test("dedup_exact: whole-stage codegen covers the hash/agg pipeline") {
     // AQE only inserts WholeStageCodegen nodes into the final plan, so
     // execute before inspecting.
