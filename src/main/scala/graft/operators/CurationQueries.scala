@@ -259,8 +259,11 @@ object CurationQueries {
   val tokenRarity = QueryDef(
     "token_rarity",
     (spark, dir) => {
-      val tok = Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      // The staged tokenized corpus (see VocabQueries.tokens): both the
+      // vocabulary branch and the join-back probe read one materialized
+      // explode — the freq branch would otherwise re-scan the corpus (its
+      // pruned subtree defeats AQE stage reuse).
+      val tok = VocabQueries.tokens(spark, dir)
       val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
       tok.join(freq, "tok")
         .groupBy(col("doc_id"))

@@ -19,9 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object VocabQueries {
 
-  private def tokens(spark: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+  /** The tokenized corpus, staged once per session: every vocabulary-side
+    * consumer (top-k vocab, TF-IDF, CMS heavy hitters, rarity scoring)
+    * reads the same materialized token table instead of re-scanning and
+    * re-splitting the corpus — the single-session analogue of the
+    * tokenize-once persisted table a 100 TB pipeline keeps. Also what
+    * makes a query's own multi-branch reads of the tokens (e.g. TF-IDF's
+    * df side) hit one explode: the pruned second branch otherwise defeats
+    * AQE stage reuse and re-explodes the corpus. */
+  private[operators] def tokens(spark: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Staged(spark, dir, "tokens") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    }
 
   /** Top-100 vocabulary by corpus term frequency (ties broken by token):
     * the vocabulary-building scan. The global top-k is orderBy+limit —
@@ -93,9 +104,15 @@ object VocabQueries {
   val tfidfTopTerms = QueryDef(
     "tfidf_topterms",
     (spark, dir) => {
+      // Materialize tf once: the df branch's aggregate is column-pruned to
+      // a keys-only subtree, so it canonicalizes differently from the join
+      // side and AQE can NOT reuse the shuffle stage — without this the
+      // token table is aggregated twice. tf (distinct doc-token pairs) is
+      // the natural second persisted staging table after the tokens stage.
       val tf = tokens(spark, dir)
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = false)
       val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val n = Tables.documents(spark, dir)
         .agg(count(lit(1)).as("n_docs"))
