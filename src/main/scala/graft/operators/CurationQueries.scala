@@ -189,13 +189,9 @@ object CurationQueries {
       val q = broadcast(e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("q8").as("qv")))
       val c = e.select(col("vec_id").as("neighbor_id"), col("q8").as("cv"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("dot").desc, col("neighbor_id").asc)
-      q.join(c, col("query_id") =!= col("neighbor_id"))
-        .withColumn("dot", expr("vec_dot(qv, cv)"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      SimilarityQueries.rankTopK(
+        q.join(c, col("query_id") =!= col("neighbor_id"))
+          .withColumn("dot", expr("vec_dot(qv, cv)")), "dot", 10)
     },
     Some("""
       WITH q8 AS (

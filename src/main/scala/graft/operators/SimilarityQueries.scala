@@ -37,6 +37,19 @@ object SimilarityQueries {
 
   private val cosExpr = "vec_dot(qe, ce) / (qn * cn)"
 
+  /** The shared ANN ranking tail: per-query row_number over (score desc,
+    * neighbor_id asc) — the one place the tie-break and output-shape
+    * conventions live for all four ANN variants (brute, LSH, IVF, int8).
+    * Expects `query_id`, `neighbor_id`, and the score column. */
+  private[operators] def rankTopK(scored: DataFrame, scoreCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col(scoreCol).desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Brute-force cosine top-10 per query vector (queries: vec_id < 10).
     * The query side is tiny and broadcast; the candidate scan is
     * embarrassingly parallel — this is the exact baseline ANN answers are
@@ -50,13 +63,8 @@ object SimilarityQueries {
           col("norm").as("qn")))
       val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
         col("norm").as("cn"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
-      q.join(c, col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos", expr(cosExpr))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      rankTopK(q.join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr(cosExpr)), "cos", 10)
     },
     Some("""
       SELECT query_id, neighbor_id, rank FROM (
@@ -125,17 +133,12 @@ object SimilarityQueries {
             col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"))
         .distinct()
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
-      cand
+      rankTopK(cand
         .join(e.select(col("vec_id").as("query_id"), col("emb").as("qe"),
           col("norm").as("qn")), "query_id")
         .join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
           col("norm").as("cn")), "neighbor_id")
-        .withColumn("cos", expr(cosExpr))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .withColumn("cos", expr(cosExpr)), "cos", 5)
     },
     Some(s"""
       WITH planes AS (
@@ -210,19 +213,14 @@ object SimilarityQueries {
       val cand = q.join(c, col("cid") === col("ccid") &&
           col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id")).distinct()
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
-      cand
+      rankTopK(cand
         .join(ranked.select(col("vec_id").as("query_id"),
           col("emb").as("qe"), col("norm").as("qn"), col("rn"))
           .filter(col("rn") === 1).drop("rn"), "query_id")
         .join(ranked.select(col("vec_id").as("neighbor_id"),
           col("emb").as("ce"), col("norm").as("cn"), col("rn"))
           .filter(col("rn") === 1).drop("rn"), "neighbor_id")
-        .withColumn("cos", expr(cosExpr))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .withColumn("cos", expr(cosExpr)), "cos", 5)
     },
     Some("""
       WITH cents AS (

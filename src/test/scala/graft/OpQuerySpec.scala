@@ -354,6 +354,8 @@ class OpQuerySpec extends AnyFunSuite {
     val int8 = operators.CurationQueries.int8TopK.fn(spark, sf)
       .select($"query_id", $"neighbor_id", $"rank")
       .as[(Long, Long, Int)].collect()
+    assert(int8.map(_._1).distinct.length === 10,
+      "all 10 query vectors must produce results")
     assert(int8.forall(r => r._1 != r._2 && r._3 >= 1 && r._3 <= 10))
     assert(int8.groupBy(_._1).forall(_._2.map(_._3).sorted.toSeq == (1 to 10)))
     val gold = operators.SimilarityQueries.bruteTopK.fn(spark, sf)
