@@ -40,8 +40,16 @@ import org.apache.spark.sql.functions._
   */
 object ReplayBench {
 
-  /** Cents → the canonical "d.dd" string both sides of the oracle build. */
-  private def cents(c: Long): String = f"${c / 100}.${c % 100}%02d"
+  /** Cents → the canonical "d.dd" string both sides of the oracle build.
+    * Plain concatenation, not `f""` — String.format in this hot fixture
+    * loop was ~1/3 of the benched query cost, overstating engine time. */
+  private def cents(c: Long): String = {
+    val d = c % 100
+    val sb = new java.lang.StringBuilder(8)
+    sb.append(c / 100).append('.')
+    if (d < 10) sb.append('0')
+    sb.append(d).toString
+  }
 
   /** The deterministic synthesized frame log (shared with
     * [[graft.EngineBench]], which streams the same log through both
