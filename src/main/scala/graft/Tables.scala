@@ -35,6 +35,24 @@ object Tables {
         "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Every table loader by name — the one list [[registerViews]] and any
+    * catalog-style consumer iterate. `events` goes through its typed
+    * loader so the nanos quirk never leaks to SQL users. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "region" -> region, "nation" -> nation, "customer" -> customer,
+    "supplier" -> supplier, "part" -> part, "orders" -> orders,
+    "lineitem" -> lineitem, "events" -> events _,
+    "documents" -> documents, "embeddings" -> embeddings)
+
+  /** SQL-first entry point: register every table as a temp view so a user
+    * can drive the whole engine with `spark.sql(...)` — together with
+    * [[GraftExtensions]] (vec_dot / char_ngrams / word_ngrams and the
+    * registered UDAFs) this is the "switch your SQL over" surface. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    all.foreach { case (name, load) =>
+      load(spark, dir).createOrReplaceTempView(name)
+    }
 }
 /** One named, oracle-checkable batch operator.
   *
