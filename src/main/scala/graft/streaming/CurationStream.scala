@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+
+/** A crawled document entering the streaming intake. */
+final case class DocIn(docId: Long, source: String, text: String,
+    fetchTs: Timestamp)
+
+/** A document that survived the streaming curation gates. */
+final case class DocCurated(docId: Long, source: String, contentHash: String,
+    nTok: Long, nStop: Long, fetchTs: Timestamp)
+
+/** The streaming face of the batch curation family (CurationQueries /
+  * TextQueries): continuous-crawl intake with the same quality cut and
+  * content-level dedup, as an unbounded pipeline. A pretraining corpus is
+  * not rebuilt from scratch each day — the crawler streams, and the intake
+  * must gate and dedup incrementally with bounded state.
+  *
+  * Stages, all expression-level (no explode/agg per doc, so the stream
+  * stays one narrow map until the dedup):
+  *   1. token/quality stats via array expressions over the split text —
+  *      the SAME integer cut `pipeline_clean_corpus` applies in batch
+  *      (stopwords > short tokens), so batch re-runs agree with the
+  *      streamed decision;
+  *   2. content dedup via md5 over the text with
+  *      `dropDuplicatesWithinWatermark` — a re-crawl of the same content
+  *      (different doc_id, later fetch time) is dropped as long as it
+  *      arrives within the watermark horizon. State holds one hash per
+  *      distinct content seen in the horizon and the store evicts behind
+  *      the watermark, which is what keeps an unbounded crawl's state
+  *      bounded (the batch MinHash/SimHash passes catch the long-range
+  *      near-dups on the accumulated corpus).
+  *
+  * Scale: the dedup shuffles on contentHash — uniformly distributed by
+  * construction (md5), so no skew; everything before it is map-only.
+  */
+object CurationStream {
+
+  private val Stop = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Stage 1, batch-compatible: token/quality stats and the gate. Shared
+    * by [[curate]] and by batch re-validation of streamed decisions. */
+  def gate(docs: Dataset[DocIn], minTok: Int = 3): Dataset[DocCurated] = {
+    import docs.sparkSession.implicits._
+    val stopList = Stop.map(s => s"'$s'").mkString(", ")
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("nTok", size(col("toks")).cast("long"))
+      .withColumn("nStop",
+        expr(s"CAST(size(filter(toks, t -> t IN ($stopList))) AS BIGINT)"))
+      .withColumn("nShort",
+        expr("CAST(size(filter(toks, t -> length(t) <= 2)) AS BIGINT)"))
+      // the batch quality cut (integer cross-compare, no doubles) plus a
+      // hard floor on token count
+      .filter(col("nTok") >= minTok && col("nStop") > col("nShort"))
+      .withColumn("contentHash", md5(col("text")))
+      .select(col("docId"), col("source"), col("contentHash"), col("nTok"),
+        col("nStop"), col("fetchTs"))
+      .as[DocCurated]
+  }
+
+  /** The full streaming intake: gate, then watermarked content dedup
+    * (streaming-only — `dropDuplicatesWithinWatermark` has no batch
+    * analogue; batch dedup is the corpus-level exact/near-dup family). */
+  def curate(docs: Dataset[DocIn], delay: String = "1 hour",
+      minTok: Int = 3): Dataset[DocCurated] = {
+    import docs.sparkSession.implicits._
+    gate(docs, minTok)
+      .withWatermark("fetchTs", delay)
+      .dropDuplicatesWithinWatermark("contentHash")
+      .as[DocCurated]
+  }
+}
