@@ -194,6 +194,29 @@ class WebsocketSourceSpec extends AnyFunSuite {
     assert(new FrameWal(ckpt).readAll() === ((0L, frames)))
   }
 
+  test("frame WAL: legacy unescaped chunks are read verbatim and migrated to v2 once") {
+    // a WAL written by the pre-escape build: chunks hold raw lines, no
+    // format-v2 marker. Frames containing literal backslash sequences
+    // (any JSON string escape) must NOT be unescaped on read.
+    val ckpt = Files.createTempDirectory("wal_legacy_ckpt").toString
+    val walDir = java.nio.file.Paths.get(ckpt, "graft-frame-wal")
+    java.nio.file.Files.createDirectories(walDir)
+    val legacy = Seq("""{"reason":"a\\b"}""", """{"s":"x\ny"}""")
+    java.nio.file.Files.write(walDir.resolve(f"chunk-${0}%020d-2"),
+      legacy.mkString("", "\n", "\n").getBytes)
+    val (start, frames) = new FrameWal(ckpt).readAll()
+    assert(start === 0L && frames === legacy,
+      "legacy frames must come back byte-identical, not unescaped")
+    // the read migrated the tail: marker present, second restart identical
+    assert(java.nio.file.Files.exists(walDir.resolve("format-v2")))
+    assert(new FrameWal(ckpt).readAll() === ((0L, legacy)))
+    // post-migration appends mix with the migrated tail cleanly, including
+    // frames the legacy format could not represent (raw newlines)
+    val w = new FrameWal(ckpt)
+    w.append(2, Seq("{\n}"))
+    assert(new FrameWal(ckpt).readAll() === ((0L, legacy :+ "{\n}")))
+  }
+
   test("pipeline sinks: parquet tables + legacy 32-col view + csv export") {
     val log = writeLog()
     val out = Files.createTempDirectory("pipe_out").toString
