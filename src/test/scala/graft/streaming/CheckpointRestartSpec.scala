@@ -90,6 +90,16 @@ class CheckpointRestartSpec extends AnyFunSuite {
     // schema inference (first-startup ordering).
     assert(Migrator.ensureTables(spark,
       "fresh_ex", s"$outDir/__nonexistent__").isEmpty)
+    // an in-flight first commit (only _temporary part files) must also
+    // defer: Spark's file index ignores _-prefixed paths, so CREATE TABLE
+    // over them would fail schema inference
+    val tmpOnly = java.nio.file.Files.createTempDirectory("mig_tmp").toString
+    val tmpPart = java.nio.file.Paths.get(tmpOnly,
+      "inside_book", "_temporary", "0")
+    java.nio.file.Files.createDirectories(tmpPart)
+    java.nio.file.Files.write(tmpPart.resolve("part-0001.snappy.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(Migrator.ensureTables(spark, "tmp_ex", tmpOnly).isEmpty)
     assert(Migrator.ensureTables(spark, "test_ex", outDir).size === 2)
     val viaTable = spark.table("test_ex_trades").count()
     assert(viaTable === tradesOnce * 2)
