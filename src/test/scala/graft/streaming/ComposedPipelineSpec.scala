@@ -17,6 +17,26 @@ class ComposedPipelineSpec extends AnyFunSuite {
   private implicit def sqlCtx: org.apache.spark.sql.SQLContext =
     spark.sqlContext
 
+  test("batch dedupTradeIds: exact replays collapse, distinct id-less rows survive") {
+    import graft.model.TradeOut
+    def t(product: String, id: Long, seq: Long, price: String): TradeOut =
+      TradeOut("gdax", product, seq, id, price, "1.0", "buy",
+        java.sql.Timestamp.valueOf("2017-10-15 05:10:00"),
+        backfilled = false, gapStart = -1L, gapEnd = -1L)
+    val rows = Seq(
+      t("ETH-USD", 7, 1, "300.10"),
+      t("ETH-USD", 7, 1, "300.10"),   // replay of the same trade → dropped
+      t("ETH-EUR", 7, 2, "250.00"),   // same id, other product → kept
+      t("ETH-USD", -1, 3, "300.11"),  // salvaged, id-less
+      t("ETH-USD", -1, 4, "300.12"),  // DISTINCT salvaged row → kept
+      t("ETH-USD", -1, 3, "300.11"))  // exact id-less replay → dropped
+    val out = Pipeline.dedupTradeIds(rows.toDS()).collect()
+    assert(out.length === 4)
+    assert(out.count(_.tradeId == -1L) === 2)
+    assert(out.filter(_.tradeId == 7L).map(_.productId).sorted.toSeq ===
+      Seq("ETH-EUR", "ETH-USD"))
+  }
+
   test("engine → watermarked dedup composes in one streaming query") {
     val input = MemoryStream[(Long, String)]
     val trades = BookEngine.run(Decoders.gdax(
