@@ -46,6 +46,41 @@ class CurationStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup state survives a checkpointed restart") {
+    // crawl intake restarts all the time; a re-crawl arriving AFTER the
+    // restart must still hit the content hash seen BEFORE it
+    // parquet sink: the memory sink refuses checkpoint recovery
+    val ckpt = java.nio.file.Files.createTempDirectory("cur_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("cur_out").toString
+    def start(input: MemoryStream[DocIn]) =
+      CurationStream.curate(input.toDS()).writeStream
+        .outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+    val input1 = MemoryStream[DocIn]
+    val q1 = start(input1)
+    try {
+      input1.addData(DocIn(1, "crawl0", goodText, ts("2024-05-01 10:00:00")))
+      q1.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() === 1)
+    } finally q1.stop()
+    val input2 = MemoryStream[DocIn]
+    // the restarted source must resume at the committed offset: replay the
+    // first batch (as a restart would), then the post-restart data
+    input2.addData(DocIn(1, "crawl0", goodText, ts("2024-05-01 10:00:00")))
+    val q2 = start(input2)
+    try {
+      input2.addData(
+        DocIn(10, "crawl1", goodText, ts("2024-05-01 10:05:00")), // re-crawl
+        DocIn(11, "crawl1", "the stitch and the time saves nine stitches",
+          ts("2024-05-01 10:05:01")))
+      q2.processAllAvailable()
+      val ids = spark.read.parquet(outDir).select("docId")
+        .as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 11L),
+        "the pre-restart content hash must still suppress the re-crawl")
+    } finally q2.stop()
+  }
+
   test("streamed gate decisions match the batch gate on the same rows") {
     // the same integer cut, evaluated in batch mode over the same data —
     // a doc the stream admits must be admitted by a batch re-run
