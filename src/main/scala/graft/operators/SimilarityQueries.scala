@@ -32,6 +32,10 @@ object SimilarityQueries {
       Tables.embeddings(spark, dir)
         .withColumn("emb", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
         .withColumn("norm", expr("sqrt(vec_dot(emb, emb))"))
+        // drop the raw float column BEFORE the checkpoint: pruning cannot
+        // reach through the materialized LogicalRDD, and no consumer reads
+        // it — left in, every staged block carries a dead 64-float array
+        .select(col("vec_id"), col("label"), col("emb"), col("norm"))
     }
   }
 

@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** THE stop-word list of the quality cut — the one definition the batch
+    * queries (text_quality, pipeline_clean_corpus) and the streaming
+    * intake ([[graft.streaming.CurationStream]]) all share, so their
+    * admit/reject decisions can never silently drift. The oracle SQL
+    * hardcodes the same list; drift there fails the driver's hash gate. */
+  private[graft] val StopWords = Seq("the", "a", "of", "and", "to", "in", "is")
+
   /** Marker token lists per language for the n-gram scoring heuristic. */
   private val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to"),
@@ -76,7 +83,7 @@ object TextQueries {
   val quality = QueryDef(
     "text_quality",
     (spark, dir) => {
-      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      val stop = StopWords
       val tok = Tables.documents(spark, dir)
         .select(col("doc_id"), col("n_chars"),
           explode(split(col("text"), " ")).as("tok"))
@@ -215,7 +222,7 @@ object TextQueries {
     "pipeline_clean_corpus",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      val stop = StopWords
       val quality = Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), col("lang"), col("text"),
           explode(split(col("text"), " ")).as("tok"))

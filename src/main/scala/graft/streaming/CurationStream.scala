@@ -39,7 +39,8 @@ final case class DocCurated(docId: Long, source: String, contentHash: String,
   */
 object CurationStream {
 
-  private val Stop = Seq("the", "a", "of", "and", "to", "in", "is")
+  /** Shared with the batch quality queries — one definition, no drift. */
+  private val Stop = graft.operators.TextQueries.StopWords
 
   /** Stage 1, batch-compatible: token/quality stats and the gate. Shared
     * by [[curate]] and by batch re-validation of streamed decisions. */

@@ -81,14 +81,30 @@ class CurationStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
-  test("streamed gate decisions match the batch gate on the same rows") {
-    // the same integer cut, evaluated in batch mode over the same data —
-    // a doc the stream admits must be admitted by a batch re-run
+  test("stream gate agrees with the batch pipeline's explode/agg formulation of the cut") {
+    // drift detector: the gate's array-expression cut vs an INDEPENDENT
+    // formulation (explode + aggregate, the shape pipeline_clean_corpus
+    // uses) sharing the same StopWords literal — if either side's
+    // expressions drift, the admitted sets diverge here
+    import org.apache.spark.sql.functions._
     val rows = Seq(
       DocIn(1, "s", goodText, ts("2024-05-01 10:00:00")),
       DocIn(2, "s", "x y z w v u", ts("2024-05-01 10:00:01")),
-      DocIn(3, "s", "of it is in to go", ts("2024-05-01 10:00:02")))
-    val batch = CurationStream.gate(rows.toDS()).collect()
-    assert(batch.map(_.docId).sorted.toSeq === Seq(1L))
+      DocIn(3, "s", "of it is in to go", ts("2024-05-01 10:00:02")),
+      DocIn(4, "s", "the shortest admissible one ever", ts("2024-05-01 10:00:03")))
+    val viaGate = CurationStream.gate(rows.toDS()).collect()
+      .map(_.docId).sorted.toSeq
+    val viaBatch = rows.toDS()
+      .select($"docId", explode(split($"text", " ")).as("tok"))
+      .groupBy($"docId")
+      .agg(count(lit(1)).as("nTok"),
+        sum(when(col("tok").isin(
+          graft.operators.TextQueries.StopWords: _*), 1).otherwise(0))
+          .as("nStop"),
+        sum(when(length(col("tok")) <= 2, 1).otherwise(0)).as("nShort"))
+      .filter($"nTok" >= 3 && $"nStop" > $"nShort")
+      .select($"docId").as[Long].collect().sorted.toSeq
+    assert(viaGate === viaBatch)
+    assert(viaGate === Seq(1L, 4L))
   }
 }
