@@ -47,8 +47,9 @@ object Tables {
 
   /** SQL-first entry point: register every table as a temp view so a user
     * can drive the whole engine with `spark.sql(...)` — together with
-    * [[GraftExtensions]] (vec_dot / char_ngrams / word_ngrams and the
-    * registered UDAFs) this is the "switch your SQL over" surface. */
+    * [[GraftExtensions]] (the injected vec_dot / char_ngrams /
+    * word_ngrams codegen expressions) this is the "switch your SQL over"
+    * surface. */
   def registerViews(spark: SparkSession, dir: String): Unit =
     all.foreach { case (name, load) =>
       load(spark, dir).createOrReplaceTempView(name)

@@ -68,6 +68,54 @@ object CurationQueries {
       FROM c
     """))
 
+  /** Documents per packing block in [[packSequencesBlocked]]. */
+  private val PackBlock = 100L
+
+  /** The 1000-executor packing variant: [[packSequences]]' per-source
+    * window caps parallelism at the number of sources (20 in the test
+    * corpus — fine locally, a funnel on a big cluster). Here the running
+    * sum is additionally blocked by doc_id DIV blockSize, so parallelism
+    * scales with corpus size and each window sees a bounded row count.
+    * The tradeoff is explicit and standard: shards never span blocks, so
+    * each block's last shard may be underfull (≤ 1 underfull shard per
+    * block — bounded waste bought for unbounded parallelism). Shard ids
+    * are globally unique via (block, in-block shard) arithmetic. */
+  val packSequencesBlocked = QueryDef(
+    "pack_sequences_blocked",
+    (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("block", expr(s"doc_id DIV $PackBlock"))
+      val cumW = Window.partitionBy(col("source"), col("block"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("cum_before",
+          coalesce(sum(col("n_tok")).over(cumW), lit(0L)))
+        .withColumn("shard_id",
+          expr(s"block * 1000000 + (cum_before DIV $ShardBudget)"))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("block"),
+          col("shard_id"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               doc_id // $PackBlock AS block
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tok, block,
+               CAST(coalesce(sum(n_tok) OVER (
+                 PARTITION BY source, block ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM d)
+      SELECT doc_id, source, n_tok, CAST(block AS BIGINT) AS block,
+             CAST(block * 1000000 + (cum_before // $ShardBudget) AS BIGINT)
+               AS shard_id
+      FROM c
+    """))
+
   /** Gopher-style repetition filter: per-doc word-2-gram statistics —
     * duplicate-gram fraction and most-frequent-gram fraction — plus the
     * keep decision as an integer cross-multiply (dup_frac < 0.2 ⟺
@@ -280,6 +328,6 @@ object CurationQueries {
     """))
 
   val defs: Seq[QueryDef] = Seq(
-    packSequences, repetition2gram, piiRedact, int8TopK, rateSample,
-    tokenRarity)
+    packSequences, packSequencesBlocked, repetition2gram, piiRedact,
+    int8TopK, rateSample, tokenRarity)
 }

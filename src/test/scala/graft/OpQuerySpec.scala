@@ -329,6 +329,23 @@ class OpQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("pack_sequences_blocked: shards never span blocks, per-block packing re-simulates") {
+    import spark.implicits._
+    val rows = operators.CurationQueries.packSequencesBlocked.fn(spark, sf)
+      .select($"doc_id", $"source", $"n_tok", $"block", $"shard_id")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r._2, r._4)).foreach { case ((_, block), docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (docId, _, nTok, _, shard) =>
+        assert(docId / 100L === block)
+        assert(shard === block * 1000000L + cum / 2000L,
+          s"doc $docId: shard $shard vs resim")
+        cum += nTok
+      }
+    }
+  }
+
   test("repetition_2gram: counts consistent, keep is the integer cross-multiply") {
     val bad = operators.CurationQueries.repetition2gram.fn(spark, sf)
       .filter(col("n_distinct") > col("n_grams") ||
