@@ -250,7 +250,64 @@ object DedupQueries {
       SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY 1
     """))
 
+  /** Exact repeated-substring detection (the Lee et al. 2022 "dedup
+    * training data" operation, re-expressed relationally): verbatim
+    * 8-token spans occurring in ≥ 2 distinct documents, ranked by
+    * occurrence count. Shingle-Jaccard (above) scores whole-document
+    * similarity; this finds the SPANS themselves — boilerplate, licenses,
+    * quoted passages — which is what a substring-level scrub removes.
+    *
+    * Scale shape: the span stream shuffles 16-byte md5 keys (never the
+    * span text — grouping directly on 8-word strings would shuffle
+    * arbitrary-length keys); min(gram) rides along as the representative
+    * (deterministic even under a collision). The global top-100 is
+    * orderBy+limit → TakeOrderedAndProject per-partition heaps, and the
+    * rank window runs over 100 rows. */
+  val substringSpans = QueryDef(
+    "dedup_substring_spans",
+    (spark, dir) => {
+      graft.functions.NgramExprs.register(spark)
+      import org.apache.spark.sql.expressions.Window
+      val spans = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(call_function("word_ngrams", split(col("text"), " "),
+            lit(8))).as("gram"))
+        .select(col("doc_id"), md5(col("gram")).as("h"), col("gram"))
+      val repeated = spans.groupBy(col("h"))
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("gram")).as("gram"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_occ").desc, col("gram").asc)
+        .limit(100)
+      repeated.withColumn("rank",
+          row_number().over(Window.orderBy(col("n_occ").desc,
+            col("gram").asc)).cast("long"))
+        .select(col("rank"), col("gram"), col("n_occ"), col("n_docs"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      g AS (SELECT doc_id,
+                   array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                           AS i
+                  FROM t)),
+      rep AS (SELECT md5(gram) AS h, count(*) AS n_occ,
+                     count(DISTINCT doc_id) AS n_docs, min(gram) AS gram
+              FROM g GROUP BY 1
+              HAVING count(DISTINCT doc_id) >= 2)
+      SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, gram ASC)
+               AS BIGINT) AS rank,
+             gram, CAST(n_occ AS BIGINT) AS n_occ,
+             CAST(n_docs AS BIGINT) AS n_docs
+      FROM rep
+      ORDER BY n_occ DESC, gram ASC
+      LIMIT 100
+    """))
+
   val defs: Seq[QueryDef] = Seq(
     exact, minhashLsh, jaccardVerify, simhash, simhashPairs,
-    embeddingCosine, components)
+    embeddingCosine, components, substringSpans)
 }

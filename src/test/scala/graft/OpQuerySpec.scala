@@ -329,6 +329,19 @@ class OpQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_substring_spans: spans cross documents, ranks follow the count order") {
+    import spark.implicits._
+    val rows = operators.DedupQueries.substringSpans.fn(spark, sf)
+      .select($"rank", $"gram", $"n_occ", $"n_docs")
+      .as[(Long, String, Long, Long)].collect()
+    assert(rows.nonEmpty, "the synthetic corpus repeats spans; empty = broken")
+    assert(rows.forall(r => r._4 >= 2 && r._3 >= r._4))
+    val counts = rows.sortBy(_._1).map(_._3)
+    assert(counts.zip(counts.drop(1)).forall { case (a, b) => a >= b },
+      "occurrence counts must be non-increasing in rank order")
+    assert(rows.map(_._1).sorted.toSeq === (1L to rows.length))
+  }
+
   test("pack_sequences_blocked: shards never span blocks, per-block packing re-simulates") {
     import spark.implicits._
     val rows = operators.CurationQueries.packSequencesBlocked.fn(spark, sf)
