@@ -34,9 +34,7 @@ object CurationQueries {
   val packSequences = QueryDef(
     "pack_sequences",
     (spark, dir) => {
-      val d = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val d = tokenized(spark, dir)
       val cumW = Window.partitionBy(col("source")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val c = d.withColumn("cum_before",
@@ -71,29 +69,42 @@ object CurationQueries {
   /** Documents per packing block in [[packSequencesBlocked]]. */
   private val PackBlock = 100L
 
+  /** The tokenized projection both packing variants build on — ONE
+    * definition so the two can never diverge on what "a token" is. (The
+    * oracle SQL strings must stay self-contained, so each mirrors this
+    * expression; an edit there that misses one is caught by the per-query
+    * engine-parity gate.) */
+  private def tokenized(spark: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+
   /** The 1000-executor packing variant: [[packSequences]]' per-source
     * window caps parallelism at the number of sources (20 in the test
     * corpus — fine locally, a funnel on a big cluster). Here the running
     * sum is additionally blocked by doc_id DIV blockSize, so parallelism
     * scales with corpus size and each window sees a bounded row count.
-    * The tradeoff is explicit and standard: shards never span blocks, so
-    * each block's last shard may be underfull (≤ 1 underfull shard per
-    * block — bounded waste bought for unbounded parallelism). Shard ids
-    * are globally unique via (block, in-block shard) arithmetic. */
+    * The tradeoff is explicit and standard: shards never span a
+    * (source, block) cell, so each cell's last shard may be underfull
+    * (≤ 1 underfull shard per source per block — bounded waste bought
+    * for unbounded parallelism). shard_id is globally unique arithmetic
+    * over (source index, block, in-cell shard); sources follow the
+    * corpus' srcN naming, same as rate_sample_hash. */
   val packSequencesBlocked = QueryDef(
     "pack_sequences_blocked",
     (spark, dir) => {
-      val d = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val d = tokenized(spark, dir)
         .withColumn("block", expr(s"doc_id DIV $PackBlock"))
+        .withColumn("src_idx", substring(col("source"), 4, 10).cast("long"))
       val cumW = Window.partitionBy(col("source"), col("block"))
         .orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       d.withColumn("cum_before",
           coalesce(sum(col("n_tok")).over(cumW), lit(0L)))
         .withColumn("shard_id",
-          expr(s"block * 1000000 + (cum_before DIV $ShardBudget)"))
+          expr("src_idx * 1000000000000" +
+            s" + block * 10000 + (cum_before DIV $ShardBudget)"))
         .select(col("doc_id"), col("source"), col("n_tok"), col("block"),
           col("shard_id"))
     },
@@ -101,18 +112,19 @@ object CurationQueries {
       WITH d AS (
         SELECT doc_id, source,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-               doc_id // $PackBlock AS block
+               doc_id // $PackBlock AS block,
+               CAST(substr(source, 4) AS BIGINT) AS src_idx
         FROM documents),
       c AS (
-        SELECT doc_id, source, n_tok, block,
+        SELECT doc_id, source, n_tok, block, src_idx,
                CAST(coalesce(sum(n_tok) OVER (
                  PARTITION BY source, block ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                  AS BIGINT) AS cum_before
         FROM d)
       SELECT doc_id, source, n_tok, CAST(block AS BIGINT) AS block,
-             CAST(block * 1000000 + (cum_before // $ShardBudget) AS BIGINT)
-               AS shard_id
+             CAST(src_idx * 1000000000000 + block * 10000 +
+                  (cum_before // $ShardBudget) AS BIGINT) AS shard_id
       FROM c
     """))
 

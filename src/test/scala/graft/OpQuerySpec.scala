@@ -342,17 +342,24 @@ class OpQuerySpec extends AnyFunSuite {
     assert(rows.map(_._1).sorted.toSeq === (1L to rows.length))
   }
 
-  test("pack_sequences_blocked: shards never span blocks, per-block packing re-simulates") {
+  test("pack_sequences_blocked: shard ids are globally unique, per-cell packing re-simulates") {
     import spark.implicits._
     val rows = operators.CurationQueries.packSequencesBlocked.fn(spark, sf)
       .select($"doc_id", $"source", $"n_tok", $"block", $"shard_id")
       .as[(Long, String, Long, Long, Long)].collect()
     assert(rows.nonEmpty)
-    rows.groupBy(r => (r._2, r._4)).foreach { case ((_, block), docs) =>
+    // a shard never mixes sources or blocks — the collision class a
+    // source-blind id arithmetic would produce
+    rows.groupBy(_._5).foreach { case (shard, docs) =>
+      assert(docs.map(d => (d._2, d._4)).distinct.length === 1,
+        s"shard $shard spans ${docs.map(d => (d._2, d._4)).distinct}")
+    }
+    rows.groupBy(r => (r._2, r._4)).foreach { case ((source, block), docs) =>
+      val srcIdx = source.drop(3).toLong
       var cum = 0L
       docs.sortBy(_._1).foreach { case (docId, _, nTok, _, shard) =>
         assert(docId / 100L === block)
-        assert(shard === block * 1000000L + cum / 2000L,
+        assert(shard === srcIdx * 1000000000000L + block * 10000L + cum / 2000L,
           s"doc $docId: shard $shard vs resim")
         cum += nTok
       }
