@@ -307,7 +307,86 @@ object DedupQueries {
       LIMIT 100
     """))
 
+  /** The scrub that [[substringSpans]] detects for: remove every token
+    * covered by a top-100 repeated span and rebuild the document. The
+    * span set broadcasts (it is top-k–bounded by construction); coverage
+    * is span-start positions exploded to their 8 token offsets, deduped,
+    * then anti-joined against the token stream; the rebuild is an ordered
+    * fold inside array land (sort by position, join) so the reconstructed
+    * text is deterministic in both engines. Output crosses the oracle as
+    * counts + md5 — a doc whose every token is covered survives as the
+    * empty-string hash, not a dropped row. */
+  val scrubSpans = QueryDef(
+    "scrub_repeated_spans",
+    (spark, dir) => {
+      graft.functions.NgramExprs.register(spark)
+      val docs = Tables.documents(spark, dir)
+      val toks = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val grams = docs.select(col("doc_id"),
+        posexplode(call_function("word_ngrams", split(col("text"), " "),
+          lit(8))).as(Seq("gpos", "gram")))
+      val hot = grams.groupBy(md5(col("gram")).as("h"))
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("gram")).as("gram"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_occ").desc, col("gram").asc)
+        .limit(100)
+        .select(col("gram"))
+      val covered = grams.join(broadcast(hot), "gram")
+        .select(col("doc_id"),
+          explode(sequence(col("gpos"), col("gpos") + lit(7))).as("pos"))
+        .distinct()
+      val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      val rebuilt = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ")).as("scrubbed_md5"))
+      docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok_orig"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok_orig"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("scrubbed_md5"), md5(lit(""))).as("scrubbed_md5"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      toks AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+               FROM (SELECT doc_id, toks,
+                            unnest(generate_series(1, len(toks))) AS i
+                     FROM t)),
+      grams AS (SELECT doc_id, i - 1 AS gpos,
+                       array_to_string(list_slice(toks, i, i + 7), ' ')
+                         AS gram
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1,
+                               greatest(len(toks) - 7, 1))) AS i
+                      FROM t)),
+      hot AS (SELECT min(gram) AS gram, count(*) AS n_occ
+              FROM grams GROUP BY md5(gram)
+              HAVING count(DISTINCT doc_id) >= 2
+              ORDER BY n_occ DESC, gram ASC LIMIT 100),
+      cov AS (SELECT DISTINCT g.doc_id, g.gpos + d.d AS pos
+              FROM grams g JOIN hot h ON g.gram = h.gram
+              CROSS JOIN (SELECT unnest(range(8)) AS d) d),
+      kept AS (SELECT tk.doc_id, tk.pos, tk.tok
+               FROM toks tk LEFT JOIN cov c
+                 ON tk.doc_id = c.doc_id AND tk.pos = c.pos
+               WHERE c.doc_id IS NULL),
+      agg AS (SELECT doc_id, count(*) AS n_kept,
+                     md5(string_agg(tok, ' ' ORDER BY pos)) AS scrubbed_md5
+              FROM kept GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok_orig,
+             CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+             coalesce(a.scrubbed_md5, md5('')) AS scrubbed_md5
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+    """))
+
   val defs: Seq[QueryDef] = Seq(
     exact, minhashLsh, jaccardVerify, simhash, simhashPairs,
-    embeddingCosine, components, substringSpans)
+    embeddingCosine, components, substringSpans, scrubSpans)
 }

@@ -342,6 +342,27 @@ class OpQuerySpec extends AnyFunSuite {
     assert(rows.map(_._1).sorted.toSeq === (1L to rows.length))
   }
 
+  test("scrub_repeated_spans: every doc survives, kept counts bounded, scrub is real") {
+    import spark.implicits._
+    val rows = operators.DedupQueries.scrubSpans.fn(spark, sf)
+      .select($"doc_id", $"n_tok_orig", $"n_kept", $"scrubbed_md5")
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    assert(rows.forall(r => r._3 >= 0 && r._3 <= r._2))
+    // the corpus repeats spans (dedup_substring_spans is non-empty), so
+    // the scrub must actually remove tokens somewhere
+    assert(rows.map(r => r._2 - r._3).sum > 0, "scrub removed nothing")
+    // a doc with nothing removed hashes to its original token join
+    val untouched = rows.filter(r => r._3 === r._2).map(r => r._1 -> r._4).toMap
+    if (untouched.nonEmpty) {
+      val orig = Tables.documents(spark, sf)
+        .filter($"doc_id".isin(untouched.keys.toSeq: _*))
+        .select($"doc_id", md5($"text").as("m"))
+        .as[(Long, String)].collect().toMap
+      untouched.foreach { case (id, m) => assert(orig(id) === m) }
+    }
+  }
+
   test("pack_sequences_blocked: shard ids are globally unique, per-cell packing re-simulates") {
     import spark.implicits._
     val rows = operators.CurationQueries.packSequencesBlocked.fn(spark, sf)
