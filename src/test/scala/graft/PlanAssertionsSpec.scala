@@ -261,6 +261,21 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "gram counts not map-side combined:\n" + rg)
   }
 
+  test("scrub_repeated_spans: derives from the staged span stream (one 8-gram explode per session)") {
+    // r7 judge finding #2: detect + scrub each rebuilt the corpus' 8-gram
+    // explode. Both now read Staged spans8/spans8_hot, which surface as
+    // ExistingRDD scans — the word_ngrams generator must not appear in
+    // the scrub's own plan (only the token posexplode may).
+    val p = plan("scrub_repeated_spans")
+    assert(p.contains("Scan ExistingRDD"),
+      "scrub no longer reads the staged span stream:\n" + p)
+    assert(!p.contains("word_ngrams"),
+      "scrub re-explodes the corpus' 8-grams:\n" + p)
+    assert(operators.Staged.isStaged(spark, sf, "spans8") &&
+      operators.Staged.isStaged(spark, sf, "spans8_hot"),
+      "span stages not registered in the session memo")
+  }
+
   test("dedup_exact: whole-stage codegen covers the hash/agg pipeline") {
     // AQE only inserts WholeStageCodegen nodes into the final plan, so
     // execute before inspecting.
