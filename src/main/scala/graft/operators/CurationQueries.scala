@@ -317,10 +317,12 @@ object CurationQueries {
     (spark, dir) => {
       // The staged tokenized corpus (see VocabQueries.tokens): both the
       // vocabulary branch and the join-back probe read one materialized
-      // explode — the freq branch would otherwise re-scan the corpus (its
-      // pruned subtree defeats AQE stage reuse).
+      // explode. Corpus frequencies derive from the staged per-document
+      // term-frequency table (sum of per-doc tf == occurrence count) —
+      // aggregating doc×distinct-token rows, not the raw token stream.
       val tok = VocabQueries.tokens(spark, dir)
-      val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      val freq = VocabQueries.termFreq(spark, dir)
+        .groupBy(col("tok")).agg(sum(col("tf")).as("tf"))
       tok.join(freq, "tok")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tok"), sum(col("tf")).as("sum_freq"))
