@@ -298,6 +298,42 @@ private[sources] class FrameWal(checkpointLocation: String) {
       .sortBy(_.getName).toSeq
   }
 
+  // Legacy→v2 migration scratch file: `migrate-<start>-<count>` — invisible
+  // to chunks(), so readers never see a half-written combined chunk.
+  private val migratePrefix = "migrate-"
+
+  private def migrateTemp(): Option[Path] = {
+    if (!fs.exists(dir)) return None
+    fs.listStatus(dir).map(_.getPath)
+      .find(_.getName.startsWith(migratePrefix))
+  }
+
+  /** Finish — or roll back — a legacy→v2 migration interrupted by a crash.
+    * The migration sequence (see readAll) is: (1) write the full escaped
+    * copy under a migrate- temp name, (2) delete the legacy chunks,
+    * (3) create the v2 marker, (4) rename temp into place. The temp's name
+    * carries its span, so completeness is checkable (line count == count):
+    * a COMPLETE temp holds every exposed frame and the migration is simply
+    * finished from whatever step it died at; a torn temp means step (1)
+    * never completed, so the legacy chunks are all intact — delete the temp
+    * and let the normal migration re-run. Either way, at least one complete
+    * copy of the exposed frames exists at every instant (r7 ADVICE: the old
+    * delete-then-append order lost all frames if the crash landed between
+    * the deletes and the append). */
+  private def recoverMigration(): Unit = migrateTemp().foreach { t =>
+    val parts = t.getName.stripPrefix(migratePrefix).split('-')
+    val (start, count) = (parts(0).toLong, parts(1).toLong)
+    val in = fs.open(t)
+    val content = try new String(in.readAllBytes(), UTF_8) finally in.close()
+    val lines = content.split("\n", -1).toSeq.dropRight(1)
+    if (lines.size != count) { fs.delete(t, false); return }
+    chunks().foreach(fs.delete(_, false))
+    try fs.create(v2Marker, false).close()
+    catch { case _: java.io.IOException => () }
+    fs.rename(t, new Path(dir, f"chunk-$start%020d-$count"))
+    ()
+  }
+
   // One frame per line, ESCAPED: a websocket text frame may legally
   // contain raw newlines (pretty-printed JSON) or be empty — unescaped,
   // either corrupts the chunk's line count and wedges every restart.
@@ -335,6 +371,7 @@ private[sources] class FrameWal(checkpointLocation: String) {
     * recovery proceeds — if the checkpoint somehow references them anyway,
     * planInputPartitions still refuses. Any other count mismatch throws. */
   def readAll(): (Long, Seq[String]) = {
+    recoverMigration()
     val cs = chunks()
     if (cs.isEmpty) return (0L, Seq.empty)
     val v2 = fs.exists(v2Marker)
@@ -374,12 +411,29 @@ private[sources] class FrameWal(checkpointLocation: String) {
     }
     val out = frames.result()
     if (!v2) {
-      // one-time migration: rewrite the legacy tail as a single escaped
-      // chunk + marker, so subsequent appends never mix formats in one WAL
-      cs.foreach(fs.delete(_, false))
-      if (out.nonEmpty) append(first, out)
-      else try fs.create(v2Marker, false).close()
+      // one-time crash-safe migration: rewrite the legacy tail as a single
+      // escaped chunk + marker, so subsequent appends never mix formats in
+      // one WAL. Order matters — these frames were already exposed via
+      // latestOffset, so a complete copy must exist at every instant:
+      // (1) full escaped copy under a temp name readers ignore, (2) delete
+      // legacy chunks, (3) v2 marker, (4) rename temp into place. A crash
+      // anywhere is finished or rolled back by recoverMigration().
+      if (out.nonEmpty) {
+        val tmp = new Path(dir, f"$migratePrefix$first%020d-${out.size}")
+        val os = fs.create(tmp, true)
+        try os.write(out.map(esc).mkString("", "\n", "\n").getBytes(UTF_8))
+        finally os.close()
+        cs.foreach(fs.delete(_, false))
+        try fs.create(v2Marker, false).close()
         catch { case _: java.io.IOException => () }
+        fs.rename(tmp, new Path(dir, f"chunk-$first%020d-${out.size}"))
+      } else {
+        // zero surviving frames: nothing at risk — marker first, then drop
+        // the empty legacy chunks
+        try fs.create(v2Marker, false).close()
+        catch { case _: java.io.IOException => () }
+        cs.foreach(fs.delete(_, false))
+      }
     }
     (first, out)
   }

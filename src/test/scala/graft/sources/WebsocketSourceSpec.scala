@@ -217,6 +217,62 @@ class WebsocketSourceSpec extends AnyFunSuite {
     assert(new FrameWal(ckpt).readAll() === ((0L, legacy :+ "{\n}")))
   }
 
+  test("frame WAL: a crash at ANY point of the legacy migration never loses exposed frames") {
+    // The migration sequence is (1) temp copy, (2) delete legacy chunks,
+    // (3) v2 marker, (4) rename temp into place. Reconstruct each crash
+    // state on disk and assert recovery returns every frame.
+    val legacy = Seq("""{"reason":"a\\b"}""", """{"s":"x\ny"}""", """{"t":3}""")
+    def mkWal(): (String, java.nio.file.Path) = {
+      val ckpt = Files.createTempDirectory("wal_crash_ckpt").toString
+      val walDir = java.nio.file.Paths.get(ckpt, "graft-frame-wal")
+      java.nio.file.Files.createDirectories(walDir)
+      java.nio.file.Files.write(walDir.resolve(f"chunk-${0}%020d-2"),
+        legacy.take(2).mkString("", "\n", "\n").getBytes)
+      java.nio.file.Files.write(walDir.resolve(f"chunk-${2}%020d-1"),
+        legacy.drop(2).mkString("", "\n", "\n").getBytes)
+      (ckpt, walDir)
+    }
+    def esc(s: String) =
+      s.replace("\\", "\\\\").replace("\n", "\\n").replace("\r", "\\r")
+    val tempContent = legacy.map(esc).mkString("", "\n", "\n")
+
+    // crash after (1): temp complete, all legacy chunks still present
+    val (c1, d1) = mkWal()
+    java.nio.file.Files.write(d1.resolve(f"migrate-${0}%020d-3"),
+      tempContent.getBytes)
+    assert(new FrameWal(c1).readAll() === ((0L, legacy)))
+    assert(java.nio.file.Files.exists(d1.resolve("format-v2")))
+
+    // crash during (2): temp complete, SOME legacy chunks deleted — the
+    // state the old delete-then-append order turned into data loss
+    val (c2, d2) = mkWal()
+    java.nio.file.Files.write(d2.resolve(f"migrate-${0}%020d-3"),
+      tempContent.getBytes)
+    java.nio.file.Files.delete(d2.resolve(f"chunk-${0}%020d-2"))
+    assert(new FrameWal(c2).readAll() === ((0L, legacy)))
+
+    // crash after (3): temp + marker, no chunks
+    val (c3, d3) = mkWal()
+    java.nio.file.Files.write(d3.resolve(f"migrate-${0}%020d-3"),
+      tempContent.getBytes)
+    java.nio.file.Files.delete(d3.resolve(f"chunk-${0}%020d-2"))
+    java.nio.file.Files.delete(d3.resolve(f"chunk-${2}%020d-1"))
+    java.nio.file.Files.write(d3.resolve("format-v2"), Array.empty[Byte])
+    assert(new FrameWal(c3).readAll() === ((0L, legacy)))
+
+    // crash DURING (1): torn temp, legacy intact — rolled back, legacy
+    // migration re-runs from the untouched chunks
+    val (c4, d4) = mkWal()
+    java.nio.file.Files.write(d4.resolve(f"migrate-${0}%020d-3"),
+      tempContent.dropRight(5).getBytes) // truncated mid-line
+    assert(new FrameWal(c4).readAll() === ((0L, legacy)))
+    assert(!java.nio.file.Files.exists(d4.resolve(f"migrate-${0}%020d-3")),
+      "torn temp must be rolled back")
+    // and every recovered WAL reads identically on the next restart
+    for (c <- Seq(c1, c2, c3, c4))
+      assert(new FrameWal(c).readAll() === ((0L, legacy)))
+  }
+
   test("pipeline sinks: parquet tables + legacy 32-col view + csv export") {
     val log = writeLog()
     val out = Files.createTempDirectory("pipe_out").toString
