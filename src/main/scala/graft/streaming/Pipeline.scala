@@ -48,8 +48,14 @@ object Pipeline {
     trades
       .withColumn("__idless_key",
         when(col("tradeId") === -1L,
-          concat_ws("|", col("sequence"), col("price"), col("volume"),
-            col("side")))
+          // exchangeTs is part of the surrogate: two distinct salvaged
+          // trades with EQUAL fills in the same frame/sequence (routine —
+          // two identical partial fills) must not collapse. Residual limit:
+          // identical fills in the same sequence at the same exchange
+          // timestamp still collapse — the decoded row carries no
+          // arrival-order column to break that tie.
+          concat_ws("|", col("sequence"), unix_micros(col("exchangeTs")),
+            col("price"), col("volume"), col("side")))
           .otherwise(lit("")))
       .dropDuplicates("exchange", "productId", "tradeId", "__idless_key")
       .drop("__idless_key")

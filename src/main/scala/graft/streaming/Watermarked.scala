@@ -39,8 +39,12 @@ object Watermarked {
       .withWatermark("exchangeTs", delay)
       .withColumn("__idless_key",
         when(col("tradeId") === -1L,
-          concat_ws("|", col("sequence"), col("price"), col("volume"),
-            col("side")))
+          // exchangeTs in the surrogate: equal fills in one frame/sequence
+          // (two identical partial fills) must not collapse — see
+          // Pipeline.dedupTradeIds, same key construction. Key VALUES
+          // changed in r8 (state schema did not); see SURVEY §5.3.
+          concat_ws("|", col("sequence"), unix_micros(col("exchangeTs")),
+            col("price"), col("volume"), col("side")))
           .otherwise(lit("")))
       .dropDuplicatesWithinWatermark(
         "exchange", "productId", "tradeId", "__idless_key")

@@ -78,11 +78,14 @@ class LegacyStoreSpec extends AnyFunSuite {
   }
 
   test("writeBatch: a LIKE-wildcard sibling table does not shadow a missing one") {
-    // getTables takes LIKE patterns: unescaped, the '_' in wild_card would
-    // match WILDXCARD, the probe would report the table as existing, and
-    // the DELETE against the truly-missing WILD_CARD would fail the
-    // first-ever write. With escaping, the probe says missing and the
-    // first write creates the table normally.
+    // getTables takes LIKE patterns: the '_' in wild_card matches WILDXCARD
+    // too, so a pattern-trusting probe would report the table as existing
+    // and the DELETE against the truly-missing WILD_CARD would fail the
+    // first-ever write. tableExists deliberately avoids LIKE-pattern
+    // escaping (non-portable across drivers — Derby included) and instead
+    // post-filters the getTables result by exact TABLE_NAME equality, so
+    // the sibling row is discarded, the probe says missing, and the first
+    // write creates the table normally.
     val conn = java.sql.DriverManager.getConnection(url)
     try conn.createStatement()
       .executeUpdate("""CREATE TABLE wildxcard (x INT)""")

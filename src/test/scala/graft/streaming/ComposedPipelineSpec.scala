@@ -37,6 +37,25 @@ class ComposedPipelineSpec extends AnyFunSuite {
       Seq("ETH-EUR", "ETH-USD"))
   }
 
+  test("id-less dedup surrogate: equal fills in one sequence survive when timestamps differ") {
+    // r7 ADVICE: two identical partial fills (same sequence/price/volume/
+    // side) are DISTINCT trades — the old surrogate collapsed them. The
+    // exchange timestamp now breaks the tie; a true replay (same ts too)
+    // still dedups.
+    import graft.model.TradeOut
+    def t(ts: String): TradeOut =
+      TradeOut("gdax", "ETH-USD", 9L, -1L, "300.10", "1.0", "buy",
+        java.sql.Timestamp.valueOf(ts),
+        backfilled = false, gapStart = -1L, gapEnd = -1L)
+    val out = Pipeline.dedupTradeIds(Seq(
+      t("2017-10-15 05:10:00.100"),
+      t("2017-10-15 05:10:00.250"),  // equal fill, later ts → kept
+      t("2017-10-15 05:10:00.100"))  // exact replay → dropped
+      .toDS()).collect()
+    assert(out.length === 2,
+      s"equal fills with distinct timestamps must both survive: ${out.toSeq}")
+  }
+
   test("engine → watermarked dedup composes in one streaming query") {
     val input = MemoryStream[(Long, String)]
     val trades = BookEngine.run(Decoders.gdax(
