@@ -107,4 +107,20 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(viaGate === viaBatch)
     assert(viaGate === Seq(1L, 4L))
   }
+
+  test("gate stop list is data, not SQL: quote-bearing stop words work") {
+    // the old string-spliced `t IN ('the', ...)` expression broke at
+    // runtime on a stop word containing a quote; the typed
+    // array_contains formulation must treat it as plain data
+    val rows = Seq(
+      // 3 stop hits ("o'brien's" twice, "the") > 2 short tokens → admitted
+      DocIn(1, "s", "o'brien's guide to o'brien's the longform writing",
+        ts("2024-05-01 10:00:00")),
+      // no stop hits → gated out
+      DocIn(2, "s", "completely different words here", ts("2024-05-01 10:00:01")))
+    val out = CurationStream.gate(rows.toDS(),
+      stopWords = Seq("o'brien's", "the", "a")).collect()
+    assert(out.map(_.docId).toSeq === Seq(1L))
+    assert(out.head.nStop === 3L)
+  }
 }
