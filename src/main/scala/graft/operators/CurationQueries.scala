@@ -241,11 +241,9 @@ object CurationQueries {
   val int8TopK = QueryDef(
     "ann_topk_int8",
     (spark, dir) => {
-      // quantize off the staged normalized-embedding table the other ANN
-      // variants share (one corpus scan per session, not one per index)
-      val e = SimilarityQueries.normed(spark, dir)
-        .withColumn("q8", expr(
-          "transform(emb, v -> greatest(least(floor(v * 64D), 127D), -127D))"))
+      // the staged quantized table (SimilarityQueries.quantized), shared
+      // with the IVF-int8 composition — one quantization pass per session
+      val e = SimilarityQueries.quantized(spark, dir)
       val q = broadcast(e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("q8").as("qv")))
       val c = e.select(col("vec_id").as("neighbor_id"), col("q8").as("cv"))
