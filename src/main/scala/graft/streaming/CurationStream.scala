@@ -2,8 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** A crawled document entering the streaming intake. */
 final case class DocIn(docId: Long, source: String, text: String,
@@ -78,5 +79,147 @@ object CurationStream {
       .withWatermark("fetchTs", delay)
       .dropDuplicatesWithinWatermark("contentHash")
       .as[DocCurated]
+  }
+
+  // ---------------------------------------------------------------------
+  // Streaming NEAR-dup gate (r7 verdict ask #5): the MinHash analogue of
+  // curate's exact content dedup. A re-crawl with one token drifted hashes
+  // to a different contentHash and sails through the exact dedup; its
+  // MinHash band signatures still collide with the original, and the gate
+  // drops it — the streaming face of the batch dedup_minhash_lsh chain.
+  // ---------------------------------------------------------------------
+
+  /** A band-bucket probe: one row per (doc, LSH band). */
+  private[streaming] final case class BandProbe(bucket: String, docId: Long,
+      source: String, contentHash: String, nTok: Long, nStop: Long,
+      fetchTs: Timestamp)
+
+  /** A probe's verdict: did this band's bucket already hold a live doc? */
+  private[streaming] final case class BandHit(docId: Long, source: String,
+      contentHash: String, nTok: Long, nStop: Long, fetchTs: Timestamp,
+      hit: Boolean)
+
+  /** First occupant of a bucket, with its event time (for the horizon). */
+  private[streaming] final case class Keeper(docId: Long, tsMillis: Long)
+
+  /** Per-(band, sig) bucket registry on `transformWithState`. The DECISION
+    * is event-time: a probe hits iff the bucket's keeper registered within
+    * `horizonMs` of the probe's own fetchTs — deterministic, replayable,
+    * independent of wall clock. A probe older than the keeper's horizon
+    * re-registers (the crawl moved on). Within one micro-batch, probes for
+    * a key process in (fetchTs, docId) order, so the earliest doc keeps the
+    * bucket and later same-batch near-dups hit — same outcome as arrival
+    * over separate batches. State CLEANUP is an event-time TIMER at
+    * keeper-registration + 2× horizon: it fires only as the WATERMARK
+    * advances (no self-triggering batch loop — a processing-time TTL here
+    * kept scheduling empty micro-batches forever), and by firing time no
+    * in-horizon probe can consult the entry, so dropping it is decision-
+    * neutral. State stays bounded by crawl rate × horizon, never corpus
+    * size (the 100 TB requirement). */
+  private[streaming] class BucketProcessor(horizonMs: Long)
+      extends StatefulProcessor[String, BandProbe, BandHit] {
+    @transient private var keeper: ValueState[Keeper] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      keeper = getHandle.getValueState[Keeper]("keeper",
+        Encoders.product[Keeper], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[BandProbe],
+        timerValues: TimerValues): Iterator[BandHit] = {
+      val sorted = rows.toSeq.sortBy(p => (p.fetchTs.getTime, p.docId))
+      var cur: Option[Keeper] =
+        if (keeper.exists()) Some(keeper.get()) else None
+      val out = sorted.map { p =>
+        val ts = p.fetchTs.getTime
+        val live = cur.exists(k => ts - k.tsMillis <= horizonMs && ts >= k.tsMillis)
+        if (!live) {
+          cur = Some(Keeper(p.docId, ts)); keeper.update(cur.get)
+          getHandle.registerTimer(ts + 2 * horizonMs)
+        }
+        BandHit(p.docId, p.source, p.contentHash, p.nTok, p.nStop, p.fetchTs,
+          hit = live)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[BandHit] = {
+      // a re-registration arms a NEWER timer for the same key; only clear
+      // the entry when the firing timer really covers the current keeper
+      if (keeper.exists() &&
+          keeper.get().tsMillis + 2 * horizonMs <=
+            expiredTimerInfo.getExpiryTimeInMs())
+        keeper.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Per-doc verdict assembly: all of a doc's band rows land in the same
+    * micro-batch (they derive from one input row), so this operator holds
+    * NO state — it groups the batch's rows by doc and emits the doc iff no
+    * band hit a live bucket. */
+  private[streaming] class DocAssembleProcessor
+      extends StatefulProcessor[Long, BandHit, DocCurated] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+    override def handleInputRows(key: Long, rows: Iterator[BandHit],
+        timerValues: TimerValues): Iterator[DocCurated] = {
+      val rs = rows.toSeq
+      if (rs.nonEmpty && rs.forall(!_.hit)) {
+        val r = rs.head
+        Iterator.single(DocCurated(r.docId, r.source, r.contentHash, r.nTok,
+          r.nStop, r.fetchTs))
+      } else Iterator.empty
+    }
+  }
+
+  /** Streaming near-dup intake: quality gate, then banded-MinHash bucket
+    * dedup within an event-time horizon. Signatures come from
+    * [[graft.functions.TextHashing.bandSigsPerRow]] — the SAME shingle
+    * hash, permutations, and band layout as the batch `dedup_minhash_lsh`
+    * chain, so streamed decisions are batch-validatable row for row
+    * (CurationStreamSpec replays a slice through both).
+    *
+    * Scale shape: signing is map-only; the probe shuffle ships B=`bands`
+    * 16-byte-keyed rows per doc (uniform md5-derived buckets — no skew);
+    * the verdict shuffle regroups by doc id. State is bounded by crawl
+    * rate × horizon via the registry's TTL, never by corpus size.
+    * Requires the RocksDB state store provider (transformWithState). */
+  def nearDedup(docs: Dataset[DocIn], horizonMs: Long = 3600000L,
+      minTok: Int = 3, bands: Int = 4, rowsPerBand: Int = 4)
+      : Dataset[DocCurated] = {
+    import docs.sparkSession.implicits._
+    require(horizonMs > 0, s"horizonMs must be positive: $horizonMs")
+    val stopArr = array(Stop.map(lit(_)): _*)
+    val probes = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("nTok", size(col("toks")).cast("long"))
+      .withColumn("nStop",
+        size(filter(col("toks"), t => array_contains(stopArr, t)))
+          .cast("long"))
+      .withColumn("nShort",
+        size(filter(col("toks"), t => length(t) <= 2)).cast("long"))
+      .filter(col("nTok") >= minTok && col("nStop") > col("nShort"))
+      .withColumn("contentHash", md5(col("text")))
+      .select(col("docId"), col("source"), col("contentHash"), col("nTok"),
+        col("nStop"), col("fetchTs"),
+        explode(graft.functions.TextHashing.bandSigsPerRow(col("text"),
+          bands, rowsPerBand)).as("bs"))
+      .select(concat_ws("#", col("bs.band"), col("bs.sig")).as("bucket"),
+        col("docId"), col("source"), col("contentHash"), col("nTok"),
+        col("nStop"), col("fetchTs"))
+      .as[BandProbe]
+    probes
+      .withWatermark("fetchTs", s"$horizonMs milliseconds")
+      .groupByKey(_.bucket)
+      // the eventTimeColumnName overload: the registry runs in EventTime
+      // mode (timers fire on watermark advance) and declares fetchTs as
+      // the output's event time so the verdict stage can legally chain
+      .transformWithState(new BucketProcessor(horizonMs),
+        "fetchTs", OutputMode.Append())
+      .groupByKey(_.docId)
+      .transformWithState(new DocAssembleProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -108,6 +108,175 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(viaGate === Seq(1L, 4L))
   }
 
+  private def withRocksDb[A](body: => A): A = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  private val longText = "the ancient library stood beside the river and " +
+    "the scholars walked through the marble halls of wisdom while the " +
+    "evening light fell across the dusty shelves and the keeper of the " +
+    "archive watched over the silent reading rooms"
+
+  test("per-row band signatures match the batch band table bit for bit") {
+    // the streaming gate signs rows map-only (bandSigsPerRow); the batch
+    // chain signs via explode+groupBy (lshBands). Same shingles, same
+    // permutations, same band layout — the two tables must be identical,
+    // or streamed decisions drift from what dedup_minhash_lsh would say
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf).limit(40)
+    val perRow = docs.select(col("doc_id"),
+        explode(graft.functions.TextHashing.bandSigsPerRow(col("text")))
+          .as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val batch = graft.functions.TextHashing.lshBands(docs)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
+        r.getAs[String]("sig"))).toSet
+    assert(perRow === batch)
+    assert(perRow.size === 40 * 4)
+  }
+
+  test("near-dup gate: one-token-drifted re-crawl dropped, registry survives restart") {
+    // the exact content dedup misses a re-crawl with any drift at all;
+    // the MinHash gate catches it. Parquet sink + checkpoint so the
+    // restart path exercises RocksDB state restore.
+    withRocksDb {
+      val ckpt = java.nio.file.Files.createTempDirectory("near_ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("near_out").toString
+      def start(input: MemoryStream[DocIn]) =
+        CurationStream.nearDedup(input.toDS()).writeStream
+          .outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt).start()
+      val batch1 = Seq(
+        DocIn(1, "crawl0", longText, ts("2024-05-01 10:00:00")),
+        DocIn(2, "crawl0", "the cat sat near the warm mat by the door",
+          ts("2024-05-01 10:00:01")))
+      val input1 = MemoryStream[DocIn]
+      val q1 = start(input1)
+      try {
+        input1.addData(batch1: _*)
+        q1.processAllAvailable()
+        assert(spark.read.parquet(outDir).count() === 2,
+          "two distinct docs must both pass the near-dup gate")
+      } finally q1.stop()
+      val input2 = MemoryStream[DocIn]
+      input2.addData(batch1: _*) // restart replays the committed batch
+      val q2 = start(input2)
+      try {
+        input2.addData(
+          // re-crawl of doc 1 with ONE token drifted (marble → granite):
+          // different contentHash, so exact dedup would admit it — the
+          // band registry restored from the checkpoint must drop it
+          DocIn(10, "crawl1", longText.replace("marble", "granite"),
+            ts("2024-05-01 10:20:00")),
+          DocIn(11, "crawl1",
+            "the harbor lights glowed over the quiet water and the boats " +
+              "rested in the shallow bay of the northern coast",
+            ts("2024-05-01 10:20:01")))
+        q2.processAllAvailable()
+        val ids = spark.read.parquet(outDir).select("docId")
+          .as[Long].collect().sorted
+        assert(ids.toSeq === Seq(1L, 2L, 11L),
+          "drifted re-crawl must be dropped; distinct doc must pass")
+      } finally q2.stop()
+    }
+  }
+
+  test("streamed near-dup decisions equal a sequential replay of the batch bucket table") {
+    // batch validation (r7 verdict ask #5): stream a corpus slice plus
+    // drifted re-crawls through the gate, then reproduce every decision
+    // from the BATCH pipeline's bucket table (TextHashing.lshBands — the
+    // dedup_minhash_lsh candidate generator) replayed sequentially with
+    // the registry's register-on-miss rule. Any semantic drift between
+    // the streaming and batch formulations fails this.
+    import org.apache.spark.sql.functions._
+    val horizonMs = 3600000L
+    val base = graft.Tables.documents(spark, graft.TestSpark.sf)
+      .orderBy("doc_id").limit(25)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def drifted(t: String): String = {
+      val ts = t.split(" "); ts(ts.length / 2) = "driftedtoken"; ts.mkString(" ")
+    }
+    // arrival order: the 25 originals, then drifted re-crawls of 3 of them
+    val arrivals = base.zipWithIndex.map { case ((_, text), i) =>
+      DocIn(i + 1L, "crawl", text,
+        new Timestamp(ts("2024-05-01 10:00:00").getTime + i * 1000L))
+    } ++ Seq(3, 7, 11).zipWithIndex.map { case (orig, j) =>
+      DocIn(100 + j.toLong, "recrawl", drifted(base(orig)._2),
+        new Timestamp(ts("2024-05-01 10:00:00").getTime + (30 + j) * 1000L))
+    }
+    // streamed decisions, split over three micro-batches
+    val kept = withRocksDb {
+      val input = MemoryStream[DocIn]
+      val q = CurationStream.nearDedup(input.toDS(), horizonMs = horizonMs)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("near_replay").start()
+      try {
+        arrivals.grouped(10).foreach { g =>
+          input.addData(g: _*); q.processAllAvailable()
+        }
+        spark.table("near_replay").select("docId").as[Long].collect().toSet
+      } finally q.stop()
+    }
+    // batch side: quality gate via the shared batch gate, buckets via the
+    // batch LSH band table, decisions via the sequential registry rule
+    val gatePassed = CurationStream.gate(arrivals.toSeq.toDS()).collect()
+      .map(_.docId).toSet
+    val sliceDf = arrivals.toSeq.toDF()
+      .select(col("docId").as("doc_id"), col("text"))
+    val buckets = graft.functions.TextHashing.lshBands(sliceDf).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        s"${r.getAs[Int]("band")}#${r.getAs[String]("sig")}"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var reg = Map.empty[String, Long]
+    val simKept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (d <- arrivals.sortBy(a => (a.fetchTs.getTime, a.docId))
+         if gatePassed(d.docId)) {
+      val t = d.fetchTs.getTime
+      def live(b: String) =
+        reg.get(b).exists(kt => t - kt <= horizonMs && t >= kt)
+      val hit = buckets(d.docId).exists(live)
+      buckets(d.docId).foreach(b => if (!live(b)) reg += b -> t)
+      if (!hit) simKept += d.docId
+    }
+    assert(kept === simKept.toSet)
+    assert(kept.intersect(Set(100L, 101L, 102L)).isEmpty,
+      "drifted re-crawls must all be dropped")
+  }
+
+  test("near-dup horizon: a re-crawl AFTER the horizon re-registers and is kept") {
+    // horizon 60 s: the 10:30 drifted re-crawl is outside the original's
+    // horizon — the gate's suppression window has passed and the doc is
+    // admitted (long-range dedup belongs to the batch family)
+    withRocksDb {
+      val input = MemoryStream[DocIn]
+      val q = CurationStream.nearDedup(input.toDS(), horizonMs = 60000L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("near_horizon").start()
+      try {
+        input.addData(DocIn(1, "crawl0", longText, ts("2024-05-01 10:00:00")))
+        q.processAllAvailable()
+        input.addData(
+          // within horizon: dropped
+          DocIn(2, "crawl0", longText.replace("marble", "granite"),
+            ts("2024-05-01 10:00:30")),
+          // beyond horizon: kept (and re-registers its buckets)
+          DocIn(3, "crawl1", longText.replace("marble", "basalt"),
+            ts("2024-05-01 10:30:00")))
+        q.processAllAvailable()
+        val ids = spark.table("near_horizon").select("docId").as[Long]
+          .collect().sorted
+        assert(ids.toSeq === Seq(1L, 3L))
+      } finally q.stop()
+    }
+  }
+
   test("gate stop list is data, not SQL: quote-bearing stop words work") {
     // the old string-spliced `t IN ('the', ...)` expression broke at
     // runtime on a stop word containing a quote; the typed
