@@ -100,20 +100,29 @@ object BookEngine {
   }
 
   /** The same engine on Spark 4's `transformWithState` state API (SURVEY
-    * §4.3's canonical mechanism): per-key `ValueState[ReplayState]`, no
-    * TTL (books are per-product singletons; cardinality = |products|).
+    * §4.3's canonical mechanism): per-key `ValueState[ReplayState]` with an
+    * optional idle-state TTL. Books are per-product singletons, so today's
+    * 4-product state is trivially bounded (config.py:4-5) — but a
+    * 100×-product deployment restarting from a stale checkpoint would
+    * otherwise carry DELISTED products' books forever (r7 verdict ask #9).
+    * The TTL refreshes on every state write, so active products never
+    * expire; a product silent for the TTL window is evicted, and its next
+    * message (if any) is processed as a fresh key — the book rebuilds from
+    * the next snapshot, and gap detection restarts (the first post-eviction
+    * trade cannot be gap-flagged: lastTradeId was evicted with the book —
+    * the documented trade-off of eviction).
     * Requires the RocksDB state store provider
     * (`spark.sql.streaming.stateStore.providerClass`), which also buys
     * changelog checkpointing + bounded executor memory for state at scale.
     * `flatMapGroupsWithState` above stays as the batch-compatible path
     * (transformWithState has no batch fallback). */
-  class BookStatefulProcessor
+  class BookStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[(String, String), MarketMessage, EngineOut] {
     @transient private var state: ValueState[ReplayState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[ReplayState](
-        "book", Encoders.product[ReplayState], TTLConfig.NONE)
+        "book", Encoders.product[ReplayState], ttl)
 
     override def handleInputRows(key: (String, String),
         rows: Iterator[MarketMessage],
@@ -125,13 +134,19 @@ object BookEngine {
     }
   }
 
-  /** Streaming operator on the transformWithState path. */
-  def runTws(messages: Dataset[MarketMessage]): Dataset[EngineOut] = {
+  /** Streaming operator on the transformWithState path. `idleTtl` enables
+    * delisted-product state eviction (see [[BookStatefulProcessor]]);
+    * TTL requires the ProcessingTime time mode. */
+  def runTws(messages: Dataset[MarketMessage],
+      idleTtl: Option[java.time.Duration] = None): Dataset[EngineOut] = {
     import messages.sparkSession.implicits._
     messages
       .groupByKey(m => (m.exchange, m.channel))
-      .transformWithState(new BookStatefulProcessor,
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(
+        new BookStatefulProcessor(
+          idleTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)),
+        if (idleTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** Split helper: (inside-book updates, trades). */

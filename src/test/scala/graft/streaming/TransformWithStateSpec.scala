@@ -53,4 +53,55 @@ class TransformWithStateSpec extends AnyFunSuite {
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("idle-state TTL evicts a silent product's book; the next snapshot re-emits") {
+    // the 100×-product story (r7 verdict ask #9): a delisted product's
+    // book must not live in the checkpoint forever. With a TTL, an
+    // identical snapshot after the idle window is NOT suppressed — the
+    // suppression state (and the book) were evicted.
+    //
+    // NOTE on the harness: TimeMode.ProcessingTime makes MicroBatchExecution
+    // re-trigger continuously to advance timers, so processAllAvailable
+    // never returns — the query runs on an explicit short trigger cadence
+    // and the test POLLS the sink for each expected emission count.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, String)]
+      val snap = """{"type": "snapshot", "product_id": "ETH-USD",
+        "bids": [["300.10", "1.5"]], "asks": [["300.20", "0.9"]]}"""
+      def bookCount(): Int = spark.table("tws_ttl_out").as[EngineOut]
+        .collect().flatMap(_.book).length
+      def awaitBooks(n: Int, timeoutMs: Long = 30000): Unit = {
+        val t0 = System.currentTimeMillis()
+        while (bookCount() < n) {
+          assert(System.currentTimeMillis() - t0 < timeoutMs,
+            s"timed out waiting for $n book emissions (got ${bookCount()})")
+          Thread.sleep(200)
+        }
+      }
+      val q = BookEngine
+        .runTws(Decoders.gdax(input.toDF.toDF("arrival", "value")),
+          idleTtl = Some(java.time.Duration.ofSeconds(10)))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_ttl_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("300 milliseconds"))
+        .start()
+      try {
+        input.addData(1L -> snap)
+        awaitBooks(1)
+        // within the TTL: the identical snapshot is suppressed (state live)
+        input.addData(2L -> snap)
+        Thread.sleep(1500) // > several triggers; emission count must hold
+        assert(bookCount() === 1,
+          "in-TTL identical snapshot must still be suppressed")
+        Thread.sleep(11000) // let the 10 s TTL lapse wall-clock
+        input.addData(3L -> snap)
+        awaitBooks(2)
+        assert(bookCount() === 2,
+          "post-TTL snapshot must re-emit: the idle book was evicted")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
