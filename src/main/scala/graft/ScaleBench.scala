@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus replication for scale evidence (SCALE.md): the
+  * sf-dir's `documents`/`embeddings` grown K× with FIXED content so two
+  * runs measure the same bytes.
+  *
+  * Replica semantics (and why):
+  *  - `doc_id`/`vec_id` offset by replica × 10^8 — ids stay disjoint and
+  *    the blocked-packing `doc_id DIV block` arithmetic keeps producing
+  *    globally unique shards.
+  *  - replica 0 is the base corpus verbatim; replicas ≥ 1 prefix every
+  *    TOKEN with the replica index, so cross-replica shingle sets are
+  *    DISJOINT: the near-dup chain sees K independent copies of the base
+  *    corpus' duplicate structure (candidate pairs scale ~K×, as a crawl
+  *    K× bigger with the same dup rate would), never a pathological
+  *    K-clique of replicas of one doc.
+  *  - embeddings keep their vectors (ties rank deterministically by id);
+  *    queries stay `vec_id < 10` = replica 0, so ANN measures a fixed
+  *    query set probing a K× candidate corpus — the scan-scaling story.
+  */
+object ScaleData {
+  def replicate(spark: SparkSession, base: String, out: String, k: Int): Unit = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val reps = explode(array((0 until k).map(lit): _*)).as("rep")
+    Tables.documents(spark, base)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), reps)
+      .select(
+        (col("doc_id") + col("rep").cast("long") * 100000000L).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(array_join(transform(split(col("text"), " "),
+            t => concat(col("rep").cast("string"), lit("x"), t)), " "))
+          .as("text"),
+        col("lang"), col("source"), col("rep"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    Tables.embeddings(spark, base)
+      .select(col("vec_id"), col("embedding"), col("label"), reps)
+      .select(
+        (col("vec_id") + col("rep").cast("long") * 100000000L).as("vec_id"),
+        col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+}
+
+/** Scale-evidence bench (SCALE.md's measured rows): times the three
+  * corpus-bound families — the staged near-dup chain (`dedup_components`
+  * pays shingles→MinHash→LSH→verify→CC cold), int8 exhaustive ANN, and
+  * blocked sequence packing — on the base sf dir AND a K×-replicated copy,
+  * same 3-pass-median method as [[Bench]]. One JSON line per (dir, query)
+  * plus a final summary line. Env: SPARK_GRAFT_SF_DIR (base),
+  * SPARK_GRAFT_SCALE_X (default 10), SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_BENCH_PASSES. */
+object ScaleBench {
+  private val Families = Seq(
+    "dedup_chain" -> "dedup_components",
+    "ann_int8" -> "ann_topk_int8",
+    "pack_blocked" -> "pack_sequences_blocked")
+
+  private def dirBytes(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.getContentSummary(p).getLength
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = Bench.envSfDir
+    val k = math.max(1, sys.env.get("SPARK_GRAFT_SCALE_X")
+      .flatMap(_.toIntOption).getOrElse(10))
+    val passes = Bench.envPasses
+    val spark = SparkSession.builder()
+      .master(s"local[${Bench.envCpus}]")
+      .config("spark.sql.shuffle.partitions", Bench.envCpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val baseName = new java.io.File(base).getName
+    val rep = s"/tmp/graft_scale_${baseName}_x$k"
+    val marker = new java.io.File(s"$rep/_REPLICATED_OK")
+    if (!marker.exists()) {
+      ScaleData.replicate(spark, base, rep, k)
+      marker.getParentFile.mkdirs(); marker.createNewFile()
+      ()
+    }
+    val results = for {
+      (dirLabel, dir) <- Seq("base" -> base, s"x$k" -> rep)
+      (fam, q) <- Families
+    } yield {
+      val fn = SparkEntry.queries(q)
+      val times = (1 to passes).map { _ =>
+        operators.Staged.reset(spark)
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val med = Bench.median(times)
+      val rows = fn(spark, dir).count()
+      (dirLabel, fam, q, med, rows)
+    }
+    val docRows = Seq("base" -> base, s"x$k" -> rep).map { case (l, d) =>
+      l -> Tables.documents(spark, d).count()
+    }.toMap
+    val bytes = Seq("base" -> base, s"x$k" -> rep).map { case (l, d) =>
+      l -> (dirBytes(spark, s"$d/documents.parquet") +
+        dirBytes(spark, s"$d/embeddings.parquet"))
+    }.toMap
+    results.foreach { case (dl, fam, q, med, rows) =>
+      println(f"""SCALE_ROW {"dir":"$dl","family":"$fam","query":"$q","median_sec":$med%.3f,"out_rows":$rows,"doc_rows":${docRows(dl)},"corpus_bytes":${bytes(dl)}}""")
+    }
+    val summary = results.map { case (dl, fam, _, med, _) =>
+      f""""${dl}_$fam":$med%.3f"""
+    }.mkString(",")
+    spark.stop()
+    println(s"""{"metric":"scale_bench","x":$k,"passes":$passes,$summary}""")
+    System.out.flush()
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-evidence harness checks (SCALE.md): the replicated corpus is
+  * deterministic, the scale families produce the structurally expected
+  * results on it, and — the 100 TB property — their PLAN SHAPES are
+  * unchanged by a bigger input (a plan that degrades under growth fails
+  * here before it fails a cluster). */
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private lazy val rep = {
+    val dir = java.nio.file.Files.createTempDirectory("scale_x3").toString
+    ScaleData.replicate(spark, sf, dir, 3)
+    dir
+  }
+
+  private def planOf(q: String, dir: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("replication is deterministic and disjoint: 3x rows, disjoint ids, disjoint replica shingles") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, sf)
+    val docs = Tables.documents(spark, rep)
+    assert(docs.count() === base.count() * 3)
+    assert(docs.select("doc_id").distinct().count() === docs.count())
+    // replica 0 is the base corpus verbatim
+    assert(docs.filter(col("doc_id") < 100000000L).count() === base.count())
+    // replicas prefix every token — no shingle can cross replicas
+    val t1 = docs.filter(col("doc_id") >= 100000000L &&
+      col("doc_id") < 200000000L).select("text").limit(1)
+      .collect().head.getString(0)
+    assert(t1.split(" ").forall(_.startsWith("1x")))
+    assert(Tables.embeddings(spark, rep).count() ===
+      Tables.embeddings(spark, sf).count() * 3)
+  }
+
+  test("dedup chain on the replicated corpus: K independent copies of the base structure") {
+    operators.Staged.reset(spark)
+    val baseRows = SparkEntry.queries("dedup_components")(spark, sf).count()
+    operators.Staged.reset(spark)
+    val repRows = SparkEntry.queries("dedup_components")(spark, rep).count()
+    assert(repRows === baseRows * 3,
+      "disjoint replicas must reproduce the base near-dup structure 3x — " +
+        "a cross-replica candidate means the token prefixing broke")
+    operators.Staged.reset(spark)
+  }
+
+  test("scale families keep their plan shapes on the bigger input") {
+    import org.apache.spark.sql.functions._
+    // int8 ANN: broadcast query side, never a cartesian scan
+    val ann = planOf("ann_topk_int8", rep)
+    assert(ann.contains("BroadcastHashJoin") || ann.contains("BroadcastExchange"),
+      "int8 query side no longer broadcast on the replicated corpus:\n" + ann)
+    assert(!ann.contains("CartesianProduct"), ann)
+    assert(SparkEntry.queries("ann_topk_int8")(spark, rep).count() === 100,
+      "10 queries x top-10 regardless of corpus size")
+    // blocked packing: same exchange count as the base plan — parallelism
+    // grows with the corpus via MORE partitions, not more shuffles
+    def exchanges(p: String) =
+      "Exchange".r.findAllIn(p.replace("BroadcastExchange", "")).size
+    assert(exchanges(planOf("pack_sequences_blocked", rep)) ===
+      exchanges(planOf("pack_sequences_blocked", sf)),
+      "blocked packing grew a shuffle under replication")
+    // near-dup candidate generation: still bucket equi-joins, no cross join
+    operators.Staged.reset(spark)
+    val cc = planOf("dedup_components", rep)
+    assert(!cc.contains("CartesianProduct"), cc)
+    operators.Staged.reset(spark)
+  }
+}
