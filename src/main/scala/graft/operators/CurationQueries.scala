@@ -339,7 +339,45 @@ object CurationQueries {
       GROUP BY doc_id
     """))
 
+  /** Percentile length-band filtering (the Gopher-style per-source length
+    * cut): keep documents whose token count sits in the (5%, 95%] rank band
+    * of their source — too-short docs are boilerplate, too-long ones are
+    * concatenation junk, and the band adapts per source instead of using a
+    * global constant. The cut is PURE INTEGER arithmetic on the rank:
+    * `20·rk > n` and `20·rk ≤ 19·n` (rk = row_number by (n_tok, doc_id),
+    * n = source size) — a float percentile threshold (`0.05·n`) is a
+    * last-bit trap this family bans. One window over the per-source
+    * partitioning the curation family already shuffles on; at 100 TB the
+    * count is a broadcast per-source aggregate, the rank a per-source sort
+    * — no global funnel. */
+  val lengthBand = QueryDef(
+    "length_band_filter",
+    (spark, dir) => {
+      val d = tokenized(spark, dir)
+      val rkW = Window.partitionBy(col("source"))
+        .orderBy(col("n_tok"), col("doc_id"))
+      val nW = Window.partitionBy(col("source"))
+      d.withColumn("rk", row_number().over(rkW).cast("long"))
+        .withColumn("n", count(lit(1)).over(nW))
+        .filter(col("rk") * 20 > col("n") && col("rk") * 20 <= col("n") * 19)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("rk"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      r AS (
+        SELECT doc_id, source, n_tok,
+               CAST(row_number() OVER (
+                 PARTITION BY source ORDER BY n_tok, doc_id) AS BIGINT) AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM d)
+      SELECT doc_id, source, n_tok, rk
+      FROM r WHERE rk * 20 > n AND rk * 20 <= n * 19
+    """))
+
   val defs: Seq[QueryDef] = Seq(
     packSequences, packSequencesBlocked, repetition2gram, piiRedact,
-    int8TopK, rateSample, tokenRarity)
+    int8TopK, rateSample, tokenRarity, lengthBand)
 }

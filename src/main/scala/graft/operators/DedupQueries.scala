@@ -250,6 +250,61 @@ object DedupQueries {
       SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY 1
     """))
 
+  /** The dedup pipeline's terminal step: collapse each near-dup cluster to
+    * ONE canonical document — the longest doc (token count, ties to the
+    * smallest id) of its connected component — and emit the full
+    * doc → canonical mapping a training-data build applies as its final
+    * keep/rewrite pass. Derives from the staged chain's components (one
+    * more consumer of the persisted pipeline, nothing re-shingled); the
+    * canonical table is |clusters| rows and broadcasts back onto the
+    * mapping, so at 100 TB the only wide operation is the per-component
+    * rank window over the (tiny) clustered subset. */
+  val canonicalize = QueryDef(
+    "dedup_canonicalize",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val comp = TextHashing.connectedComponents(
+        Tables.documents(spark, dir).select("doc_id"),
+        verifiedStage(spark, dir)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      val d = Tables.documents(spark, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val ranked = comp.join(d, "doc_id")
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("component"))
+          .orderBy(col("n_tok").desc, col("doc_id"))))
+      val canon = ranked.filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("canonical_id"))
+      ranked.join(broadcast(canon), "component")
+        .select(col("doc_id"), col("component"), col("canonical_id"),
+          when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L)
+            .as("is_canonical"))
+    },
+    Some(s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.7
+                UNION ALL
+                SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.7),
+      reach AS (
+        SELECT doc_id AS a, doc_id AS b FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY 1),
+      d AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents),
+      ranked AS (
+        SELECT c.doc_id, c.component, d.n_tok,
+               row_number() OVER (PARTITION BY c.component
+                 ORDER BY d.n_tok DESC, c.doc_id) AS rn
+        FROM comp c JOIN d USING (doc_id)),
+      canon AS (SELECT component, doc_id AS canonical_id
+                FROM ranked WHERE rn = 1)
+      SELECT r.doc_id, r.component, c.canonical_id,
+             CAST(CASE WHEN r.doc_id = c.canonical_id THEN 1 ELSE 0 END
+               AS BIGINT) AS is_canonical
+      FROM ranked r JOIN canon c USING (component)
+    """))
+
   /** Staged hashed 8-gram span stream — the corpus' most expensive explode,
     * shared by [[substringSpans]] and [[scrubSpans]] (r7 judge finding #2:
     * each previously rebuilt it from scratch, so the explode ran twice per
@@ -398,5 +453,5 @@ object DedupQueries {
 
   val defs: Seq[QueryDef] = Seq(
     exact, minhashLsh, jaccardVerify, simhash, simhashPairs,
-    embeddingCosine, components, substringSpans, scrubSpans)
+    embeddingCosine, components, canonicalize, substringSpans, scrubSpans)
 }
