@@ -37,9 +37,18 @@ object DedupQueries {
       TextHashing.shingleSetsRaw(Tables.documents(spark, dir))
     }
 
+  /** Banded signature table as its own NAMED stage: it feeds both sides of
+    * the candidate self-join, so it must be materialized — and a named
+    * stage (vs the bare localCheckpoint it replaced) lets `Staged.reset`
+    * free the blocks. */
+  private def bandsStage(spark: SparkSession, dir: String): DataFrame =
+    Staged(spark, dir, "lsh_bands") {
+      TextHashing.lshBandsFrom(shinglesStage(spark, dir), B, R)
+    }
+
   private[operators] def candidatesStage(spark: SparkSession, dir: String): DataFrame =
     Staged(spark, dir, "lsh_candidates") {
-      TextHashing.lshCandidatePairsFrom(shinglesStage(spark, dir), B, R)
+      TextHashing.candidatePairsFromBands(bandsStage(spark, dir))
     }
 
   /** Stage 3: exact-Jaccard-verified near-dup pairs (threshold 0.7). */

@@ -165,7 +165,9 @@ object SimilarityQueries {
     "ann_topk_lsh",
     (spark, dir) => {
       val e = normed(spark, dir)
-      val b = buckets(spark, dir).localCheckpoint(eager = false)
+      // named stage (not a bare localCheckpoint): referenced as both sides
+      // of the bucket join, and reset-freeable like every other stage
+      val b = Staged(spark, dir, "lsh_sign_buckets") { buckets(spark, dir) }
       // candidates = union over tables of same-bucket pairs, deduped
       val cand = b.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
