@@ -1,0 +1,101 @@
+package graft
+
+import graft.streaming.{CurationStream, DocIn}
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Throughput bench for the streaming curation intake — the paired number
+  * for [[CurationStream]]'s two gates, same discipline as [[EngineBench]]:
+  * the K×-replicated corpus ([[ScaleData.replicate]]) is laid out as a
+  * DocIn-shaped file stream (fetchTs deterministic from doc_id, range-
+  * partitioned so file order ≈ event order, span well inside the
+  * watermark horizon), then each gate runs a Trigger.AvailableNow pass to
+  * a parquet sink over multiple micro-batches, interleaved passes, median
+  * docs/s:
+  *  - `exact`: quality gate + `dropDuplicatesWithinWatermark` on the
+  *    content hash ([[CurationStream.curate]]);
+  *  - `near`: quality gate + banded-MinHash bucket registry on chained
+  *    `transformWithState` ([[CurationStream.nearDedup]]) — per-doc
+  *    signing, B band probes, two stateful shuffles.
+  * Both run on the RocksDB state store (the 100 TB state path; nearDedup
+  * requires it). Run: `sbt "runMain graft.CurationBench"`; env:
+  * SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE_X (default 10), SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_BENCH_PASSES, SPARK_GRAFT_CURATION_FILES (files/trigger). */
+object CurationBench {
+  import Bench.median
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, cpus, passes) = (Bench.envSfDir, Bench.envCpus, Bench.envPasses)
+    val k = math.max(1, sys.env.get("SPARK_GRAFT_SCALE_X")
+      .flatMap(_.toIntOption).getOrElse(10))
+    val filesPerTrigger = math.max(1, sys.env.get("SPARK_GRAFT_CURATION_FILES")
+      .flatMap(_.toIntOption).getOrElse(8))
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val baseName = new java.io.File(sfDir).getName
+    val rep = s"/tmp/graft_scale_${baseName}_x$k"
+    if (!new java.io.File(s"$rep/_REPLICATED_OK").exists()) {
+      ScaleData.replicate(spark, sfDir, rep, k)
+      new java.io.File(rep).mkdirs()
+      new java.io.File(s"$rep/_REPLICATED_OK").createNewFile()
+      ()
+    }
+    val work = java.nio.file.Files.createTempDirectory("curation_bench").toString
+    val crawlDir = s"$work/crawl"
+    // fetchTs: 100 ms per original doc id — the whole crawl spans ~8 min of
+    // event time, far inside the 1 h horizon, so no probe is watermark-late
+    // whatever the file order; range partitioning makes order ≈ time anyway
+    Tables.documents(spark, rep)
+      .select(col("doc_id").as("docId"), col("source"), col("text"),
+        timestamp_millis(lit(1714521600000L) +
+          pmod(col("doc_id"), lit(100000000L)) * 100L).as("fetchTs"))
+      .repartitionByRange(64, col("fetchTs"), col("docId"))
+      .write.mode("overwrite").parquet(crawlDir)
+    val docs = spark.read.parquet(crawlDir).count()
+
+    def run(mode: String, pass: Int): Double = {
+      val stream = spark.readStream
+        .schema(Encoders.product[DocIn].schema)
+        .option("maxFilesPerTrigger", filesPerTrigger.toString)
+        .parquet(crawlDir)
+        .as[DocIn](Encoders.product[DocIn])
+      val out = mode match {
+        case "exact" => CurationStream.curate(stream)
+        case "near"  => CurationStream.nearDedup(stream)
+      }
+      val t0 = System.nanoTime()
+      val q = out.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$work/out_${mode}_$pass")
+        .option("checkpointLocation", s"$work/ckpt_${mode}_$pass")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val modes = Seq("exact", "near")
+    val times: Map[String, Seq[Double]] = {
+      val all = for { pass <- 1 to passes; m <- modes } yield m -> run(m, pass)
+      all.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    }
+    val med = modes.map(m => m -> median(times(m))).toMap
+    val kept = modes.map { m =>
+      m -> spark.read.parquet(s"$work/out_${m}_1").count()
+    }.toMap
+    val line =
+      f"""{"metric":"curation_docs_per_sec","docs":$docs,"x":$k,"sf":"$sfDir","passes":$passes,"files_per_trigger":$filesPerTrigger,"exact_sec":${med("exact")}%.3f,"near_sec":${med("near")}%.3f,"exact_dps":${docs / med("exact")}%.0f,"near_dps":${docs / med("near")}%.0f,"exact_kept":${kept("exact")},"near_kept":${kept("near")}}"""
+    spark.stop()
+    println(line)
+    System.out.flush()
+  }
+}

@@ -191,6 +191,9 @@ object CurationStream {
       : Dataset[DocCurated] = {
     import docs.sparkSession.implicits._
     require(horizonMs > 0, s"horizonMs must be positive: $horizonMs")
+    // bandSigsPerRow builds on the codegen word_ngrams expression — register
+    // it here so a fresh session (not just the test harness) can run the gate
+    graft.functions.NgramExprs.register(docs.sparkSession)
     val stopArr = array(Stop.map(lit(_)): _*)
     val probes = docs
       .withColumn("toks", split(col("text"), " "))
