@@ -134,8 +134,14 @@ object Bench {
     // line. Per-query medians are slowest-first and truncated at the FIRST
     // entry that does not fit, so the shown set really is the N slowest;
     // "queries_total"/"queries_shown"/"queries_failed" make it explicit.
+    // A failed probe emits null, not a number: a negative (or zero)
+    // calib_sec fed into the BASELINE.md normalization ratio would
+    // silently flip or explode normalized totals (the same totals-gate
+    // trap the 9e9 fail sentinel exists for).
+    val calibJson =
+      if (calibSec > 0) f"$calibSec%.3f" else "null"
     val prefix =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","status":"${if (ok) "ok" else "fail"}","calib_sec":$calibSec%.3f,"sf":"$sfDir","passes":$passes,"queries_total":${med.size},"queries_failed":${failed.size},"queries_flaky":${flaky.size},"queries":{"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","status":"${if (ok) "ok" else "fail"}","calib_sec":$calibJson,"sf":"$sfDir","passes":$passes,"queries_total":${med.size},"queries_failed":${failed.size},"queries_flaky":${flaky.size},"queries":{"""
     val budget = 1700
     val bySlowest = med.sortBy(-_._2).map(ent)
     val shown = new scala.collection.mutable.ArrayBuffer[String]

@@ -42,14 +42,7 @@ object CurationBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val baseName = new java.io.File(sfDir).getName
-    val rep = s"/tmp/graft_scale_${baseName}_x$k"
-    if (!new java.io.File(s"$rep/_REPLICATED_OK").exists()) {
-      ScaleData.replicate(spark, sfDir, rep, k)
-      new java.io.File(rep).mkdirs()
-      new java.io.File(s"$rep/_REPLICATED_OK").createNewFile()
-      ()
-    }
+    val rep = ScaleData.ensureReplicated(spark, sfDir, k)
     val work = java.nio.file.Files.createTempDirectory("curation_bench").toString
     val crawlDir = s"$work/crawl"
     // fetchTs: 100 ms per original doc id — the whole crawl spans ~8 min of

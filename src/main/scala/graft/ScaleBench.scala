@@ -44,6 +44,23 @@ object ScaleData {
         col("embedding"), col("label"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
+
+  /** Replicate-once cache shared by every scale consumer ([[ScaleBench]],
+    * [[CurationBench]]): the K× copy of `base` lives under /tmp keyed by
+    * (base name, K), built on first use, marked complete by a sentinel
+    * file. ONE implementation of the cache protocol — two hand-rolled
+    * copies would drift. Returns the replica dir. */
+  def ensureReplicated(spark: SparkSession, base: String, k: Int): String = {
+    val dir = s"/tmp/graft_scale_${new java.io.File(base).getName}_x$k"
+    val marker = new java.io.File(s"$dir/_REPLICATED_OK")
+    if (!marker.exists()) {
+      replicate(spark, base, dir, k)
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+      ()
+    }
+    dir
+  }
 }
 
 /** Scale-evidence bench (SCALE.md's measured rows): times the three
@@ -78,14 +95,7 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val baseName = new java.io.File(base).getName
-    val rep = s"/tmp/graft_scale_${baseName}_x$k"
-    val marker = new java.io.File(s"$rep/_REPLICATED_OK")
-    if (!marker.exists()) {
-      ScaleData.replicate(spark, base, rep, k)
-      marker.getParentFile.mkdirs(); marker.createNewFile()
-      ()
-    }
+    val rep = ScaleData.ensureReplicated(spark, base, k)
     val results = for {
       (dirLabel, dir) <- Seq("base" -> base, s"x$k" -> rep)
       (fam, q) <- Families

@@ -264,10 +264,14 @@ object DedupQueries {
     * smallest id) of its connected component — and emit the full
     * doc → canonical mapping a training-data build applies as its final
     * keep/rewrite pass. Derives from the staged chain's components (one
-    * more consumer of the persisted pipeline, nothing re-shingled); the
-    * canonical table is |clusters| rows and broadcasts back onto the
-    * mapping, so at 100 TB the only wide operation is the per-component
-    * rank window over the (tiny) clustered subset. */
+    * more consumer of the persisted pipeline, nothing re-shingled).
+    *
+    * Scale shape: on a real corpus almost every doc is a singleton
+    * component, so the rank window and the canonical broadcast run ONLY
+    * over the clustered subset — components with ≥ 2 members, identified
+    * by "some member's id ≠ the component id" (|non-singleton clusters|
+    * rows, broadcastable by construction). Singletons map to themselves in
+    * a map-only branch that never shuffles. */
   val canonicalize = QueryDef(
     "dedup_canonicalize",
     (spark, dir) => {
@@ -276,9 +280,18 @@ object DedupQueries {
         Tables.documents(spark, dir).select("doc_id"),
         verifiedStage(spark, dir)
           .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      // components with >= 2 members: some member's doc_id differs from
+      // the component (= min member id) — a tiny, broadcastable set
+      val clusteredIds = comp.filter(col("doc_id") =!= col("component"))
+        .select(col("component")).distinct()
+      val clustered = comp.join(broadcast(clusteredIds), "component")
+      val singletons = comp
+        .join(broadcast(clusteredIds), Seq("component"), "left_anti")
+        .select(col("doc_id"), col("component"),
+          col("doc_id").as("canonical_id"), lit(1L).as("is_canonical"))
       val d = Tables.documents(spark, dir).select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
-      val ranked = comp.join(d, "doc_id")
+      val ranked = clustered.join(d, "doc_id")
         .withColumn("rn", row_number().over(Window
           .partitionBy(col("component"))
           .orderBy(col("n_tok").desc, col("doc_id"))))
@@ -288,6 +301,7 @@ object DedupQueries {
         .select(col("doc_id"), col("component"), col("canonical_id"),
           when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L)
             .as("is_canonical"))
+        .unionByName(singletons)
     },
     Some(s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
       edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.7

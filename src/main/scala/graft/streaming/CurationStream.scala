@@ -43,14 +43,14 @@ object CurationStream {
   /** Shared with the batch quality queries — one definition, no drift. */
   private val Stop = graft.operators.TextQueries.StopWords
 
-  /** Stage 1, batch-compatible: token/quality stats and the gate. Shared
-    * by [[curate]] and by batch re-validation of streamed decisions.
-    * The stop list is built with typed column ops (`array_contains` over a
-    * literal array), never spliced into a SQL string — a stop word
-    * containing a quote is data, not syntax (r7 judge finding #3). */
-  def gate(docs: Dataset[DocIn], minTok: Int = 3,
-      stopWords: Seq[String] = Stop): Dataset[DocCurated] = {
-    import docs.sparkSession.implicits._
+  /** The quality cut with `text` still attached — the ONE definition of
+    * "admitted" both intake gates build on (the near-dup gate needs the
+    * text to sign it; [[gate]] projects it away). The stop list is built
+    * with typed column ops (`array_contains` over a literal array), never
+    * spliced into a SQL string — a stop word containing a quote is data,
+    * not syntax (r7 judge finding #3). */
+  private def gatedWithText(docs: Dataset[DocIn], minTok: Int,
+      stopWords: Seq[String]) = {
     val stopArr = array(stopWords.map(lit(_)): _*)
     docs
       .withColumn("toks", split(col("text"), " "))
@@ -64,6 +64,14 @@ object CurationStream {
       // hard floor on token count
       .filter(col("nTok") >= minTok && col("nStop") > col("nShort"))
       .withColumn("contentHash", md5(col("text")))
+  }
+
+  /** Stage 1, batch-compatible: token/quality stats and the gate. Shared
+    * by [[curate]] and by batch re-validation of streamed decisions. */
+  def gate(docs: Dataset[DocIn], minTok: Int = 3,
+      stopWords: Seq[String] = Stop): Dataset[DocCurated] = {
+    import docs.sparkSession.implicits._
+    gatedWithText(docs, minTok, stopWords)
       .select(col("docId"), col("source"), col("contentHash"), col("nTok"),
         col("nStop"), col("fetchTs"))
       .as[DocCurated]
@@ -131,8 +139,19 @@ object CurationStream {
         if (keeper.exists()) Some(keeper.get()) else None
       val out = sorted.map { p =>
         val ts = p.fetchTs.getTime
-        val live = cur.exists(k => ts - k.tsMillis <= horizonMs && ts >= k.tsMillis)
-        if (!live) {
+        // SYMMETRIC window: a late-but-in-watermark probe whose fetchTs
+        // precedes the keeper's is still the keeper's near-dup — suppress
+        // it (exactly one of the pair survives; arrival order decided
+        // which). The old `ts >= keeper` condition admitted it AND rewound
+        // the keeper, shrinking the suppression window.
+        val live = cur.exists(k => math.abs(ts - k.tsMillis) <= horizonMs)
+        if (!live && cur.forall(_.tsMillis < ts)) {
+          // miss with a LATER timestamp: the crawl moved past the old
+          // keeper's horizon — re-register forward. A miss with an EARLIER
+          // timestamp (probe predates the keeper by more than the horizon;
+          // barely reachable under watermark = horizon) is admitted but
+          // never rewinds the registry: in event-order replay that older
+          // entry would already have expired.
           cur = Some(Keeper(p.docId, ts)); keeper.update(cur.get)
           getHandle.registerTimer(ts + 2 * horizonMs)
         }
@@ -187,24 +206,14 @@ object CurationStream {
     * rate × horizon via the registry's TTL, never by corpus size.
     * Requires the RocksDB state store provider (transformWithState). */
   def nearDedup(docs: Dataset[DocIn], horizonMs: Long = 3600000L,
-      minTok: Int = 3, bands: Int = 4, rowsPerBand: Int = 4)
-      : Dataset[DocCurated] = {
+      minTok: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      stopWords: Seq[String] = Stop): Dataset[DocCurated] = {
     import docs.sparkSession.implicits._
     require(horizonMs > 0, s"horizonMs must be positive: $horizonMs")
     // bandSigsPerRow builds on the codegen word_ngrams expression — register
     // it here so a fresh session (not just the test harness) can run the gate
     graft.functions.NgramExprs.register(docs.sparkSession)
-    val stopArr = array(Stop.map(lit(_)): _*)
-    val probes = docs
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("nTok", size(col("toks")).cast("long"))
-      .withColumn("nStop",
-        size(filter(col("toks"), t => array_contains(stopArr, t)))
-          .cast("long"))
-      .withColumn("nShort",
-        size(filter(col("toks"), t => length(t) <= 2)).cast("long"))
-      .filter(col("nTok") >= minTok && col("nStop") > col("nShort"))
-      .withColumn("contentHash", md5(col("text")))
+    val probes = gatedWithText(docs, minTok, stopWords)
       .select(col("docId"), col("source"), col("contentHash"), col("nTok"),
         col("nStop"), col("fetchTs"),
         explode(graft.functions.TextHashing.bandSigsPerRow(col("text"),

@@ -37,13 +37,28 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("dedup chain on the replicated corpus: K independent copies of the base structure") {
-    operators.Staged.reset(spark)
-    val baseRows = SparkEntry.queries("dedup_components")(spark, sf).count()
-    operators.Staged.reset(spark)
-    val repRows = SparkEntry.queries("dedup_components")(spark, rep).count()
-    assert(repRows === baseRows * 3,
-      "disjoint replicas must reproduce the base near-dup structure 3x — " +
-        "a cross-replica candidate means the token prefixing broke")
+    import org.apache.spark.sql.functions._
+    // Row count alone is vacuous (components emits one row per doc
+    // regardless of clustering) — compare the component STRUCTURE: the
+    // number of distinct components and the number of clustered docs
+    // (doc_id ≠ component) must both triple exactly. A cross-replica
+    // near-dup candidate would MERGE components and break the first.
+    def structure(dir: String): (Long, Long) = {
+      operators.Staged.reset(spark)
+      val c = SparkEntry.queries("dedup_components")(spark, dir)
+        .localCheckpoint(eager = true)
+      (c.select("component").distinct().count(),
+        c.filter(col("doc_id") =!= col("component")).count())
+    }
+    val (baseComponents, baseClustered) = structure(sf)
+    val (repComponents, repClustered) = structure(rep)
+    assert(repComponents === baseComponents * 3,
+      "cross-replica candidates merged components — token prefixing broke")
+    assert(repClustered === baseClustered * 3,
+      "clustered-doc count must triple exactly")
+    assert(baseClustered > 0,
+      "the base corpus must actually contain near-dup clusters " +
+        "or this test checks nothing")
     operators.Staged.reset(spark)
   }
 

@@ -239,10 +239,15 @@ class CurationStreamSpec extends AnyFunSuite {
     for (d <- arrivals.sortBy(a => (a.fetchTs.getTime, a.docId))
          if gatePassed(d.docId)) {
       val t = d.fetchTs.getTime
+      // the registry's SYMMETRIC window + forward-only re-registration
+      // (under this in-event-order replay t >= kt always, so the rules
+      // coincide — kept symmetric so this stays the reference semantics)
       def live(b: String) =
-        reg.get(b).exists(kt => t - kt <= horizonMs && t >= kt)
+        reg.get(b).exists(kt => math.abs(t - kt) <= horizonMs)
       val hit = buckets(d.docId).exists(live)
-      buckets(d.docId).foreach(b => if (!live(b)) reg += b -> t)
+      buckets(d.docId).foreach { b =>
+        if (!live(b) && reg.get(b).forall(_ < t)) reg += b -> t
+      }
       if (!hit) simKept += d.docId
     }
     assert(kept === simKept.toSet)
@@ -273,6 +278,37 @@ class CurationStreamSpec extends AnyFunSuite {
         val ids = spark.table("near_horizon").select("docId").as[Long]
           .collect().sorted
         assert(ids.toSeq === Seq(1L, 3L))
+      } finally q.stop()
+    }
+  }
+
+  test("near-dup gate: late-but-in-watermark probe is suppressed and never rewinds the registry") {
+    // arrival order ≠ event order: a near-dup whose fetchTs PRECEDES the
+    // registered keeper (but is inside the watermark) is still the
+    // keeper's near-dup — exactly one of the pair survives. And the
+    // registry must not rewind to the earlier timestamp: a later probe is
+    // judged against the keeper's original window.
+    withRocksDb {
+      val input = MemoryStream[DocIn]
+      val q = CurationStream.nearDedup(input.toDS(), horizonMs = 3600000L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("near_ooo").start()
+      try {
+        input.addData(DocIn(1, "crawl0", longText, ts("2024-05-01 10:00:00")))
+        q.processAllAvailable()
+        // watermark after batch 1 = 10:00 − 1 h = 9:00, so 9:30 is NOT late
+        input.addData(DocIn(2, "crawl1", longText.replace("marble", "granite"),
+          ts("2024-05-01 09:30:00")))
+        q.processAllAvailable()
+        input.addData(DocIn(3, "crawl1", longText.replace("marble", "basalt"),
+          ts("2024-05-01 10:35:00")))
+        q.processAllAvailable()
+        val ids = spark.table("near_ooo").select("docId").as[Long]
+          .collect().sorted
+        // doc 2: |9:30 − 10:00| ≤ 1 h → suppressed (old code admitted it);
+        // doc 3: 10:35 − 10:00 ≤ 1 h → suppressed (a rewound registry at
+        // 9:30 would have admitted it)
+        assert(ids.toSeq === Seq(1L))
       } finally q.stop()
     }
   }
