@@ -22,13 +22,27 @@ import org.apache.spark.sql.functions._
   *    query set probing a K× candidate corpus — the scan-scaling story.
   */
 object ScaleData {
+  /** Id offset between replicas; base ids must stay strictly below it. */
+  private val ReplicaStride = 100000000L
+
   def replicate(spark: SparkSession, base: String, out: String, k: Int): Unit = {
     require(k >= 1, s"k must be >= 1: $k")
+    // A base corpus with ids >= the stride would silently produce
+    // COLLIDING replica ids, breaking the disjoint-ids invariant ScaleSpec
+    // and the blocked-packing shard math rely on (and aliasing
+    // CurationBench's pmod fetchTs mapping). One cheap agg guards it.
+    val maxIds = Tables.documents(spark, base).agg(max(col("doc_id"))).head
+      .getLong(0) -> Tables.embeddings(spark, base)
+      .agg(max(col("vec_id"))).head.getLong(0)
+    require(maxIds._1 < ReplicaStride && maxIds._2 < ReplicaStride,
+      s"base ids exceed the replica stride $ReplicaStride " +
+        s"(max doc_id=${maxIds._1}, max vec_id=${maxIds._2}): replicas " +
+        "would collide — raise the stride before replicating this corpus")
     val reps = explode(array((0 until k).map(lit): _*)).as("rep")
     Tables.documents(spark, base)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), reps)
       .select(
-        (col("doc_id") + col("rep").cast("long") * 100000000L).as("doc_id"),
+        (col("doc_id") + col("rep").cast("long") * ReplicaStride).as("doc_id"),
         when(col("rep") === 0, col("text"))
           .otherwise(array_join(transform(split(col("text"), " "),
             t => concat(col("rep").cast("string"), lit("x"), t)), " "))
@@ -40,7 +54,7 @@ object ScaleData {
     Tables.embeddings(spark, base)
       .select(col("vec_id"), col("embedding"), col("label"), reps)
       .select(
-        (col("vec_id") + col("rep").cast("long") * 100000000L).as("vec_id"),
+        (col("vec_id") + col("rep").cast("long") * ReplicaStride).as("vec_id"),
         col("embedding"), col("label"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
@@ -49,17 +63,44 @@ object ScaleData {
     * [[CurationBench]]): the K× copy of `base` lives under /tmp keyed by
     * (base name, K), built on first use, marked complete by a sentinel
     * file. ONE implementation of the cache protocol — two hand-rolled
-    * copies would drift. Returns the replica dir. */
+    * copies would drift. The sentinel records a content fingerprint of
+    * the base corpus (doc/vec counts + id checksums): a base dir
+    * REGENERATED with different content under the same name invalidates
+    * the cache instead of silently serving stale replicas to every later
+    * bench run. Returns the replica dir. */
   def ensureReplicated(spark: SparkSession, base: String, k: Int): String = {
     val dir = s"/tmp/graft_scale_${new java.io.File(base).getName}_x$k"
     val marker = new java.io.File(s"$dir/_REPLICATED_OK")
-    if (!marker.exists()) {
+    val fp = fingerprint(spark, base)
+    val stale = marker.exists() && {
+      val recorded = try new String(java.nio.file.Files.readAllBytes(
+        marker.toPath), java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: java.io.IOException => "" }
+      recorded != fp
+    }
+    if (!marker.exists() || stale) {
+      if (stale) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"scale cache $dir is stale for $base (fingerprint changed) — rebuilding")
       replicate(spark, base, dir, k)
       marker.getParentFile.mkdirs()
-      marker.createNewFile()
+      java.nio.file.Files.write(marker.toPath,
+        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       ()
     }
     dir
+  }
+
+  /** Cheap content fingerprint of a base corpus: row counts plus id sums
+    * over both tables (footer-only counts + one narrow-agg each —
+    * milliseconds at bench scale, and any regeneration that changes row
+    * identity changes it). */
+  private def fingerprint(spark: SparkSession, base: String): String = {
+    val d = Tables.documents(spark, base)
+      .agg(count(lit(1)), sum(col("doc_id")), sum(length(col("text")))).head
+    val e = Tables.embeddings(spark, base)
+      .agg(count(lit(1)), sum(col("vec_id"))).head
+    s"v1:${d.getLong(0)}:${d.getLong(1)}:${d.getLong(2)}:" +
+      s"${e.getLong(0)}:${e.getLong(1)}"
   }
 }
 

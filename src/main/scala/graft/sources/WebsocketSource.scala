@@ -328,8 +328,7 @@ private[sources] class FrameWal(checkpointLocation: String) {
     val lines = content.split("\n", -1).toSeq.dropRight(1)
     if (lines.size != count) { fs.delete(t, false); return }
     chunks().foreach(fs.delete(_, false))
-    try fs.create(v2Marker, false).close()
-    catch { case _: java.io.IOException => () }
+    ensureV2Marker()
     fs.rename(t, new Path(dir, f"chunk-$start%020d-$count"))
     ()
   }
@@ -424,24 +423,42 @@ private[sources] class FrameWal(checkpointLocation: String) {
         try os.write(out.map(esc).mkString("", "\n", "\n").getBytes(UTF_8))
         finally os.close()
         cs.foreach(fs.delete(_, false))
-        try fs.create(v2Marker, false).close()
-        catch { case _: java.io.IOException => () }
+        ensureV2Marker()
         fs.rename(tmp, new Path(dir, f"chunk-$first%020d-${out.size}"))
       } else {
         // zero surviving frames: nothing at risk — marker first, then drop
         // the empty legacy chunks
-        try fs.create(v2Marker, false).close()
-        catch { case _: java.io.IOException => () }
+        ensureV2Marker()
         cs.foreach(fs.delete(_, false))
       }
     }
     (first, out)
   }
 
+  /** Create the format-v2 marker, tolerating ONLY a concurrent creator.
+    * The old form swallowed every IOException: a transient FS error here,
+    * with the rename (or next append) still succeeding, would leave
+    * ESCAPED chunks with no marker — the next restart would parse escaped
+    * bytes as legacy frames (literal \\n delivered to consumers) and
+    * re-escape them on re-migration, silent corruption instead of a clean
+    * crash. So after any create failure the marker's existence is
+    * re-checked and a genuinely missing marker aborts the caller; the
+    * migration is re-runnable, so crashing here is safe. */
+  private def ensureV2Marker(): Unit = {
+    try fs.create(v2Marker, false).close()
+    catch {
+      case e: java.io.IOException =>
+        // FileAlreadyExistsException is FS-dependent (RawLocalFileSystem
+        // throws plain IOException) — existence is the reliable signal
+        if (!fs.exists(v2Marker))
+          throw new java.io.IOException(
+            s"could not create WAL format marker $v2Marker — aborting " +
+              "before exposing escaped chunks without it", e)
+    }
+  }
+
   def append(startIdx: Long, frames: Seq[String]): Unit = {
-    if (!fs.exists(v2Marker))
-      try fs.create(v2Marker, false).close()
-      catch { case _: java.io.IOException => () } // concurrent creator: fine
+    if (!fs.exists(v2Marker)) ensureV2Marker()
     val p = new Path(dir, f"chunk-$startIdx%020d-${frames.size}")
     val out = fs.create(p, false)
     try out.write(frames.map(esc).mkString("", "\n", "\n").getBytes(UTF_8))

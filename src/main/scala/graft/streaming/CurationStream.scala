@@ -218,7 +218,16 @@ object CurationStream {
         col("nStop"), col("fetchTs"),
         explode(graft.functions.TextHashing.bandSigsPerRow(col("text"),
           bands, rowsPerBand)).as("bs"))
-      .select(concat_ws("#", col("bs.band"), col("bs.sig")).as("bucket"),
+      // the banding SCHEME is part of the bucket key: a restart of the
+      // same checkpoint with different (bands, rowsPerBand) would
+      // otherwise probe old-scheme registry entries with new-scheme
+      // signatures — random non-matches, silent dedup degradation. With
+      // the scheme in the key the keyspaces are disjoint by construction:
+      // old entries can never match and their event-time timers evict
+      // them within one horizon. (horizonMs itself only shifts eviction,
+      // never matching, so it stays out of the key.)
+      .select(concat_ws("#", lit(s"$bands:$rowsPerBand"), col("bs.band"),
+          col("bs.sig")).as("bucket"),
         col("docId"), col("source"), col("contentHash"), col("nTok"),
         col("nStop"), col("fetchTs"))
       .as[BandProbe]
