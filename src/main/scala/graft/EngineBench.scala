@@ -53,7 +53,8 @@ object EngineBench {
     val decode = (df: DataFrame) =>
       df.as[MarketMessage](Encoders.product[MarketMessage])
 
-    def run(mode: String, useTws: Boolean, pass: Int): Double = {
+    def run(mode: String, useTws: Boolean, pass: Int,
+        ttl: Option[java.time.Duration] = None): Double = {
       if (useTws)
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state." +
@@ -65,27 +66,62 @@ object EngineBench {
         .option("maxFilesPerTrigger", filesPerTrigger.toString)
         .parquet(logDir)
       val t0 = System.nanoTime()
-      val q = Pipeline.start(stream, decode,
-        s"$work/out_${mode}_$pass", s"$work/ckpt_${mode}_$pass",
-        useTransformWithState = useTws,
-        trigger = Some(Trigger.AvailableNow()))
-      q.awaitTermination()
-      (System.nanoTime() - t0) / 1e9
+      // The TTL path REQUIRES TimeMode.ProcessingTime, under which
+      // AvailableNow never self-terminates (the processor's time advances
+      // every trigger, so 'available work' never drains — each mode
+      // switch re-verified in BookEngineSpec). So: explicit short
+      // ProcessingTime trigger, poll query progress until every input
+      // frame is consumed AND one further empty batch committed (sink
+      // flushed), then stop. The ≤ intervalMs granularity this adds is
+      // why the trigger is short relative to batch cost.
+      if (ttl.isDefined) {
+        val q = Pipeline.start(stream, decode,
+          s"$work/out_${mode}_$pass", s"$work/ckpt_${mode}_$pass",
+          useTransformWithState = useTws,
+          trigger = Some(Trigger.ProcessingTime("250 milliseconds")),
+          idleTtl = ttl)
+        val deadline = System.nanoTime() + 300L * 1000000000L
+        var done = false
+        while (!done && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          val ps = q.recentProgress
+          val consumed = ps.map(_.numInputRows).sum
+          done = consumed >= frames &&
+            ps.lastOption.exists(_.numInputRows == 0)
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop(); q.awaitTermination()
+        if (!done) throw new IllegalStateException(
+          s"TTL pass $pass did not drain $frames frames within 300 s")
+        sec
+      } else {
+        val q = Pipeline.start(stream, decode,
+          s"$work/out_${mode}_$pass", s"$work/ckpt_${mode}_$pass",
+          useTransformWithState = useTws,
+          trigger = Some(Trigger.AvailableNow()))
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
     }
 
     // Interleaved passes (same discipline as Bench): a load spike hits one
-    // pass of each mode, not every pass of one mode.
-    val modes = Seq("fmgws" -> false, "tws" -> true)
+    // pass of each mode, not every pass of one mode. The third mode is the
+    // TTL'd RocksDB path (idle 1 h — far beyond the bench, so the row
+    // measures the per-key TTL bookkeeping + ProcessingTime re-trigger
+    // overhead, not eviction itself, which BookEngineSpec covers).
+    val ttlDur = Some(java.time.Duration.ofHours(1))
+    val modes = Seq(("fmgws", false, None), ("tws", true, None),
+      ("tws_ttl", true, ttlDur))
     val times: Map[String, Seq[Double]] = {
       val all = for {
         pass <- 1 to passes
-        (mode, tws) <- modes
-      } yield mode -> run(mode, tws, pass)
+        (mode, tws, ttl) <- modes
+      } yield mode -> run(mode, tws, pass, ttl)
       all.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     }
-    val medSec = modes.map { case (m, _) => m -> median(times(m)) }.toMap
+    val medSec = modes.map { case (m, _, _) => m -> median(times(m)) }.toMap
     val line =
-      f"""{"metric":"engine_frames_per_sec","frames":$frames,"sf":"$sfDir","passes":$passes,"files_per_trigger":$filesPerTrigger,"fmgws_sec":${medSec("fmgws")}%.3f,"tws_sec":${medSec("tws")}%.3f,"fmgws_fps":${frames / medSec("fmgws")}%.0f,"tws_fps":${frames / medSec("tws")}%.0f}"""
+      f"""{"metric":"engine_frames_per_sec","frames":$frames,"sf":"$sfDir","passes":$passes,"files_per_trigger":$filesPerTrigger,"fmgws_sec":${medSec("fmgws")}%.3f,"tws_sec":${medSec("tws")}%.3f,"tws_ttl_sec":${medSec("tws_ttl")}%.3f,"fmgws_fps":${frames / medSec("fmgws")}%.0f,"tws_fps":${frames / medSec("tws")}%.0f,"tws_ttl_fps":${frames / medSec("tws_ttl")}%.0f}"""
     spark.stop()
     println(line)
     System.out.flush()

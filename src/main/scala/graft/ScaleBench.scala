@@ -118,11 +118,95 @@ object ScaleBench {
     "ann_int8" -> "ann_topk_int8",
     "pack_blocked" -> "pack_sequences_blocked")
 
+  /** The approximate ANN variants whose recall the scale rows report. */
+  private[graft] val AnnVariants =
+    Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivf_int8")
+
+  /** Mean recall@5 of each approximate ANN variant against the brute-force
+    * gold standard ON `dir` — at scale the quality knobs (nlist, nprobe,
+    * planes, int8 resolution) are as load-bearing as wall-clock, so the
+    * scale table reports both: a variant that got fast by returning the
+    * wrong neighbors fails the recall column, not just a spec at sf0.001.
+    * Driver-side work is bounded by |queries|·k rows per variant. */
+  private[graft] def annRecallAt5(spark: SparkSession,
+      dir: String): Map[String, Double] = {
+    def tops(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, dir)
+        .filter(col("rank") <= 5).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) =>
+          q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val gold = tops("ann_topk_brute")
+    require(gold.nonEmpty, s"brute gold standard empty on $dir")
+    AnnVariants.map { n =>
+      val got = tops(n)
+      n -> gold.keys.toSeq.map { q =>
+        (gold(q) & got.getOrElse(q, Set.empty)).size.toDouble / gold(q).size
+      }.sum / gold.size
+    }.toMap
+  }
+
   private def dirBytes(spark: SparkSession, dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0L
     else fs.getContentSummary(p).getLength
+  }
+
+  /** Recall@5 of IVF at several nprobe settings on `dir` — the quality
+    * knob quantified: nlist grows ~N/100 with the corpus, so a FIXED
+    * nprobe probes a shrinking fraction of cells and recall falls (the
+    * suite's oracle-pinned `ann_topk_ivf` stays at nprobe=2; production
+    * keeps nprobe/nlist roughly constant instead). Self-contained on the
+    * raw embeddings table — the staged ivf_cells caps rn at the pinned
+    * nprobe and must not be widened for a bench-only sweep. */
+  private[graft] def ivfRecallSweep(spark: SparkSession, dir: String,
+      nprobes: Seq[Int]): Seq[(Int, Double)] = {
+    graft.functions.VectorExprs.register(spark)
+    val maxP = nprobes.max
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("emb", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      .withColumn("norm", expr("sqrt(vec_dot(emb, emb))"))
+      .select(col("vec_id"), col("emb"), col("norm"))
+      .localCheckpoint(eager = true)
+    val cents = broadcast(e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+        col("norm").as("cnorm")))
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
+    val cells = e.crossJoin(cents)
+      .withColumn("ccos", expr("vec_dot(emb, cemb) / (norm * cnorm)"))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") <= maxP)
+      .select(col("vec_id"), col("cid"), col("rn"))
+      .localCheckpoint(eager = true)
+    def tops(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val gold = tops(SparkEntry.queries("ann_topk_brute")(spark, dir)
+      .filter(col("rank") <= 5))
+    val out = nprobes.map { p =>
+      val q = cells.filter(col("vec_id") < 10 && col("rn") <= p)
+        .select(col("vec_id").as("query_id"), col("cid"))
+      val c = cells.filter(col("rn") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("cid").as("ccid"))
+      val cand = q.join(c, col("cid") === col("ccid") &&
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id")).distinct()
+      val scored = cand
+        .join(broadcast(e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+            col("norm").as("qn"))), "query_id")
+        .join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
+          col("norm").as("cn")), "neighbor_id")
+        .withColumn("cos", expr("vec_dot(qe, ce) / (qn * cn)"))
+      val got = tops(operators.SimilarityQueries.rankTopK(scored, "cos", 5))
+      p -> gold.keys.toSeq.map { k =>
+        (gold(k) & got.getOrElse(k, Set.empty)).size.toDouble / gold(k).size
+      }.sum / gold.size
+    }
+    e.unpersist(); cells.unpersist()
+    out
   }
 
   def main(args: Array[String]): Unit = {
@@ -159,12 +243,31 @@ object ScaleBench {
       l -> (dirBytes(spark, s"$d/documents.parquet") +
         dirBytes(spark, s"$d/embeddings.parquet"))
     }.toMap
+    // recall columns (r8 verdict ask #5): measured AFTER the timing loop so
+    // the staged-table builds they trigger never pollute a timing pass
+    val recalls = Seq("base" -> base, s"x$k" -> rep).map { case (l, d) =>
+      operators.Staged.reset(spark)
+      l -> annRecallAt5(spark, d)
+    }
     results.foreach { case (dl, fam, q, med, rows) =>
       println(f"""SCALE_ROW {"dir":"$dl","family":"$fam","query":"$q","median_sec":$med%.3f,"out_rows":$rows,"doc_rows":${docRows(dl)},"corpus_bytes":${bytes(dl)}}""")
     }
-    val summary = results.map { case (dl, fam, _, med, _) =>
+    recalls.foreach { case (dl, byVariant) =>
+      byVariant.toSeq.sortBy(_._1).foreach { case (variant, r) =>
+        println(f"""RECALL_ROW {"dir":"$dl","query":"$variant","recall_at_5":$r%.3f}""")
+      }
+    }
+    // the nprobe knob, quantified on the un-replicated base (replication
+    // saturates recall with identical copies — see SCALE.md)
+    ivfRecallSweep(spark, base, Seq(1, 2, 4, 8)).foreach { case (p, r) =>
+      println(f"""IVF_SWEEP {"dir":"base","nprobe":$p,"recall_at_5":$r%.3f}""")
+    }
+    val summary = (results.map { case (dl, fam, _, med, _) =>
       f""""${dl}_$fam":$med%.3f"""
-    }.mkString(",")
+    } ++ recalls.flatMap { case (dl, byVariant) =>
+      byVariant.toSeq.sortBy(_._1).map { case (v, r) =>
+        f""""${dl}_recall5_${v.stripPrefix("ann_topk_")}":$r%.3f""" }
+    }).mkString(",")
     spark.stop()
     println(s"""{"metric":"scale_bench","x":$k,"passes":$passes,$summary}""")
     System.out.flush()

@@ -88,7 +88,7 @@ object SimilarityQueries {
     * neighbor_id asc) — the one place the tie-break and output-shape
     * conventions live for all four ANN variants (brute, LSH, IVF, int8).
     * Expects `query_id`, `neighbor_id`, and the score column. */
-  private[operators] def rankTopK(scored: DataFrame, scoreCol: String,
+  private[graft] def rankTopK(scored: DataFrame, scoreCol: String,
       k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col(scoreCol).desc, col("neighbor_id").asc)

@@ -85,10 +85,12 @@ object Pipeline {
       outDir: String, checkpointDir: String,
       fetcher: Option[graft.sources.Backfill.TradeFetcher] = None,
       useTransformWithState: Boolean = false,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
-      : StreamingQuery = {
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      idleTtl: Option[java.time.Duration] = None): StreamingQuery = {
+    require(idleTtl.isEmpty || useTransformWithState,
+      "idleTtl is a transformWithState feature (TTLConfig)")
     val engineOut =
-      if (useTransformWithState) BookEngine.runTws(decode(frames))
+      if (useTransformWithState) BookEngine.runTws(decode(frames), idleTtl)
       else BookEngine.run(decode(frames))
     val writer = engineOut
       .writeStream
