@@ -102,10 +102,14 @@ object CurationStream {
       source: String, contentHash: String, nTok: Long, nStop: Long,
       fetchTs: Timestamp)
 
-  /** A probe's verdict: did this band's bucket already hold a live doc? */
+  /** A probe's verdict: did this band's bucket already hold a live doc?
+    * `keeperId` is the bucket's keeper at decision time — the prober
+    * itself on a miss (it registered, or the bucket stayed untouched),
+    * the live occupant on a hit; the canonical stage anchors clusters on
+    * it. */
   private[streaming] final case class BandHit(docId: Long, source: String,
       contentHash: String, nTok: Long, nStop: Long, fetchTs: Timestamp,
-      hit: Boolean)
+      hit: Boolean, keeperId: Long)
 
   /** First occupant of a bucket, with its event time (for the horizon). */
   private[streaming] final case class Keeper(docId: Long, tsMillis: Long)
@@ -156,7 +160,8 @@ object CurationStream {
           getHandle.registerTimer(ts + 2 * horizonMs)
         }
         BandHit(p.docId, p.source, p.contentHash, p.nTok, p.nStop, p.fetchTs,
-          hit = live)
+          hit = live,
+          keeperId = if (live) cur.get.docId else p.docId)
       }
       out.iterator
     }
@@ -193,6 +198,98 @@ object CurationStream {
     }
   }
 
+  /** A gated doc with its resolved near-dup cluster anchor. */
+  private[streaming] final case class DocClustered(docId: Long,
+      source: String, contentHash: String, nTok: Long, nStop: Long,
+      fetchTs: Timestamp, clusterId: Long, kept: Boolean)
+
+  /** A canonical-assignment row (the streaming face of the batch
+    * `dedup_canonicalize` table): `canonicalId` is the cluster's canonical
+    * AS OF this member's admission — the cluster's CURRENT canonical is
+    * the latest row per `clusterId`, so the materialized canonical table
+    * is a last-value-per-cluster upsert, never a full recompute. */
+  final case class DocCanonical(docId: Long, source: String,
+      contentHash: String, nTok: Long, fetchTs: Timestamp, clusterId: Long,
+      canonicalId: Long, isCanonical: Boolean)
+
+  /** Per-doc cluster resolution: all of a doc's band rows land in one
+    * micro-batch (they derive from one input row), so this holds no state
+    * — the doc's cluster anchor is the smallest keeper id among its HIT
+    * bands (the registrant whose horizon admitted it), or itself when
+    * every band missed (a fresh cluster of one). */
+  private[streaming] class ClusterAssembleProcessor
+      extends StatefulProcessor[Long, BandHit, DocClustered] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+    override def handleInputRows(key: Long, rows: Iterator[BandHit],
+        timerValues: TimerValues): Iterator[DocClustered] = {
+      val rs = rows.toSeq
+      if (rs.isEmpty) Iterator.empty
+      else {
+        val r = rs.head
+        val hits = rs.filter(_.hit)
+        val cluster = if (hits.isEmpty) key else hits.map(_.keeperId).min
+        Iterator.single(DocClustered(r.docId, r.source, r.contentHash,
+          r.nTok, r.nStop, r.fetchTs, cluster, kept = hits.isEmpty))
+      }
+    }
+  }
+
+  /** Per-cluster canonical election state. */
+  private[streaming] final case class CanonState(canonicalId: Long,
+      canonicalNTok: Long, lastTs: Long)
+
+  /** Incremental canonical election, keyed by cluster anchor: every new
+    * member challenges the incumbent under THE SAME rule the batch
+    * `dedup_canonicalize` table applies — longest (token count), ties to
+    * the smallest doc id. The rule is order-independent (a later longer
+    * member takes the crown; a later shorter one never does), so the
+    * cluster's final canonical equals the batch rule over the same member
+    * set regardless of arrival order. State is one 3-long row per LIVE
+    * cluster, evicted by event-time timer 2× horizon after the last
+    * member — bounded by crawl rate × horizon like the bucket registry
+    * (a beyond-horizon re-crawl re-registers its buckets under a fresh
+    * anchor, so expired clusters never receive members). */
+  private[streaming] class CanonicalProcessor(horizonMs: Long)
+      extends StatefulProcessor[Long, DocClustered, DocCanonical] {
+    @transient private var canon: ValueState[CanonState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      canon = getHandle.getValueState[CanonState]("canon",
+        Encoders.product[CanonState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[DocClustered],
+        timerValues: TimerValues): Iterator[DocCanonical] = {
+      val sorted = rows.toSeq.sortBy(m => (m.fetchTs.getTime, m.docId))
+      var st: Option[CanonState] =
+        if (canon.exists()) Some(canon.get()) else None
+      val out = sorted.map { m =>
+        val better = st.forall(s => m.nTok > s.canonicalNTok ||
+          (m.nTok == s.canonicalNTok && m.docId < s.canonicalId))
+        val lastTs = math.max(m.fetchTs.getTime,
+          st.map(_.lastTs).getOrElse(Long.MinValue))
+        val next =
+          if (better) CanonState(m.docId, m.nTok, lastTs)
+          else st.get.copy(lastTs = lastTs)
+        st = Some(next); canon.update(next)
+        getHandle.registerTimer(m.fetchTs.getTime + 2 * horizonMs)
+        DocCanonical(m.docId, m.source, m.contentHash, m.nTok, m.fetchTs,
+          key, next.canonicalId, isCanonical = m.docId == next.canonicalId)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[DocCanonical] = {
+      if (canon.exists() &&
+          canon.get().lastTs + 2 * horizonMs <=
+            expiredTimerInfo.getExpiryTimeInMs())
+        canon.clear()
+      Iterator.empty
+    }
+  }
+
   /** Streaming near-dup intake: quality gate, then banded-MinHash bucket
     * dedup within an event-time horizon. Signatures come from
     * [[graft.functions.TextHashing.bandSigsPerRow]] — the SAME shingle
@@ -208,6 +305,56 @@ object CurationStream {
   def nearDedup(docs: Dataset[DocIn], horizonMs: Long = 3600000L,
       minTok: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
       stopWords: Seq[String] = Stop): Dataset[DocCurated] = {
+    import docs.sparkSession.implicits._
+    bandVerdicts(docs, horizonMs, minTok, bands, rowsPerBand, stopWords)
+      .groupByKey(_.docId)
+      .transformWithState(new DocAssembleProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** The canonical-assignment intake (r8 verdict ask #6): [[nearDedup]]'s
+    * verdicts tell a deployment WHICH docs to keep; this tells it where
+    * every doc (kept or dropped) LANDS in the canonical table — the
+    * streamed, horizon-bounded face of the batch `dedup_canonicalize`
+    * mapping, maintained incrementally (one upsert per doc, latest row
+    * per clusterId wins) instead of by corpus recompute. Cluster anchors
+    * come from the same bucket registry the keep/drop verdicts use;
+    * canonical election applies the batch rule (longest, then smallest
+    * id) per cluster, which is arrival-order independent.
+    *
+    * Scope, stated honestly: within a horizon the gate links a re-crawl
+    * to the REGISTRANT whose bucket it hit, so clusters here are
+    * star-shaped (members link to an anchor — the re-crawl pattern this
+    * gate exists for, and CurationStreamSpec pins canonical parity with
+    * the batch table on exactly that shape). A transitive chain whose
+    * middle link is the only connector (C ~ B ~ A with C !~ A, C hitting
+    * only B's fresh buckets) anchors C at B while batch connected
+    * components would merge all three — the periodic batch
+    * `dedup_canonicalize` pass remains the closure authority; this stream
+    * keeps the canonical table current between those passes. */
+  def nearDedupCanonical(docs: Dataset[DocIn], horizonMs: Long = 3600000L,
+      minTok: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      stopWords: Seq[String] = Stop): Dataset[DocCanonical] = {
+    import docs.sparkSession.implicits._
+    bandVerdicts(docs, horizonMs, minTok, bands, rowsPerBand, stopWords)
+      .groupByKey(_.docId)
+      // event-time chain: cluster resolution declares fetchTs as its
+      // output event time so the canonical stage can run event-time
+      // timers for cluster-state eviction
+      .transformWithState(new ClusterAssembleProcessor,
+        "fetchTs", OutputMode.Append())
+      .groupByKey(_.clusterId)
+      .transformWithState(new CanonicalProcessor(horizonMs),
+        "fetchTs", OutputMode.Append())
+  }
+
+  /** Shared probe + bucket-registry prefix of [[nearDedup]] and
+    * [[nearDedupCanonical]]: sign, explode to band probes, consult the
+    * event-time bucket registry — one definition, so the keep/drop gate
+    * and the canonical assignment can never disagree on what collided. */
+  private def bandVerdicts(docs: Dataset[DocIn], horizonMs: Long,
+      minTok: Int, bands: Int, rowsPerBand: Int,
+      stopWords: Seq[String]): Dataset[BandHit] = {
     import docs.sparkSession.implicits._
     require(horizonMs > 0, s"horizonMs must be positive: $horizonMs")
     // bandSigsPerRow builds on the codegen word_ngrams expression — register
@@ -236,11 +383,8 @@ object CurationStream {
       .groupByKey(_.bucket)
       // the eventTimeColumnName overload: the registry runs in EventTime
       // mode (timers fire on watermark advance) and declares fetchTs as
-      // the output's event time so the verdict stage can legally chain
+      // the output's event time so the downstream stages can legally chain
       .transformWithState(new BucketProcessor(horizonMs),
         "fetchTs", OutputMode.Append())
-      .groupByKey(_.docId)
-      .transformWithState(new DocAssembleProcessor,
-        TimeMode.None(), OutputMode.Append())
   }
 }
