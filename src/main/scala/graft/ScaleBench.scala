@@ -90,17 +90,23 @@ object ScaleData {
     dir
   }
 
-  /** Cheap content fingerprint of a base corpus: row counts plus id sums
-    * over both tables (footer-only counts + one narrow-agg each —
-    * milliseconds at bench scale, and any regeneration that changes row
-    * identity changes it). */
+  /** Cheap content fingerprint of a base corpus: row counts, id sums, and
+    * VALUE hashes over both tables (one narrow agg each — milliseconds at
+    * bench scale). The value terms matter: a corpus regenerated with a new
+    * embedding seed or reworded texts under the SAME id layout must
+    * invalidate the cache, so text and embedding content fold in via
+    * xxhash64 (pmod before summing — ANSI mode overflows a raw sum of
+    * 64-bit hashes). */
   private def fingerprint(spark: SparkSession, base: String): String = {
+    val P = 1000000007L
     val d = Tables.documents(spark, base)
-      .agg(count(lit(1)), sum(col("doc_id")), sum(length(col("text")))).head
+      .agg(count(lit(1)), sum(col("doc_id")),
+        sum(pmod(xxhash64(col("text")), lit(P)))).head
     val e = Tables.embeddings(spark, base)
-      .agg(count(lit(1)), sum(col("vec_id"))).head
-    s"v1:${d.getLong(0)}:${d.getLong(1)}:${d.getLong(2)}:" +
-      s"${e.getLong(0)}:${e.getLong(1)}"
+      .agg(count(lit(1)), sum(col("vec_id")),
+        sum(pmod(xxhash64(col("embedding")), lit(P)))).head
+    s"v2:${d.getLong(0)}:${d.getLong(1)}:${d.getLong(2)}:" +
+      s"${e.getLong(0)}:${e.getLong(1)}:${e.getLong(2)}"
   }
 }
 
@@ -128,22 +134,25 @@ object ScaleBench {
     * scale table reports both: a variant that got fast by returning the
     * wrong neighbors fails the recall column, not just a spec at sf0.001.
     * Driver-side work is bounded by |queries|·k rows per variant. */
+  private def topSets(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, Set[Long]] =
+    df.filter(col("rank") <= 5).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+
+  private def meanRecall(gold: Map[Long, Set[Long]],
+      got: Map[Long, Set[Long]]): Double =
+    gold.keys.toSeq.map { q =>
+      (gold(q) & got.getOrElse(q, Set.empty)).size.toDouble / gold(q).size
+    }.sum / gold.size
+
   private[graft] def annRecallAt5(spark: SparkSession,
       dir: String): Map[String, Double] = {
     def tops(name: String): Map[Long, Set[Long]] =
-      SparkEntry.queries(name)(spark, dir)
-        .filter(col("rank") <= 5).collect()
-        .groupBy(_.getAs[Long]("query_id"))
-        .map { case (q, rs) =>
-          q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+      topSets(SparkEntry.queries(name)(spark, dir))
     val gold = tops("ann_topk_brute")
     require(gold.nonEmpty, s"brute gold standard empty on $dir")
-    AnnVariants.map { n =>
-      val got = tops(n)
-      n -> gold.keys.toSeq.map { q =>
-        (gold(q) & got.getOrElse(q, Set.empty)).size.toDouble / gold(q).size
-      }.sum / gold.size
-    }.toMap
+    AnnVariants.map(n => n -> meanRecall(gold, tops(n))).toMap
   }
 
   private def dirBytes(spark: SparkSession, dir: String): Long = {
@@ -157,34 +166,19 @@ object ScaleBench {
     * knob quantified: nlist grows ~N/100 with the corpus, so a FIXED
     * nprobe probes a shrinking fraction of cells and recall falls (the
     * suite's oracle-pinned `ann_topk_ivf` stays at nprobe=2; production
-    * keeps nprobe/nlist roughly constant instead). Self-contained on the
-    * raw embeddings table — the staged ivf_cells caps rn at the pinned
-    * nprobe and must not be widened for a bench-only sweep. */
+    * keeps nprobe/nlist roughly constant instead). Built on
+    * [[operators.SimilarityQueries.ivfCellsRaw]] — the SAME centroid rule,
+    * scoring, and tie-break as the real operator, so the published sweep
+    * characterizes the index that actually runs, not a copy that could
+    * drift. The wide cell table is a bench-local checkpoint (the staged
+    * ivf_cells stays at the oracle-pinned maxRn = 2). */
   private[graft] def ivfRecallSweep(spark: SparkSession, dir: String,
       nprobes: Seq[Int]): Seq[(Int, Double)] = {
-    graft.functions.VectorExprs.register(spark)
-    val maxP = nprobes.max
-    val e = Tables.embeddings(spark, dir)
-      .withColumn("emb", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
-      .withColumn("norm", expr("sqrt(vec_dot(emb, emb))"))
-      .select(col("vec_id"), col("emb"), col("norm"))
+    import operators.SimilarityQueries.{ivfCellsRaw, normed, rankTopK}
+    val cells = ivfCellsRaw(spark, dir, maxRn = nprobes.max)
       .localCheckpoint(eager = true)
-    val cents = broadcast(e.filter(col("vec_id") % 100 === 7)
-      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
-        col("norm").as("cnorm")))
-    val aw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
-    val cells = e.crossJoin(cents)
-      .withColumn("ccos", expr("vec_dot(emb, cemb) / (norm * cnorm)"))
-      .withColumn("rn", row_number().over(aw))
-      .filter(col("rn") <= maxP)
-      .select(col("vec_id"), col("cid"), col("rn"))
-      .localCheckpoint(eager = true)
-    def tops(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
-      df.collect().groupBy(_.getAs[Long]("query_id"))
-        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
-    val gold = tops(SparkEntry.queries("ann_topk_brute")(spark, dir)
-      .filter(col("rank") <= 5))
+    val e = normed(spark, dir)
+    val gold = topSets(SparkEntry.queries("ann_topk_brute")(spark, dir))
     val out = nprobes.map { p =>
       val q = cells.filter(col("vec_id") < 10 && col("rn") <= p)
         .select(col("vec_id").as("query_id"), col("cid"))
@@ -200,12 +194,9 @@ object ScaleBench {
         .join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
           col("norm").as("cn")), "neighbor_id")
         .withColumn("cos", expr("vec_dot(qe, ce) / (qn * cn)"))
-      val got = tops(operators.SimilarityQueries.rankTopK(scored, "cos", 5))
-      p -> gold.keys.toSeq.map { k =>
-        (gold(k) & got.getOrElse(k, Set.empty)).size.toDouble / gold(k).size
-      }.sum / gold.size
+      p -> meanRecall(gold, topSets(rankTopK(scored, "cos", 5)))
     }
-    e.unpersist(); cells.unpersist()
+    cells.unpersist()
     out
   }
 
@@ -258,7 +249,11 @@ object ScaleBench {
       }
     }
     // the nprobe knob, quantified on the un-replicated base (replication
-    // saturates recall with identical copies — see SCALE.md)
+    // saturates recall with identical copies — see SCALE.md). Reset first:
+    // the replica recall pass above staged the Kx-corpus tables (normed,
+    // buckets, cells, q8 — the run's largest blocks), which would sit
+    // resident under the sweep's own checkpoints for no reason.
+    operators.Staged.reset(spark)
     ivfRecallSweep(spark, base, Seq(1, 2, 4, 8)).foreach { case (p, r) =>
       println(f"""IVF_SWEEP {"dir":"base","nprobe":$p,"recall_at_5":$r%.3f}""")
     }

@@ -26,7 +26,7 @@ object SimilarityQueries {
     * vec_dot — same left-to-right fold, ~50× the interpreted lambda).
     * Staged once per session: all three index variants (and the cosine
     * dedup) read the same normalized table, as they would at 100 TB. */
-  private[operators] def normed(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def normed(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     Staged(spark, dir, "normed_embeddings") {
       Tables.embeddings(spark, dir)
@@ -69,20 +69,30 @@ object SimilarityQueries {
     * keeps both the nprobe=2 query probe and the rn=1 home cell in one
     * table. */
   private[operators] def ivfCells(spark: SparkSession, dir: String): DataFrame =
-    Staged(spark, dir, "ivf_cells") {
-      val e = normed(spark, dir)
-      val cents = broadcast(e.filter(col("vec_id") % 100 === 7)
-        .select(col("vec_id").as("cid"), col("emb").as("cemb"),
-          col("norm").as("cnorm")))
-      val aw = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cid").asc)
-      e.select(col("vec_id"), col("emb"), col("norm"))
-        .crossJoin(cents)
-        .withColumn("ccos", expr("vec_dot(emb, cemb) / (norm * cnorm)"))
-        .withColumn("rn", row_number().over(aw))
-        .filter(col("rn") <= 2)
-        .select(col("vec_id"), col("cid"), col("rn"))
-    }
+    Staged(spark, dir, "ivf_cells") { ivfCellsRaw(spark, dir, maxRn = 2) }
+
+  /** The IVF coarse-quantizer computation itself, parameterized by how
+    * many nearest cells to keep per vector — the ONE definition of the
+    * centroid rule (vec_id % 100 == 7), scoring, and (ccos desc, cid asc)
+    * tie-break. Consumers: the staged [[ivfCells]] at the oracle-pinned
+    * maxRn = 2, and ScaleBench's nprobe recall sweep at wider maxRn (a
+    * bench-only sweep must not widen the staged table, but it MUST
+    * measure this index, not a drifted copy). */
+  private[graft] def ivfCellsRaw(spark: SparkSession, dir: String,
+      maxRn: Int): DataFrame = {
+    val e = normed(spark, dir)
+    val cents = broadcast(e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+        col("norm").as("cnorm")))
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    e.select(col("vec_id"), col("emb"), col("norm"))
+      .crossJoin(cents)
+      .withColumn("ccos", expr("vec_dot(emb, cemb) / (norm * cnorm)"))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") <= maxRn)
+      .select(col("vec_id"), col("cid"), col("rn"))
+  }
 
   /** The shared ANN ranking tail: per-query row_number over (score desc,
     * neighbor_id asc) — the one place the tie-break and output-shape

@@ -206,11 +206,17 @@ object CurationStream {
   /** A canonical-assignment row (the streaming face of the batch
     * `dedup_canonicalize` table): `canonicalId` is the cluster's canonical
     * AS OF this member's admission — the cluster's CURRENT canonical is
-    * the latest row per `clusterId`, so the materialized canonical table
-    * is a last-value-per-cluster upsert, never a full recompute. */
+    * the row with the highest `seq` per `clusterId`, so the materialized
+    * canonical table is a last-value-per-cluster upsert, never a full
+    * recompute. `seq` is the cluster's member counter in PROCESSING
+    * order; use it, not fetchTs, to pick the latest row — a
+    * late-but-in-watermark member can dethrone the incumbent while
+    * carrying an EARLIER event time, so max-by-fetchTs would resurrect
+    * the stale canonical. `kept` carries the near-dup verdict (all bands
+    * missed), identical to what [[nearDedup]] would emit for the doc. */
   final case class DocCanonical(docId: Long, source: String,
       contentHash: String, nTok: Long, fetchTs: Timestamp, clusterId: Long,
-      canonicalId: Long, isCanonical: Boolean)
+      canonicalId: Long, isCanonical: Boolean, kept: Boolean, seq: Long)
 
   /** Per-doc cluster resolution: all of a doc's band rows land in one
     * micro-batch (they derive from one input row), so this holds no state
@@ -235,9 +241,11 @@ object CurationStream {
     }
   }
 
-  /** Per-cluster canonical election state. */
+  /** Per-cluster canonical election state. `seq` counts admitted members
+    * in processing order — the output's recency key (see
+    * [[DocCanonical]]). */
   private[streaming] final case class CanonState(canonicalId: Long,
-      canonicalNTok: Long, lastTs: Long)
+      canonicalNTok: Long, lastTs: Long, seq: Long)
 
   /** Incremental canonical election, keyed by cluster anchor: every new
     * member challenges the incumbent under THE SAME rule the batch
@@ -268,13 +276,15 @@ object CurationStream {
           (m.nTok == s.canonicalNTok && m.docId < s.canonicalId))
         val lastTs = math.max(m.fetchTs.getTime,
           st.map(_.lastTs).getOrElse(Long.MinValue))
+        val seq = st.map(_.seq).getOrElse(0L) + 1
         val next =
-          if (better) CanonState(m.docId, m.nTok, lastTs)
-          else st.get.copy(lastTs = lastTs)
+          if (better) CanonState(m.docId, m.nTok, lastTs, seq)
+          else st.get.copy(lastTs = lastTs, seq = seq)
         st = Some(next); canon.update(next)
         getHandle.registerTimer(m.fetchTs.getTime + 2 * horizonMs)
         DocCanonical(m.docId, m.source, m.contentHash, m.nTok, m.fetchTs,
-          key, next.canonicalId, isCanonical = m.docId == next.canonicalId)
+          key, next.canonicalId, isCanonical = m.docId == next.canonicalId,
+          kept = m.kept, seq = seq)
       }
       out.iterator
     }

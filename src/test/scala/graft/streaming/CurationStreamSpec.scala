@@ -345,7 +345,17 @@ class CurationStreamSpec extends AnyFunSuite {
       DocIn(101L, "recrawl",
         "the cat sat near the warm mat by the door of the quiet house " +
           "in the early evening hours",
-        new Timestamp(ts("2024-05-01 10:10:01").getTime)))
+        new Timestamp(ts("2024-05-01 10:10:01").getTime)),
+      // OUT-OF-ORDER extended drift of doc 3: arrives last with an event
+      // time BEFORE doc 3's own (but inside the watermark) — it still
+      // dethrones. This is why the recency key of the materialized table
+      // is `seq`, not fetchTs: a max-by-fetchTs consumer would pick the
+      // incumbent's later-stamped row and resurrect the stale canonical.
+      DocIn(102L, "recrawl",
+        "the harbor lights glowed over the quiet water and the boats " +
+          "rested in the shallow bay of the northern coast " +
+          "under the winter stars",
+        new Timestamp(ts("2024-05-01 09:59:59").getTime)))
     val arrivals = base ++ recrawls
     val streamed = withRocksDb {
       val input = MemoryStream[DocIn]
@@ -360,11 +370,11 @@ class CurationStreamSpec extends AnyFunSuite {
           .as[CurationStream.DocCanonical].collect().toSeq
       } finally q.stop()
     }
-    // the canonical table a deployment materializes: latest row per
+    // the canonical table a deployment materializes: highest-seq row per
     // cluster wins; a doc's final canonical is its cluster's final one
     val finalCanonByCluster = streamed
       .groupBy(_.clusterId).view.mapValues(rs =>
-        rs.maxBy(r => (r.fetchTs.getTime, r.docId)).canonicalId).toMap
+        rs.maxBy(_.seq).canonicalId).toMap
     val streamedCanon = streamed
       .map(r => r.docId -> finalCanonByCluster(r.clusterId)).toMap
     // batch side, built from the dedup_canonicalize pipeline's primitives
@@ -401,6 +411,20 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(streamedCanon(2L) === 101L,
       "the longer re-crawl must dethrone the original")
     assert(streamedCanon(101L) === 101L)
+    assert(streamedCanon(3L) === 102L,
+      "the out-of-order (earlier-fetchTs) longer re-crawl must dethrone — " +
+        "and survive the seq-keyed materialization")
+    // the max-by-fetchTs recipe would get exactly this cluster wrong
+    val c3 = streamed.find(_.docId == 3L).get.clusterId
+    val byTs = streamed.filter(_.clusterId == c3)
+      .maxBy(r => (r.fetchTs.getTime, r.docId)).canonicalId
+    assert(byTs !== 102L,
+      "test slice no longer exercises the out-of-order dethroning " +
+        "(max-by-fetchTs accidentally agrees with max-by-seq)")
+    // the kept flag mirrors the nearDedup verdict: originals admitted,
+    // every re-crawl suppressed
+    assert(streamed.filter(_.kept).map(_.docId).toSet ===
+      base.map(_.docId).toSet)
   }
 
   test("gate stop list is data, not SQL: quote-bearing stop words work") {
