@@ -427,6 +427,52 @@ class CurationStreamSpec extends AnyFunSuite {
       base.map(_.docId).toSet)
   }
 
+  test("canonical election state survives a checkpointed restart") {
+    // the third stage's CanonState (incumbent + seq counter) must restore
+    // from RocksDB like the bucket registry: a post-restart member of a
+    // pre-restart cluster must join the SAME cluster, continue the seq
+    // sequence (the recency key would fork if it reset to 1), and face
+    // the restored incumbent in the election
+    withRocksDb {
+      val ckpt = java.nio.file.Files.createTempDirectory("canon_ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("canon_out").toString
+      def start(input: MemoryStream[DocIn]) =
+        CurationStream.nearDedupCanonical(input.toDS()).writeStream
+          .outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt).start()
+      val batch1 = Seq(
+        DocIn(1, "crawl0", longText, ts("2024-05-01 10:00:00")))
+      val input1 = MemoryStream[DocIn]
+      val q1 = start(input1)
+      try {
+        input1.addData(batch1: _*)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val input2 = MemoryStream[DocIn]
+      input2.addData(batch1: _*) // restart replays the committed batch
+      val q2 = start(input2)
+      try {
+        input2.addData(
+          // longer drift of doc 1, post-restart: must land in doc 1's
+          // restored cluster and dethrone it
+          DocIn(10, "recrawl", longText + " beneath the autumn sky",
+            ts("2024-05-01 10:20:00")))
+        q2.processAllAvailable()
+        val rows = spark.read.parquet(outDir)
+          .as[CurationStream.DocCanonical].collect().toSeq
+        val r1 = rows.find(_.docId == 1L).get
+        val r10 = rows.find(_.docId == 10L).get
+        assert(r10.clusterId === r1.clusterId,
+          "post-restart member must join the restored cluster")
+        assert(r10.seq === r1.seq + 1,
+          "seq must continue across the restart, not reset")
+        assert(r10.canonicalId === 10L && r10.isCanonical,
+          "post-restart member must dethrone the restored incumbent")
+        assert(!r10.kept, "the drift is still a near-dup: dropped")
+      } finally q2.stop()
+    }
+  }
+
   test("gate stop list is data, not SQL: quote-bearing stop words work") {
     // the old string-spliced `t IN ('the', ...)` expression broke at
     // runtime on a stop word containing a quote; the typed
