@@ -122,7 +122,11 @@ object ScaleBench {
   private val Families = Seq(
     "dedup_chain" -> "dedup_components",
     "ann_int8" -> "ann_topk_int8",
-    "pack_blocked" -> "pack_sequences_blocked")
+    "pack_blocked" -> "pack_sequences_blocked",
+    // the r8 verdict's one `weak`: after the per-(source, n_tok) histogram
+    // rewrite the corpus is never globally sorted, so — like blocked
+    // packing — wall should stay flat-ish as the corpus replicates
+    "length_band" -> "length_band_filter")
 
   /** The approximate ANN variants whose recall the scale rows report. */
   private[graft] val AnnVariants =
