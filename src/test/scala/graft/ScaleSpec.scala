@@ -104,6 +104,11 @@ class ScaleSpec extends AnyFunSuite {
     assert(exchanges(planOf("pack_sequences_blocked", rep)) ===
       exchanges(planOf("pack_sequences_blocked", sf)),
       "blocked packing grew a shuffle under replication")
+    // length-band (post-histogram-rewrite): replication must not grow a
+    // shuffle either — growth is absorbed by more (source, n_tok) cells
+    assert(exchanges(planOf("length_band_filter", rep)) ===
+      exchanges(planOf("length_band_filter", sf)),
+      "length_band_filter grew a shuffle under replication")
     // near-dup candidate generation: still bucket equi-joins, no cross join
     operators.Staged.reset(spark)
     val cc = planOf("dedup_components", rep)
