@@ -339,9 +339,10 @@ object CurationStream {
     * the batch table on exactly that shape). A transitive chain whose
     * middle link is the only connector (C ~ B ~ A with C !~ A, C hitting
     * only B's fresh buckets) anchors C at B while batch connected
-    * components would merge all three — the periodic batch
-    * `dedup_canonicalize` pass remains the closure authority; this stream
-    * keeps the canonical table current between those passes. */
+    * components would merge all three — [[reconcileCanonical]] is the
+    * periodic closure pass that merges those fragments from the upsert
+    * table's own metadata; this stream keeps the canonical table current
+    * between its runs. */
   def nearDedupCanonical(docs: Dataset[DocIn], horizonMs: Long = 3600000L,
       minTok: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
       stopWords: Seq[String] = Stop): Dataset[DocCanonical] = {
@@ -356,6 +357,63 @@ object CurationStream {
       .groupByKey(_.clusterId)
       .transformWithState(new CanonicalProcessor(horizonMs),
         "fetchTs", OutputMode.Append())
+  }
+
+  /** The periodic batch closure pass over the STREAMED canonical table —
+    * the runnable form of the "batch closure authority" the
+    * [[nearDedupCanonical]] scaladoc defers transitive chains to. The key
+    * observation: the streamed (docId, clusterId) assignments ARE the
+    * collision edge list — a transitive chain C ~ B ~ A surfaces as B
+    * being a MEMBER of A's cluster while also the ANCHOR of C's — so
+    * closing the stream's own relation needs no re-hash of any text:
+    * connected components ([[graft.functions.TextHashing
+    * .connectedComponents]], the same two-phase machinery the batch chain
+    * uses) over the upsert table's own edges, then the batch election
+    * rule (longest, ties to the smallest id) per merged component.
+    * Output columns match the batch `dedup_canonicalize` table
+    * (doc_id, component, canonical_id, is_canonical), so the reconciled
+    * slice patches that table directly.
+    *
+    * Anchors absent from the slice (a partial export whose cluster
+    * registrant fell outside it) still LINK chains — they enter the
+    * vertex set — but cannot be elected: election runs over the slice's
+    * member rows only. Scale shape mirrors the batch canonicalize:
+    * the edge list is metadata (two longs per doc), components two-phase
+    * by edge count, the rank window runs only over the clustered subset
+    * (non-singleton cluster ids broadcast), singletons map-only. */
+  def reconcileCanonical(upserts: Dataset[DocCanonical])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = upserts.select(col("docId").as("doc_id"),
+      col("clusterId").as("cluster_id"), col("nTok").as("n_tok"))
+    val vertices = m.select(col("doc_id"))
+      .union(m.select(col("cluster_id").as("doc_id"))).distinct()
+    val comp = graft.functions.TextHashing.connectedComponents(vertices,
+      m.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("src"), col("cluster_id").as("dst")))
+    val clusteredIds = comp.filter(col("doc_id") =!= col("component"))
+      .select(col("component")).distinct()
+    val clustered = comp.join(broadcast(clusteredIds), "component")
+    val singletons = comp
+      .join(broadcast(clusteredIds), Seq("component"), "left_anti")
+      // an anchor-only vertex has no member row: it may carry a component
+      // label but must not emit a canonical row for a doc the slice
+      // doesn't contain
+      .join(m.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("component"),
+        col("doc_id").as("canonical_id"), lit(1L).as("is_canonical"))
+    val ranked = m.select(col("doc_id"), col("n_tok"))
+      .join(clustered.select(col("doc_id"), col("component")), "doc_id")
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("component"))
+        .orderBy(col("n_tok").desc, col("doc_id"))))
+    val canon = ranked.filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("canonical_id"))
+    ranked.join(broadcast(canon), "component")
+      .select(col("doc_id"), col("component"), col("canonical_id"),
+        when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L)
+          .as("is_canonical"))
+      .unionByName(singletons)
   }
 
   /** Shared probe + bucket-registry prefix of [[nearDedup]] and

@@ -473,6 +473,94 @@ class CurationStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("reconcileCanonical closes transitive chains the stream leaves split") {
+    // the upsert table's own (docId, clusterId) rows are the edge list:
+    // doc 2 is a member of cluster 1 AND the anchor of doc 3's cluster —
+    // the closure must merge {1,2,3} and re-elect by (longest, smallest id)
+    def row(id: Long, cluster: Long, nTok: Long) =
+      CurationStream.DocCanonical(id, "crawl", "", nTok,
+        ts("2024-05-01 10:00:00"), cluster, cluster, id == cluster,
+        kept = id == cluster, seq = 1L)
+    val upserts = Seq(
+      row(1L, 1L, 10L), row(2L, 1L, 12L), row(3L, 2L, 15L),
+      row(4L, 4L, 5L)) // unrelated singleton
+    val got = CurationStream.reconcileCanonical(upserts.toDS())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, 1L, 3L, 0L), (2L, 1L, 3L, 0L), (3L, 1L, 3L, 1L),
+      (4L, 4L, 4L, 1L)))
+    // partial slice: the anchor's own row is absent — it still LINKS as a
+    // vertex (component = min of {2, 3} = 2) but cannot be elected; the
+    // present member is canonical and no phantom row appears for doc 2
+    val partial = CurationStream.reconcileCanonical(
+      Seq(row(3L, 2L, 15L)).toDS()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(partial.toSet === Set((3L, 2L, 3L, 1L)))
+  }
+
+  test("streamed chain split + reconcile equals the batch closure authority") {
+    import org.apache.spark.sql.functions.col
+    // engineered drift chain (band structure verified by construction):
+    // A and B share bands {0,1,3}; C shares ONLY band 2 with B — a band B
+    // registered fresh — and no band with A. The stream therefore anchors
+    // B at A but C at B (the documented star-shape limit: two clusters),
+    // and reconcileCanonical must merge them into the one component the
+    // batch chain (candidates -> jaccard >= 0.7 -> CC -> election) finds.
+    val a = longText
+    val b = longText + " beneath the autumn sky"
+    val c = b + " amber winter garden"
+    val docs = Seq(a, b, c).zipWithIndex.map { case (t, i) =>
+      DocIn(i + 1L, "crawl", t,
+        new Timestamp(ts("2024-05-01 10:00:00").getTime + i * 1000L))
+    }
+    val streamed = withRocksDb {
+      val input = MemoryStream[DocIn]
+      val q = CurationStream.nearDedupCanonical(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("chain_canon").start()
+      try {
+        // one batch per doc: registration order is the chain order
+        docs.foreach { d => input.addData(d); q.processAllAvailable() }
+        spark.table("chain_canon")
+          .as[CurationStream.DocCanonical].collect().toSeq
+      } finally q.stop()
+    }
+    val byId = streamed.map(r => r.docId -> r).toMap
+    assert(byId(2L).clusterId === 1L, "B must anchor at A")
+    assert(byId(3L).clusterId === 2L,
+      "C must anchor at B (the chain split this test exists to exercise — " +
+        "if C anchored at A the engineered band structure regressed)")
+    assert(!byId(3L).kept, "C collided with B's bucket: dropped")
+    // reconcile the streamed table: one component, batch election rule
+    val rec = CurationStream.reconcileCanonical(streamed.toDS())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(rec === Set((1L, 1L, 3L, 0L), (2L, 1L, 3L, 0L),
+      (3L, 1L, 3L, 1L)), s"reconciled table wrong: $rec")
+    // and that equals the batch closure authority over the same slice
+    val sliceDf = docs.toDF()
+      .select(col("docId").as("doc_id"), col("text"))
+    val sh = graft.functions.TextHashing.shingleSetsRaw(sliceDf)
+    val cand = graft.functions.TextHashing.candidatePairsFromBands(
+      graft.functions.TextHashing.lshBandsFrom(sh, 4, 4))
+    val verified = graft.functions.TextHashing.jaccardOnCandidates(sh, cand)
+      .filter(col("jaccard") >= 0.7)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = graft.functions.TextHashing.connectedComponents(
+      sliceDf.select("doc_id"), verified)
+    val nTok = docs.map(d => d.docId -> d.text.split(" ").length.toLong).toMap
+    val batch = comp.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component")))
+      .groupBy(_._2).values.flatMap { members =>
+        val canonical = members.map(_._1).minBy(id => (-nTok(id), id))
+        members.map { case (id, comp0) =>
+          (id, comp0, canonical, if (id == canonical) 1L else 0L) }
+      }.toSet
+    assert(rec === batch,
+      "reconciled stream table diverges from the batch closure authority")
+  }
+
   test("gate stop list is data, not SQL: quote-bearing stop words work") {
     // the old string-spliced `t IN ('the', ...)` expression broke at
     // runtime on a stop word containing a quote; the typed
