@@ -290,40 +290,18 @@ object DedupQueries {
   val canonicalize = QueryDef(
     "dedup_canonicalize",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val comp = componentsStage(spark, dir)
-      // components with >= 2 members: some member's doc_id differs from
-      // the component (= min member id) — a tiny, broadcastable set
-      val clusteredIds = comp.filter(col("doc_id") =!= col("component"))
-        .select(col("component")).distinct()
-      val clustered = comp.join(broadcast(clusteredIds), "component")
-      val singletons = comp
-        .join(broadcast(clusteredIds), Seq("component"), "left_anti")
-        .select(col("doc_id"), col("component"),
-          col("doc_id").as("canonical_id"), lit(1L).as("is_canonical"))
-      // token counts reach the rank window via a join of the map-side
-      // (doc_id, n_tok) projection with the member map — text itself
-      // never shuffles (n_tok is computed before any exchange; at 100 TB
-      // this column is the persisted tokenized table). No broadcast hint
-      // on the member map: unlike clusteredIds (one row per cluster), it
-      // grows with the corpus' duplicate fraction, so a forced broadcast
-      // would OOM the driver at scale — AQE broadcasts it at bench scale
-      // (where it is tiny) and falls back to an all-longs shuffle when
-      // it is not
-      val ranked = Tables.documents(spark, dir)
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .join(clustered.select(col("doc_id"), col("component")), "doc_id")
-        .withColumn("rn", row_number().over(Window
-          .partitionBy(col("component"))
-          .orderBy(col("n_tok").desc, col("doc_id"))))
-      val canon = ranked.filter(col("rn") === 1)
-        .select(col("component"), col("doc_id").as("canonical_id"))
-      ranked.join(broadcast(canon), "component")
-        .select(col("doc_id"), col("component"), col("canonical_id"),
-          when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L)
-            .as("is_canonical"))
-        .unionByName(singletons)
+      // token counts reach the rank window via the map-side (doc_id,
+      // n_tok) projection — text itself never shuffles (n_tok is computed
+      // before any exchange; at 100 TB this column is the persisted
+      // tokenized table). The election itself (clustered-subset window,
+      // singleton map-only branch, AQE-sized member join) is
+      // TextHashing.canonicalElection — the ONE definition of the rule,
+      // shared with the streaming reconcile pass.
+      TextHashing.canonicalElection(
+        componentsStage(spark, dir),
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")))
     },
     Some(s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
       edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.7

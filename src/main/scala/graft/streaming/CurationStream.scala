@@ -369,51 +369,53 @@ object CurationStream {
     * connected components ([[graft.functions.TextHashing
     * .connectedComponents]], the same two-phase machinery the batch chain
     * uses) over the upsert table's own edges, then the batch election
-    * rule (longest, ties to the smallest id) per merged component.
-    * Output columns match the batch `dedup_canonicalize` table
-    * (doc_id, component, canonical_id, is_canonical), so the reconciled
-    * slice patches that table directly.
+    * rule (longest, ties to the smallest id) per merged component —
+    * `TextHashing.canonicalElection`, the same code path the batch table
+    * runs, so the rule cannot drift. Output columns match the batch
+    * `dedup_canonicalize` table (doc_id, component, canonical_id,
+    * is_canonical); the reconciled rows patch that table for the docs the
+    * slice contains, PROVIDED the slice's clusters are disjoint from
+    * components the batch pass already assigned — a doc that already
+    * carries a batch component label must be reconciled by the next full
+    * batch pass, not by this slice-local election (a slice-local patch
+    * would split that component and dethrone its corpus-level canonical).
     *
-    * Anchors absent from the slice (a partial export whose cluster
-    * registrant fell outside it) still LINK chains — they enter the
-    * vertex set — but cannot be elected: election runs over the slice's
-    * member rows only. Scale shape mirrors the batch canonicalize:
-    * the edge list is metadata (two longs per doc), components two-phase
-    * by edge count, the rank window runs only over the clustered subset
-    * (non-singleton cluster ids broadcast), singletons map-only. */
+    * Duplicate observations of one doc id (a stable-id re-fetch inside
+    * the horizon) are handled asymmetrically, on purpose: EVERY observed
+    * (docId, clusterId) row stays in the edge list — a doc seen in two
+    * clusters is itself evidence the clusters share content, so the
+    * closure merges through it — while election reads only the doc's
+    * LATEST row (event time, then seq), so a superseded crawl's token
+    * count can never win the crown. Anchors absent from the slice (a
+    * partial export whose cluster registrant fell outside it) still LINK
+    * chains — they enter the vertex set — but are dropped before
+    * election. Scale shape mirrors the batch canonicalize; the slice
+    * metadata (a handful of longs per row) is checkpointed once and
+    * reused by the vertex/edge/election consumers. */
   def reconcileCanonical(upserts: Dataset[DocCanonical])
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = upserts.select(col("docId").as("doc_id"),
-      col("clusterId").as("cluster_id"), col("nTok").as("n_tok"))
+      col("clusterId").as("cluster_id"), col("nTok").as("n_tok"),
+      col("fetchTs").as("fetch_ts"), col("seq"))
+      .localCheckpoint(true)
     val vertices = m.select(col("doc_id"))
       .union(m.select(col("cluster_id").as("doc_id"))).distinct()
     val comp = graft.functions.TextHashing.connectedComponents(vertices,
       m.filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as("src"), col("cluster_id").as("dst")))
-    val clusteredIds = comp.filter(col("doc_id") =!= col("component"))
-      .select(col("component")).distinct()
-    val clustered = comp.join(broadcast(clusteredIds), "component")
-    val singletons = comp
-      .join(broadcast(clusteredIds), Seq("component"), "left_anti")
-      // an anchor-only vertex has no member row: it may carry a component
-      // label but must not emit a canonical row for a doc the slice
-      // doesn't contain
-      .join(m.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("component"),
-        col("doc_id").as("canonical_id"), lit(1L).as("is_canonical"))
-    val ranked = m.select(col("doc_id"), col("n_tok"))
-      .join(clustered.select(col("doc_id"), col("component")), "doc_id")
-      .withColumn("rn", row_number().over(Window
-        .partitionBy(col("component"))
-        .orderBy(col("n_tok").desc, col("doc_id"))))
-    val canon = ranked.filter(col("rn") === 1)
-      .select(col("component"), col("doc_id").as("canonical_id"))
-    ranked.join(broadcast(canon), "component")
-      .select(col("doc_id"), col("component"), col("canonical_id"),
-        when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L)
-          .as("is_canonical"))
-      .unionByName(singletons)
+    val latest = m
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("fetch_ts").desc, col("seq").desc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_tok"))
+    // anchor-only vertices have done their linking job inside the
+    // components pass; they must not reach the election (no member row
+    // exists for them in the slice)
+    val compPresent = comp
+      .join(latest.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    graft.functions.TextHashing.canonicalElection(compPresent, latest)
   }
 
   /** Shared probe + bucket-registry prefix of [[nearDedup]] and

@@ -477,19 +477,26 @@ class CurationStreamSpec extends AnyFunSuite {
     // the upsert table's own (docId, clusterId) rows are the edge list:
     // doc 2 is a member of cluster 1 AND the anchor of doc 3's cluster —
     // the closure must merge {1,2,3} and re-elect by (longest, smallest id)
-    def row(id: Long, cluster: Long, nTok: Long) =
-      CurationStream.DocCanonical(id, "crawl", "", nTok,
-        ts("2024-05-01 10:00:00"), cluster, cluster, id == cluster,
-        kept = id == cluster, seq = 1L)
+    def row(id: Long, cluster: Long, nTok: Long,
+        at: String = "2024-05-01 10:00:00") =
+      CurationStream.DocCanonical(id, "crawl", "", nTok, ts(at),
+        cluster, cluster, id == cluster, kept = id == cluster, seq = 1L)
     val upserts = Seq(
       row(1L, 1L, 10L), row(2L, 1L, 12L), row(3L, 2L, 15L),
-      row(4L, 4L, 5L)) // unrelated singleton
+      row(4L, 4L, 5L),
+      // doc 5 observed TWICE (stable-id re-fetch): first in cluster 4 at
+      // 30 tokens, later in cluster 1 truncated to 8. Both observations
+      // are edges (they merge cluster 4 into the chain's component), but
+      // only the LATEST row may vote in the election — if the stale
+      // 30-token row voted, doc 5 would steal the crown from doc 3
+      row(5L, 4L, 30L, "2024-05-01 10:05:00"),
+      row(5L, 1L, 8L, "2024-05-01 10:15:00"))
     val got = CurationStream.reconcileCanonical(upserts.toDS())
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSet
     assert(got === Set(
       (1L, 1L, 3L, 0L), (2L, 1L, 3L, 0L), (3L, 1L, 3L, 1L),
-      (4L, 4L, 4L, 1L)))
+      (4L, 1L, 3L, 0L), (5L, 1L, 3L, 0L)))
     // partial slice: the anchor's own row is absent — it still LINKS as a
     // vertex (component = min of {2, 3} = 2) but cannot be elected; the
     // present member is canonical and no phantom row appears for doc 2
