@@ -88,6 +88,32 @@ class ScaleSpec extends AnyFunSuite {
     operators.Staged.reset(spark)
   }
 
+  test("canonical election: no forced broadcast on cluster tables, completes at x25 (r9 verdict #1)") {
+    import org.apache.spark.sql.functions._
+    // The cluster-derived tables (clusteredIds, canon) grow with corpus
+    // size x duplicate fraction, so the election must NOT hint-force them
+    // into broadcasts — AQE sizes every join at runtime. Pin the absence
+    // of the hint in the logical plan, then prove the AQE-sized plan
+    // actually completes on a x25 corpus with the replica structure intact.
+    val dir = java.nio.file.Files.createTempDirectory("scale_x25").toString
+    ScaleData.replicate(spark, sf, dir, 25)
+    operators.Staged.reset(spark)
+    val df = SparkEntry.queries("dedup_canonicalize")(spark, dir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("strategy=broadcast"),
+      "canonicalElection reintroduced a forced broadcast hint:\n" + optimized)
+    val out = df.localCheckpoint(eager = true)
+    val docs = Tables.documents(spark, dir).count()
+    assert(out.count() === docs, "election must assign every doc")
+    // one canonical per component, x25 replicas => canonical count = 25x base
+    operators.Staged.reset(spark)
+    val baseCanon = SparkEntry.queries("dedup_canonicalize")(spark, sf)
+      .filter(col("is_canonical") === 1L).count()
+    assert(out.filter(col("is_canonical") === 1L).count() === baseCanon * 25,
+      "canonical count must scale exactly with replication")
+    operators.Staged.reset(spark)
+  }
+
   test("scale families keep their plan shapes on the bigger input") {
     import org.apache.spark.sql.functions._
     // int8 ANN: broadcast query side, never a cartesian scan
