@@ -257,7 +257,16 @@ object CurationStream {
     * cluster, evicted by event-time timer 2× horizon after the last
     * member — bounded by crawl rate × horizon like the bucket registry
     * (a beyond-horizon re-crawl re-registers its buckets under a fresh
-    * anchor, so expired clusters never receive members). */
+    * anchor, so expired clusters never receive members).
+    *
+    * Stable-id re-fetches: a re-observation of the INCUMBENT re-weighs
+    * the crown at its LATEST token count (matching [[reconcileCanonical]]
+    * 's latest-row voting), so challengers are judged against what the
+    * doc is now, not its max-ever crawl. One divergence remains by
+    * construction: only the incumbent is stored, so a shrunken incumbent
+    * cannot be dethroned by an already-seen shorter member — the periodic
+    * reconcile pass, which re-elects over every member's latest row, is
+    * the corrective authority for that case. */
   private[streaming] class CanonicalProcessor(horizonMs: Long)
       extends StatefulProcessor[Long, DocClustered, DocCanonical] {
     @transient private var canon: ValueState[CanonState] = _
@@ -272,14 +281,21 @@ object CurationStream {
       var st: Option[CanonState] =
         if (canon.exists()) Some(canon.get()) else None
       val out = sorted.map { m =>
-        val better = st.forall(s => m.nTok > s.canonicalNTok ||
+        // incumbent re-fetch: the crown's weight becomes the LATEST
+        // observation before any comparison (see scaladoc)
+        val cur = st match {
+          case Some(s) if s.canonicalId == m.docId =>
+            Some(s.copy(canonicalNTok = m.nTok))
+          case other => other
+        }
+        val better = cur.forall(s => m.nTok > s.canonicalNTok ||
           (m.nTok == s.canonicalNTok && m.docId < s.canonicalId))
         val lastTs = math.max(m.fetchTs.getTime,
-          st.map(_.lastTs).getOrElse(Long.MinValue))
-        val seq = st.map(_.seq).getOrElse(0L) + 1
+          cur.map(_.lastTs).getOrElse(Long.MinValue))
+        val seq = cur.map(_.seq).getOrElse(0L) + 1
         val next =
           if (better) CanonState(m.docId, m.nTok, lastTs, seq)
-          else st.get.copy(lastTs = lastTs, seq = seq)
+          else cur.get.copy(lastTs = lastTs, seq = seq)
         st = Some(next); canon.update(next)
         getHandle.registerTimer(m.fetchTs.getTime + 2 * horizonMs)
         DocCanonical(m.docId, m.source, m.contentHash, m.nTok, m.fetchTs,
@@ -379,6 +395,12 @@ object CurationStream {
     * carries a batch component label must be reconciled by the next full
     * batch pass, not by this slice-local election (a slice-local patch
     * would split that component and dethrone its corpus-level canonical).
+    * That precondition is ENFORCED by the guarded overload: pass the
+    * batch (doc_id, ...) assignment table and every slice component that
+    * touches an already-assigned doc — through a member row OR an
+    * anchor-only vertex — is withheld from the election and returned as
+    * the deferred "needs full batch pass" set instead of silently
+    * splitting a batch component.
     *
     * Duplicate observations of one doc id (a stable-id re-fetch inside
     * the horizon) are handled asymmetrically, on purpose: EVERY observed
@@ -393,7 +415,30 @@ object CurationStream {
     * metadata (a handful of longs per row) is checkpointed once and
     * reused by the vertex/edge/election consumers. */
   def reconcileCanonical(upserts: Dataset[DocCanonical])
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    reconcileParts(upserts, None)._1
+
+  /** The reconciled patch plus the components the guard withheld:
+    * `patch` matches the batch canonicalize schema; `deferred` is the
+    * (doc_id, component) rows of every slice component that touches a
+    * doc the batch pass already assigned — those need the next full
+    * batch pass, not a slice-local election. */
+  final case class ReconcileOutcome(patch: org.apache.spark.sql.DataFrame,
+      deferred: org.apache.spark.sql.DataFrame)
+
+  /** Guarded [[reconcileCanonical]]: enforces the disjointness
+    * precondition against `batchAssigned` (any table with a `doc_id`
+    * column naming the docs the batch pass has already labeled) instead
+    * of trusting the caller's scaladoc-reading. */
+  def reconcileCanonical(upserts: Dataset[DocCanonical],
+      batchAssigned: org.apache.spark.sql.DataFrame): ReconcileOutcome = {
+    val (patch, deferred) = reconcileParts(upserts, Some(batchAssigned))
+    ReconcileOutcome(patch, deferred)
+  }
+
+  private def reconcileParts(upserts: Dataset[DocCanonical],
+      batchAssigned: Option[org.apache.spark.sql.DataFrame])
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val m = upserts.select(col("docId").as("doc_id"),
       col("clusterId").as("cluster_id"), col("nTok").as("n_tok"),
@@ -401,12 +446,19 @@ object CurationStream {
       .localCheckpoint(true)
     val vertices = m.select(col("doc_id"))
       .union(m.select(col("cluster_id").as("doc_id"))).distinct()
+    // the component labels feed the election, the present-filter AND the
+    // taint split — checkpoint once so the propagation never re-runs
     val comp = graft.functions.TextHashing.connectedComponents(vertices,
       m.filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as("src"), col("cluster_id").as("dst")))
+      .localCheckpoint(true)
+    // seq is a PER-CLUSTER counter, so for a doc observed in two clusters
+    // at the same fetch_ts the seq comparison is between incomparable
+    // counters — cluster_id breaks that tie deterministically (smallest
+    // wins) instead of leaving the elected n_tok run-dependent
     val latest = m
       .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
-        .orderBy(col("fetch_ts").desc, col("seq").desc)))
+        .orderBy(col("fetch_ts").desc, col("seq").desc, col("cluster_id"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("n_tok"))
     // anchor-only vertices have done their linking job inside the
@@ -414,8 +466,21 @@ object CurationStream {
     // exists for them in the slice)
     val compPresent = comp
       .join(latest.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
-    graft.functions.TextHashing.canonicalElection(compPresent, latest)
+    batchAssigned match {
+      case None =>
+        (graft.functions.TextHashing.canonicalElection(compPresent, latest),
+          compPresent.limit(0))
+      case Some(assigned) =>
+        // taint check runs on comp, NOT compPresent: a batch-assigned
+        // ANCHOR outside the slice still proves its component belongs to
+        // a batch component (the chain runs through it)
+        val tainted = comp
+          .join(assigned.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .select(col("component")).distinct()
+        val clean = compPresent.join(tainted, Seq("component"), "left_anti")
+        val deferred = compPresent.join(tainted, Seq("component"), "left_semi")
+        (graft.functions.TextHashing.canonicalElection(clean, latest), deferred)
+    }
   }
 
   /** Shared probe + bucket-registry prefix of [[nearDedup]] and

@@ -506,6 +506,84 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(partial.toSet === Set((3L, 2L, 3L, 1L)))
   }
 
+  test("incumbent re-fetch re-weighs the crown at its latest token count") {
+    // A shrinking re-fetch of the canonical doc must lower what
+    // challengers are judged against (the latest observation, matching
+    // reconcile's latest-row voting) — not leave the max-ever crawl's
+    // crown standing. Fixture band structure (verified by construction
+    // below): both the truncation and the challenger still share bands
+    // with the original, so all three rows land in one cluster.
+    import org.apache.spark.sql.functions.{col, explode}
+    val toks = longText.split(" ")                      // 38 tokens
+    val shrunk = toks.dropRight(6).mkString(" ")        // 32 tokens
+    val challenger = toks.dropRight(3).mkString(" ")    // 35 tokens,
+      .replace("marble", "granite")                     // distinct content
+    def bandsOf(t: String): Set[(Int, String)] =
+      Seq(t).toDF("text")
+        .select(explode(graft.functions.TextHashing.bandSigsPerRow(
+          col("text"), 4, 4)).as("bs"))
+        .select(col("bs.band"), col("bs.sig")).collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+    val base = bandsOf(longText)
+    assert((bandsOf(shrunk) intersect base).nonEmpty &&
+      (bandsOf(challenger) intersect base).nonEmpty,
+      "fixture regressed: truncation/challenger no longer band-collide")
+    val streamed = withRocksDb {
+      val input = MemoryStream[DocIn]
+      val q = CurationStream.nearDedupCanonical(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("canon_reweigh").start()
+      try {
+        Seq(DocIn(1L, "crawl", longText, ts("2024-05-01 10:00:00")),
+          DocIn(1L, "crawl", shrunk, ts("2024-05-01 10:05:00")),
+          DocIn(2L, "crawl", challenger, ts("2024-05-01 10:10:00")))
+          .foreach { d => input.addData(d); q.processAllAvailable() }
+        spark.table("canon_reweigh")
+          .as[CurationStream.DocCanonical].collect().toSeq
+      } finally q.stop()
+    }
+    assert(streamed.map(_.clusterId).distinct === Seq(1L),
+      "all three observations must resolve to one cluster")
+    // 35-token challenger vs the incumbent's LATEST 32-token crawl: wins.
+    // (Against the superseded 38-token crawl it would have lost — the
+    // pre-fix behavior this spec exists to pin.)
+    val finalRow = streamed.maxBy(_.seq)
+    assert(finalRow.docId === 2L && finalRow.isCanonical &&
+      finalRow.canonicalId === 2L,
+      s"challenger must dethrone the shrunken incumbent: $streamed")
+  }
+
+  test("guarded reconcileCanonical defers components touching batch-assigned docs (r9 verdict #3)") {
+    import org.apache.spark.sql.functions.col
+    def row(id: Long, cluster: Long, nTok: Long) =
+      CurationStream.DocCanonical(id, "crawl", "", nTok,
+        ts("2024-05-01 10:00:00"), cluster, cluster, id == cluster,
+        kept = id == cluster, seq = 1L)
+    // three slice components: {1,2,3} (doc 1 anchor-only), {10,20}
+    // (doc 10 anchor-only), {30,31} (doc 30 anchor-only)
+    val slice = Seq(row(2L, 1L, 12L), row(3L, 2L, 15L),
+      row(20L, 10L, 7L), row(31L, 30L, 9L))
+    // the batch pass already assigned doc 3 (a slice MEMBER) and doc 10
+    // (a slice ANCHOR whose own row is absent) — both taints must defer
+    // their whole component; only {30,31} may elect
+    val batch = Seq(3L, 10L).toDF("doc_id")
+    val out = CurationStream.reconcileCanonical(slice.toDS(), batch)
+    val patch = out.patch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(patch.toSet === Set((31L, 30L, 31L, 1L)),
+      "only the untainted component may be slice-elected")
+    val deferred = out.deferred.select(col("doc_id"), col("component"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(deferred === Set((2L, 1L), (3L, 1L), (20L, 10L)),
+      "every member row of a tainted component must be deferred — " +
+        "including docs the batch table does NOT name (2L) and members " +
+        "tainted only through their absent anchor (20L)")
+    // the unguarded form over the same slice would have split-elected the
+    // tainted components — the guard is what prevents that
+    val unguarded = CurationStream.reconcileCanonical(slice.toDS())
+    assert(unguarded.count() === 4L)
+  }
+
   test("streamed chain split + reconcile equals the batch closure authority") {
     import org.apache.spark.sql.functions.col
     // engineered drift chain (band structure verified by construction):
