@@ -82,12 +82,22 @@ object EngineBench {
           idleTtl = ttl)
         val deadline = System.nanoTime() + 300L * 1000000000L
         var done = false
+        // recentProgress is a capped ring buffer (default
+        // spark.sql.streaming.numRecentProgressUpdates = 100 entries);
+        // re-summing it each poll undercounts once a drain spans more
+        // triggers than the cap holds (~25 s at the 250 ms trigger) and
+        // the pass would spuriously time out. Fold every batch in exactly
+        // once by batchId instead.
+        var consumed = 0L
+        var lastBatch = -1L
         while (!done && System.nanoTime() < deadline) {
           Thread.sleep(100)
-          val ps = q.recentProgress
-          val consumed = ps.map(_.numInputRows).sum
+          for (p <- q.recentProgress if p.batchId > lastBatch) {
+            consumed += p.numInputRows
+            lastBatch = p.batchId
+          }
           done = consumed >= frames &&
-            ps.lastOption.exists(_.numInputRows == 0)
+            Option(q.lastProgress).exists(_.numInputRows == 0)
         }
         val sec = (System.nanoTime() - t0) / 1e9
         q.stop(); q.awaitTermination()
