@@ -24,15 +24,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `ts` arrives as NANOS(NTZ) parquet → raw Long under nanosAsLong; expose
-    * it as µs-precision TIMESTAMP_NTZ to match how DuckDB sees the other
-    * tables' naive timestamps (truncation is lossless: the datagen stamps
-    * µs-aligned values). */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.expr(
-        "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+  /** Expose `ts` as µs-precision TIMESTAMP_NTZ regardless of how the datagen
+    * wrote it. Earlier drops stamped NANOS(NTZ) parquet (read as raw Long
+    * under nanosAsLong — truncation to µs is lossless, the datagen stamps
+    * µs-aligned values); current drops stamp timestamp[us] which Spark reads
+    * as TIMESTAMP_NTZ directly. Branch on the read dtype so either vintage
+    * of testdata loads identically. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+      case TimestampNTZType => raw
+      case _ =>
+        raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP_NTZ)"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
