@@ -75,6 +75,7 @@ object EngineBench {
       // flushed), then stop. The ≤ intervalMs granularity this adds is
       // why the trigger is short relative to batch cost.
       if (ttl.isDefined) {
+        val t0Ms = System.currentTimeMillis()
         val q = Pipeline.start(stream, decode,
           s"$work/out_${mode}_$pass", s"$work/ckpt_${mode}_$pass",
           useTransformWithState = useTws,
@@ -90,16 +91,28 @@ object EngineBench {
         // once by batchId instead.
         var consumed = 0L
         var lastBatch = -1L
+        // Drain END time = end of the last DATA-carrying batch (its
+        // progress timestamp — trigger start — plus triggerExecution),
+        // not the poll-loop exit: Spark throttles no-data progress
+        // events (spark.sql.streaming.noDataProgressEventInterval,
+        // default 10 s), so waiting for the confirming empty batch
+        // would otherwise fold up to ~10 s of post-drain idle into the
+        // measured sec and bias the tws_ttl fps low.
+        var drainEndMs = t0Ms
         while (!done && System.nanoTime() < deadline) {
           Thread.sleep(100)
           for (p <- q.recentProgress if p.batchId > lastBatch) {
             consumed += p.numInputRows
             lastBatch = p.batchId
+            if (p.numInputRows > 0)
+              drainEndMs = java.time.Instant.parse(p.timestamp).toEpochMilli +
+                Option(p.durationMs.get("triggerExecution")).map(_.toLong)
+                  .getOrElse(0L)
           }
           done = consumed >= frames &&
             Option(q.lastProgress).exists(_.numInputRows == 0)
         }
-        val sec = (System.nanoTime() - t0) / 1e9
+        val sec = (drainEndMs - t0Ms) / 1e3
         q.stop(); q.awaitTermination()
         if (!done) throw new IllegalStateException(
           s"TTL pass $pass did not drain $frames frames within 300 s")

@@ -130,7 +130,8 @@ object ScaleBench {
 
   /** The approximate ANN variants whose recall the scale rows report. */
   private[graft] val AnnVariants =
-    Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivf_int8")
+    Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivf_tuned",
+      "ann_topk_ivf_int8")
 
   /** Mean recall@5 of each approximate ANN variant against the brute-force
     * gold standard ON `dir` — at scale the quality knobs (nlist, nprobe,

@@ -303,6 +303,100 @@ object SimilarityQueries {
       WHERE rank <= 5
     """))
 
+  /** IVF with the nprobe knob CLOSED INTO A RULE (r9 verdict ask #5):
+    * nprobe = max(2, ceil(nlist / 12)) instead of the fixed nprobe=2 of
+    * [[ivfTopK]]. SCALE.md's sweep measured why: nlist grows ~N/100 with
+    * the corpus, so a FIXED nprobe probes a shrinking fraction of cells
+    * and recall@5 decays (0.64 base → 0.30 at ×25 replication at
+    * nprobe=2, vs 0.18/0.30/0.48/0.74 across nprobe 1/2/4/8). Holding
+    * nprobe/nlist ≈ 1/12 keeps the probed fraction — and so recall —
+    * flat-ish as the corpus grows; the max(2, …) floor means the tuned
+    * variant never probes fewer cells than the fixed sibling, so its
+    * recall dominates BY CONSTRUCTION at every scale (ScaleSpec gates
+    * this measurably at ×3).
+    *
+    * Cost shape at 100 TB: nlist is derived by one count over the
+    * centroid set (a scalar the plan folds in via two broadcast joins);
+    * the rn ≤ nprobe ranking is computed ONLY for the bounded query set
+    * (|Q| × nlist scores) — the corpus-wide cell table stays the staged
+    * rn ≤ 2 [[ivfCells]], whose rn = 1 home cells are all the neighbor
+    * side ever needs. Probing more cells widens the candidate equi-join
+    * by ~nprobe/nlist of the corpus per query — linear in |Q|, never a
+    * cross join. */
+  val ivfTunedTopK = QueryDef(
+    "ann_topk_ivf_tuned",
+    (spark, dir) => {
+      val e = normed(spark, dir)
+      val cents = broadcast(e.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+          col("norm").as("cnorm")))
+      val nprobe = broadcast(cents.agg(
+        greatest(lit(2L), ceil(count(lit(1)) / 12.0)).cast("int")
+          .as("nprobe")))
+      val aw = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      val qprobe = e.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("emb"), col("norm"))
+        .crossJoin(cents)
+        .withColumn("ccos", expr("vec_dot(emb, cemb) / (norm * cnorm)"))
+        .withColumn("rn", row_number().over(aw))
+        .crossJoin(nprobe)
+        .filter(col("rn") <= col("nprobe"))
+        .select(col("vec_id").as("query_id"), col("cid"))
+      val c = ivfCells(spark, dir).filter(col("rn") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("cid").as("ccid"))
+      val cand = qprobe.join(c, col("cid") === col("ccid") &&
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id")).distinct()
+      rankTopK(cand
+        .join(broadcast(e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+            col("norm").as("qn"))), "query_id")
+        .join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
+          col("norm").as("cn")), "neighbor_id")
+        .withColumn("cos", expr(cosExpr)), "cos", 5)
+    },
+    Some("""
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        WHERE vec_id % 100 = 7),
+      np AS (SELECT greatest(2, CAST(ceil(count(*) / 12.0) AS INT)) AS nprobe
+             FROM cents),
+      qranked AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.cemb AS DOUBLE[])) DESC,
+                   c.cid ASC) AS rn
+          FROM embeddings e, cents c WHERE e.vec_id < 10)
+        WHERE rn <= (SELECT nprobe FROM np)),
+      home AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.cemb AS DOUBLE[])) DESC,
+                   c.cid ASC) AS rn
+          FROM embeddings e, cents c)
+        WHERE rn = 1),
+      cand AS (SELECT DISTINCT q.vec_id AS query_id, h.vec_id AS neighbor_id
+               FROM qranked q
+               JOIN home h ON q.cid = h.cid AND q.vec_id <> h.vec_id)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(qe.embedding AS DOUBLE[]),
+                   CAST(ce.embedding AS DOUBLE[])) DESC,
+                 neighbor_id ASC) AS rank
+        FROM cand
+        JOIN embeddings qe ON qe.vec_id = query_id
+        JOIN embeddings ce ON ce.vec_id = neighbor_id)
+      WHERE rank <= 5
+    """))
+
   /** IVF × int8, composed (r7 verdict ask #8): the two ANN levers joined —
     * IVF cell probing prunes the CANDIDATE set (≈ nprobe/nlist of the
     * corpus scored per query), int8 quantization shrinks the BYTES scanned
@@ -367,5 +461,6 @@ object SimilarityQueries {
       WHERE rank <= 5
     """))
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lshTopK, ivfTopK, ivfInt8TopK)
+  val defs: Seq[QueryDef] =
+    Seq(bruteTopK, lshTopK, ivfTopK, ivfTunedTopK, ivfInt8TopK)
 }

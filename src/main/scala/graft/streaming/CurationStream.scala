@@ -522,4 +522,120 @@ object CurationStream {
       .transformWithState(new BucketProcessor(horizonMs),
         "fetchTs", OutputMode.Append())
   }
+
+  /** The batch_id value compaction folds settled partitions into — below
+    * every streaming batch id, so a folded row can never outrank a live
+    * partition's row for the same (clusterId, seq). */
+  private[streaming] val CompactedBatchId = -1L
+
+  /** Maintained canonical TABLE (r9 verdict ask #4): [[nearDedupCanonical]]
+    * emits seq-keyed upserts and tells consumers to take the latest row per
+    * cluster — a deployment wants that materialized. This sink commits each
+    * micro-batch's upserts — pre-reduced to the latest row per cluster
+    * WITHIN the batch — into a parquet table partitioned by `batch_id`
+    * under the exact idempotence discipline [[Pipeline.commitBatch]] uses
+    * for trades: foreachBatch is at-least-once, so a retried batch
+    * dynamic-overwrites ITS OWN partition and never duplicates or touches
+    * earlier commits. [[canonicalTable]] is the merged read view;
+    * [[compactCanonical]] folds settled partitions so the table's row
+    * count tracks |clusters|, not |upserts|. */
+  def startCanonicalSink(docs: Dataset[DocIn], tableDir: String,
+      checkpointDir: String, horizonMs: Long = 3600000L, minTok: Int = 3,
+      bands: Int = 4, rowsPerBand: Int = 4,
+      stopWords: Seq[String] = Stop)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    nearDedupCanonical(docs, horizonMs, minTok, bands, rowsPerBand,
+      stopWords)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[DocCanonical], batchId: Long) =>
+        commitCanonicalBatch(batch, batchId, tableDir)
+      }
+      .start()
+
+  /** One idempotent canonical-table commit — public so the retry contract
+    * is directly testable: re-running the same (batch, batchId) leaves the
+    * table bit-identical. Within a batch only the LATEST upsert per
+    * cluster survives (seq is the cluster's member counter, so max-seq is
+    * the batch's final word on that cluster); across batches the reader
+    * resolves recency the same way, so the per-batch reduction loses
+    * nothing a consumer could observe. */
+  def commitCanonicalBatch(batch: Dataset[DocCanonical], batchId: Long,
+      tableDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    // pin before the two actions (isEmpty probe + write): re-running an
+    // unpinned batch plan would re-drive the stateful stages, the same
+    // hazard Pipeline.commitBatch pins against
+    batch.persist()
+    try {
+      if (batch.isEmpty) return // no partition to (over)write
+      batch.toDF()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("clusterId")).orderBy(col("seq").desc)))
+        .filter(col("rn") === 1).drop("rn")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(tableDir)
+    } finally batch.unpersist()
+  }
+
+  /** The materialized table's merged read view: the CURRENT canonical row
+    * per cluster — latest by seq (the per-cluster monotone counter;
+    * batch_id breaks the only possible tie, a compacted copy of a row
+    * whose source partition survived a crashed compaction). One window
+    * over a table whose size compaction keeps ~|clusters|; at 100 TB the
+    * shuffle key is clusterId — the same key the election stage already
+    * partitions by. */
+  def canonicalTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.read.parquet(tableDir)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("clusterId"))
+        .orderBy(col("seq").desc, col("batch_id").desc)))
+      .filter(col("rn") === 1).drop("rn", "batch_id")
+  }
+
+  /** Delta-style compaction for the canonical table: fold every partition
+    * with batch_id ≤ `upToBatchId` (plus the existing base) into the single
+    * base partition — latest row per cluster — then drop the folded
+    * partitions. Pass the stream's lastCommittedBatch - 1 on a live table
+    * so the fold can never race the sink's own retry of the ACTIVE
+    * partition (same rule as [[Pipeline.compact]]). Crash-safe by
+    * idempotence, not atomicity: the base rewrite is deterministic, and a
+    * crash between the write and the deletes only leaves superseded
+    * duplicates that [[canonicalTable]]'s recency window already resolves
+    * — re-running the compaction converges. */
+  def compactCanonical(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, upToBatchId: Long = Long.MaxValue): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val all = spark.read.parquet(tableDir)
+    require(all.columns.contains("batch_id"),
+      s"$tableDir is not a batch_id-partitioned canonical table")
+    val folded = all
+      .filter(col("batch_id") <= upToBatchId)
+    // partition-column inference reads batch_id back as INT — cast before
+    // collecting the folded partition ids
+    val foldedIds = folded.select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).filter(_ != CompactedBatchId)
+    if (foldedIds.isEmpty) return
+    folded
+      .withColumn("rn", row_number().over(Window.partitionBy(col("clusterId"))
+        .orderBy(col("seq").desc, col("batch_id").desc)))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("batch_id", lit(CompactedBatchId))
+      // lineage cut: Spark refuses to overwrite a path it is reading from
+      .localCheckpoint(true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(tableDir)
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    foldedIds.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/batch_id=$id"),
+        true)
+    }
+  }
 }

@@ -85,6 +85,13 @@ class ScaleSpec extends AnyFunSuite {
         f"$variant recall@5 eroded under replication: " +
           f"base ${baseR(variant)}%.3f -> x3 $r%.3f")
     }
+    // r9 verdict ask #5: the nprobe-derived-from-nlist variant must
+    // dominate the fixed-nprobe sibling on the grown corpus (it probes a
+    // superset of cells by construction — max(2, ceil(nlist/12)) ≥ 2 —
+    // so any violation means the rule drifted from the shared index).
+    assert(repR("ann_topk_ivf_tuned") >= repR("ann_topk_ivf") - 1e-9,
+      f"tuned IVF recall ${repR("ann_topk_ivf_tuned")}%.3f fell below " +
+        f"fixed-nprobe ${repR("ann_topk_ivf")}%.3f on the x3 corpus")
     operators.Staged.reset(spark)
   }
 

@@ -661,4 +661,102 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(out.map(_.docId).toSeq === Seq(1L))
     assert(out.head.nStop === 3L)
   }
+
+  private def canonicalRows(dir: String): Set[(Long, Long, Long, Boolean)] =
+    CurationStream.canonicalTable(spark, dir)
+      .select("clusterId", "canonicalId", "seq", "isCanonical")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+
+  test("canonical sink: checkpointed restart materializes the same table as an uninterrupted run (r9 verdict #4)") {
+    // the maintained-table contract: foreachBatch is at-least-once, so a
+    // restart replays the last uncommitted batch with the SAME batchId —
+    // dynamic partition overwrite must make that replay invisible in the
+    // materialized table, not append a duplicate row or fork seq
+    withRocksDb {
+      val batch1 = Seq(
+        DocIn(1, "crawl0", longText, ts("2024-05-01 10:00:00")),
+        DocIn(2, "crawl0", goodText + " with several further words beyond",
+          ts("2024-05-01 10:00:01")))
+      val batch2 = Seq(
+        // longer drift of doc 1: joins its cluster and dethrones it
+        DocIn(10, "recrawl", longText + " beneath the autumn sky",
+          ts("2024-05-01 10:20:00")))
+
+      // leg A: interrupted run — stop after batch1, restart, feed batch2
+      val ckptA = java.nio.file.Files.createTempDirectory("sinkA_ck").toString
+      val tblA = java.nio.file.Files.createTempDirectory("sinkA_tbl").toString
+      val input1 = MemoryStream[DocIn]
+      val q1 = CurationStream.startCanonicalSink(input1.toDS(), tblA, ckptA)
+      try {
+        input1.addData(batch1: _*)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val input2 = MemoryStream[DocIn]
+      input2.addData(batch1: _*) // restart replays the committed offsets
+      val q2 = CurationStream.startCanonicalSink(input2.toDS(), tblA, ckptA)
+      try {
+        input2.addData(batch2: _*)
+        q2.processAllAvailable()
+      } finally q2.stop()
+
+      // leg B: one uninterrupted run over the same batches
+      val ckptB = java.nio.file.Files.createTempDirectory("sinkB_ck").toString
+      val tblB = java.nio.file.Files.createTempDirectory("sinkB_tbl").toString
+      val input3 = MemoryStream[DocIn]
+      val q3 = CurationStream.startCanonicalSink(input3.toDS(), tblB, ckptB)
+      try {
+        input3.addData(batch1: _*)
+        q3.processAllAvailable()
+        input3.addData(batch2: _*)
+        q3.processAllAvailable()
+      } finally q3.stop()
+
+      val a = canonicalRows(tblA)
+      assert(a === canonicalRows(tblB),
+        "restarted run's materialized canonical table diverged")
+      // the view itself: doc 10 dethroned doc 1 in their shared cluster
+      val (c1, canon1, seq1, isC) = a.find(_._3 === 2L).get
+      assert(canon1 === 10L && isC,
+        s"cluster $c1 should crown the longer post-restart member")
+    }
+  }
+
+  test("canonical sink commit is idempotent; compaction preserves the merged view") {
+    // a retried foreachBatch commit re-runs with the SAME batchId: the
+    // dynamic overwrite must leave the table bit-identical, and folding
+    // settled partitions must change the layout, never the view
+    val dir = java.nio.file.Files.createTempDirectory("canon_sink").toString
+    def row(doc: Long, cluster: Long, canon: Long, seq: Long) =
+      CurationStream.DocCanonical(doc, "s", s"h$doc", 10L + doc,
+        ts("2024-05-01 10:00:00"), cluster, canon,
+        isCanonical = doc == canon, kept = doc == cluster, seq = seq)
+    val b0 = Seq(row(1, 1, 1, 1), row(2, 1, 1, 2), row(5, 5, 5, 1))
+    val b1 = Seq(row(3, 1, 3, 3), row(6, 6, 6, 1))
+    CurationStream.commitCanonicalBatch(b0.toDS(), 0L, dir)
+    CurationStream.commitCanonicalBatch(b1.toDS(), 1L, dir)
+    val before = canonicalRows(dir)
+    // per-batch reduction: batch 0 keeps only seq=2 for cluster 1; the
+    // merged view then takes batch 1's seq=3 row
+    assert(before === Set((1L, 3L, 3L, true), (5L, 5L, 1L, true),
+      (6L, 6L, 1L, true)))
+    // retry of batch 1 (same rows, same id) — table unchanged
+    CurationStream.commitCanonicalBatch(b1.toDS(), 1L, dir)
+    assert(canonicalRows(dir) === before)
+    // fold both settled partitions into the base; view unchanged, and
+    // the folded partitions are gone (one row per cluster remains)
+    CurationStream.compactCanonical(spark, dir)
+    assert(canonicalRows(dir) === before)
+    val perPart = spark.read.parquet(dir)
+      .select(org.apache.spark.sql.functions.col("batch_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(perPart === Set(-1L), s"expected only the base partition: $perPart")
+    assert(spark.read.parquet(dir).count() === 3L)
+    // a post-compaction commit layers on top and still merges correctly
+    CurationStream.commitCanonicalBatch(
+      Seq(row(7, 1, 7, 4)).toDS(), 2L, dir)
+    assert(canonicalRows(dir) ===
+      Set((1L, 7L, 4L, true), (5L, 5L, 1L, true), (6L, 6L, 1L, true)))
+  }
 }
