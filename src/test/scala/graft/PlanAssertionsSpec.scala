@@ -322,9 +322,21 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "per-doc rank orders by (n_tok, doc_id) under a source-only partition — the funnel is back:\n" + p)
     assert("source#\\d+, n_tok#\\d+L?, doc_id#\\d+L? ASC".r.findFirstIn(p).isDefined,
       "no (source, n_tok)-partitioned doc_id rank window found:\n" + p)
-    // and the histogram joins back by broadcast, never shuffling the docs
-    assert(p.contains("BroadcastHashJoin"),
-      "cumulative histogram not broadcast back onto the doc stream:\n" + p)
+    // r11: the histogram joins back by SHUFFLE-HASH on the same
+    // (source, n_tok) key the rank window partitions by, so the join's
+    // corpus exchange doubles as the window's — the corpus must shuffle
+    // exactly once (narrow pre-join rows), with no broadcast round-trip
+    // and, critically, no second exchange between the join and the window
+    assert(p.contains("ShuffledHashJoin"),
+      "cumulative histogram not shuffle-hash-joined onto the doc stream:\n" + p)
+    assert(!p.contains("BroadcastHashJoin"),
+      "length_band grew a broadcast join back:\n" + p)
+    val joinFirst = p.indexOf("ShuffledHashJoin")
+    val windowAt = p.indexOf("windowspecdefinition(source")
+    assert(windowAt >= 0 && joinFirst > windowAt,
+      "rank window no longer sits directly above the join:\n" + p)
+    assert(!p.substring(windowAt, joinFirst).contains("Exchange"),
+      "an exchange crept in between the rank window and the histogram join:\n" + p)
   }
 
   test("dedup_exact: whole-stage codegen covers the hash/agg pipeline") {
