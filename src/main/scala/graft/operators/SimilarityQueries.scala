@@ -304,13 +304,17 @@ object SimilarityQueries {
     """))
 
   /** IVF with the nprobe knob CLOSED INTO A RULE (r9 verdict ask #5):
-    * nprobe = max(2, ceil(nlist / 12)) instead of the fixed nprobe=2 of
+    * nprobe = max(2, ceil(nlist / 4)) instead of the fixed nprobe=2 of
     * [[ivfTopK]]. SCALE.md's sweep measured why: nlist grows ~N/100 with
     * the corpus, so a FIXED nprobe probes a shrinking fraction of cells
     * and recall@5 decays (0.64 base → 0.30 at ×25 replication at
     * nprobe=2, vs 0.18/0.30/0.48/0.74 across nprobe 1/2/4/8). Holding
-    * nprobe/nlist ≈ 1/12 keeps the probed fraction — and so recall —
-    * flat-ish as the corpus grows; the max(2, …) floor means the tuned
+    * nprobe/nlist ≈ 1/4 keeps the probed fraction — and so recall —
+    * flat-ish as the corpus grows (the ratio is workload-tuned: 1/4 is
+    * the smallest fraction that clears the suite's recall band on this
+    * corpus family, where nlist ~ N/100 is still small; a billion-vector
+    * deployment retunes the ratio to its recall target the same way);
+    * the max(2, …) floor means the tuned
     * variant never probes fewer cells than the fixed sibling, so its
     * recall dominates BY CONSTRUCTION at every scale (ScaleSpec gates
     * this measurably at ×3).
@@ -331,7 +335,7 @@ object SimilarityQueries {
         .select(col("vec_id").as("cid"), col("emb").as("cemb"),
           col("norm").as("cnorm")))
       val nprobe = broadcast(cents.agg(
-        greatest(lit(2L), ceil(count(lit(1)) / 12.0)).cast("int")
+        greatest(lit(2L), ceil(count(lit(1)) / 4.0)).cast("int")
           .as("nprobe")))
       val aw = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("cid").asc)
@@ -360,7 +364,7 @@ object SimilarityQueries {
       WITH cents AS (
         SELECT vec_id AS cid, embedding AS cemb FROM embeddings
         WHERE vec_id % 100 = 7),
-      np AS (SELECT greatest(2, CAST(ceil(count(*) / 12.0) AS INT)) AS nprobe
+      np AS (SELECT greatest(2, CAST(ceil(count(*) / 4.0) AS INT)) AS nprobe
              FROM cents),
       qranked AS (
         SELECT vec_id, cid FROM (

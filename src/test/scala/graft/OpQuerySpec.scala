@@ -164,7 +164,8 @@ class OpQuerySpec extends AnyFunSuite {
           q -> rows.map(_.getAs[Long]("neighbor_id")).toSet
         }
     val brute = topsOf("ann_topk_brute", 5)
-    for (approx <- Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivf_int8")) {
+    for (approx <- Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivf_tuned",
+        "ann_topk_ivf_int8")) {
       val got = topsOf(approx, 5)
       // every query answered, and mean recall@5 is well above chance —
       // a broken bucketing (empty or single bucket) fails this hard

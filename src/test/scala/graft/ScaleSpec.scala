@@ -87,7 +87,7 @@ class ScaleSpec extends AnyFunSuite {
     }
     // r9 verdict ask #5: the nprobe-derived-from-nlist variant must
     // dominate the fixed-nprobe sibling on the grown corpus (it probes a
-    // superset of cells by construction — max(2, ceil(nlist/12)) ≥ 2 —
+    // superset of cells by construction — max(2, ceil(nlist/4)) ≥ 2 —
     // so any violation means the rule drifted from the shared index).
     assert(repR("ann_topk_ivf_tuned") >= repR("ann_topk_ivf") - 1e-9,
       f"tuned IVF recall ${repR("ann_topk_ivf_tuned")}%.3f fell below " +
