@@ -84,8 +84,17 @@ object Bench {
     } catch { case _: Throwable => () }
     // Machine-speed probe (see scaladoc): timed after warmup, before pass 1,
     // so suite totals from different machines can be normalized via calib_sec.
-    val calibSec = try calibrationProbe(spark) catch { case _: Throwable => -1.0 }
+    // NonFatal only: an OOM or interrupt must kill the bench loudly, not
+    // read as "probe unavailable" (-1.0) on an otherwise-reported round.
+    val calibSec = try calibrationProbe(spark)
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    // Optional subset filter for targeted same-sitting A/Bs (comma-
+    // separated names). The round bench never sets it, so the driver's
+    // totals always cover the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Each pass runs the full suite in order, so a transient load spike hits
     // one pass of every query rather than every pass of one query — that is
     // what makes the per-query median robust to machine noise. The Staged

@@ -148,7 +148,8 @@ object EngineBench {
     // verdict ask #7 — the 0.93x-vs-0.78x RocksDB-toll question was
     // unanswerable without it)
     val calibSec =
-      try Bench.calibrationProbe(spark) catch { case _: Throwable => -1.0 }
+      try Bench.calibrationProbe(spark)
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
     val line =
       f"""{"metric":"engine_frames_per_sec","frames":$frames,"sf":"$sfDir","passes":$passes,"files_per_trigger":$filesPerTrigger,"calib_sec":$calibSec%.3f,"fmgws_sec":${medSec("fmgws")}%.3f,"tws_sec":${medSec("tws")}%.3f,"tws_ttl_sec":${medSec("tws_ttl")}%.3f,"fmgws_fps":${frames / medSec("fmgws")}%.0f,"tws_fps":${frames / medSec("tws")}%.0f,"tws_ttl_fps":${frames / medSec("tws_ttl")}%.0f}"""
     spark.stop()

@@ -32,7 +32,7 @@ object DedupQueries {
     * only the candidate docs' shingles (see
     * [[TextHashing.jaccardOnCandidates]]) — so nothing in the pipeline
     * ever shuffles the full corpus' shingle sets just to dedup them. */
-  private[operators] def shinglesStage(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shinglesStage(spark: SparkSession, dir: String): DataFrame =
     Staged(spark, dir, "shingles_raw") {
       TextHashing.shingleSetsRaw(Tables.documents(spark, dir))
     }
@@ -46,7 +46,7 @@ object DedupQueries {
       TextHashing.lshBandsFrom(shinglesStage(spark, dir), B, R)
     }
 
-  private[operators] def candidatesStage(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def candidatesStage(spark: SparkSession, dir: String): DataFrame =
     Staged(spark, dir, "lsh_candidates") {
       TextHashing.candidatePairsFromBands(bandsStage(spark, dir))
     }
