@@ -193,6 +193,7 @@ object ScaleBench {
           col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id")).distinct()
       val scored = cand
+        // broadcast: BOUNDED — fixed 10-row literal query set.
         .join(broadcast(e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("emb").as("qe"),
             col("norm").as("qn"))), "query_id")

@@ -243,6 +243,7 @@ object AnalyticsQueries {
         .localCheckpoint(eager = false) // feeds union, both join sides
       val a = h.filter(col("source") === "src0").select(col("h"))
       val b = h.filter(col("source") === "src1").select(col("h").as("hb"))
+      // broadcast: BOUNDED — a single-row aggregate over a limit(ThetaK).
       val stats = broadcast(
         a.union(b.select(col("hb").as("h"))).distinct()
           .orderBy(col("h").asc).limit(ThetaK)
@@ -292,12 +293,14 @@ object AnalyticsQueries {
   val q5RegionRevenue = QueryDef(
     "q5_region_revenue",
     (spark, dir) => {
+      // broadcast: BOUNDED — nation (25) and region (5) are spec-fixed.
       val n = broadcast(Tables.nation(spark, dir))
       val r = broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA"))
       Tables.customer(spark, dir)
         .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
         .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(Tables.supplier(spark, dir)),
+        // broadcast: SF-GROWING — supplier scales 10k x SF; plan-stats gated.
+        .join(Broadcasts.broadcastIfSmall(Tables.supplier(spark, dir)),
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .join(n, col("s_nationkey") === col("n_nationkey"))

@@ -244,6 +244,7 @@ object CurationQueries {
       // the staged quantized table (SimilarityQueries.quantized), shared
       // with the IVF-int8 composition — one quantization pass per session
       val e = SimilarityQueries.quantized(spark, dir)
+      // broadcast: BOUNDED — fixed 10-row literal query set.
       val q = broadcast(e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("q8").as("qv")))
       val c = e.select(col("vec_id").as("neighbor_id"), col("q8").as("cv"))

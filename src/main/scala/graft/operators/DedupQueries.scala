@@ -527,6 +527,7 @@ object DedupQueries {
         posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       val grams = spans8(spark, dir)
       val hot = hotSpans(spark, dir).select(col("gram"))
+      // broadcast: BOUNDED — hotSpans caps itself with limit(100).
       val covered = grams.join(broadcast(hot), "gram")
         .select(col("doc_id"),
           explode(sequence(col("gpos"), col("gpos") + lit(7))).as("pos"))

@@ -124,6 +124,8 @@ object DerivedQueries {
     (spark, dir) => {
       import spark.implicits._
       val c = Tables.customer(spark, dir)
+      // broadcast: BOUNDED — TPC-H fixes nation at 25 and region at 5
+      // rows at every scale factor; these never grow with the data.
       val n = broadcast(Tables.nation(spark, dir))
       val r = broadcast(Tables.region(spark, dir))
       val o = Tables.orders(spark, dir)
@@ -195,7 +197,12 @@ object DerivedQueries {
       // expensive lineitem join sees a 1/|segments|-sized build side that
       // AQE can broadcast; at 100 TB this is the difference between one
       // lineitem-wide shuffle and none.
-      val qualifying = o.join(broadcast(c),
+      // broadcast: SF-GROWING — customer scales with the corpus (TPC-H
+      // 150k x SF), so the hint is plan-stats-gated: under 64 MB of scan
+      // bytes it broadcasts exactly as before; past that AQE sizes the
+      // semi-join (shuffle at 100 TB, where 1/5th of customer is still
+      // tens of GB).
+      val qualifying = o.join(Broadcasts.broadcastIfSmall(c),
         o("o_custkey") === c("c_custkey"), "left_semi")
         .select("o_orderkey")
       l.join(qualifying, l("l_orderkey") === qualifying("o_orderkey"),
@@ -226,6 +233,7 @@ object DerivedQueries {
     (spark, dir) => {
       import spark.implicits._
       val c = Tables.customer(spark, dir)
+      // broadcast: BOUNDED — nation is spec-fixed at 25 rows.
       val n = broadcast(Tables.nation(spark, dir))
       c.join(n, c("c_nationkey") === n("n_nationkey"))
         .rollup($"n_name", $"c_mktsegment")
@@ -391,6 +399,8 @@ object DerivedQueries {
       val o = Tables.orders(spark, dir)
         .select($"o_orderkey", $"o_totalprice",
           (floor($"o_totalprice" / W)).cast("long").as("bucket"))
+      // broadcast: BOUNDED — bandBuckets is a literal band list times a
+      // fixed bucket width: a few dozen rows independent of the data.
       o.join(broadcast(bandBuckets), Seq("bucket"))
         .filter($"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
         .groupBy($"band")

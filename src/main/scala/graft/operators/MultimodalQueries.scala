@@ -124,6 +124,11 @@ object MultimodalQueries {
       // mapPartitions blocks Catalyst's own pushdown, so left after it the
       // query side would feature-extract the whole corpus just to keep
       // 1/20th; candidates scan the corpus exactly once
+      // broadcast: BOUNDED in deployment — the modulo filter is the
+      // testdata stand-in for a FIXED query workload (an ANN serving set,
+      // not a corpus slice); a deployment substitutes its query table
+      // here. The mapPartitions root makes plan-stats useless, so the
+      // bound is contractual, not gated.
       val q = broadcast(
         Multimodal.featuresRaw(m.filter(col("media_id") % 20 === 0), dim = 16)
           .toDF()

@@ -69,6 +69,8 @@ object ShapeQueries {
         .withColumn("cents", expr("CAST(round(p_retailprice * 100) AS BIGINT)"))
       val brand = p.groupBy(col("p_brand"))
         .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n"))
+      // broadcast: BOUNDED — one row per p_brand, and TPC-H fixes the
+      // brand domain at 25 values ("Brand#MN", M,N ∈ 1..5) at every SF.
       p.join(broadcast(brand), "p_brand")
         .filter(col("cents") * col("n") > col("sum_cents"))
         .groupBy(col("p_brand"))

@@ -81,6 +81,12 @@ object SimilarityQueries {
   private[graft] def ivfCellsRaw(spark: SparkSession, dir: String,
       maxRn: Int): DataFrame = {
     val e = normed(spark, dir)
+    // broadcast: BOUNDED by config in deployment — an IVF centroid table
+    // has exactly nlist rows, and nlist is a CHOSEN index parameter
+    // (≤ ~64k centroids in practice, always broadcastable), not a corpus
+    // fraction. The `% 100` rule here is the testdata stand-in that makes
+    // nlist ~ N/100 only because the test corpus is tiny; a deployment
+    // MUST cap/configure nlist rather than derive it from corpus size.
     val cents = broadcast(e.filter(col("vec_id") % 100 === 7)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"),
         col("norm").as("cnorm")))
@@ -115,6 +121,9 @@ object SimilarityQueries {
     "ann_topk_brute",
     (spark, dir) => {
       val e = normed(spark, dir)
+      // broadcast: BOUNDED — the query side is a fixed literal id set
+      // (10 rows) at every corpus size, as at every `vec_id < 10` site
+      // in this family.
       val q = broadcast(e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("emb").as("qe"),
           col("norm").as("qn")))
@@ -265,6 +274,7 @@ object SimilarityQueries {
       // is one equi-join on neighbor_id
       val e = normed(spark, dir)
       rankTopK(cand
+        // broadcast: BOUNDED — fixed 10-row literal query set.
         .join(broadcast(e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("emb").as("qe"),
             col("norm").as("qn"))), "query_id")
@@ -331,6 +341,9 @@ object SimilarityQueries {
     "ann_topk_ivf_tuned",
     (spark, dir) => {
       val e = normed(spark, dir)
+      // broadcast: BOUNDED by config — nlist rows (see ivfCellsRaw's
+      // classification; deployments cap nlist, the `% 100` rule is the
+      // testdata stand-in). nprobe below is a single-row agg: BOUNDED.
       val cents = broadcast(e.filter(col("vec_id") % 100 === 7)
         .select(col("vec_id").as("cid"), col("emb").as("cemb"),
           col("norm").as("cnorm")))
@@ -353,6 +366,7 @@ object SimilarityQueries {
           col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id")).distinct()
       rankTopK(cand
+        // broadcast: BOUNDED — fixed 10-row literal query set.
         .join(broadcast(e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("emb").as("qe"),
             col("norm").as("qn"))), "query_id")
@@ -424,6 +438,7 @@ object SimilarityQueries {
           col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id")).distinct()
       rankTopK(cand
+        // broadcast: BOUNDED — fixed 10-row literal query set.
         .join(broadcast(q8.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("q8").as("qv"))),
           "query_id")

@@ -65,6 +65,8 @@ object TpchFinalQueries {
     "q8_market_share",
     (spark, dir) => {
       val custInRegion = Tables.customer(spark, dir)
+        // broadcast: BOUNDED — nation ⋈ region slice is ≤ 25 rows (both
+        // dims spec-fixed).
         .join(broadcast(Tables.nation(spark, dir)
           .join(broadcast(Tables.region(spark, dir)
             .filter(col("r_name") === "AMERICA")),
@@ -72,13 +74,18 @@ object TpchFinalQueries {
           .select(col("n_nationkey"))),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"))
-      val suppNation = broadcast(Tables.supplier(spark, dir)
+      // broadcast: SF-GROWING — ≤ one row per supplier (nation only
+      // decorates), so the hint is gated on supplier's scan stats.
+      val supp = Tables.supplier(spark, dir)
+      val suppNation = Broadcasts.broadcastSizedBy(supp
         .join(broadcast(Tables.nation(spark, dir)
           .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
           col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("supp_nation")))
+        .select(col("s_suppkey"), col("supp_nation")), supp)
       Tables.lineitem(spark, dir)
-        .join(broadcast(Tables.part(spark, dir)
+        // broadcast: SF-GROWING — part slice scales with SF; plan-stats
+        // gated (charged full part scan bytes, the honest growth bound).
+        .join(Broadcasts.broadcastIfSmall(Tables.part(spark, dir)
           .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
           col("l_partkey") === col("p_partkey"))
         .join(Tables.orders(spark, dir)
@@ -128,11 +135,13 @@ object TpchFinalQueries {
     "q9_profit",
     (spark, dir) =>
       Tables.lineitem(spark, dir)
-        .join(broadcast(Tables.part(spark, dir)
+        // broadcast: SF-GROWING x2 — part and supplier scale with SF;
+        // plan-stats gated. nation below: BOUNDED (spec-fixed 25).
+        .join(Broadcasts.broadcastIfSmall(Tables.part(spark, dir)
           .filter(col("p_name").contains("widget"))
           .select(col("p_partkey"), col("p_retailprice"))),
           col("l_partkey") === col("p_partkey"))
-        .join(broadcast(Tables.supplier(spark, dir)
+        .join(Broadcasts.broadcastIfSmall(Tables.supplier(spark, dir)
           .select(col("s_suppkey"), col("s_nationkey"))),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(spark, dir)),
@@ -214,9 +223,11 @@ object TpchFinalQueries {
           col("l_shipdate") < lit("1996-04-01"))
         .groupBy(col("l_suppkey"))
         .agg(sum(expr(rev4)).as("rev4v"))
+      // broadcast: BOUNDED (single-row max) + SF-GROWING (supplier,
+      // plan-stats gated).
       rev.crossJoin(broadcast(rev.agg(max(col("rev4v")).as("mx"))))
         .filter(col("rev4v") === col("mx"))
-        .join(broadcast(Tables.supplier(spark, dir)),
+        .join(Broadcasts.broadcastIfSmall(Tables.supplier(spark, dir)),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
           (col("rev4v").cast("double") / lit(10000.0)).as("total_revenue"))
@@ -245,7 +256,8 @@ object TpchFinalQueries {
     "q17_small_qty_revenue",
     (spark, dir) => {
       val brandLi = Tables.lineitem(spark, dir)
-        .join(broadcast(Tables.part(spark, dir)
+        // broadcast: SF-GROWING — part slice; plan-stats gated.
+        .join(Broadcasts.broadcastIfSmall(Tables.part(spark, dir)
           .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))),
           col("l_partkey") === col("p_partkey"))
       val perPart = brandLi.groupBy(col("l_partkey").as("ap"))
@@ -309,12 +321,16 @@ object TpchFinalQueries {
         .select(col("l_orderkey"), col("l_suppkey"))
         .join(perOrder, col("l_orderkey") === col("ok"))
         .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
-        .join(broadcast(Tables.supplier(spark, dir)
-          .join(broadcast(Tables.nation(spark, dir)
-            .filter(col("n_name") === "NATION_5")),
-            col("s_nationkey") === col("n_nationkey"))
-          .select(col("s_suppkey"), col("s_name"))),
-          col("l_suppkey") === col("s_suppkey"))
+        // broadcast: SF-GROWING — ≤ one row per supplier (nation slice
+        // only filters: BOUNDED); gated on supplier's scan stats.
+        .join({
+          val supp = Tables.supplier(spark, dir)
+          Broadcasts.broadcastSizedBy(supp
+            .join(broadcast(Tables.nation(spark, dir)
+              .filter(col("n_name") === "NATION_5")),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("s_name")), supp)
+        }, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
     },
@@ -347,17 +363,22 @@ object TpchFinalQueries {
     "q2_min_cost_supplier",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val regionSupp = broadcast(Tables.supplier(spark, dir)
+      // broadcast: SF-GROWING — ≤ one row per supplier (nation ⋈ region
+      // slice is BOUNDED ≤ 25 rows and only filters/decorates); gated on
+      // supplier's scan stats.
+      val supp = Tables.supplier(spark, dir)
+      val regionSupp = Broadcasts.broadcastSizedBy(supp
         .join(broadcast(Tables.nation(spark, dir)
           .join(broadcast(Tables.region(spark, dir)
             .filter(col("r_name") === "ASIA")),
             col("n_regionkey") === col("r_regionkey"))),
           col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("s_name"), col("n_name")))
+        .select(col("s_suppkey"), col("s_name"), col("n_name")), supp)
       val w = Window.partitionBy(col("p_partkey"))
         .orderBy(col("unit_m").asc, col("s_suppkey").asc)
       Tables.lineitem(spark, dir)
-        .join(broadcast(Tables.part(spark, dir)
+        // broadcast: SF-GROWING — part slice; plan-stats gated.
+        .join(Broadcasts.broadcastIfSmall(Tables.part(spark, dir)
           .filter(col("p_size").between(10, 15) && col("p_type") === "STANDARD")
           .select(col("p_partkey"), col("p_name"))),
           col("l_partkey") === col("p_partkey"))
@@ -397,15 +418,19 @@ object TpchFinalQueries {
   val q11 = QueryDef(
     "q11_part_value",
     (spark, dir) => {
-      val natSupp = broadcast(Tables.supplier(spark, dir)
+      // broadcast: SF-GROWING — ≤ one row per supplier (nation slice
+      // BOUNDED); gated on supplier's scan stats.
+      val supp = Tables.supplier(spark, dir)
+      val natSupp = Broadcasts.broadcastSizedBy(supp
         .join(broadcast(Tables.nation(spark, dir)
           .filter(col("n_name") === "NATION_7")),
           col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey")))
+        .select(col("s_suppkey")), supp)
       val vals = Tables.lineitem(spark, dir)
         .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
         .groupBy(col("l_partkey"))
         .agg(sum(expr(rev4)).as("val4"))
+      // broadcast: BOUNDED — single-row global aggregate.
       vals.crossJoin(broadcast(vals.agg(sum(col("val4")).as("tot4"))))
         .filter(col("val4") * lit(1000L) > col("tot4"))
         .select(col("l_partkey"),
@@ -436,10 +461,12 @@ object TpchFinalQueries {
     (spark, dir) =>
       Tables.lineitem(spark, dir)
         .select(col("l_partkey"), col("l_suppkey")).distinct()
-        .join(broadcast(Tables.supplier(spark, dir)
+        // broadcast: SF-GROWING x2 — supplier and part slices scale with
+        // SF; plan-stats gated.
+        .join(Broadcasts.broadcastIfSmall(Tables.supplier(spark, dir)
           .filter(col("s_acctbal") < 0).select(col("s_suppkey"))),
           col("l_suppkey") === col("s_suppkey"), "left_anti")
-        .join(broadcast(Tables.part(spark, dir)
+        .join(Broadcasts.broadcastIfSmall(Tables.part(spark, dir)
           .filter(col("p_brand") =!= "Brand#1" &&
             col("p_size").isin(5, 10, 15, 20))),
           col("l_partkey") === col("p_partkey"))
@@ -477,15 +504,22 @@ object TpchFinalQueries {
             col("l_quantity").cast("long")).otherwise(0L)).as("win_qty"))
       val excessSupp = pairs
         .filter(col("tot_qty") > lit(2L) * col("win_qty"))
-        .join(broadcast(Tables.part(spark, dir)
+        // broadcast: SF-GROWING — part slice; plan-stats gated.
+        .join(Broadcasts.broadcastIfSmall(Tables.part(spark, dir)
           .filter(col("p_name").contains("widget")).select(col("p_partkey"))),
           col("l_partkey") === col("p_partkey"), "left_semi")
         .select(col("l_suppkey")).distinct()
       Tables.supplier(spark, dir)
+        // broadcast: BOUNDED — nation slice ≤ 25 rows.
         .join(broadcast(Tables.nation(spark, dir)
           .filter(col("n_name") === "NATION_2")),
           col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(excessSupp), col("s_suppkey") === col("l_suppkey"),
+        // broadcast: SF-GROWING — excessSupp is a derived distinct of
+        // supplier keys (≤ one row per supplier); join-derived plan-stats
+        // are useless, so gate on supplier's scan stats.
+        .join(Broadcasts.broadcastSizedBy(excessSupp,
+          Tables.supplier(spark, dir)),
+          col("s_suppkey") === col("l_suppkey"),
           "left_semi")
         .select(col("s_suppkey"), col("s_name"))
     },

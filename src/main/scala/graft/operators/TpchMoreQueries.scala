@@ -58,6 +58,7 @@ object TpchMoreQueries {
   val q7 = QueryDef(
     "q7_nation_volume",
     (spark, dir) => {
+      // broadcast: BOUNDED — nation is spec-fixed at 25 rows (both roles).
       val n1 = broadcast(Tables.nation(spark, dir)
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
       val n2 = broadcast(Tables.nation(spark, dir)
@@ -65,7 +66,9 @@ object TpchMoreQueries {
       Tables.lineitem(spark, dir)
         .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(spark, dir)),
+        // broadcast: SF-GROWING — supplier scales 10k x SF; plan-stats
+        // gated (identical plan under 64 MB, AQE-sized past it).
+        .join(Broadcasts.broadcastIfSmall(Tables.supplier(spark, dir)),
           col("l_suppkey") === col("s_suppkey"))
         .join(n1, col("s_nationkey") === col("s_nk"))
         .join(n2, col("c_nationkey") === col("c_nk"))
@@ -114,6 +117,7 @@ object TpchMoreQueries {
             col("o_orderdate") < lit("1996-07-01")),
           col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+        // broadcast: BOUNDED — nation is spec-fixed at 25 rows.
         .join(broadcast(Tables.nation(spark, dir)),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
@@ -150,7 +154,8 @@ object TpchMoreQueries {
       Tables.lineitem(spark, dir)
         .filter(col("l_shipdate") >= lit("1996-03-01") &&
           col("l_shipdate") < lit("1996-04-01"))
-        .join(broadcast(Tables.part(spark, dir)),
+        // broadcast: SF-GROWING — part scales 200k x SF; plan-stats gated.
+        .join(Broadcasts.broadcastIfSmall(Tables.part(spark, dir)),
           col("l_partkey") === col("p_partkey"))
         .agg(
           sum(expr(s"CASE WHEN p_type = 'PROMO' THEN $rev4 ELSE 0 END"))
@@ -186,7 +191,8 @@ object TpchMoreQueries {
     "q19_disjunctive",
     (spark, dir) =>
       Tables.lineitem(spark, dir)
-        .join(broadcast(Tables.part(spark, dir)),
+        // broadcast: SF-GROWING — part scales 200k x SF; plan-stats gated.
+        .join(Broadcasts.broadcastIfSmall(Tables.part(spark, dir)),
           col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
@@ -224,6 +230,7 @@ object TpchMoreQueries {
     (spark, dir) => {
       val cust = Tables.customer(spark, dir)
         .withColumn("bal_c", expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+      // broadcast: BOUNDED — a global aggregate is exactly one row.
       val thresh = broadcast(cust.filter(col("c_acctbal") > 0.0)
         .agg(sum(col("bal_c")).as("total_c"), count(lit(1)).as("n_pos")))
       cust.crossJoin(thresh)
@@ -270,6 +277,7 @@ object TpchMoreQueries {
         ("low", 0.5, 17.5), ("mid", 17.5, 34.5), ("high", 34.5, 1.0e9))
         .toDF("band", "lo", "hi")
       Tables.lineitem(spark, dir)
+        // broadcast: BOUNDED — bands is a 3-row literal.
         .join(broadcast(bands),
           col("l_quantity") > col("lo") && col("l_quantity") <= col("hi"))
         .groupBy(col("band"))

@@ -128,9 +128,18 @@ object VocabQueries {
       val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val n = Tables.documents(spark, dir)
         .agg(count(lit(1)).as("n_docs"))
-      // df is vocabulary-sized — broadcast it so the tf side (doc ×
-      // distinct-token rows, the big one) never shuffles for this join
-      val scored = tf.join(broadcast(df), "tok")
+      // broadcast: SF-GROWING (derived) — df is vocabulary-sized, Heaps-law
+      // sublinear in the corpus but unbounded (web-scale text with junk
+      // tokens reaches billions of types). Plan-stats are useless for an
+      // aggregate, so gate on a counted bound: df is lazily checkpointed,
+      // the count materializes it once, and the join reads the cached
+      // blocks — below the threshold the tf side (the big one) still
+      // never shuffles; above it AQE sizes the join. n is a single-row
+      // global aggregate: BOUNDED.
+      val dfm = df.localCheckpoint(eager = false)
+      val dfSide =
+        if (dfm.count() <= (1L << 22)) broadcast(dfm) else dfm
+      val scored = tf.join(dfSide, "tok")
         .crossJoin(broadcast(n))
         .withColumn("score",
           col("tf").cast("double") *
@@ -228,6 +237,8 @@ object VocabQueries {
         .select(col("tok"), col("exact_cnt"), col("rank"),
           posexplode(array((0 until CmsD).map(s => bucket(s, col("tok"))): _*))
             .as(Seq("r", "bucket")))
+        // broadcast: BOUNDED — the CMS table is at most d x w cells
+        // (fixed sketch dimensions), independent of the corpus.
         .join(broadcast(sketch), Seq("r", "bucket"))
         .groupBy(col("tok"), col("exact_cnt"), col("rank"))
         .agg(min(col("c")).as("cms_est"))
@@ -283,6 +294,10 @@ object VocabQueries {
         .dropDuplicates("eval_id", "shingle")
       val train = sh.filter(col("source") =!= "src0")
         .select(col("doc_id").as("train_id"), col("shingle"))
+      // broadcast: BOUNDED in deployment — the eval side models a FIXED
+      // benchmark suite (decontamination checks a constant eval set
+      // against a growing train corpus); the source-slice filter is the
+      // testdata stand-in. The corpus side never shuffles for this join.
       train.join(broadcast(eval), "shingle")
         .groupBy(col("eval_id"), col("train_id"))
         .agg(countDistinct(col("shingle")).as("n_common"))

@@ -116,6 +116,9 @@ object Watermarked {
     * stream side never shuffles (the dim broadcasts to wherever trades
     * already are; at 100 TB/day of trades that no-shuffle property is the
     * whole point). */
+  // broadcast: BOUNDED — the product dimension is the venue's listed
+  // instrument set (thousands of rows, fixed by the exchange, not by
+  // trade volume).
   def enrichTrades(trades: Dataset[TradeOut], productDim: DataFrame): DataFrame =
     trades.join(broadcast(productDim), Seq("productId"), "left")
 
