@@ -217,6 +217,11 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // machine-speed context (same probe + band as Bench): scale rows and
+    // recall tables are only comparable across runs with calib attached
+    val calibSec =
+      try Bench.calibrationProbe(spark)
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
     val rep = ScaleData.ensureReplicated(spark, base, k)
     val results = for {
       (dirLabel, dir) <- Seq("base" -> base, s"x$k" -> rep)
@@ -270,7 +275,7 @@ object ScaleBench {
         f""""${dl}_recall5_${v.stripPrefix("ann_topk_")}":$r%.3f""" }
     }).mkString(",")
     spark.stop()
-    println(s"""{"metric":"scale_bench","x":$k,"passes":$passes,$summary}""")
+    println(f"""{"metric":"scale_bench","x":$k,"passes":$passes,"calib_sec":$calibSec%.3f,$summary}""")
     System.out.flush()
   }
 }

@@ -538,11 +538,21 @@ object CurationStream {
     * dynamic-overwrites ITS OWN partition and never duplicates or touches
     * earlier commits. [[canonicalTable]] is the merged read view;
     * [[compactCanonical]] folds settled partitions so the table's row
-    * count tracks |clusters|, not |upserts|. */
+    * count tracks |clusters|, not |upserts|.
+    *
+    * `compactEvery` (r11 verdict ask #4) wires that maintenance into the
+    * pipeline itself: every N committed batches the sink folds partitions
+    * up to `batchId - 1` — the documented live-table race rule, since the
+    * only partition a foreachBatch retry can rewrite is the CURRENT
+    * batchId's. A deployment running the sink for weeks keeps the table
+    * at ~|clusters| + one batch of upserts without any external cron; 0
+    * (the default) leaves compaction to the caller. A crash mid-fold is
+    * the same idempotent-convergence story as calling compactCanonical
+    * directly — the restart's next cadence tick re-folds. */
   def startCanonicalSink(docs: Dataset[DocIn], tableDir: String,
       checkpointDir: String, horizonMs: Long = 3600000L, minTok: Int = 3,
       bands: Int = 4, rowsPerBand: Int = 4,
-      stopWords: Seq[String] = Stop)
+      stopWords: Seq[String] = Stop, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     nearDedupCanonical(docs, horizonMs, minTok, bands, rowsPerBand,
       stopWords)
@@ -550,6 +560,8 @@ object CurationStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[DocCanonical], batchId: Long) =>
         commitCanonicalBatch(batch, batchId, tableDir)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactCanonical(batch.sparkSession, tableDir, batchId - 1)
       }
       .start()
 
@@ -600,16 +612,25 @@ object CurationStream {
   /** Delta-style compaction for the canonical table: fold every partition
     * with batch_id ≤ `upToBatchId` (plus the existing base) into the single
     * base partition — latest row per cluster — then drop the folded
-    * partitions. Pass the stream's lastCommittedBatch - 1 on a live table
-    * so the fold can never race the sink's own retry of the ACTIVE
-    * partition (same rule as [[Pipeline.compact]]). Crash-safe by
-    * idempotence, not atomicity: the base rewrite is deterministic, and a
-    * crash between the write and the deletes only leaves superseded
-    * duplicates that [[canonicalTable]]'s recency window already resolves
-    * — re-running the compaction converges. */
+    * partitions. `upToBatchId` is deliberately REQUIRED (no catch-all
+    * default): on a live table the only safe bound is the stream's
+    * lastCommittedBatch - 1, so the fold can never race the sink's own
+    * retry of the ACTIVE partition (same rule as [[Pipeline.compact]]) —
+    * [[startCanonicalSink]]'s cadence passes exactly that; a caller
+    * compacting a RETIRED table passes Long.MaxValue explicitly and owns
+    * the no-writer claim. Crash-safe by idempotence, not atomicity: the
+    * base rewrite is deterministic, and a crash between the write and the
+    * deletes only leaves superseded duplicates that [[canonicalTable]]'s
+    * recency window already resolves — re-running the compaction
+    * converges. */
   def compactCanonical(spark: org.apache.spark.sql.SparkSession,
-      tableDir: String, upToBatchId: Long = Long.MaxValue): Unit = {
+      tableDir: String, upToBatchId: Long): Unit = {
     import org.apache.spark.sql.expressions.Window
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    // a sink that has only seen empty batches has not created the table
+    // yet — a cadence tick then has nothing to fold
+    if (!root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(root)) return
     val all = spark.read.parquet(tableDir)
     require(all.columns.contains("batch_id"),
       s"$tableDir is not a batch_id-partitioned canonical table")

@@ -745,8 +745,10 @@ class CurationStreamSpec extends AnyFunSuite {
     CurationStream.commitCanonicalBatch(b1.toDS(), 1L, dir)
     assert(canonicalRows(dir) === before)
     // fold both settled partitions into the base; view unchanged, and
-    // the folded partitions are gone (one row per cluster remains)
-    CurationStream.compactCanonical(spark, dir)
+    // the folded partitions are gone (one row per cluster remains).
+    // No live writer on this table, so the all-partitions bound is safe
+    // (and now has to be said out loud — the default is gone).
+    CurationStream.compactCanonical(spark, dir, Long.MaxValue)
     assert(canonicalRows(dir) === before)
     val perPart = spark.read.parquet(dir)
       .select(org.apache.spark.sql.functions.col("batch_id").cast("long"))
@@ -758,5 +760,141 @@ class CurationStreamSpec extends AnyFunSuite {
       Seq(row(7, 1, 7, 4)).toDS(), 2L, dir)
     assert(canonicalRows(dir) ===
       Set((1L, 7L, 4L, true), (5L, 5L, 1L, true), (6L, 6L, 1L, true)))
+  }
+
+  /** Drift i of the long document: a near-dup re-crawl that band-matches
+    * the original and keeps growing by one word, so every batch upserts
+    * the SAME cluster with a new, longer (dethroning) member. */
+  private def drift(i: Int): String =
+    longText + " " + (1 to i).map(j => s"extra$j").mkString(" ")
+
+  private def tablePartitions(dir: String): Set[Long] =
+    spark.read.parquet(dir)
+      .select(org.apache.spark.sql.functions.col("batch_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+
+  test("canonical sink cadence: periodic compaction keeps the table at ~|clusters| over a long replay (r11 verdict #4)") {
+    // the maintenance story IN the pipeline: with compactEvery = 2 the
+    // sink folds its own settled partitions as it runs — after an
+    // 8-batch replay of repeated upserts to the same two clusters, the
+    // table must hold the base partition plus at most the batches since
+    // the last fold, with rows ~ |clusters|, while reading identically
+    // to an uncompacted run of the same replay
+    withRocksDb {
+      def replay(tbl: String, ckpt: String, compactEvery: Int): Unit = {
+        val input = MemoryStream[DocIn]
+        val q = CurationStream.startCanonicalSink(input.toDS(), tbl, ckpt,
+          compactEvery = compactEvery)
+        try {
+          // batch 0: the two cluster seeds; batches 1..7: ever-longer
+          // drifts of cluster A (each dethrones) plus a stable doc read
+          // for cluster B in batch 4 (a second cluster's upsert)
+          input.addData(
+            DocIn(1, "crawl0", longText, ts("2024-05-01 10:00:00")),
+            DocIn(2, "crawl0", goodText + " with several further words beyond",
+              ts("2024-05-01 10:00:01")))
+          q.processAllAvailable()
+          for (i <- 1 to 7) {
+            input.addData(
+              DocIn(100L + i, "recrawl", drift(i),
+                ts(f"2024-05-01 10:${i}%02d:30")))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      val tblA = java.nio.file.Files.createTempDirectory("cad_tbl").toString
+      val ckptA = java.nio.file.Files.createTempDirectory("cad_ck").toString
+      replay(tblA, ckptA, compactEvery = 2)
+      val tblB = java.nio.file.Files.createTempDirectory("cadB_tbl").toString
+      val ckptB = java.nio.file.Files.createTempDirectory("cadB_ck").toString
+      replay(tblB, ckptB, compactEvery = 0)
+
+      // reads identical to the uncompacted run
+      assert(canonicalRows(tblA) === canonicalRows(tblB),
+        "cadence compaction changed the merged view")
+      // every drift joined ONE cluster (plus the unrelated seed cluster);
+      // the uncompacted table carries every upsert, the compacted one
+      // only the base fold + what landed after the last cadence tick.
+      // Batch ids outrun the data rounds (the stateful stages insert
+      // no-data timer batches), so pin the INVARIANT, not the ids: folds
+      // fire every compactEvery batches, so at most compactEvery
+      // data-bearing partitions can trail the base fold.
+      assert(canonicalRows(tblA).size === 2, "expected exactly two clusters")
+      val partsA = tablePartitions(tblA)
+      assert(partsA.contains(-1L), s"no base fold partition: $partsA")
+      assert(partsA.count(_ != -1L) <= 2,
+        s"cadence left unfolded settled partitions: $partsA")
+      val partsB = tablePartitions(tblB)
+      assert(partsB.size === 8, s"uncompacted control should keep all " +
+        s"batch partitions: $partsB")
+      // row count tracks ~|clusters|: 2 folded rows + ≤ 1 upsert row per
+      // unfolded partition, against the control's one row per upsert
+      val rowsA = spark.read.parquet(tblA).count()
+      val rowsB = spark.read.parquet(tblB).count()
+      assert(rowsA <= 4, s"compacted table carries $rowsA rows")
+      assert(rowsB >= 8, s"control table should carry every upsert: $rowsB")
+    }
+  }
+
+  test("canonical sink: compaction + crash + restart composed still equals the uninterrupted run (r11 verdict #6)") {
+    // restart parity and compaction are each spec'd alone; compose them:
+    // replay -> cadence fold mid-stream -> crash -> restart (replays the
+    // last batch at-least-once, cadence may re-fold the same bound) ->
+    // more batches -> fold again; the merged view must equal one
+    // uninterrupted, never-compacted run of the same batches
+    withRocksDb {
+      val batches: Seq[Seq[DocIn]] = Seq(
+        Seq(DocIn(1, "crawl0", longText, ts("2024-05-01 10:00:00")),
+          DocIn(2, "crawl0", goodText + " with several further words beyond",
+            ts("2024-05-01 10:00:01"))),
+        Seq(DocIn(101, "recrawl", drift(1), ts("2024-05-01 10:01:30"))),
+        Seq(DocIn(102, "recrawl", drift(2), ts("2024-05-01 10:02:30"))),
+        Seq(DocIn(103, "recrawl", drift(3), ts("2024-05-01 10:03:30"))),
+        Seq(DocIn(104, "recrawl", drift(4), ts("2024-05-01 10:04:30"))))
+
+      // leg A: crash after batch 2 (one cadence fold behind it), restart,
+      // finish, with cadence folds at batches 2 and 4
+      val tblA = java.nio.file.Files.createTempDirectory("cmp_tbl").toString
+      val ckptA = java.nio.file.Files.createTempDirectory("cmp_ck").toString
+      val input1 = MemoryStream[DocIn]
+      val q1 = CurationStream.startCanonicalSink(input1.toDS(), tblA, ckptA,
+        compactEvery = 2)
+      try {
+        batches.take(3).foreach { b =>
+          input1.addData(b: _*); q1.processAllAvailable()
+        }
+      } finally q1.stop()
+      assert(tablePartitions(tblA).contains(-1L),
+        "pre-crash cadence fold must have run (batch 2 folds ≤ 1)")
+      val input2 = MemoryStream[DocIn]
+      batches.take(3).foreach(b => input2.addData(b: _*)) // offset replay
+      val q2 = CurationStream.startCanonicalSink(input2.toDS(), tblA, ckptA,
+        compactEvery = 2)
+      try {
+        batches.drop(3).foreach { b =>
+          input2.addData(b: _*); q2.processAllAvailable()
+        }
+      } finally q2.stop()
+
+      // leg B: uninterrupted, never compacted
+      val tblB = java.nio.file.Files.createTempDirectory("cmpB_tbl").toString
+      val ckptB = java.nio.file.Files.createTempDirectory("cmpB_ck").toString
+      val input3 = MemoryStream[DocIn]
+      val q3 = CurationStream.startCanonicalSink(input3.toDS(), tblB, ckptB)
+      try {
+        batches.foreach { b => input3.addData(b: _*); q3.processAllAvailable() }
+      } finally q3.stop()
+
+      assert(canonicalRows(tblA) === canonicalRows(tblB),
+        "compaction composed with crash/restart diverged from the " +
+          "uninterrupted run")
+      // the final cadence folds kept the layout tight: a base partition
+      // plus at most compactEvery trailing data-bearing partitions
+      // (batch ids outrun data rounds — no-data timer batches)
+      val partsAfter = tablePartitions(tblA)
+      assert(partsAfter.contains(-1L), s"no base fold: $partsAfter")
+      assert(partsAfter.count(_ != -1L) <= 2,
+        s"unexpected partitions after the composed run: $partsAfter")
+    }
   }
 }
