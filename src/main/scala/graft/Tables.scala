@@ -14,6 +14,12 @@ object Tables {
     // reader rejects unless read as raw Long (nanos since epoch); the
     // events loader below converts back to a timestamp column.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The testdata's timestamps are tz-naive wall-clock and the DuckDB
+    // oracle is tz-naive throughout, so every instant <-> NTZ cast in the
+    // loaders must happen at UTC — pin it rather than inherit whatever
+    // the host happens to export (a UTC-adjusted timestamp[us] vintage
+    // would otherwise load shifted by the local zone, silently).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -24,22 +30,72 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** The parquet logical-type annotation of events.ts, read from the file
+    * footer (metadata only, no Spark job; memoized per path). The
+    * annotation is AUTHORITATIVE where the Spark-read dtype is ambiguous:
+    * under nanosAsLong a TIMESTAMP(NANOS) column and a plain
+    * annotation-less int64 both surface as LongType, and dividing a
+    * micros epoch by 1000 would shift every timestamp 1000x with no
+    * error — the exact regen hazard the r10 testdata drop demonstrated. */
+  private val tsAnnotationCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[(String, Boolean)]]
+  private def eventsTsAnnotation(s: SparkSession, d: String)
+      : Option[(String, Boolean)] =
+    tsAnnotationCache.getOrElseUpdate(s"$d/events.parquet", {
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = s.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+      val fs = root.getFileSystem(conf)
+      // driver testdata is a bare file; Spark-written tables (ScaleData
+      // replicas) are directories of part files — one footer decides
+      val file =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).map(_.getPath)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(
+              s"no parquet part files under $root"))
+        else root
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFileMetaData.getSchema
+        val t = schema.getType(schema.getFieldIndex("ts"))
+        t.asPrimitiveType().getLogicalTypeAnnotation match {
+          case ann: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            Some((ann.getUnit.toString, ann.isAdjustedToUTC))
+          case _ => None
+        }
+      } finally reader.close()
+    })
+
   /** Expose `ts` as µs-precision TIMESTAMP_NTZ regardless of how the datagen
     * wrote it. Earlier drops stamped NANOS(NTZ) parquet (read as raw Long
     * under nanosAsLong — truncation to µs is lossless, the datagen stamps
     * µs-aligned values); current drops stamp timestamp[us] which Spark reads
-    * as TIMESTAMP_NTZ directly. Branch on the read dtype so either vintage
-    * of testdata loads identically. */
+    * as TIMESTAMP_NTZ directly. The branch is keyed on BOTH the read dtype
+    * and the footer annotation, and fails loudly on any vintage it does not
+    * recognize — a regen that writes plain int64 epochs or a unit this
+    * loader has never seen must break the build, not silently shift every
+    * timestamp (r11 ADVICE). A UTC-adjusted vintage reads exactly because
+    * [[table]] pins the session timezone to UTC. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.expr
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
-      case LongType =>
+    (raw.schema("ts").dataType, eventsTsAnnotation(s, d)) match {
+      case (LongType, Some(("NANOS", _))) =>
+        // an adjusted-to-UTC nanos instant and an NTZ nanos wall-clock
+        // carry the same numeric at UTC, and the session tz is pinned
         raw.withColumn("ts", expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
-      case TimestampNTZType => raw
-      case _ =>
+      case (TimestampNTZType, _) => raw
+      case (TimestampType, Some((_, true))) =>
+        // UTC-adjusted micros/millis: Spark reads an instant; the cast
+        // renders it at the pinned UTC session tz — no host-zone shift
         raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP_NTZ)"))
+      case (dt, ann) => throw new IllegalStateException(
+        s"unrecognized events.ts vintage in $d: Spark dtype $dt, parquet " +
+          s"annotation $ann — a testdata regen changed the physical " +
+          "schema; refusing to guess the epoch unit (extend Tables.events)")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -28,7 +28,8 @@ artifacts=(BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json COPYCHECK.json \
   VERDICT.md ADVICE.md BASELINE.md BASELINE.json SCALE.md)
 to_add=()
 for f in "${artifacts[@]}"; do [[ -e "$f" ]] && to_add+=("$f"); done
-git add -- "${to_add[@]}"
+# bare `git add --` (and set -u on bash <4.4) if every glob missed — guard
+[[ ${#to_add[@]} -gt 0 ]] && git add -- "${to_add[@]}"
 
 if git diff --cached --quiet; then
   echo "roundend: no artifact changes to commit"
