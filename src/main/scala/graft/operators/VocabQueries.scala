@@ -130,15 +130,16 @@ object VocabQueries {
         .agg(count(lit(1)).as("n_docs"))
       // broadcast: SF-GROWING (derived) — df is vocabulary-sized, Heaps-law
       // sublinear in the corpus but unbounded (web-scale text with junk
-      // tokens reaches billions of types). Plan-stats are useless for an
-      // aggregate, so gate on a counted bound: df is lazily checkpointed,
-      // the count materializes it once, and the join reads the cached
-      // blocks — below the threshold the tf side (the big one) still
-      // never shuffles; above it AQE sizes the join. n is a single-row
+      // tokens reaches billions of types). Its own plan-stats are useless
+      // (aggregate), so gate on the CORPUS scan stats instead — metadata
+      // only, no job: |vocab| ≤ |tokens| ≤ corpus bytes, so a small corpus
+      // PROVES the vocabulary broadcast-safe and the tf side (the big one)
+      // never shuffles for this join; past the gate AQE sizes it at
+      // runtime (still a broadcast whenever the vocabulary is actually
+      // small — the hint is what must not be forced). n is a single-row
       // global aggregate: BOUNDED.
-      val dfm = df.localCheckpoint(eager = false)
-      val dfSide =
-        if (dfm.count() <= (1L << 22)) broadcast(dfm) else dfm
+      val dfSide = Broadcasts.broadcastSizedBy(df,
+        Tables.documents(spark, dir))
       val scored = tf.join(dfSide, "tok")
         .crossJoin(broadcast(n))
         .withColumn("score",
