@@ -64,6 +64,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -90,9 +91,18 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => -1.0 }
     // Optional subset filter for targeted same-sitting A/Bs (comma-
     // separated names). The round bench never sets it, so the driver's
-    // totals always cover the full suite.
+    // totals always cover the full suite. Unknown names fail LOUDLY: a
+    // typo'd filter would otherwise match nothing and print a
+    // status:"ok" total of 0.000 s — the exact smaller-is-better trap
+    // the 9e9 fail sentinel exists to prevent.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, "SPARK_GRAFT_BENCH_ONLY names unknown " +
+        s"queries: ${unknown.toSeq.sorted.mkString(", ")}")
+      require(o.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but empty")
+    }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Each pass runs the full suite in order, so a transient load spike hits

@@ -40,21 +40,25 @@ object Tables {
   private val tsAnnotationCache =
     scala.collection.concurrent.TrieMap.empty[String, Option[(String, Boolean)]]
   private def eventsTsAnnotation(s: SparkSession, d: String)
-      : Option[(String, Boolean)] =
-    tsAnnotationCache.getOrElseUpdate(s"$d/events.parquet", {
+      : Option[(String, Boolean)] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val fs = root.getFileSystem(conf)
+    // driver testdata is a bare file; Spark-written tables (ScaleData
+    // replicas) are directories of part files — one footer decides
+    val file =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"no parquet part files under $root"))
+      else root
+    // cache key includes the mtime: the driver regenerates testdata IN
+    // PLACE between rounds, and a long-lived JVM (sbt server) must not
+    // serve the previous drop's annotation for the new file
+    val key = s"$file@${fs.getFileStatus(file).getModificationTime}"
+    tsAnnotationCache.getOrElseUpdate(key, {
       import org.apache.parquet.schema.LogicalTypeAnnotation
-      val conf = s.sparkContext.hadoopConfiguration
-      val root = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
-      val fs = root.getFileSystem(conf)
-      // driver testdata is a bare file; Spark-written tables (ScaleData
-      // replicas) are directories of part files — one footer decides
-      val file =
-        if (fs.getFileStatus(root).isDirectory)
-          fs.listStatus(root).map(_.getPath)
-            .find(_.getName.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException(
-              s"no parquet part files under $root"))
-        else root
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
       try {
@@ -67,6 +71,7 @@ object Tables {
         }
       } finally reader.close()
     })
+  }
 
   /** Expose `ts` as µs-precision TIMESTAMP_NTZ regardless of how the datagen
     * wrote it. Earlier drops stamped NANOS(NTZ) parquet (read as raw Long
@@ -91,6 +96,14 @@ object Tables {
       case (TimestampType, Some((_, true))) =>
         // UTC-adjusted micros/millis: Spark reads an instant; the cast
         // renders it at the pinned UTC session tz — no host-zone shift
+        raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP_NTZ)"))
+      case (TimestampType, None) =>
+        // INT96: no logical annotation by design, but its semantics are
+        // unambiguous (a UTC-adjusted instant — legacy Spark/Hive
+        // writers), so this is the one annotation-less shape that is
+        // safe to load: same cast as the adjusted case, exact at the
+        // pinned UTC session tz. (An annotation-less int64 still fails
+        // below — THAT epoch unit would be a guess.)
         raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP_NTZ)"))
       case (dt, ann) => throw new IllegalStateException(
         s"unrecognized events.ts vintage in $d: Spark dtype $dt, parquet " +

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions.broadcast
   *    spec-fixed dimension like TPC-H nation=25/region=5). The forced
   *    hint stays: it is always safe and saves AQE a runtime decision.
   *  - SF-GROWING, scan-rooted — a dimension that scales with the data
-  *    (TPC-H customer/supplier/part, IVF centroids ~ N/100). Gated here
+  *    (TPC-H customer/supplier/part and their slices). Gated here
   *    via [[broadcastIfSmall]]: Spark's size-only plan statistics for a
   *    scan-rooted subplan are the file bytes (filters/projects pass
   *    them through unchanged), so the check is metadata-only — no job —
@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions.broadcast
   *    scan size, which is exactly the quantity that grows. Below the
   *    threshold the plan is identical to the forced-hint form; above
   *    it the hint is dropped and AQE sizes the join at runtime.
+  *  - BOUNDED BY CONFIG — IVF centroids keep a forced hint with a
+  *    contractual bound instead of a gate: nlist is a CHOSEN index
+  *    parameter (≤ ~64k centroids in practice, always broadcastable);
+  *    the testdata's `% 100` rule makes it ~N/100 only because the test
+  *    corpus is tiny, and the site comments require deployments to cap
+  *    nlist (SimilarityQueries.ivfCellsRaw / ivfTunedTopK).
   *  - SF-GROWING, derived — an aggregate-derived table (vocabulary,
   *    candidate ids) whose plan-stats are useless (size-only visitors
   *    propagate the pre-aggregation size). These are gated on a counted

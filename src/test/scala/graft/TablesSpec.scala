@@ -41,6 +41,24 @@ class TablesSpec extends AnyFunSuite {
     assert(got === "2024-05-01 10:00:00", s"adjusted vintage loaded shifted: $got")
   }
 
+  test("an INT96 vintage (no annotation, but unambiguous instant semantics) loads exactly") {
+    // legacy Spark/Hive writers default to INT96, which carries no
+    // logical-type annotation; unlike a bare int64 its semantics are
+    // fixed (UTC-adjusted instant), so the loader accepts it
+    val dir = java.nio.file.Files.createTempDirectory("ev_i96").toString
+    val prevOut = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try Seq(1L).toDF("event_id")
+      .select(col("event_id"),
+        timestamp_micros(lit(1714557600000000L)).as("ts"))
+      .write.parquet(s"$dir/events.parquet")
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevOut)
+    val got = Tables.events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      .collect().head.getString(0)
+    assert(got === "2024-05-01 10:00:00", s"INT96 vintage loaded shifted: $got")
+  }
+
   test("an unrecognized vintage (plain int64, no annotation) fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("ev_bad").toString
     Seq((1L, 1714557600000000L)).toDF("event_id", "ts")
