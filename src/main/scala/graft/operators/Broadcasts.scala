@@ -38,22 +38,52 @@ import org.apache.spark.sql.functions.broadcast
   */
 object Broadcasts {
 
-  /** Default gate: 64 MB of scan-estimated bytes. Comfortably above
+  /** Fallback gate: 64 MB of scan-estimated bytes. Comfortably above
     * every bench-SF dimension (sf0.1 customer ≈ 0.3 MB) and comfortably
     * below what a driver should single-handedly materialize; a 100 TB
     * deployment's customer/supplier/part dims blow through it and fall
-    * back to AQE. */
+    * back to AQE. Used only when the session's own broadcast threshold
+    * is disabled/unparseable — see [[effectiveMaxBytes]]. */
   val DefaultMaxBytes: Long = 64L << 20
 
+  /** Sentinel default for the `maxBytes` parameters below: resolve the
+    * gate from the session at call time rather than a compile-time
+    * constant. */
+  val SessionThreshold: Long = Long.MinValue
+
+  /** The gate the session actually configured (r12 verdict ask #3): a
+    * deployment tuning `spark.sql.autoBroadcastJoinThreshold` moves this
+    * gate with it — the two thresholds answer the same question ("is
+    * this small enough to ship to every executor?") and must not
+    * disagree. A disabled (`-1`/`0`) or unparseable threshold falls back
+    * to [[DefaultMaxBytes]]: disabling Spark's AUTO-broadcast does not
+    * mean forced hints should vanish — it usually means the operator
+    * wants manual control, which is exactly what these classified hint
+    * sites are. */
+  def effectiveMaxBytes(df: DataFrame): Long = {
+    // 1-arg get: the conf entry is registered with a default, so this
+    // never throws for a live session; a 2-arg get would (re)validate
+    // the fallback string against the bytesConf parser
+    val parsed =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    if (parsed > 0L) parsed else DefaultMaxBytes
+  }
+
   /** Apply the broadcast hint only when the subplan's size-only
-    * statistics fit under `maxBytes`. Plan-time metadata, no Spark job:
-    * `optimizedPlan.stats.sizeInBytes` for a scan-rooted dim is the sum
-    * of its file sizes. */
+    * statistics fit under `maxBytes` (default: the session's own
+    * broadcast threshold via [[effectiveMaxBytes]]). Plan-time metadata,
+    * no Spark job: `optimizedPlan.stats.sizeInBytes` for a scan-rooted
+    * dim is the sum of its file sizes. */
   def broadcastIfSmall(df: DataFrame,
-      maxBytes: Long = DefaultMaxBytes): DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
+      maxBytes: Long = SessionThreshold): DataFrame = {
+    val gate =
+      if (maxBytes == SessionThreshold) effectiveMaxBytes(df) else maxBytes
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= gate)
       broadcast(df)
     else df
+  }
 
   /** As [[broadcastIfSmall]] but sized by a DIFFERENT (scan-rooted)
     * frame. For composites like `supplier ⋈ nation` the size-only join
@@ -64,8 +94,12 @@ object Broadcasts {
     * the caller asserts the row-bound argument in a comment at the
     * site. */
   def broadcastSizedBy(df: DataFrame, sizedBy: DataFrame,
-      maxBytes: Long = DefaultMaxBytes): DataFrame =
-    if (sizedBy.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
+      maxBytes: Long = SessionThreshold): DataFrame = {
+    val gate =
+      if (maxBytes == SessionThreshold) effectiveMaxBytes(sizedBy)
+      else maxBytes
+    if (sizedBy.queryExecution.optimizedPlan.stats.sizeInBytes <= gate)
       broadcast(df)
     else df
+  }
 }

@@ -37,5 +37,28 @@ class BroadcastsSpec extends AnyFunSuite {
       col("s_suppkey") === col("l_suppkey"))))
   }
 
+  test("default gate follows spark.sql.autoBroadcastJoinThreshold; -1 falls back to 64 MB") {
+    val dim = Tables.customer(spark, sf)
+    val fact = Tables.orders(spark, sf)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // a deployment tightening the Spark threshold tightens this gate too
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+      assert(Broadcasts.effectiveMaxBytes(dim) === 1L)
+      val tightened = fact.join(Broadcasts.broadcastIfSmall(dim),
+        fact("o_custkey") === dim("c_custkey"))
+      assert(!hinted(tightened),
+        "a 1-byte session threshold must drop the hint on an sf-scale dim")
+      // disabling auto-broadcast (-1) falls back to the 64 MB default:
+      // manual hints are exactly the control a -1 deployment wants
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(Broadcasts.effectiveMaxBytes(dim) === Broadcasts.DefaultMaxBytes)
+      val fallback = fact.join(Broadcasts.broadcastIfSmall(dim),
+        fact("o_custkey") === dim("c_custkey"))
+      assert(hinted(fallback),
+        "-1 must fall back to the 64 MB gate, not drop every hint")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
