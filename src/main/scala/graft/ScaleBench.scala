@@ -214,6 +214,7 @@ object ScaleBench {
     val spark = SparkSession.builder()
       .master(s"local[${Bench.envCpus}]")
       .config("spark.sql.shuffle.partitions", Bench.envCpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -16,10 +16,18 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The testdata's timestamps are tz-naive wall-clock and the DuckDB
     // oracle is tz-naive throughout, so every instant <-> NTZ cast in the
-    // loaders must happen at UTC — pin it rather than inherit whatever
-    // the host happens to export (a UTC-adjusted timestamp[us] vintage
-    // would otherwise load shifted by the local zone, silently).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // loaders must happen at UTC. Every entry point (Bench/Verify/specs/
+    // the streaming mains) pins it at session construction; this loader
+    // ASSERTS rather than silently rewrites — a caller that set another
+    // zone mid-session must fail loudly, not have its setting clobbered
+    // as a hidden read side effect (r12 ADVICE).
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(
+      try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+      catch { case scala.util.control.NonFatal(_) => false },
+      s"graft.Tables requires spark.sql.session.timeZone=UTC (got '$tz'): " +
+        "set it at SparkSession construction — the testdata's wall-clock " +
+        "timestamps and the DuckDB oracle are both tz-naive at UTC")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -37,10 +45,18 @@ object Tables {
     * annotation-less int64 both surface as LongType, and dividing a
     * micros epoch by 1000 would shift every timestamp 1000x with no
     * error — the exact regen hazard the r10 testdata drop demonstrated. */
-  private val tsAnnotationCache =
-    scala.collection.concurrent.TrieMap.empty[String, Option[(String, Boolean)]]
-  private def eventsTsAnnotation(s: SparkSession, d: String)
-      : Option[(String, Boolean)] = {
+  /** Footer facts per events file: the ts logical-type annotation plus
+    * the writer's `created_by` string (consulted by the INT96 branch). */
+  private final case class TsFooter(annotation: Option[(String, Boolean)],
+      createdBy: String)
+  // keyed by PATH, storing (mtime, footer): the driver regenerates
+  // testdata IN PLACE between rounds, so a long-lived JVM (sbt server)
+  // must not serve the previous drop's footer — an mtime change REPLACES
+  // the entry, so at most one entry per path survives (the r12-ADVICE
+  // fix for the old mtime-in-key map that grew one dead entry per regen)
+  private val tsFooterCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, TsFooter)]
+  private def eventsTsFooter(s: SparkSession, d: String): TsFooter = {
     val conf = s.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
     val fs = root.getFileSystem(conf)
@@ -53,25 +69,31 @@ object Tables {
           .getOrElse(throw new IllegalStateException(
             s"no parquet part files under $root"))
       else root
-    // cache key includes the mtime: the driver regenerates testdata IN
-    // PLACE between rounds, and a long-lived JVM (sbt server) must not
-    // serve the previous drop's annotation for the new file
-    val key = s"$file@${fs.getFileStatus(file).getModificationTime}"
-    tsAnnotationCache.getOrElseUpdate(key, {
-      import org.apache.parquet.schema.LogicalTypeAnnotation
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
-      try {
-        val schema = reader.getFileMetaData.getSchema
-        val t = schema.getType(schema.getFieldIndex("ts"))
-        t.asPrimitiveType().getLogicalTypeAnnotation match {
-          case ann: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-            Some((ann.getUnit.toString, ann.isAdjustedToUTC))
-          case _ => None
-        }
-      } finally reader.close()
-    })
+    val mtime = fs.getFileStatus(file).getModificationTime
+    tsFooterCache.get(file.toString) match {
+      case Some((m, cached)) if m == mtime => cached
+      case _ =>
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+        val footer =
+          try {
+            val meta = reader.getFileMetaData
+            val schema = meta.getSchema
+            val t = schema.getType(schema.getFieldIndex("ts"))
+            val ann = t.asPrimitiveType().getLogicalTypeAnnotation match {
+              case a: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                Some((a.getUnit.toString, a.isAdjustedToUTC))
+              case _ => None
+            }
+            TsFooter(ann, Option(meta.getCreatedBy).getOrElse(""))
+          } finally reader.close()
+        tsFooterCache.put(file.toString, (mtime, footer))
+        footer
+    }
   }
+  private def eventsTsAnnotation(s: SparkSession, d: String)
+      : Option[(String, Boolean)] = eventsTsFooter(s, d).annotation
 
   /** Expose `ts` as µs-precision TIMESTAMP_NTZ regardless of how the datagen
     * wrote it. Earlier drops stamped NANOS(NTZ) parquet (read as raw Long
@@ -98,12 +120,20 @@ object Tables {
         // renders it at the pinned UTC session tz — no host-zone shift
         raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP_NTZ)"))
       case (TimestampType, None) =>
-        // INT96: no logical annotation by design, but its semantics are
-        // unambiguous (a UTC-adjusted instant — legacy Spark/Hive
-        // writers), so this is the one annotation-less shape that is
-        // safe to load: same cast as the adjusted case, exact at the
-        // pinned UTC session tz. (An annotation-less int64 still fails
-        // below — THAT epoch unit would be a guess.)
+        // INT96: no logical annotation by design. For parquet-mr writers
+        // (Spark/Hive legacy) the value is a UTC-adjusted instant, so the
+        // cast is exact at the pinned UTC session tz — but Impala-written
+        // INT96 stores LOCAL wall-clock and is only read correctly under
+        // spark.sql.parquet.int96TimestampConversion, so accepting it
+        // here would load shifted timestamps without error (r12 ADVICE).
+        // Gate the annotation-less acceptance on the footer's created_by:
+        // parquet-mr loads; anything else (impala, unknown) fails loudly.
+        val createdBy = eventsTsFooter(s, d).createdBy
+        if (!createdBy.toLowerCase(java.util.Locale.ROOT)
+            .contains("parquet-mr")) throw new IllegalStateException(
+          s"INT96 events.ts in $d written by '$createdBy': only parquet-mr " +
+            "writers store UTC-adjusted INT96; an Impala-style local-time " +
+            "INT96 would load shifted — refusing to guess")
         raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP_NTZ)"))
       case (dt, ann) => throw new IllegalStateException(
         s"unrecognized events.ts vintage in $d: Spark dtype $dt, parquet " +

@@ -59,6 +59,23 @@ class TablesSpec extends AnyFunSuite {
     assert(got === "2024-05-01 10:00:00", s"INT96 vintage loaded shifted: $got")
   }
 
+  test("a non-UTC session timezone fails loudly instead of being silently rewritten") {
+    // r12 ADVICE: the loader used to SET the session tz to UTC on every
+    // read — a hidden global side effect clobbering any zone a caller
+    // set mid-session. It now asserts; the mismatch must surface.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Tables.documents(spark, TestSpark.sf)
+      }
+      assert(ex.getMessage.contains("session.timeZone"), ex.getMessage)
+      // equivalent spellings of UTC are accepted, not just the literal
+      spark.conf.set("spark.sql.session.timeZone", "Etc/UTC")
+      assert(Tables.documents(spark, TestSpark.sf).schema.nonEmpty)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("an unrecognized vintage (plain int64, no annotation) fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("ev_bad").toString
     Seq((1L, 1714557600000000L)).toDF("event_id", "ts")
