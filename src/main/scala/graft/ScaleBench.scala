@@ -178,9 +178,11 @@ object ScaleBench {
     * drift. The wide cell table is a bench-local checkpoint (the staged
     * ivf_cells stays at the oracle-pinned maxRn = 2). */
   private[graft] def ivfRecallSweep(spark: SparkSession, dir: String,
-      nprobes: Seq[Int]): Seq[(Int, Double)] = {
+      nprobes: Seq[Int],
+      cfg: operators.IvfConfig = operators.IvfConfig.Default)
+      : Seq[(Int, Double)] = {
     import operators.SimilarityQueries.{ivfCellsRaw, normed, rankTopK}
-    val cells = ivfCellsRaw(spark, dir, maxRn = nprobes.max)
+    val cells = ivfCellsRaw(spark, dir, maxRn = nprobes.max, cfg)
       .localCheckpoint(eager = true)
     val e = normed(spark, dir)
     val gold = topSets(SparkEntry.queries("ann_topk_brute")(spark, dir))

@@ -1,9 +1,94 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+/** IVF deployment configuration (r12 verdict ask #2): the index's
+  * contractual knobs as a value, not a site comment. The defaults are the
+  * oracle-pinned values every CORRECTNESS query runs under; a deployment
+  * constructs its own — capping nlist via the centroid rule and choosing
+  * either a fixed probed FRACTION or a recall target resolved against the
+  * measured sweep curve.
+  *
+  * @param centroidEvery centroid rule density: vectors with
+  *   `vec_id % centroidEvery == centroidKey` are centroids, so
+  *   nlist ≈ N / centroidEvery. The testdata stand-in for a chosen
+  *   centroid set: a deployment picks these so nlist stays ≤ ~64k —
+  *   always broadcastable — rather than deriving it from corpus size.
+  * @param centroidKey the residue selecting centroid ids.
+  * @param nprobe cells the FIXED variant probes (and the floor the tuned
+  *   variant never drops below); also the staged cell table's maxRn.
+  * @param probeFraction the nlist fraction the TUNED variant holds
+  *   constant as the corpus grows — the `nprobe/nlist ≈ const` deployment
+  *   rule (SCALE.md's sweep: recall tracks the probed fraction).
+  * @param recallTarget when set, overrides `probeFraction` with the
+  *   fraction the measured sweep curve says reaches that recall@5
+  *   ([[IvfConfig.probeFractionFor]]). */
+final case class IvfConfig(
+    centroidEvery: Long = 100L,
+    centroidKey: Long = 7L,
+    nprobe: Int = 2,
+    probeFraction: Double = 0.25,
+    recallTarget: Option[Double] = None) {
+  require(centroidEvery > 0 && centroidKey >= 0 &&
+    centroidKey < centroidEvery,
+    s"centroid rule needs 0 <= key < every: every=$centroidEvery key=$centroidKey")
+  require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+  require(probeFraction > 0 && probeFraction <= 1,
+    s"probeFraction must be in (0, 1]: $probeFraction")
+  recallTarget.foreach(r => require(r > 0 && r < 1,
+    s"recallTarget must be in (0, 1): $r"))
+
+  /** The deterministic centroid-membership predicate — the ONE
+    * definition of the coarse quantizer's centroid set. */
+  def centroidFilter: Column = col("vec_id") % centroidEvery === centroidKey
+
+  /** The probed fraction the tuned variant holds as nlist grows. */
+  def effectiveProbeFraction: Double =
+    recallTarget.map(IvfConfig.probeFractionFor).getOrElse(probeFraction)
+
+  /** Driver-side form of the tuned rule (the in-plan form folds the same
+    * arithmetic over the broadcast centroid count). */
+  def tunedNprobe(nlist: Long): Int =
+    math.max(nprobe, math.ceil(nlist * effectiveProbeFraction).toInt)
+
+  /** Stable Staged-key suffix: two configs must never share one staged
+    * cell table. */
+  private[operators] def stageKey: String =
+    s"$centroidEvery:$centroidKey:$nprobe:$effectiveProbeFraction"
+}
+
+object IvfConfig {
+  /** The oracle-pinned deployment every registered query runs under. */
+  val Default: IvfConfig = IvfConfig()
+
+  /** The measured recall-vs-probed-fraction curve (SCALE.md's IVF_SWEEP
+    * rows, sf0.1 base, nlist = 20): (nprobe/nlist, recall@5). Near-linear
+    * — the published IVF tradeoff — which is what makes inverting it for
+    * a recall target sane. */
+  val MeasuredSweep: Seq[(Double, Double)] =
+    Seq(0.05 -> 0.18, 0.10 -> 0.30, 0.20 -> 0.48, 0.40 -> 0.74)
+
+  /** Invert the measured curve: the smallest probed fraction whose
+    * piecewise-linearly interpolated recall@5 reaches `target`.
+    * Anchored at (0, 0) below the first point; extrapolated along the
+    * last segment's slope above the last, clamped to 1.0 (probe
+    * everything — brute force — is the honest answer for a target the
+    * curve never reached). */
+  def probeFractionFor(target: Double): Double = {
+    require(target > 0 && target < 1, s"recall target must be in (0,1): $target")
+    val pts = (0.0, 0.0) +: MeasuredSweep
+    pts.sliding(2).collectFirst {
+      case Seq((f0, r0), (f1, r1)) if target <= r1 =>
+        f0 + (target - r0) / (r1 - r0) * (f1 - f0)
+    }.getOrElse {
+      val Seq((f0, r0), (f1, r1)) = pts.takeRight(2)
+      math.min(1.0, f1 + (target - r1) * (f1 - f0) / (r1 - r0))
+    }
+  }
+}
 
 /** Approximate-nearest-neighbor search over the embedding column
   * (SURVEY.md §2.3): brute-force cosine top-k as the correctness baseline,
@@ -68,26 +153,34 @@ object SimilarityQueries {
     * vec_id % 100 == 7 subset (nlist grows ~N/100 with the corpus); rn ≤ 2
     * keeps both the nprobe=2 query probe and the rn=1 home cell in one
     * table. */
-  private[operators] def ivfCells(spark: SparkSession, dir: String): DataFrame =
-    Staged(spark, dir, "ivf_cells") { ivfCellsRaw(spark, dir, maxRn = 2) }
+  private[operators] def ivfCells(spark: SparkSession, dir: String,
+      cfg: IvfConfig = IvfConfig.Default): DataFrame = {
+    // distinct configs must never share a staged table; the default keeps
+    // its historical key so nothing else shifts
+    val key = if (cfg == IvfConfig.Default) "ivf_cells"
+      else s"ivf_cells@${cfg.stageKey}"
+    Staged(spark, dir, key) {
+      ivfCellsRaw(spark, dir, maxRn = cfg.nprobe, cfg)
+    }
+  }
 
   /** The IVF coarse-quantizer computation itself, parameterized by how
     * many nearest cells to keep per vector — the ONE definition of the
-    * centroid rule (vec_id % 100 == 7), scoring, and (ccos desc, cid asc)
-    * tie-break. Consumers: the staged [[ivfCells]] at the oracle-pinned
-    * maxRn = 2, and ScaleBench's nprobe recall sweep at wider maxRn (a
-    * bench-only sweep must not widen the staged table, but it MUST
-    * measure this index, not a drifted copy). */
+    * centroid rule ([[IvfConfig.centroidFilter]]), scoring, and
+    * (ccos desc, cid asc) tie-break. Consumers: the staged [[ivfCells]]
+    * at the config's nprobe, and ScaleBench's nprobe recall sweep at
+    * wider maxRn (a bench-only sweep must not widen the staged table,
+    * but it MUST measure this index, not a drifted copy). */
   private[graft] def ivfCellsRaw(spark: SparkSession, dir: String,
-      maxRn: Int): DataFrame = {
+      maxRn: Int, cfg: IvfConfig = IvfConfig.Default): DataFrame = {
     val e = normed(spark, dir)
-    // broadcast: BOUNDED by config in deployment — an IVF centroid table
-    // has exactly nlist rows, and nlist is a CHOSEN index parameter
-    // (≤ ~64k centroids in practice, always broadcastable), not a corpus
-    // fraction. The `% 100` rule here is the testdata stand-in that makes
-    // nlist ~ N/100 only because the test corpus is tiny; a deployment
-    // MUST cap/configure nlist rather than derive it from corpus size.
-    val cents = broadcast(e.filter(col("vec_id") % 100 === 7)
+    // broadcast: BOUNDED BY CONFIG — an IVF centroid table has exactly
+    // nlist rows, and nlist is a CHOSEN index parameter (≤ ~64k centroids
+    // in practice, always broadcastable), not a corpus fraction. The
+    // default `% 100` rule makes nlist ~ N/100 only because the test
+    // corpus is tiny; a deployment constructs its IvfConfig so the rule
+    // caps nlist rather than deriving it from corpus size.
+    val cents = broadcast(e.filter(cfg.centroidFilter)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"),
         col("norm").as("cnorm")))
     val aw = Window.partitionBy(col("vec_id"))
@@ -253,35 +346,41 @@ object SimilarityQueries {
     * clear the OpQuerySpec recall gate). At 100 TB: assignment is a
     * map-only pass, the probe join shuffles on cell id — no cross join
     * anywhere. */
+  /** The fixed-nprobe IVF body, parameterized by [[IvfConfig]] — the
+    * registered `ann_topk_ivf` runs it at [[IvfConfig.Default]]; a
+    * deployment (and the ScaleSpec non-default case) passes its own. */
+  private[graft] def ivfTopKWith(spark: SparkSession, dir: String,
+      cfg: IvfConfig): DataFrame = {
+    val ranked = ivfCells(spark, dir, cfg) // staged: reused by both sides
+    val q = ranked.filter(col("vec_id") < 10) // probes all nprobe cells
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val c = ranked.filter(col("rn") === 1) // neighbors live in ONE cell
+      .select(col("vec_id").as("neighbor_id"), col("cid").as("ccid"))
+    // Dedup on the ID pair BEFORE fetching vectors: a (query, neighbor)
+    // pair probing two shared cells would otherwise be deduped by
+    // hashing rows that carry four 64-double arrays — ids shuffle in a
+    // handful of bytes, embeddings join back once per surviving pair
+    // (the same shape lshTopK uses).
+    val cand = q.join(c, col("cid") === col("ccid") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    // vectors come from the staged normed table (the cell table is
+    // ids-only): the bounded query side broadcasts, the candidate side
+    // is one equi-join on neighbor_id
+    val e = normed(spark, dir)
+    rankTopK(cand
+      // broadcast: BOUNDED — fixed 10-row literal query set.
+      .join(broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+          col("norm").as("qn"))), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
+        col("norm").as("cn")), "neighbor_id")
+      .withColumn("cos", expr(cosExpr)), "cos", 5)
+  }
+
   val ivfTopK = QueryDef(
     "ann_topk_ivf",
-    (spark, dir) => {
-      val ranked = ivfCells(spark, dir) // staged: reused by both probe sides
-      val q = ranked.filter(col("vec_id") < 10) // nprobe=2: both cells
-        .select(col("vec_id").as("query_id"), col("cid"))
-      val c = ranked.filter(col("rn") === 1) // neighbors live in ONE cell
-        .select(col("vec_id").as("neighbor_id"), col("cid").as("ccid"))
-      // Dedup on the ID pair BEFORE fetching vectors: a (query, neighbor)
-      // pair probing two shared cells would otherwise be deduped by
-      // hashing rows that carry four 64-double arrays — ids shuffle in a
-      // handful of bytes, embeddings join back once per surviving pair
-      // (the same shape lshTopK uses).
-      val cand = q.join(c, col("cid") === col("ccid") &&
-          col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id")).distinct()
-      // vectors come from the staged normed table (the cell table is
-      // ids-only): the bounded query side broadcasts, the candidate side
-      // is one equi-join on neighbor_id
-      val e = normed(spark, dir)
-      rankTopK(cand
-        // broadcast: BOUNDED — fixed 10-row literal query set.
-        .join(broadcast(e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("emb").as("qe"),
-            col("norm").as("qn"))), "query_id")
-        .join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
-          col("norm").as("cn")), "neighbor_id")
-        .withColumn("cos", expr(cosExpr)), "cos", 5)
-    },
+    (spark, dir) => ivfTopKWith(spark, dir, IvfConfig.Default),
     Some("""
       WITH cents AS (
         SELECT vec_id AS cid, embedding AS cemb FROM embeddings
@@ -337,43 +436,53 @@ object SimilarityQueries {
     * side ever needs. Probing more cells widens the candidate equi-join
     * by ~nprobe/nlist of the corpus per query — linear in |Q|, never a
     * cross join. */
+  /** The tuned-nprobe IVF body, parameterized by [[IvfConfig]]: nprobe =
+    * max(cfg.nprobe, ⌈nlist · cfg.effectiveProbeFraction⌉), derived
+    * IN-PLAN from the broadcast centroid count (the default fraction 0.25
+    * reproduces the historical max(2, ⌈nlist/4⌉) exactly). A
+    * recall-target config resolves its fraction off the measured sweep
+    * curve before planning ([[IvfConfig.probeFractionFor]]). */
+  private[graft] def ivfTunedTopKWith(spark: SparkSession, dir: String,
+      cfg: IvfConfig): DataFrame = {
+    val e = normed(spark, dir)
+    // broadcast: BOUNDED BY CONFIG — nlist rows (see ivfCellsRaw's
+    // classification; the deployment's IvfConfig caps nlist). nprobe
+    // below is a single-row agg: BOUNDED.
+    val cents = broadcast(e.filter(cfg.centroidFilter)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+        col("norm").as("cnorm")))
+    val nprobe = broadcast(cents.agg(
+      greatest(lit(cfg.nprobe.toLong),
+        ceil(count(lit(1)) * lit(cfg.effectiveProbeFraction))).cast("int")
+        .as("nprobe")))
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val qprobe = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("emb"), col("norm"))
+      .crossJoin(cents)
+      .withColumn("ccos", expr("vec_dot(emb, cemb) / (norm * cnorm)"))
+      .withColumn("rn", row_number().over(aw))
+      .crossJoin(nprobe)
+      .filter(col("rn") <= col("nprobe"))
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val c = ivfCells(spark, dir, cfg).filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cid").as("ccid"))
+    val cand = qprobe.join(c, col("cid") === col("ccid") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    rankTopK(cand
+      // broadcast: BOUNDED — fixed 10-row literal query set.
+      .join(broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+          col("norm").as("qn"))), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
+        col("norm").as("cn")), "neighbor_id")
+      .withColumn("cos", expr(cosExpr)), "cos", 5)
+  }
+
   val ivfTunedTopK = QueryDef(
     "ann_topk_ivf_tuned",
-    (spark, dir) => {
-      val e = normed(spark, dir)
-      // broadcast: BOUNDED by config — nlist rows (see ivfCellsRaw's
-      // classification; deployments cap nlist, the `% 100` rule is the
-      // testdata stand-in). nprobe below is a single-row agg: BOUNDED.
-      val cents = broadcast(e.filter(col("vec_id") % 100 === 7)
-        .select(col("vec_id").as("cid"), col("emb").as("cemb"),
-          col("norm").as("cnorm")))
-      val nprobe = broadcast(cents.agg(
-        greatest(lit(2L), ceil(count(lit(1)) / 4.0)).cast("int")
-          .as("nprobe")))
-      val aw = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cid").asc)
-      val qprobe = e.filter(col("vec_id") < 10)
-        .select(col("vec_id"), col("emb"), col("norm"))
-        .crossJoin(cents)
-        .withColumn("ccos", expr("vec_dot(emb, cemb) / (norm * cnorm)"))
-        .withColumn("rn", row_number().over(aw))
-        .crossJoin(nprobe)
-        .filter(col("rn") <= col("nprobe"))
-        .select(col("vec_id").as("query_id"), col("cid"))
-      val c = ivfCells(spark, dir).filter(col("rn") === 1)
-        .select(col("vec_id").as("neighbor_id"), col("cid").as("ccid"))
-      val cand = qprobe.join(c, col("cid") === col("ccid") &&
-          col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id")).distinct()
-      rankTopK(cand
-        // broadcast: BOUNDED — fixed 10-row literal query set.
-        .join(broadcast(e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("emb").as("qe"),
-            col("norm").as("qn"))), "query_id")
-        .join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
-          col("norm").as("cn")), "neighbor_id")
-        .withColumn("cos", expr(cosExpr)), "cos", 5)
-    },
+    (spark, dir) => ivfTunedTopKWith(spark, dir, IvfConfig.Default),
     Some("""
       WITH cents AS (
         SELECT vec_id AS cid, embedding AS cemb FROM embeddings

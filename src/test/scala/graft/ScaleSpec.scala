@@ -252,6 +252,45 @@ class ScaleSpec extends AnyFunSuite {
       "simhash star-collapse changed the transitive closure")
   }
 
+  test("IvfConfig: deployment rule as configuration, not prose (r12 verdict #2)") {
+    import org.apache.spark.sql.functions._
+    import operators.{IvfConfig, SimilarityQueries}
+    // recall-target mode inverts the measured sweep curve: the measured
+    // points themselves must round-trip, interpolation must be monotone,
+    // and an unreachable target clamps at probe-everything
+    assert(math.abs(IvfConfig.probeFractionFor(0.30) - 0.10) < 1e-9)
+    assert(math.abs(IvfConfig.probeFractionFor(0.48) - 0.20) < 1e-9)
+    val fs = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map(IvfConfig.probeFractionFor)
+    assert(fs === fs.sorted, s"curve inversion must be monotone: $fs")
+    val past = IvfConfig.probeFractionFor(0.999)
+    assert(past > 0.4 && past <= 1.0,
+      s"a target past the curve extrapolates along the last segment, " +
+        s"bounded by probe-everything: $past")
+    // the default config IS the historical rule
+    assert(IvfConfig.Default.tunedNprobe(20) === 5)
+    assert(IvfConfig.Default.tunedNprobe(5) === 2)
+    assert(IvfConfig(recallTarget = Some(0.74)).tunedNprobe(20) === 8)
+    // a NON-default config drives the live operator: denser centroids
+    // (nlist ~ N/50) and a wider fixed probe, staged under its own key
+    operators.Staged.reset(spark)
+    val cfg = IvfConfig(centroidEvery = 50L, centroidKey = 3L, nprobe = 3)
+    val got = SimilarityQueries.ivfTopKWith(spark, sf, cfg)
+      .localCheckpoint(eager = true)
+    assert(got.count() === 50, "10 queries x top-5 under any config")
+    assert(got.groupBy(col("query_id")).count().filter(col("count") =!= 5)
+      .count() === 0)
+    // both configs' staged cell tables coexist — no cross-contamination
+    assert(operators.Staged.isStaged(spark, sf, "ivf_cells@50:3:3:0.25"))
+    val defaultGot = SparkEntry.queries("ann_topk_ivf")(spark, sf)
+    assert(operators.Staged.isStaged(spark, sf, "ivf_cells"))
+    assert(defaultGot.count() === 50)
+    // and the tuned variant accepts a recall-target config end-to-end
+    val tuned = SimilarityQueries.ivfTunedTopKWith(spark, sf,
+      IvfConfig(recallTarget = Some(0.7)))
+    assert(tuned.count() === 50)
+    operators.Staged.reset(spark)
+  }
+
   test("scale families keep their plan shapes on the bigger input") {
     import org.apache.spark.sql.functions._
     // int8 ANN: broadcast query side, never a cartesian scan
