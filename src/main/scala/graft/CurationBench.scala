@@ -17,11 +17,21 @@ import org.apache.spark.sql.streaming.Trigger
   *    content hash ([[CurationStream.curate]]);
   *  - `near`: quality gate + banded-MinHash bucket registry on chained
   *    `transformWithState` ([[CurationStream.nearDedup]]) — per-doc
-  *    signing, B band probes, two stateful shuffles.
-  * Both run on the RocksDB state store (the 100 TB state path; nearDedup
-  * requires it). Run: `sbt "runMain graft.CurationBench"`; env:
-  * SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE_X (default 10), SPARK_GRAFT_CPUS,
-  * SPARK_GRAFT_BENCH_PASSES, SPARK_GRAFT_CURATION_FILES (files/trigger). */
+  *    signing, B band probes, two stateful shuffles;
+  *  - `canon`: the full canonical-assignment SINK (r12 verdict ask #4) —
+  *    [[CurationStream.startCanonicalSink]]'s three stateful stages
+  *    (bucket registry → cluster resolution → canonical election) plus
+  *    the idempotent foreachBatch table commit, compaction left to the
+  *    caller (compactEvery = 0);
+  *  - `canonc`: the same sink with the in-pipeline compaction cadence
+  *    (compactEvery = SPARK_GRAFT_COMPACT_EVERY, default 4), so the
+  *    cadence's cost is a measured number, not an assumption.
+  * All run on the RocksDB state store (the 100 TB state path; the
+  * stateful modes require it). Run: `sbt "runMain graft.CurationBench"`;
+  * env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE_X (default 10),
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_PASSES,
+  * SPARK_GRAFT_CURATION_FILES (files/trigger),
+  * SPARK_GRAFT_COMPACT_EVERY. */
 object CurationBench {
   import Bench.median
 
@@ -56,37 +66,55 @@ object CurationBench {
       .write.mode("overwrite").parquet(crawlDir)
     val docs = spark.read.parquet(crawlDir).count()
 
+    val compactEvery = math.max(1, sys.env.get("SPARK_GRAFT_COMPACT_EVERY")
+      .flatMap(_.toIntOption).getOrElse(4))
+
     def run(mode: String, pass: Int): Double = {
       val stream = spark.readStream
         .schema(Encoders.product[DocIn].schema)
         .option("maxFilesPerTrigger", filesPerTrigger.toString)
         .parquet(crawlDir)
         .as[DocIn](Encoders.product[DocIn])
-      val out = mode match {
-        case "exact" => CurationStream.curate(stream)
-        case "near"  => CurationStream.nearDedup(stream)
-      }
       val t0 = System.nanoTime()
-      val q = out.writeStream.outputMode("append").format("parquet")
-        .option("path", s"$work/out_${mode}_$pass")
-        .option("checkpointLocation", s"$work/ckpt_${mode}_$pass")
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = mode match {
+        case "exact" | "near" =>
+          val out = mode match {
+            case "exact" => CurationStream.curate(stream)
+            case "near"  => CurationStream.nearDedup(stream)
+          }
+          out.writeStream.outputMode("append").format("parquet")
+            .option("path", s"$work/out_${mode}_$pass")
+            .option("checkpointLocation", s"$work/ckpt_${mode}_$pass")
+            .trigger(Trigger.AvailableNow())
+            .start()
+        case "canon" | "canonc" =>
+          CurationStream.startCanonicalSink(stream,
+            tableDir = s"$work/out_${mode}_$pass",
+            checkpointDir = s"$work/ckpt_${mode}_$pass",
+            compactEvery = if (mode == "canonc") compactEvery else 0,
+            trigger = Some(Trigger.AvailableNow()))
+      }
       q.awaitTermination()
       (System.nanoTime() - t0) / 1e9
     }
 
-    val modes = Seq("exact", "near")
+    val modes = Seq("exact", "near", "canon", "canonc")
     val times: Map[String, Seq[Double]] = {
       val all = for { pass <- 1 to passes; m <- modes } yield m -> run(m, pass)
       all.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     }
     val med = modes.map(m => m -> median(times(m))).toMap
-    val kept = modes.map { m =>
-      m -> spark.read.parquet(s"$work/out_${m}_1").count()
-    }.toMap
+    // exact/near: rows the gate kept; canon modes: the materialized
+    // table's merged view — one row per live cluster
+    val kept = Map(
+      "exact" -> spark.read.parquet(s"$work/out_exact_1").count(),
+      "near" -> spark.read.parquet(s"$work/out_near_1").count(),
+      "canon" -> CurationStream.canonicalTable(spark, s"$work/out_canon_1")
+        .count(),
+      "canonc" -> CurationStream.canonicalTable(spark, s"$work/out_canonc_1")
+        .count())
     val line =
-      f"""{"metric":"curation_docs_per_sec","docs":$docs,"x":$k,"sf":"$sfDir","passes":$passes,"files_per_trigger":$filesPerTrigger,"exact_sec":${med("exact")}%.3f,"near_sec":${med("near")}%.3f,"exact_dps":${docs / med("exact")}%.0f,"near_dps":${docs / med("near")}%.0f,"exact_kept":${kept("exact")},"near_kept":${kept("near")}}"""
+      f"""{"metric":"curation_docs_per_sec","docs":$docs,"x":$k,"sf":"$sfDir","passes":$passes,"files_per_trigger":$filesPerTrigger,"compact_every":$compactEvery,"exact_sec":${med("exact")}%.3f,"near_sec":${med("near")}%.3f,"canon_sec":${med("canon")}%.3f,"canonc_sec":${med("canonc")}%.3f,"exact_dps":${docs / med("exact")}%.0f,"near_dps":${docs / med("near")}%.0f,"canon_dps":${docs / med("canon")}%.0f,"canonc_dps":${docs / med("canonc")}%.0f,"exact_kept":${kept("exact")},"near_kept":${kept("near")},"canon_clusters":${kept("canon")},"canonc_clusters":${kept("canonc")}}"""
     spark.stop()
     println(line)
     System.out.flush()

@@ -552,10 +552,11 @@ object CurationStream {
   def startCanonicalSink(docs: Dataset[DocIn], tableDir: String,
       checkpointDir: String, horizonMs: Long = 3600000L, minTok: Int = 3,
       bands: Int = 4, rowsPerBand: Int = 4,
-      stopWords: Seq[String] = Stop, compactEvery: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    nearDedupCanonical(docs, horizonMs, minTok, bands, rowsPerBand,
-      stopWords)
+      stopWords: Seq[String] = Stop, compactEvery: Int = 0,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = nearDedupCanonical(docs, horizonMs, minTok, bands,
+      rowsPerBand, stopWords)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[DocCanonical], batchId: Long) =>
@@ -563,7 +564,11 @@ object CurationStream {
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactCanonical(batch.sparkSession, tableDir, batchId - 1)
       }
-      .start()
+    // default: continuous micro-batches (the deployment shape);
+    // AvailableNow callers (catch-up passes, CurationBench) drain the
+    // source and terminate
+    trigger.fold(writer)(writer.trigger).start()
+  }
 
   /** One idempotent canonical-table commit — public so the retry contract
     * is directly testable: re-running the same (batch, batchId) leaves the
