@@ -897,4 +897,64 @@ class CurationStreamSpec extends AnyFunSuite {
         s"unexpected partitions after the composed run: $partsAfter")
     }
   }
+
+  test("canonical sink soak: steady state stays bounded across hundreds of batches (r12 verdict #5)") {
+    // The cadence spec checks the END state of a short replay; a
+    // deployment runs the sink for weeks. Soak it: 120 single-doc
+    // batches of re-crawls rotating over three seeded clusters,
+    // compactEvery = 5, and assert the INVARIANTS AT EVERY SAMPLE POINT
+    // along the way — partition layout bounded by base + compactEvery,
+    // row count ~ |clusters| + trailing upserts, merged view stable —
+    // not just after the last batch. Read latency of the merged view
+    // must sit in the same regime at batch 120 as at batch 15 (the
+    // layout bound is what guarantees it; the timing check is a
+    // generous regression tripwire, not a microbenchmark).
+    withRocksDb {
+      val tbl = java.nio.file.Files.createTempDirectory("soak_tbl").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("soak_ck").toString
+      val compactEvery = 5
+      val texts = Seq(longText,
+        goodText + " with several further words beyond",
+        "the stitch and the time saves nine stitches")
+      val baseMs = ts("2024-05-01 10:00:00").getTime
+      val input = MemoryStream[DocIn]
+      val q = CurationStream.startCanonicalSink(input.toDS(), tbl, ckpt,
+        compactEvery = compactEvery)
+      val latencies = scala.collection.mutable.ArrayBuffer.empty[Long]
+      try {
+        texts.zipWithIndex.foreach { case (t, i) => // three cluster seeds
+          input.addData(DocIn(i + 1L, "crawl0", t,
+            new Timestamp(baseMs + i)))
+        }
+        q.processAllAvailable()
+        for (i <- 1 to 120) {
+          // 10 s of event time per batch: the whole soak spans 20 min,
+          // well inside the 1 h horizon, so every re-crawl hits its
+          // seed's live buckets and clusters never fragment
+          input.addData(DocIn(1000L + i, "recrawl", texts((i - 1) % 3),
+            new Timestamp(baseMs + 10000L * i)))
+          q.processAllAvailable()
+          if (i % 15 == 0) {
+            val parts = tablePartitions(tbl)
+            assert(parts.contains(-1L), s"batch $i: no base fold: $parts")
+            assert(parts.count(_ != -1L) <= compactEvery,
+              s"batch $i: unfolded settled partitions piled up: $parts")
+            val rows = spark.read.parquet(tbl).count()
+            assert(rows <= texts.size + compactEvery,
+              s"batch $i: table carries $rows rows — upserts accumulating")
+            val t0 = System.nanoTime()
+            val view = canonicalRows(tbl)
+            latencies += (System.nanoTime() - t0) / 1000000L
+            assert(view.map(v => (v._1, v._2)) ===
+              Set((1L, 1L), (2L, 2L), (3L, 3L)),
+              s"batch $i: merged view drifted: $view")
+          }
+        }
+      } finally q.stop()
+      val early = latencies.take(3).sorted.apply(1)
+      val late = latencies.takeRight(3).sorted.apply(1)
+      assert(late <= math.max(5 * early, early + 1500),
+        s"canonicalTable read latency grew with batch count: $latencies ms")
+    }
+  }
 }
