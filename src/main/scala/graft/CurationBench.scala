@@ -65,6 +65,14 @@ object CurationBench {
       .repartitionByRange(64, col("fetchTs"), col("docId"))
       .write.mode("overwrite").parquet(crawlDir)
     val docs = spark.read.parquet(crawlDir).count()
+    // machine-speed context: throughput rows are only comparable across
+    // runs with calib attached. Same probe as Bench/EngineBench, and —
+    // per the probe's own contract — measured AFTER warm work (the
+    // replicate + crawl-layout write above exercised scan/shuffle/write
+    // codegen), so it reads steady-state machine speed, not JVM startup.
+    val calibSec =
+      try Bench.calibrationProbe(spark)
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
 
     val compactEvery = math.max(1, sys.env.get("SPARK_GRAFT_COMPACT_EVERY")
       .flatMap(_.toIntOption).getOrElse(4))
@@ -114,7 +122,7 @@ object CurationBench {
       "canonc" -> CurationStream.canonicalTable(spark, s"$work/out_canonc_1")
         .count())
     val line =
-      f"""{"metric":"curation_docs_per_sec","docs":$docs,"x":$k,"sf":"$sfDir","passes":$passes,"files_per_trigger":$filesPerTrigger,"compact_every":$compactEvery,"exact_sec":${med("exact")}%.3f,"near_sec":${med("near")}%.3f,"canon_sec":${med("canon")}%.3f,"canonc_sec":${med("canonc")}%.3f,"exact_dps":${docs / med("exact")}%.0f,"near_dps":${docs / med("near")}%.0f,"canon_dps":${docs / med("canon")}%.0f,"canonc_dps":${docs / med("canonc")}%.0f,"exact_kept":${kept("exact")},"near_kept":${kept("near")},"canon_clusters":${kept("canon")},"canonc_clusters":${kept("canonc")}}"""
+      f"""{"metric":"curation_docs_per_sec","docs":$docs,"x":$k,"sf":"$sfDir","passes":$passes,"files_per_trigger":$filesPerTrigger,"compact_every":$compactEvery,"calib_sec":$calibSec%.3f,"exact_sec":${med("exact")}%.3f,"near_sec":${med("near")}%.3f,"canon_sec":${med("canon")}%.3f,"canonc_sec":${med("canonc")}%.3f,"exact_dps":${docs / med("exact")}%.0f,"near_dps":${docs / med("near")}%.0f,"canon_dps":${docs / med("canon")}%.0f,"canonc_dps":${docs / med("canonc")}%.0f,"exact_kept":${kept("exact")},"near_kept":${kept("near")},"canon_clusters":${kept("canon")},"canonc_clusters":${kept("canonc")}}"""
     spark.stop()
     println(line)
     System.out.flush()

@@ -92,8 +92,6 @@ object Tables {
         footer
     }
   }
-  private def eventsTsAnnotation(s: SparkSession, d: String)
-      : Option[(String, Boolean)] = eventsTsFooter(s, d).annotation
 
   /** Expose `ts` as µs-precision TIMESTAMP_NTZ regardless of how the datagen
     * wrote it. Earlier drops stamped NANOS(NTZ) parquet (read as raw Long
@@ -109,7 +107,10 @@ object Tables {
     import org.apache.spark.sql.functions.expr
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(s, d, "events")
-    (raw.schema("ts").dataType, eventsTsAnnotation(s, d)) match {
+    // one footer fetch serves both the annotation match and the INT96
+    // branch's created_by check — no second filesystem resolution
+    val footer = eventsTsFooter(s, d)
+    (raw.schema("ts").dataType, footer.annotation) match {
       case (LongType, Some(("NANOS", _))) =>
         // an adjusted-to-UTC nanos instant and an NTZ nanos wall-clock
         // carry the same numeric at UTC, and the session tz is pinned
@@ -128,7 +129,7 @@ object Tables {
         // here would load shifted timestamps without error (r12 ADVICE).
         // Gate the annotation-less acceptance on the footer's created_by:
         // parquet-mr loads; anything else (impala, unknown) fails loudly.
-        val createdBy = eventsTsFooter(s, d).createdBy
+        val createdBy = footer.createdBy
         if (!createdBy.toLowerCase(java.util.Locale.ROOT)
             .contains("parquet-mr")) throw new IllegalStateException(
           s"INT96 events.ts in $d written by '$createdBy': only parquet-mr " +

@@ -55,11 +55,16 @@ object Broadcasts {
     * deployment tuning `spark.sql.autoBroadcastJoinThreshold` moves this
     * gate with it — the two thresholds answer the same question ("is
     * this small enough to ship to every executor?") and must not
-    * disagree. A disabled (`-1`/`0`) or unparseable threshold falls back
-    * to [[DefaultMaxBytes]]: disabling Spark's AUTO-broadcast does not
-    * mean forced hints should vanish — it usually means the operator
-    * wants manual control, which is exactly what these classified hint
-    * sites are. */
+    * disagree. On a session that never touches the conf, Spark's own
+    * 10 MB default therefore becomes the effective gate (DELIBERATE,
+    * and tighter than the old 64 MB constant): a dim the session would
+    * not auto-broadcast should not be hint-forced past its operator
+    * either, and at runtime AQE still broadcasts anything whose ACTUAL
+    * size qualifies — the gate only declines to force the plan from
+    * conservative scan estimates. A disabled (`-1`/`0`) or unparseable
+    * threshold falls back to [[DefaultMaxBytes]]: disabling AUTO-
+    * broadcast usually means the operator wants manual control, which is
+    * exactly what these classified hint sites are. */
   def effectiveMaxBytes(df: DataFrame): Long = {
     // 1-arg get: the conf entry is registered with a default, so this
     // never throws for a live session; a 2-arg get would (re)validate

@@ -54,10 +54,13 @@ final case class IvfConfig(
   def tunedNprobe(nlist: Long): Int =
     math.max(nprobe, math.ceil(nlist * effectiveProbeFraction).toInt)
 
-  /** Stable Staged-key suffix: two configs must never share one staged
-    * cell table. */
+  /** Stable Staged-key suffix: two configs whose cell tables could
+    * DIFFER must never share one. Only the fields the staged table's
+    * content depends on participate — centroid rule and maxRn (=nprobe);
+    * probe-fraction/recall-target change the QUERY-side probing, not the
+    * table, so varying them alone reuses the staged index. */
   private[operators] def stageKey: String =
-    s"$centroidEvery:$centroidKey:$nprobe:$effectiveProbeFraction"
+    s"$centroidEvery:$centroidKey:$nprobe"
 }
 
 object IvfConfig {
@@ -141,18 +144,19 @@ object SimilarityQueries {
         .select(col("vec_id"), col("q8"))
     }
 
-  /** IVF cell assignment (vec_id, cid, rn ∈ {1,2}) — IDS ONLY, staged: the
-    * N×nlist coarse-quantizer scoring is the index-build cost, paid once
-    * per session and read by `ann_topk_ivf` AND the IVF-int8 composition —
-    * exactly the persisted cell-assignment table a 100 TB deployment keeps
-    * next to the corpus. Three small ints per row: r8 carried the full
-    * (emb, norm) alongside — 2 resident 64-double arrays per vector that
-    * the r8 judge's A/B measured taxing the whole suite — so consumers now
-    * fetch vectors from the staged [[normed]]/[[quantized]] tables at the
-    * rescore join instead. Centroids are the deterministic
-    * vec_id % 100 == 7 subset (nlist grows ~N/100 with the corpus); rn ≤ 2
-    * keeps both the nprobe=2 query probe and the rn=1 home cell in one
-    * table. */
+  /** IVF cell assignment (vec_id, cid, rn ∈ 1..cfg.nprobe) — IDS ONLY,
+    * staged per config: the N×nlist coarse-quantizer scoring is the
+    * index-build cost, paid once per session and read by `ann_topk_ivf`
+    * AND the IVF-int8 composition — exactly the persisted cell-assignment
+    * table a 100 TB deployment keeps next to the corpus. Three small ints
+    * per row: r8 carried the full (emb, norm) alongside — 2 resident
+    * 64-double arrays per vector that the r8 judge's A/B measured taxing
+    * the whole suite — so consumers now fetch vectors from the staged
+    * [[normed]]/[[quantized]] tables at the rescore join instead.
+    * Centroids come from [[IvfConfig.centroidFilter]] (default:
+    * vec_id % 100 == 7, so nlist grows ~N/100 on the test corpus);
+    * rn ≤ cfg.nprobe keeps both the query probe and the rn=1 home cell
+    * in one table. */
   private[operators] def ivfCells(spark: SparkSession, dir: String,
       cfg: IvfConfig = IvfConfig.Default): DataFrame = {
     // distinct configs must never share a staged table; the default keeps

@@ -197,10 +197,12 @@ class ScaleSpec extends AnyFunSuite {
     val guarded = TextHashing
       .candidatePairsFromBands(bt, hotBucketThreshold = 100L)
       .localCheckpoint(eager = true)
-    assert(guarded.count() === 999L,
-      "hot bucket must contribute exactly B-1 star edges")
-    assert(guarded.filter(col("doc_a") =!= 0L).count() === 0L,
-      "star edges must anchor at the bucket's min doc_id")
+    // two anchors (min and max doc) -> 2(B-1) - 1 distinct star edges
+    assert(guarded.count() === 1997L,
+      "hot bucket must contribute the two-anchor star, not O(B^2) pairs")
+    assert(guarded.filter(col("doc_a") =!= 0L && col("doc_b") =!= 999L)
+      .count() === 0L,
+      "every star edge must touch one of the bucket's two anchors")
     val brute = guardedCold.localCheckpoint(eager = true)
     assert(brute.count() === 999L * 1000L / 2L,
       "the unguarded enumeration IS quadratic on this corpus")
@@ -238,8 +240,8 @@ class ScaleSpec extends AnyFunSuite {
       .localCheckpoint(eager = true)
     val brute = TextHashing.simhashPairsFrom(fp, maxDist = 3)
       .localCheckpoint(eager = true)
-    assert(guarded.count() === 999L,
-      "hot block bucket must star-collapse to B-1 verified pairs")
+    assert(guarded.count() === 1997L,
+      "hot block bucket must star-collapse to the two-anchor star")
     assert(guarded.filter(col("hamming") =!= 0L).count() === 0L,
       "every emitted star pair still passes the exact Hamming verify")
     assert(brute.count() === 999L * 1000L / 2L)
@@ -280,7 +282,7 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.groupBy(col("query_id")).count().filter(col("count") =!= 5)
       .count() === 0)
     // both configs' staged cell tables coexist — no cross-contamination
-    assert(operators.Staged.isStaged(spark, sf, "ivf_cells@50:3:3:0.25"))
+    assert(operators.Staged.isStaged(spark, sf, "ivf_cells@50:3:3"))
     val defaultGot = SparkEntry.queries("ann_topk_ivf")(spark, sf)
     assert(operators.Staged.isStaged(spark, sf, "ivf_cells"))
     assert(defaultGot.count() === 50)
