@@ -138,4 +138,39 @@ class TextHashingSpec extends AnyFunSuite {
         texts.indices.forall(i => sh(i.toLong) == sh((i + texts.length).toLong))
     })
   }
+
+  test("property: hot-bucket guard preserves components at ANY threshold for duplicate clusters") {
+    // The guard's contract, generalized past the engineered ScaleSpec
+    // case: when a bucket's members are TRUE duplicates (the degenerate
+    // shape the guard exists for), star-collapse followed by verify + CC
+    // must yield exactly the brute enumeration's components — for any
+    // corpus of duplicate clusters and any threshold, including
+    // threshold 1 (every multi-doc bucket collapses).
+    val clusterGen = for {
+      size <- Gen.chooseNum(1, 9)
+      text <- Gen.listOfN(Gen.chooseNum(4, 10).sample.getOrElse(6), wordGen)
+        .map(_.mkString(" "))
+    } yield (size, text)
+    check(Prop.forAll(Gen.listOfN(4, clusterGen)) { clusters =>
+      // per-cluster token prefix (the ScaleData-replica trick): clusters
+      // are word-disjoint, so every bucket holds ONE cluster's duplicates
+      // and the exactness claim below is deterministic, not probabilistic
+      val texts = clusters.zipWithIndex.flatMap { case ((n, t), ci) =>
+        Seq.fill(n)(t.split(" ").map(w => s"c${ci}x$w").mkString(" "))
+      }
+      val docs = docsDf(texts)
+      val sh = TextHashing.shingleSetsRaw(docs).localCheckpoint(eager = true)
+      val bt = TextHashing.lshBandsFrom(sh).localCheckpoint(eager = true)
+      def comps(threshold: Long): Map[Long, Long] = {
+        val pairs = TextHashing.candidatePairsFromBands(bt, threshold)
+        val verified = TextHashing.jaccardOnCandidates(sh, pairs)
+          .filter(col("jaccard") >= 0.7)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        TextHashing.connectedComponents(docs.select("doc_id"), verified)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      val brute = comps(Long.MaxValue)
+      Seq(1L, 3L).forall(t => comps(t) == brute)
+    })
+  }
 }
