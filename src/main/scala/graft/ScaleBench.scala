@@ -31,9 +31,9 @@ object ScaleData {
     // COLLIDING replica ids, breaking the disjoint-ids invariant ScaleSpec
     // and the blocked-packing shard math rely on (and aliasing
     // CurationBench's pmod fetchTs mapping). One cheap agg guards it.
-    val maxIds = Tables.documents(spark, base).agg(max(col("doc_id"))).head
+    val maxIds = Tables.documents(spark, base).agg(max(col("doc_id"))).head()
       .getLong(0) -> Tables.embeddings(spark, base)
-      .agg(max(col("vec_id"))).head.getLong(0)
+      .agg(max(col("vec_id"))).head().getLong(0)
     require(maxIds._1 < ReplicaStride && maxIds._2 < ReplicaStride,
       s"base ids exceed the replica stride $ReplicaStride " +
         s"(max doc_id=${maxIds._1}, max vec_id=${maxIds._2}): replicas " +
@@ -101,10 +101,10 @@ object ScaleData {
     val P = 1000000007L
     val d = Tables.documents(spark, base)
       .agg(count(lit(1)), sum(col("doc_id")),
-        sum(pmod(xxhash64(col("text")), lit(P)))).head
+        sum(pmod(xxhash64(col("text")), lit(P)))).head()
     val e = Tables.embeddings(spark, base)
       .agg(count(lit(1)), sum(col("vec_id")),
-        sum(pmod(xxhash64(col("embedding")), lit(P)))).head
+        sum(pmod(xxhash64(col("embedding")), lit(P)))).head()
     s"v2:${d.getLong(0)}:${d.getLong(1)}:${d.getLong(2)}:" +
       s"${e.getLong(0)}:${e.getLong(1)}:${e.getLong(2)}"
   }
