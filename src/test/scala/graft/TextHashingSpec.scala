@@ -148,8 +148,8 @@ class TextHashingSpec extends AnyFunSuite {
     // threshold 1 (every multi-doc bucket collapses).
     val clusterGen = for {
       size <- Gen.chooseNum(1, 9)
-      text <- Gen.listOfN(Gen.chooseNum(4, 10).sample.getOrElse(6), wordGen)
-        .map(_.mkString(" "))
+      nWords <- Gen.chooseNum(4, 10)
+      text <- Gen.listOfN(nWords, wordGen).map(_.mkString(" "))
     } yield (size, text)
     check(Prop.forAll(Gen.listOfN(4, clusterGen)) { clusters =>
       // per-cluster token prefix (the ScaleData-replica trick): clusters
