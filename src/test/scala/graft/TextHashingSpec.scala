@@ -129,6 +129,32 @@ class TextHashingSpec extends AnyFunSuite {
     })
   }
 
+  test("iterative CC on a deep chain converges and leaves no pinned label checkpoints beyond a constant") {
+    // A 24-vertex chain forces ~diameter iterations through the doubling
+    // budget (10 -> 20 -> 40). Correctness: everything collapses to
+    // component 0. Lifecycle: the persistent-RDD delta after convergence
+    // stays a small constant. (The eager release in connectedComponents
+    // is what guarantees this DETERMINISTICALLY; in a short local run the
+    // ContextCleaner also reclaims unreferenced checkpoints on GC, so
+    // this bound alone cannot distinguish eager release from cleaner
+    // luck — measured here: delta 3 with the release targeting the raw
+    // checkpoint frame vs 5 with it mistargeted — but it does catch a
+    // gross per-iteration pile-up.)
+    val n = 24L
+    val vertices = (0L until n).toDF("doc_id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = TextHashing.connectedComponents(vertices, edges,
+      maxIter = 10, localEdgeThreshold = -1L) // force the iterative path
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === n && labels.values.forall(_ == 0L),
+      s"chain must collapse to component 0: $labels")
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 6,
+      s"label checkpoints piled up: $before -> $after persistent RDDs " +
+        s"over ~${n - 1} iterations")
+  }
+
   test("property: simhash is 64 bits of '0'/'1' and equal for equal texts") {
     check(Prop.forAll(Gen.listOfN(4, docGen)) { texts =>
       val docs = docsDf(texts ++ texts)
