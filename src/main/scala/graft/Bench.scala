@@ -159,8 +159,13 @@ object Bench {
     // trap the 9e9 fail sentinel exists for).
     val calibJson =
       if (calibSec > 0) f"$calibSec%.3f" else "null"
+    // stage_mode makes warm-stage rows self-describing: "persist" totals
+    // (GRAFT_STAGE_DIR set — stages read from parquet after pass 1) are a
+    // different experiment than the default "session" totals and must
+    // never be compared as if they were the same bench.
+    val stageMode = if (operators.Staged.persistEnabled) "persist" else "session"
     val prefix =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","status":"${if (ok) "ok" else "fail"}","calib_sec":$calibJson,"sf":"$sfDir","passes":$passes,"queries_total":${med.size},"queries_failed":${failed.size},"queries_flaky":${flaky.size},"queries":{"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","status":"${if (ok) "ok" else "fail"}","calib_sec":$calibJson,"sf":"$sfDir","passes":$passes,"stage_mode":"$stageMode","queries_total":${med.size},"queries_failed":${failed.size},"queries_flaky":${flaky.size},"queries":{"""
     val budget = 1700
     val bySlowest = med.sortBy(-_._2).map(ent)
     val shown = new scala.collection.mutable.ArrayBuffer[String]

@@ -55,7 +55,7 @@ object GuardBench {
       val runs = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         val n = graft.functions.TextHashing
-          .candidatePairsFromBands(bt, threshold).count()
+          .candidatePairsFromBands(functions.Materialized(bt), threshold).count()
         ((System.nanoTime() - t0) / 1e9, n)
       }
       (Bench.median(runs.map(_._1)), runs.head._2)

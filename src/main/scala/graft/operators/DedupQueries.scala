@@ -48,14 +48,15 @@ object DedupQueries {
 
   private[graft] def candidatesStage(spark: SparkSession, dir: String): DataFrame =
     Staged(spark, dir, "lsh_candidates") {
-      TextHashing.candidatePairsFromBands(bandsStage(spark, dir))
+      TextHashing.candidatePairsFromBands(
+        graft.functions.Materialized(bandsStage(spark, dir)))
     }
 
   /** Stage 3: exact-Jaccard-verified near-dup pairs (threshold 0.7). */
   private def verifiedStage(spark: SparkSession, dir: String): DataFrame =
     Staged(spark, dir, "jaccard_verified") {
       TextHashing.jaccardOnCandidates(shinglesStage(spark, dir),
-        candidatesStage(spark, dir))
+        graft.functions.Materialized(candidatesStage(spark, dir)))
         .filter(col("jaccard") >= 0.7)
     }
 
@@ -188,7 +189,8 @@ object DedupQueries {
   val simhashPairs = QueryDef(
     "dedup_simhash_pairs",
     (spark, dir) =>
-      TextHashing.simhashPairsFrom(simhashStage(spark, dir), maxDist = 3),
+      TextHashing.simhashPairsFrom(
+        graft.functions.Materialized(simhashStage(spark, dir)), maxDist = 3),
     Some(s"""$simhashCte,
       blocked AS (
         SELECT doc_id, b AS blk, substr(simhash, 1 + b * 16, 16) AS bits
@@ -247,8 +249,8 @@ object DedupQueries {
     Staged(spark, dir, "components") {
       TextHashing.connectedComponents(
         Tables.documents(spark, dir).select("doc_id"),
-        verifiedStage(spark, dir)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        graft.functions.Materialized(verifiedStage(spark, dir)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))))
     }
 
   /** Cluster closure: connected components (iterative smallest-id

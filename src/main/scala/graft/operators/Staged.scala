@@ -32,6 +32,78 @@ object Staged {
   private val hooked = java.util.Collections.newSetFromMap(
     new java.util.WeakHashMap[SparkContext, java.lang.Boolean]())
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Opt-in DISK-BACKED staging root (r13 verdict ask #1): when set, stage
+    * outputs are persisted as parquet under
+    * `<root>/<input-fingerprint>/<stage>/` and REUSED across sessions —
+    * the actual persisted staging layer a 100 TB deployment runs (stage
+    * once, read many), which the in-session memo only simulates. Off by
+    * default (env `GRAFT_STAGE_DIR` or [[enablePersist]]), so the
+    * oracle-checked default path is byte-for-byte the historical
+    * in-session localCheckpoint behavior.
+    *
+    * Key semantics: the FINGERPRINT half of the key is a digest of the
+    * input directory's file listing (path, size, mtime) — any corpus
+    * change moves every stage to a fresh subtree (invalidation by
+    * construction); the STAGE half already encodes configuration
+    * ([[IvfConfig.stageKey]] precedent: `ivf_cells@50:3:3`), so differing
+    * configs never share a table. Stale fingerprint subtrees are left for
+    * an external GC sweep, exactly like any warehouse staging area.
+    *
+    * A persisted stage is memoized as its parquet SCAN (not a
+    * localCheckpoint), so downstream consumers regain column pruning and
+    * predicate pushdown through the stage boundary — closer to the
+    * cluster deployment than pinned in-memory blocks. */
+  @volatile private var persistRoot: Option[String] =
+    sys.env.get("GRAFT_STAGE_DIR").filter(_.nonEmpty)
+      .orElse(sys.props.get("graft.stage.dir").filter(_.nonEmpty))
+
+  /** Turn on disk-backed staging under `root` (tests / embedding apps;
+    * deployments set env `GRAFT_STAGE_DIR`). */
+  def enablePersist(root: String): Unit = { persistRoot = Some(root) }
+
+  /** Back to the default in-session mode (existing memo entries and
+    * on-disk tables are left as they are). */
+  def disablePersist(): Unit = { persistRoot = None }
+
+  private[graft] def persistEnabled: Boolean = persistRoot.isDefined
+
+  /** Digest of the input directory's recursive file listing — the
+    * corpus-identity half of the persistent stage key. Only name, size and
+    * mtime are read (no data scan): the same cheap invariant a warehouse
+    * staging layer keys its freshness on. */
+  private[graft] def fingerprint(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    if (java.nio.file.Files.isDirectory(root)) {
+      val s = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map { p =>
+            val rel = root.relativize(p).toString
+            s"$rel:${java.nio.file.Files.size(p)}:" +
+              s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+          }
+          .toSeq.sorted
+          .foreach(line => md.update(line.getBytes("UTF-8")))
+      } finally s.close()
+    } else md.update(dir.getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** Filesystem-safe stage directory name: sanitized for readability plus
+    * a digest suffix so sanitization can never alias two stage keys. */
+  private def stageDirName(stage: String): String = {
+    val clean = stage.map(c =>
+      if (c.isLetterOrDigit || c == '_' || c == '-' || c == '.') c else '_')
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(stage.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+    s"$clean-$md"
+  }
+
   // Stage builds recurse into Staged (verified → shingles), so the build runs
   // OUTSIDE the lock: a racing duplicate build is harmless (first write wins,
   // the loser's lazy checkpoint is never materialized), whereas building under
@@ -50,9 +122,52 @@ object Staged {
     } match {
       case Some(df) => df
       case None =>
-        val built = build.localCheckpoint(eager = false)
+        val built = persistRoot match {
+          case Some(root) => persisted(spark, root, dir, stage)(build)
+          case None => build.localCheckpoint(eager = false)
+        }
         memo.synchronized(memo.getOrElseUpdate(key, built))
     }
+  }
+
+  /** Disk-backed build-or-reuse: hit → parquet scan of the persisted
+    * table; miss → run the build ONCE, write to a temp sibling, atomic
+    * rename into place (a lost race reads the winner), scan. */
+  private def persisted(spark: SparkSession, root: String, dir: String,
+      stage: String)(build: => DataFrame): DataFrame = {
+    val target = java.nio.file.Paths.get(root, fingerprint(dir),
+      stageDirName(stage))
+    val success = target.resolve("_SUCCESS")
+    if (java.nio.file.Files.exists(success)) {
+      log.info(s"stage hit: $stage <- $target")
+      return spark.read.parquet(target.toString)
+    }
+    log.info(s"stage miss: $stage -> building $target")
+    val tmp = target.resolveSibling(
+      target.getFileName.toString + ".tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    java.nio.file.Files.createDirectories(target.getParent)
+    build.write.mode("overwrite").parquet(tmp.toString)
+    try java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.AccessDeniedException |
+           _: java.nio.file.FileSystemException =>
+        // lost the publish race — the winner's table is equivalent
+        // (stages are deterministic functions of (dir, stage config))
+        deleteRecursively(tmp)
+    }
+    spark.read.parquet(target.toString)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    val s = java.nio.file.Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    } finally s.close()
   }
 
   /** Drop every staged entry belonging to `spark`, unpersisting any
@@ -86,14 +201,23 @@ object Staged {
         case scala.util.control.NonFatal(_) => ()
       }
     }
+    // The counted gates' auto-pins and gate-internal checkpoints share
+    // this lifecycle (r13 ADVICE — they previously waited on the
+    // ContextCleaner), as does the guard's probe memo (its entries key on
+    // plans whose checkpoint RDDs the lines above may just have freed).
+    graft.functions.Materialized.releaseAll(spark)
+    graft.functions.TextHashing.clearProbeMemo(spark)
   }
 
   /** Bench hook: make every pass pay the stage-build cost, so per-query
     * medians report cold operator time rather than memoized reuse. */
   def reset(spark: SparkSession): Unit = evict(spark)
 
-  private[graft] def onAppEnd(): Unit =
+  private[graft] def onAppEnd(): Unit = {
     memo.synchronized(memo.clear())
+    graft.functions.Materialized.clearAll()
+    graft.functions.TextHashing.clearProbeMemoAll()
+  }
 
   private[graft] def isStaged(spark: SparkSession, dir: String,
       stage: String): Boolean =

@@ -184,7 +184,8 @@ object VocabQueries {
     (spark, dir) =>
       TextHashing.jaccardOnCandidates(
           DedupQueries.shinglesStage(spark, dir),
-          DedupQueries.candidatesStage(spark, dir))
+          graft.functions.Materialized(
+            DedupQueries.candidatesStage(spark, dir)))
         .select(col("doc_a"), col("doc_b"), col("n_inter"),
           col("n_a"), col("n_b"),
           (col("n_inter").cast("double") / col("n_a").cast("double"))

@@ -449,8 +449,9 @@ object CurationStream {
     // the component labels feed the election, the present-filter AND the
     // taint split — checkpoint once so the propagation never re-runs
     val comp = graft.functions.TextHashing.connectedComponents(vertices,
-      m.filter(col("doc_id") =!= col("cluster_id"))
-        .select(col("doc_id").as("src"), col("cluster_id").as("dst")))
+      graft.functions.Materialized(
+        m.filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as("src"), col("cluster_id").as("dst"))))
       .localCheckpoint(true)
     // seq is a PER-CLUSTER counter, so for a doc observed in two clusters
     // at the same fetch_ts the seq comparison is between incomparable

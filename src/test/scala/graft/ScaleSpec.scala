@@ -138,7 +138,8 @@ class ScaleSpec extends AnyFunSuite {
     val shRaw = operators.DedupQueries.shinglesStage(spark, rep25)
     val pairs = operators.DedupQueries.candidatesStage(spark, rep25)
     val fallback = functions.TextHashing
-      .jaccardOnCandidates(shRaw, pairs, broadcastIdThreshold = 0L)
+      .jaccardOnCandidates(shRaw, functions.Materialized(pairs),
+        broadcastIdThreshold = 0L)
     val optimized = fallback.queryExecution.optimizedPlan.toString
     assert(!optimized.contains("strategy=broadcast"),
       "jaccardOnCandidates fallback path still forces a broadcast:\n" +
@@ -150,7 +151,8 @@ class ScaleSpec extends AnyFunSuite {
     val got = keyed(fallback)
     assert(got.nonEmpty, "x25 verify join returned no candidate pairs")
     val viaBroadcast =
-      keyed(functions.TextHashing.jaccardOnCandidates(shRaw, pairs))
+      keyed(functions.TextHashing.jaccardOnCandidates(shRaw,
+        functions.Materialized(pairs)))
     assert(got === viaBroadcast,
       "fallback join diverged from the broadcast path at x25")
     operators.Staged.reset(spark)
@@ -179,7 +181,8 @@ class ScaleSpec extends AnyFunSuite {
     def normalized(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
         .replaceAll("#\\d+", "#x").replaceAll("plan_id=\\d+", "plan_id=x")
-    val guardedCold = TextHashing.candidatePairsFromBands(bt)
+    val guardedCold =
+      TextHashing.candidatePairsFromBands(graft.functions.Materialized(bt))
     val legacy = {
       val a = bt.as("a")
       val b = bt.as("b")
@@ -195,7 +198,8 @@ class ScaleSpec extends AnyFunSuite {
     // Above the threshold the hot bucket star-collapses: O(B) edges
     // around the bucket's min doc, never O(B²) enumeration.
     val guarded = TextHashing
-      .candidatePairsFromBands(bt, hotBucketThreshold = 100L)
+      .candidatePairsFromBands(graft.functions.Materialized(bt),
+        hotBucketThreshold = 100L)
       .localCheckpoint(eager = true)
     // two anchors (min and max doc) -> 2(B-1) - 1 distinct star edges
     assert(guarded.count() === 1997L,
@@ -209,10 +213,12 @@ class ScaleSpec extends AnyFunSuite {
     // Downstream closure unchanged: verify -> components gives the same
     // assignment through the star as through the full clique.
     def comps(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
-      val verified = TextHashing.jaccardOnCandidates(sh, pairs)
+      val verified = TextHashing.jaccardOnCandidates(sh,
+        graft.functions.Materialized(pairs))
         .filter(col("jaccard") >= 0.7)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      TextHashing.connectedComponents(docs.select("doc_id"), verified)
+      TextHashing.connectedComponents(docs.select("doc_id"),
+        graft.functions.Materialized(verified))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
     val viaStars = comps(guarded)
@@ -236,9 +242,11 @@ class ScaleSpec extends AnyFunSuite {
     // identical docs -> identical fingerprints -> every block bucket is a
     // 1,000-doc degenerate bucket
     val guarded = TextHashing
-      .simhashPairsFrom(fp, maxDist = 3, hotBucketThreshold = 100L)
+      .simhashPairsFrom(graft.functions.Materialized(fp), maxDist = 3,
+        hotBucketThreshold = 100L)
       .localCheckpoint(eager = true)
-    val brute = TextHashing.simhashPairsFrom(fp, maxDist = 3)
+    val brute = TextHashing.simhashPairsFrom(
+      graft.functions.Materialized(fp), maxDist = 3)
       .localCheckpoint(eager = true)
     assert(guarded.count() === 1997L,
       "hot block bucket must star-collapse to the two-anchor star")
@@ -248,7 +256,8 @@ class ScaleSpec extends AnyFunSuite {
     // connectivity through the star equals the clique's
     def comps(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       TextHashing.connectedComponents(docs.select("doc_id"),
-        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        graft.functions.Materialized(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps(guarded) === comps(brute),
       "simhash star-collapse changed the transitive closure")

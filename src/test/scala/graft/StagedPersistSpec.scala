@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.Staged
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+
+/** Disk-backed staging (r13 verdict ask #1): hit / miss / invalidation
+  * semantics of the opt-in persistent stage layer, and value-parity with
+  * the default in-session mode. The default mode is untouched — every
+  * oracle-checked query runs without `GRAFT_STAGE_DIR` exactly as before. */
+class StagedPersistSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  test("persist mode: miss builds+writes, hit survives reset without rebuilding, corpus change invalidates") {
+    val stageRoot = Files.createTempDirectory("stage_root").toString
+    val dataDir = Files.createTempDirectory("stage_data")
+    Files.write(dataDir.resolve("part-0.parquet"), "x".getBytes)
+    Staged.evict(spark)
+    Staged.enablePersist(stageRoot)
+    try {
+      var builds = 0
+      def stage() = Staged(spark, dataDir.toString, "persist@spec:a") {
+        builds += 1
+        spark.range(100).toDF()
+      }
+      assert(stage().count() === 100)
+      assert(builds === 1)
+      // reset drops the in-session memo but the DISK table stays warm —
+      // the cross-session reuse a persisted staging layer exists for
+      Staged.reset(spark)
+      val second = stage()
+      assert(builds === 1, "hit must read the persisted table, not rebuild")
+      assert(second.count() === 100)
+      // the memoized frame is a parquet SCAN, so pruning/pushdown reach
+      // through the stage boundary (unlike a pinned LogicalRDD)
+      assert(second.queryExecution.executedPlan.toString
+        .contains("FileScan parquet"),
+        second.queryExecution.executedPlan.toString)
+      // a different stage key never shares the table
+      val other = Staged(spark, dataDir.toString, "persist@spec:b") {
+        builds += 1
+        spark.range(7).toDF()
+      }
+      assert(builds === 2 && other.count() === 7)
+      // INVALIDATION: touching the corpus moves the fingerprint, so every
+      // stage rebuilds under the new subtree
+      val before = Staged.fingerprint(dataDir.toString)
+      Files.setLastModifiedTime(dataDir.resolve("part-0.parquet"),
+        FileTime.fromMillis(System.currentTimeMillis() + 5000))
+      assert(Staged.fingerprint(dataDir.toString) !== before)
+      Staged.reset(spark)
+      stage()
+      assert(builds === 3, "corpus change must invalidate the stage")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("persist mode: real pipeline stages round-trip parquet with results identical to in-session mode") {
+    // The near-dup chain (shingles -> bands -> candidates -> verified ->
+    // components) and the ANN family (normed -> ivf_cells) cover every
+    // stage value type: longs, strings, doubles, double arrays. Any
+    // parquet round-trip drift would flip a hash here.
+    def collectSorted(name: String): Seq[String] = {
+      Staged.reset(spark)
+      SparkEntry.queries(name)(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val queries = Seq("dedup_components", "dedup_canonicalize",
+      "ann_topk_ivf", "dedup_simhash_pairs")
+    val inSession = queries.map(q => q -> collectSorted(q)).toMap
+    val stageRoot = Files.createTempDirectory("stage_root_rt").toString
+    Staged.enablePersist(stageRoot)
+    try {
+      // pass 1: cold — builds and persists every stage
+      val cold = queries.map(q => q -> collectSorted(q)).toMap
+      // pass 2: warm — every stage read back from parquet
+      val warm = queries.map(q => q -> collectSorted(q)).toMap
+      for (q <- queries) {
+        assert(cold(q) === inSession(q), s"$q drifted in persist mode (cold)")
+        assert(warm(q) === inSession(q), s"$q drifted reading persisted stages")
+      }
+      // and the stages actually landed on disk
+      val fp = Staged.fingerprint(sf)
+      val stageDirs = Paths.get(stageRoot, fp).toFile.list()
+      assert(stageDirs != null && stageDirs.nonEmpty,
+        s"no persisted stage tables under $stageRoot/$fp")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+}

@@ -78,4 +78,37 @@ class StagedSpec extends AnyFunSuite {
     Staged.onAppEnd() // what the installed SparkListener invokes
     assert(Staged.size === 0)
   }
+
+  test("counted-gate auto-pins are registered and released by evict (r13 verdict #6 / ADVICE)") {
+    import graft.functions.{Materialized, TextHashing}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    Staged.evict(spark)
+    assert(Materialized.adoptedCount(spark) === 0)
+    // an UNPINNED frame: the wrap auto-pins and registers it
+    val docs = (0L until 30L).map(i => (i, s"tok$i x y z w"))
+      .toDF("doc_id", "text")
+    val bt = TextHashing.lshBandsFrom(TextHashing.shingleSetsRaw(docs))
+    assert(!Materialized.isPinned(bt))
+    val m = Materialized(bt)
+    assert(Materialized.isPinned(m.df), "the wrap must pin an unpinned frame")
+    assert(Materialized.adoptedCount(spark) === 1)
+    // an already-pinned frame wraps as a no-op (not registered twice)
+    assert(Materialized(m.df).df eq m.df)
+    assert(Materialized.adoptedCount(spark) === 1)
+    // the iterative CC path adopts its internal checkpoints (sym + final
+    // labels) instead of leaving them to the ContextCleaner
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    TextHashing.connectedComponents(docs.select(col("doc_id")),
+      Materialized(edges), localEdgeThreshold = -1L).count()
+    assert(Materialized.adoptedCount(spark) >= 3)
+    // evict drains the registry and unpersists the blocks
+    TextHashing.candidatePairsFromBands(m).count() // materialize the pin
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Staged.evict(spark)
+    assert(Materialized.adoptedCount(spark) === 0)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(before.exists(id => !after.contains(id)),
+      s"evict freed no auto-pinned blocks: before=$before after=$after")
+  }
 }

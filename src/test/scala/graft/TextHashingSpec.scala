@@ -71,7 +71,8 @@ class TextHashingSpec extends AnyFunSuite {
       def key(r: org.apache.spark.sql.Row) =
         (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")
       val viaCandidates =
-        TextHashing.jaccardOnCandidates(raw, pairs).collect().map(key).toMap
+        TextHashing.jaccardOnCandidates(raw,
+          graft.functions.Materialized(pairs)).collect().map(key).toMap
       val viaDistinct =
         TextHashing.jaccardFrom(
           raw.dropDuplicates("doc_id", "shingle"), pairs)
@@ -119,7 +120,8 @@ class TextHashingSpec extends AnyFunSuite {
       val vertices = (0L until n.toLong).toDF("doc_id")
       val edges = es.toDF("src", "dst")
       def labelsOf(threshold: Long): Map[Long, Long] =
-        TextHashing.connectedComponents(vertices, edges,
+        TextHashing.connectedComponents(vertices,
+            graft.functions.Materialized(edges),
             localEdgeThreshold = threshold)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val local = labelsOf(Long.MaxValue)
@@ -144,7 +146,8 @@ class TextHashingSpec extends AnyFunSuite {
     val vertices = (0L until n).toDF("doc_id")
     val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
     val before = spark.sparkContext.getPersistentRDDs.size
-    val out = TextHashing.connectedComponents(vertices, edges,
+    val out = TextHashing.connectedComponents(vertices,
+      graft.functions.Materialized(edges),
       maxIter = 10, localEdgeThreshold = -1L) // force the iterative path
     val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size === n && labels.values.forall(_ == 0L),
@@ -188,15 +191,115 @@ class TextHashingSpec extends AnyFunSuite {
       val sh = TextHashing.shingleSetsRaw(docs).localCheckpoint(eager = true)
       val bt = TextHashing.lshBandsFrom(sh).localCheckpoint(eager = true)
       def comps(threshold: Long): Map[Long, Long] = {
-        val pairs = TextHashing.candidatePairsFromBands(bt, threshold)
-        val verified = TextHashing.jaccardOnCandidates(sh, pairs)
+        val pairs = TextHashing.candidatePairsFromBands(
+          graft.functions.Materialized(bt), threshold)
+        val verified = TextHashing.jaccardOnCandidates(sh,
+            graft.functions.Materialized(pairs))
           .filter(col("jaccard") >= 0.7)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        TextHashing.connectedComponents(docs.select("doc_id"), verified)
+        TextHashing.connectedComponents(docs.select("doc_id"),
+          graft.functions.Materialized(verified))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       }
       val brute = comps(Long.MaxValue)
       Seq(1L, 3L).forall(t => comps(t) == brute)
     })
+  }
+
+  test("hot-bucket guard anchors: all-false-anchor fragmentation pinned; wider anchor count recovers (r13 verdict #4)") {
+    // Docs 1..8 are a true near-dup clique; docs 0 and 9 are word-disjoint
+    // chance colliders PLANTED as the hot bucket's smallest and largest
+    // ids — exactly the case where BOTH default anchors are rejected by
+    // the downstream verifier.
+    val clique = (1L to 8L)
+      .map(i => (i, "the same boilerplate text repeated here"))
+    val docs = (Seq((0L, "zzz0 zzz1 zzz2 zzz3 zzz4")) ++ clique ++
+      Seq((9L, "yyy0 yyy1 yyy2 yyy3 yyy4"))).toDF("doc_id", "text")
+    val sh = TextHashing.shingleSetsRaw(docs).localCheckpoint(eager = true)
+    // engineered single hot bucket holding all ten docs
+    val bt = docs
+      .select(col("doc_id"), lit(0).as("band"), lit("hot").as("sig"))
+      .localCheckpoint(eager = true)
+    def compsWith(anchors: Int): Map[Long, Long] = {
+      val pairs = TextHashing.candidatePairsFromBands(
+        graft.functions.Materialized(bt), hotBucketThreshold = 4L,
+        hotBucketAnchors = anchors)
+      val verified = TextHashing.jaccardOnCandidates(sh,
+          graft.functions.Materialized(pairs))
+        .filter(col("jaccard") >= 0.7)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      TextHashing.connectedComponents(docs.select("doc_id"),
+        graft.functions.Materialized(verified))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // anchors = 2: both anchors are verifier-rejected chance colliders, so
+    // every star edge dies and the clique silently fragments — the
+    // documented residual risk of ANY sub-quadratic collapse. Pinned here
+    // so the tradeoff stays observable, not accidental.
+    val two = compsWith(2)
+    assert((0L to 9L).forall(i => two(i) == i),
+      s"expected full fragmentation under two planted false anchors: $two")
+    // anchors = 4: the two extra anchors (second-smallest/second-largest
+    // ids) are true members, so their stars reconnect the clique even
+    // though the outermost anchors are still false positives.
+    val four = compsWith(4)
+    assert((1L to 8L).forall(i => four(i) == 1L),
+      s"4-anchor star must reconnect the clique through the true anchors: $four")
+    assert(four(0L) == 0L && four(9L) == 9L,
+      "the false positives must stay singletons under any anchor count")
+  }
+
+  test("hot-bucket guard: two word-disjoint clusters colliding into one hot bucket are recovered by their own bands (r13 ADVICE)") {
+    val a = (0L to 5L).map(i => (i, "cluster alpha text body shared tokens"))
+    val b = (100L to 105L)
+      .map(i => (i, "totally different beta words entirely here"))
+    val docs = (a ++ b).toDF("doc_id", "text")
+    val sh = TextHashing.shingleSetsRaw(docs).localCheckpoint(eager = true)
+    // engineered band table: band 0 collides BOTH clusters into one hot
+    // bucket (size 12); band 1 gives each cluster its own cold bucket
+    // (size 6) — the multi-band recovery path the guard's tradeoff
+    // relies on.
+    val bt = docs
+      .select(col("doc_id"), lit(0).as("band"), lit("HOT").as("sig"))
+      .union(docs.select(col("doc_id"), lit(1).as("band"),
+        when(col("doc_id") < 50L, "A").otherwise("B").as("sig")))
+      .localCheckpoint(eager = true)
+    def comps(threshold: Long): Map[Long, Long] = {
+      val pairs = TextHashing.candidatePairsFromBands(
+        graft.functions.Materialized(bt), threshold)
+      val verified = TextHashing.jaccardOnCandidates(sh,
+          graft.functions.Materialized(pairs))
+        .filter(col("jaccard") >= 0.7)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      TextHashing.connectedComponents(docs.select("doc_id"),
+        graft.functions.Materialized(verified))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val guarded = comps(8L) // hot bucket 12 > 8; per-cluster buckets 6 <= 8
+    val brute = comps(Long.MaxValue)
+    assert(guarded === brute,
+      s"star-collapsing the shared hot bucket must not merge or fragment " +
+        s"the clusters the cold bands recover: $guarded vs $brute")
+    assert(guarded.values.toSet === Set(0L, 100L),
+      s"expected exactly the two engineered clusters: $guarded")
+  }
+
+  test("guard's max-bucket probe is memoized per (session, plan, keys) and cleared by Staged.reset (r13 ADVICE)") {
+    TextHashing.clearProbeMemoAll()
+    val docs = (0L until 20L).map(i => (i, s"w$i a b c d"))
+      .toDF("doc_id", "text")
+    val bt = TextHashing.lshBandsFrom(TextHashing.shingleSetsRaw(docs))
+      .localCheckpoint(eager = true)
+    val m = graft.functions.Materialized(bt)
+    assert(TextHashing.probeMemoSize === 0)
+    TextHashing.candidatePairsFromBands(m)
+    assert(TextHashing.probeMemoSize === 1)
+    // a second construction over the SAME plan (any threshold) reuses the
+    // memoized probe instead of re-running the aggregate
+    TextHashing.candidatePairsFromBands(m, hotBucketThreshold = 123L)
+    assert(TextHashing.probeMemoSize === 1)
+    // ...and the reset every bench pass already performs clears it
+    operators.Staged.reset(spark)
+    assert(TextHashing.probeMemoSize === 0)
   }
 }

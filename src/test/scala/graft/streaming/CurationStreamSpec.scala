@@ -387,12 +387,14 @@ class CurationStreamSpec extends AnyFunSuite {
       .select(col("docId").as("doc_id"), col("text"))
     val sh = graft.functions.TextHashing.shingleSetsRaw(sliceDf)
     val cand = graft.functions.TextHashing.candidatePairsFromBands(
-      graft.functions.TextHashing.lshBandsFrom(sh, 4, 4))
-    val verified = graft.functions.TextHashing.jaccardOnCandidates(sh, cand)
+      graft.functions.Materialized(
+        graft.functions.TextHashing.lshBandsFrom(sh, 4, 4)))
+    val verified = graft.functions.TextHashing.jaccardOnCandidates(sh,
+      graft.functions.Materialized(cand))
       .filter(col("jaccard") >= 0.7)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val comp = graft.functions.TextHashing.connectedComponents(
-      sliceDf.select("doc_id"), verified)
+      sliceDf.select("doc_id"), graft.functions.Materialized(verified))
     val nTok = arrivals.map(d => d.docId -> d.text.split(" ").length.toLong)
       .toMap
     val batchCanon = comp.collect()
@@ -628,12 +630,14 @@ class CurationStreamSpec extends AnyFunSuite {
       .select(col("docId").as("doc_id"), col("text"))
     val sh = graft.functions.TextHashing.shingleSetsRaw(sliceDf)
     val cand = graft.functions.TextHashing.candidatePairsFromBands(
-      graft.functions.TextHashing.lshBandsFrom(sh, 4, 4))
-    val verified = graft.functions.TextHashing.jaccardOnCandidates(sh, cand)
+      graft.functions.Materialized(
+        graft.functions.TextHashing.lshBandsFrom(sh, 4, 4)))
+    val verified = graft.functions.TextHashing.jaccardOnCandidates(sh,
+      graft.functions.Materialized(cand))
       .filter(col("jaccard") >= 0.7)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val comp = graft.functions.TextHashing.connectedComponents(
-      sliceDf.select("doc_id"), verified)
+      sliceDf.select("doc_id"), graft.functions.Materialized(verified))
     val nTok = docs.map(d => d.docId -> d.text.split(" ").length.toLong).toMap
     val batch = comp.collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component")))
