@@ -25,7 +25,13 @@ import org.apache.spark.sql.streaming.Trigger
   *    caller (compactEvery = 0);
   *  - `canonc`: the same sink with the in-pipeline compaction cadence
   *    (compactEvery = SPARK_GRAFT_COMPACT_EVERY, default 4), so the
-  *    cadence's cost is a measured number, not an assumption.
+  *    cadence's cost is a measured number, not an assumption;
+  *  - `burst` (r13 verdict ask #5): the near gate over an engineered
+  *    degenerate burst — SPARK_GRAFT_BURST_DOCS identical-content docs,
+  *    every probe hitting the same B band keys — whose docs/s must sit in
+  *    the `near` row's regime (no streaming hot-bucket quadratic; the
+  *    per-batch boundedness assertion lives in CurationStreamSpec's
+  *    burst soak).
   * All run on the RocksDB state store (the 100 TB state path; the
   * stateful modes require it). Run: `sbt "runMain graft.CurationBench"`;
   * env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE_X (default 10),
@@ -77,18 +83,38 @@ object CurationBench {
     val compactEvery = math.max(1, sys.env.get("SPARK_GRAFT_COMPACT_EVERY")
       .flatMap(_.toIntOption).getOrElse(4))
 
+    // Degenerate-burst layout (r13 verdict ask #5): SPARK_GRAFT_BURST_DOCS
+    // (default 10,000) IDENTICAL-content docs — the streaming analogue of
+    // the batch hot bucket, where every probe of every micro-batch lands
+    // on the same B band keys. The near-dup gate's state is one keeper
+    // per bucket and per-row work is O(1), so the `burst` row's docs/s
+    // must sit in the same regime as the diverse `near` row — a streaming
+    // quadratic would crater it. 16 range files so the AvailableNow run
+    // covers multiple micro-batches against already-hot buckets.
+    val burstDocs = math.max(1L, sys.env.get("SPARK_GRAFT_BURST_DOCS")
+      .flatMap(_.toLongOption).getOrElse(10000L))
+    val burstDir = s"$work/burst"
+    spark.range(burstDocs)
+      .select(col("id").as("docId"), lit("burst").as("source"),
+        lit("the quick brown fox jumps over the lazy dog with " +
+          "boilerplate license footer text").as("text"),
+        timestamp_millis(lit(1714521600000L) + col("id") * 10L).as("fetchTs"))
+      .repartitionByRange(16, col("fetchTs"), col("docId"))
+      .write.mode("overwrite").parquet(burstDir)
+
     def run(mode: String, pass: Int): Double = {
+      val srcDir = if (mode == "burst") burstDir else crawlDir
       val stream = spark.readStream
         .schema(Encoders.product[DocIn].schema)
         .option("maxFilesPerTrigger", filesPerTrigger.toString)
-        .parquet(crawlDir)
+        .parquet(srcDir)
         .as[DocIn](Encoders.product[DocIn])
       val t0 = System.nanoTime()
       val q = mode match {
-        case "exact" | "near" =>
+        case "exact" | "near" | "burst" =>
           val out = mode match {
             case "exact" => CurationStream.curate(stream)
-            case "near"  => CurationStream.nearDedup(stream)
+            case "near" | "burst" => CurationStream.nearDedup(stream)
           }
           out.writeStream.outputMode("append").format("parquet")
             .option("path", s"$work/out_${mode}_$pass")
@@ -106,23 +132,24 @@ object CurationBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val modes = Seq("exact", "near", "canon", "canonc")
+    val modes = Seq("exact", "near", "canon", "canonc", "burst")
     val times: Map[String, Seq[Double]] = {
       val all = for { pass <- 1 to passes; m <- modes } yield m -> run(m, pass)
       all.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     }
     val med = modes.map(m => m -> median(times(m))).toMap
-    // exact/near: rows the gate kept; canon modes: the materialized
+    // exact/near/burst: rows the gate kept; canon modes: the materialized
     // table's merged view — one row per live cluster
     val kept = Map(
       "exact" -> spark.read.parquet(s"$work/out_exact_1").count(),
       "near" -> spark.read.parquet(s"$work/out_near_1").count(),
+      "burst" -> spark.read.parquet(s"$work/out_burst_1").count(),
       "canon" -> CurationStream.canonicalTable(spark, s"$work/out_canon_1")
         .count(),
       "canonc" -> CurationStream.canonicalTable(spark, s"$work/out_canonc_1")
         .count())
     val line =
-      f"""{"metric":"curation_docs_per_sec","docs":$docs,"x":$k,"sf":"$sfDir","passes":$passes,"files_per_trigger":$filesPerTrigger,"compact_every":$compactEvery,"calib_sec":$calibSec%.3f,"exact_sec":${med("exact")}%.3f,"near_sec":${med("near")}%.3f,"canon_sec":${med("canon")}%.3f,"canonc_sec":${med("canonc")}%.3f,"exact_dps":${docs / med("exact")}%.0f,"near_dps":${docs / med("near")}%.0f,"canon_dps":${docs / med("canon")}%.0f,"canonc_dps":${docs / med("canonc")}%.0f,"exact_kept":${kept("exact")},"near_kept":${kept("near")},"canon_clusters":${kept("canon")},"canonc_clusters":${kept("canonc")}}"""
+      f"""{"metric":"curation_docs_per_sec","docs":$docs,"x":$k,"sf":"$sfDir","passes":$passes,"files_per_trigger":$filesPerTrigger,"compact_every":$compactEvery,"calib_sec":$calibSec%.3f,"exact_sec":${med("exact")}%.3f,"near_sec":${med("near")}%.3f,"canon_sec":${med("canon")}%.3f,"canonc_sec":${med("canonc")}%.3f,"exact_dps":${docs / med("exact")}%.0f,"near_dps":${docs / med("near")}%.0f,"canon_dps":${docs / med("canon")}%.0f,"canonc_dps":${docs / med("canonc")}%.0f,"exact_kept":${kept("exact")},"near_kept":${kept("near")},"canon_clusters":${kept("canon")},"canonc_clusters":${kept("canonc")},"burst_docs":$burstDocs,"burst_sec":${med("burst")}%.3f,"burst_dps":${burstDocs / med("burst")}%.0f,"burst_kept":${kept("burst")}}"""
     spark.stop()
     println(line)
     System.out.flush()

@@ -267,9 +267,26 @@ object ScaleBench {
     // the replica recall pass above staged the Kx-corpus tables (normed,
     // buckets, cells, q8 — the run's largest blocks), which would sit
     // resident under the sweep's own checkpoints for no reason.
-    operators.Staged.reset(spark)
-    ivfRecallSweep(spark, base, Seq(1, 2, 4, 8)).foreach { case (p, r) =>
-      println(f"""IVF_SWEEP {"dir":"base","nprobe":$p,"recall_at_5":$r%.3f}""")
+    //
+    // TWO operating points (r13 verdict ask #3): the default centroid rule
+    // and a 2x-denser one, with nprobe lists chosen so the PROBED
+    // FRACTIONS match pairwise — the deployment rule's actual claim is
+    // that recall tracks the probed fraction across nlist, and these
+    // paired rows are what validates (or falsifies) it on a given corpus.
+    // Each row carries (nlist, probed_fraction, recall) — exactly the
+    // (fraction, recall) shape `IvfConfig(sweep = ...)` ingests, so a
+    // deployment feeds its own measured rows straight back into the
+    // config instead of inheriting the repo's hard-coded curve.
+    val sweepCfgs = Seq(
+      ("default", operators.IvfConfig.Default, Seq(1, 2, 4, 8)),
+      ("dense2x", operators.IvfConfig(centroidEvery = 50L), Seq(2, 4, 8, 16)))
+    sweepCfgs.foreach { case (label, cfg, nprobes) =>
+      operators.Staged.reset(spark)
+      val nlist = operators.SimilarityQueries.normed(spark, base)
+        .filter(cfg.centroidFilter).count()
+      ivfRecallSweep(spark, base, nprobes, cfg).foreach { case (p, r) =>
+        println(f"""IVF_SWEEP {"dir":"base","config":"$label","nlist":$nlist,"nprobe":$p,"probed_fraction":${p.toDouble / nlist}%.4f,"recall_at_5":$r%.3f}""")
+      }
     }
     val summary = (results.map { case (dl, fam, _, med, _) =>
       f""""${dl}_$fam":$med%.3f"""

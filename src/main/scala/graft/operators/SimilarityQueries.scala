@@ -24,14 +24,20 @@ import org.apache.spark.sql.functions._
   *   constant as the corpus grows — the `nprobe/nlist ≈ const` deployment
   *   rule (SCALE.md's sweep: recall tracks the probed fraction).
   * @param recallTarget when set, overrides `probeFraction` with the
-  *   fraction the measured sweep curve says reaches that recall@5
-  *   ([[IvfConfig.probeFractionFor]]). */
+  *   fraction the sweep curve says reaches that recall@5
+  *   ([[IvfConfig.probeFractionFor]]).
+  * @param sweep the measured (probed fraction, recall@5) curve the
+  *   recall-target inversion runs against (r13 verdict ask #3: a
+  *   deployment feeds ITS OWN curve — `ScaleBench`'s IVF_SWEEP rows emit
+  *   exactly this shape — instead of inheriting the repo's). Defaults to
+  *   [[IvfConfig.MeasuredSweep]]. */
 final case class IvfConfig(
     centroidEvery: Long = 100L,
     centroidKey: Long = 7L,
     nprobe: Int = 2,
     probeFraction: Double = 0.25,
-    recallTarget: Option[Double] = None) {
+    recallTarget: Option[Double] = None,
+    sweep: Seq[(Double, Double)] = IvfConfig.MeasuredSweep) {
   require(centroidEvery > 0 && centroidKey >= 0 &&
     centroidKey < centroidEvery,
     s"centroid rule needs 0 <= key < every: every=$centroidEvery key=$centroidKey")
@@ -40,6 +46,13 @@ final case class IvfConfig(
     s"probeFraction must be in (0, 1]: $probeFraction")
   recallTarget.foreach(r => require(r > 0 && r < 1,
     s"recallTarget must be in (0, 1): $r"))
+  require(sweep.nonEmpty, "sweep curve must have at least one point")
+  require(sweep.forall { case (f, r) => f > 0 && f <= 1 && r >= 0 && r <= 1 },
+    s"sweep points must be (fraction in (0,1], recall in [0,1]): $sweep")
+  require(sweep.map(_._1) == sweep.map(_._1).sorted.distinct &&
+    sweep.map(_._2) == sweep.map(_._2).sorted,
+    s"sweep must be strictly increasing in fraction and non-decreasing " +
+      s"in recall (a non-monotone curve cannot be inverted): $sweep")
 
   /** The deterministic centroid-membership predicate — the ONE
     * definition of the coarse quantizer's centroid set. */
@@ -47,7 +60,8 @@ final case class IvfConfig(
 
   /** The probed fraction the tuned variant holds as nlist grows. */
   def effectiveProbeFraction: Double =
-    recallTarget.map(IvfConfig.probeFractionFor).getOrElse(probeFraction)
+    recallTarget.map(IvfConfig.probeFractionFor(_, sweep))
+      .getOrElse(probeFraction)
 
   /** Driver-side form of the tuned rule (the in-plan form folds the same
     * arithmetic over the broadcast centroid count). */
@@ -64,31 +78,50 @@ final case class IvfConfig(
 }
 
 object IvfConfig {
-  /** The oracle-pinned deployment every registered query runs under. */
-  val Default: IvfConfig = IvfConfig()
+  // NOTE: MeasuredSweep must initialize BEFORE Default — Default's
+  // constructor reads it as the `sweep` field's default value.
 
   /** The measured recall-vs-probed-fraction curve (SCALE.md's IVF_SWEEP
     * rows, sf0.1 base, nlist = 20): (nprobe/nlist, recall@5). Near-linear
     * — the published IVF tradeoff — which is what makes inverting it for
-    * a recall target sane. */
+    * a recall target sane. Validated at a SECOND operating point
+    * (nlist = 40 via centroidEvery = 50, same corpus, r13 verdict ask
+    * #3): recall at equal probed fraction agrees across the two nlists
+    * (SCALE.md's paired sweep rows; ScaleSpec gates the claim on the
+    * replicated test corpus), which is exactly the property that lets a
+    * deployment reuse a curve measured at its own scale. Deployments
+    * inject their own measured rows via [[IvfConfig.sweep]]. */
   val MeasuredSweep: Seq[(Double, Double)] =
     Seq(0.05 -> 0.18, 0.10 -> 0.30, 0.20 -> 0.48, 0.40 -> 0.74)
 
-  /** Invert the measured curve: the smallest probed fraction whose
+  /** The oracle-pinned deployment every registered query runs under. */
+  val Default: IvfConfig = IvfConfig()
+
+  /** Invert the repo's default measured curve. */
+  def probeFractionFor(target: Double): Double =
+    probeFractionFor(target, MeasuredSweep)
+
+  /** Invert a measured curve: the smallest probed fraction whose
     * piecewise-linearly interpolated recall@5 reaches `target`.
     * Anchored at (0, 0) below the first point; extrapolated along the
     * last segment's slope above the last, clamped to 1.0 (probe
     * everything — brute force — is the honest answer for a target the
     * curve never reached). */
-  def probeFractionFor(target: Double): Double = {
+  def probeFractionFor(target: Double,
+      curve: Seq[(Double, Double)]): Double = {
     require(target > 0 && target < 1, s"recall target must be in (0,1): $target")
-    val pts = (0.0, 0.0) +: MeasuredSweep
+    require(curve.nonEmpty, "sweep curve must have at least one point")
+    val pts = (0.0, 0.0) +: curve
     pts.sliding(2).collectFirst {
       case Seq((f0, r0), (f1, r1)) if target <= r1 =>
         f0 + (target - r0) / (r1 - r0) * (f1 - f0)
     }.getOrElse {
-      val Seq((f0, r0), (f1, r1)) = pts.takeRight(2)
-      math.min(1.0, f1 + (target - r1) * (f1 - f0) / (r1 - r0))
+      if (pts.size < 2) 1.0
+      else {
+        val Seq((f0, r0), (f1, r1)) = pts.takeRight(2)
+        if (r1 <= r0) 1.0
+        else math.min(1.0, f1 + (target - r1) * (f1 - f0) / (r1 - r0))
+      }
     }
   }
 }
@@ -159,9 +192,11 @@ object SimilarityQueries {
     * in one table. */
   private[operators] def ivfCells(spark: SparkSession, dir: String,
       cfg: IvfConfig = IvfConfig.Default): DataFrame = {
-    // distinct configs must never share a staged table; the default keeps
-    // its historical key so nothing else shifts
-    val key = if (cfg == IvfConfig.Default) "ivf_cells"
+    // Keyed solely on stageKey (r13 ADVICE): configs differing only in
+    // QUERY-side fields (probeFraction / recallTarget / sweep) share the
+    // staged index — the table's content depends on nothing else. The
+    // default stageKey maps to its historical name so nothing shifts.
+    val key = if (cfg.stageKey == IvfConfig.Default.stageKey) "ivf_cells"
       else s"ivf_cells@${cfg.stageKey}"
     Staged(spark, dir, key) {
       ivfCellsRaw(spark, dir, maxRn = cfg.nprobe, cfg)

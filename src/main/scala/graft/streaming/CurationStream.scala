@@ -509,7 +509,9 @@ object CurationStream {
       // old entries can never match and their event-time timers evict
       // them within one horizon. (horizonMs itself only shifts eviction,
       // never matching, so it stays out of the key.)
-      .select(concat_ws("#", lit(s"$bands:$rowsPerBand"), col("bs.band"),
+      .select(concat_ws("#",
+        lit(StateSchemas.nearDupBucketPrefix(bands, rowsPerBand)),
+        col("bs.band"),
           col("bs.sig")).as("bucket"),
         col("docId"), col("source"), col("contentHash"), col("nTok"),
         col("nStop"), col("fetchTs"))

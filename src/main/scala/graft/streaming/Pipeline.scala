@@ -57,7 +57,7 @@ object Pipeline {
           concat_ws("|", col("sequence"), unix_micros(col("exchangeTs")),
             col("price"), col("volume"), col("side")))
           .otherwise(lit("")))
-      .dropDuplicates("exchange", "productId", "tradeId", "__idless_key")
+      .dropDuplicates(StateSchemas.TradeDedupKey)
       .drop("__idless_key")
       .as[graft.model.TradeOut](
         org.apache.spark.sql.Encoders.product[graft.model.TradeOut])

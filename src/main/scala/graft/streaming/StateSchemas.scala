@@ -1,0 +1,54 @@
+package graft.streaming
+
+/** Checkpoint-compatibility boundaries as CODE (r13 verdict ask #7).
+  *
+  * SURVEY §5.3 records the engine's streaming state-schema history — the
+  * r7 trade-dedup key widening, the r8 value-only surrogate change, the
+  * r9 banding-scheme key prefix — as prose. These constants pin each
+  * stateful operator's CURRENT schema version, and the operators build
+  * their key schemas from the single definitions here, so a refactor that
+  * changes a state schema has to touch this file (the version bump makes
+  * the compatibility break visible in the diff instead of silently
+  * stranding deployed checkpoints). The enforcement mechanism at restore
+  * time is Spark's own state-store schema check; `StateSchemaSpec` pins
+  * that the refusal is LOUD — a stream restarted across an incompatible
+  * schema fails its first batch rather than run with corrupt state.
+  *
+  * Upgrade playbook for a version bump (§5.3): restart from a fresh
+  * checkpoint and replay the WAL — the frame WAL makes that lossless. */
+object StateSchemas {
+
+  /** Trade dedup key — `Watermarked.dedupTrades` (streaming,
+    * dropDuplicatesWithinWatermark) and `Pipeline.dedupTradeIds`
+    * (per-batch): ONE definition so the streaming and batch layouts can
+    * never drift apart.
+    *
+    * v2 since r7: (exchange, tradeId) → (exchange, productId, tradeId,
+    * __idless_key) — pre-r7 checkpoints do not restore. The r8 change
+    * (surrogate VALUE adds unix_micros(exchangeTs)) left the schema —
+    * and this version — unchanged: old checkpoints restore, with the
+    * documented one-time horizon-bounded id-less re-admit window. */
+  val TradeDedupKeyVersion: Int = 2
+  val TradeDedupKey: Seq[String] =
+    Seq("exchange", "productId", "tradeId", "__idless_key")
+
+  /** Near-dup bucket registry key (`CurationStream`'s bucket stage).
+    * v2 since r9: the bucket key PREFIXES the banding scheme, so a
+    * restart with different banding parameters probes a disjoint
+    * keyspace (old entries evict within one horizon) instead of silently
+    * half-matching. `horizonMs` stays OUT of the key by design — it
+    * shifts eviction timing, never matching semantics. */
+  val NearDupBucketKeyVersion: Int = 2
+  def nearDupBucketPrefix(bands: Int, rowsPerBand: Int): String =
+    s"$bands:$rowsPerBand"
+
+  /** Book replay state (`BookEngine`'s ReplayState on both the
+    * flatMapGroupsWithState and transformWithState paths). v1 — never
+    * broken since introduction. */
+  val BookReplayStateVersion: Int = 1
+
+  /** Canonical-assignment chain state (`CurationStream`'s Keeper /
+    * cluster / CanonState value states). v1 — never broken since
+    * introduction. */
+  val CurationCanonicalStateVersion: Int = 1
+}

@@ -46,8 +46,9 @@ object Watermarked {
           concat_ws("|", col("sequence"), unix_micros(col("exchangeTs")),
             col("price"), col("volume"), col("side")))
           .otherwise(lit("")))
-      .dropDuplicatesWithinWatermark(
-        "exchange", "productId", "tradeId", "__idless_key")
+      // key columns from StateSchemas.TradeDedupKey (v2) — the one
+      // definition of this operator's checkpoint-pinned key schema
+      .dropDuplicatesWithinWatermark(StateSchemas.TradeDedupKey)
       .drop("__idless_key")
       .as[TradeOut]
   }

@@ -329,4 +329,46 @@ class ScaleSpec extends AnyFunSuite {
     assert(!cc.contains("CartesianProduct"), cc)
     operators.Staged.reset(spark)
   }
+
+  test("IVF probed-fraction rule holds at a second operating point (r13 verdict #3)") {
+    import operators.{IvfConfig, SimilarityQueries}
+    // The deployment rule's actual claim: recall@5 is a function of the
+    // PROBED FRACTION (nprobe/nlist), approximately independent of nlist
+    // itself — that is what lets a deployment reuse a curve measured at
+    // its own operating point via IvfConfig(sweep = ...). Validate on the
+    // base corpus (nlist = 5) against a 4x-denser quantizer (nlist = 20)
+    // at pairwise-equal fractions.
+    operators.Staged.reset(spark)
+    val a = IvfConfig.Default
+    val b = IvfConfig(centroidEvery = 25L)
+    def nlistOf(cfg: IvfConfig): Long =
+      SimilarityQueries.normed(spark, sf).filter(cfg.centroidFilter).count()
+    val (na, nb) = (nlistOf(a), nlistOf(b))
+    assert(na === 5L && nb === 20L, s"operating points moved: $na, $nb")
+    val fractions = Seq(0.2, 0.4)
+    def sweep(cfg: IvfConfig, nlist: Long): Seq[Double] =
+      ScaleBench.ivfRecallSweep(spark, sf,
+        fractions.map(f => math.round(f * nlist).toInt), cfg).map(_._2)
+    val ra = sweep(a, na)
+    val rb = sweep(b, nb)
+    info(f"recall at fractions $fractions: nlist=$na -> $ra, nlist=$nb -> $rb")
+    for (((f, x), y) <- fractions.zip(ra).zip(rb))
+      assert(math.abs(x - y) <= 0.2,
+        f"recall at probed fraction $f diverged across nlist $na vs $nb: " +
+          f"$x%.3f vs $y%.3f — the probed-fraction rule does not transfer")
+    // both curves must be usable for inversion: recall non-decreasing in
+    // the probed fraction
+    assert(ra === ra.sorted, s"nlist=$na curve not monotone: $ra")
+    assert(rb === rb.sorted, s"nlist=$nb curve not monotone: $rb")
+    // and a curve measured at one operating point drives the config end
+    // to end at the other (sweep injection round-trip)
+    val injected = IvfConfig(centroidEvery = 25L,
+      recallTarget = Some(math.min(0.85, ra.last - 0.01)),
+      sweep = fractions.zip(ra))
+    assert(injected.effectiveProbeFraction > 0 &&
+      injected.effectiveProbeFraction <= 1)
+    val got = SimilarityQueries.ivfTunedTopKWith(spark, sf, injected)
+    assert(got.count() === 50, "10 queries x top-5 under the injected curve")
+    operators.Staged.reset(spark)
+  }
 }

@@ -961,4 +961,61 @@ class CurationStreamSpec extends AnyFunSuite {
         s"canonicalTable read latency grew with batch count: $latencies ms")
     }
   }
+
+  test("near-dup gate under a degenerate identical-content burst: per-batch cost stays O(rows) (r13 verdict #5)") {
+    // The batch hot-bucket guard does not apply to streaming; the
+    // near-dup gate's safety there is structural — one keeper per band
+    // bucket, O(1) work per probe — but a boilerplate burst concentrates
+    // EVERY probe of every batch on the same B band keys. Soak exactly
+    // that: 10 micro-batches x 1,000 identical-content docs (all four
+    // band buckets hot from batch 0 on), and assert per-batch wall time
+    // stays flat-ish (late batches, probing against fully-hot state,
+    // must sit in the early batches' regime) and the whole burst costs
+    // the same order as a same-size DIVERSE control (unique texts, no
+    // collisions). A per-key quadratic would fail both.
+    withRocksDb {
+      val baseMs = ts("2024-05-01 10:00:00").getTime
+      def runGate(text: Long => String, tag: String): Seq[Double] = {
+        val input = MemoryStream[DocIn]
+        val q = CurationStream.nearDedup(input.toDS()).writeStream
+          .outputMode("append").format("memory")
+          .queryName(s"burst_soak_$tag").start()
+        val durations = scala.collection.mutable.ArrayBuffer.empty[Double]
+        try {
+          for (b <- 0 until 10) {
+            input.addData((0 until 1000).map { i =>
+              val id = b * 1000L + i
+              // 10 ms of event time per doc: the burst spans 100 s, far
+              // inside the horizon — every probe consults live state
+              DocIn(id, "burst", text(id), new Timestamp(baseMs + id * 10L))
+            }: _*)
+            val t0 = System.nanoTime()
+            q.processAllAvailable()
+            durations += (System.nanoTime() - t0) / 1e9
+          }
+        } finally q.stop()
+        durations.toSeq
+      }
+      val burst = runGate(_ =>
+        "the quick brown fox jumps over the lazy dog with boilerplate " +
+          "license footer text", "b")
+      val control = runGate(id =>
+        s"the u${id}alpha u${id}beta u${id}gamma the u${id}delta", "c")
+      // exactly one burst doc survives (batch 0's earliest keeps every
+      // bucket; all later probes hit) — the gate's DECISION stays right
+      // under the burst, not just bounded
+      assert(spark.table("burst_soak_b").count() === 1L,
+        "identical-content burst must collapse to one kept doc")
+      assert(spark.table("burst_soak_c").count() === 10000L,
+        "diverse control must keep every doc")
+      def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      val early = med(burst.take(3))
+      val late = med(burst.takeRight(3))
+      assert(late <= math.max(3.0 * early, early + 2.0),
+        s"per-batch burst latency grew with batches: $burst")
+      assert(burst.sum <= 3.0 * control.sum + 5.0,
+        s"burst cost left the O(rows) regime: burst=${burst.sum}s " +
+          s"control=${control.sum}s")
+    }
+  }
 }
