@@ -170,6 +170,44 @@ object Staged {
     } finally s.close()
   }
 
+  /** Garbage-collect the persistent stage root: delete every fingerprint
+    * subtree that does not correspond to one of `liveDirs`' CURRENT
+    * fingerprints (a regenerated corpus leaves its old subtree stranded
+    * forever otherwise — same hygiene as any warehouse staging area's
+    * retention sweep). Also removes orphaned `.tmp-*` publish leftovers
+    * of live subtrees (a crashed build's temp dir never wins a rename).
+    * Returns the deleted top-level entries. Safe to run while sessions
+    * are reading: a reader of a LIVE fingerprint is untouched, and a
+    * reader of a STALE one is mid-query on data whose corpus was already
+    * regenerated — it re-stages on its next construction. */
+  def gc(root: String, liveDirs: Seq[String]): Seq[String] = {
+    val rootPath = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(rootPath)) return Seq.empty
+    val live = liveDirs.map(fingerprint).toSet
+    val s = java.nio.file.Files.list(rootPath)
+    val entries = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toList
+    } finally s.close()
+    val deleted = entries.filter { p =>
+      val name = p.getFileName.toString
+      val stale = !live.contains(name)
+      if (stale) deleteRecursively(p)
+      else {
+        // inside a live subtree, sweep only crashed publishes
+        val inner = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          inner.iterator().asScala
+            .filter(_.getFileName.toString.contains(".tmp-"))
+            .foreach(deleteRecursively)
+        } finally inner.close()
+      }
+      stale
+    }
+    deleted.map(_.getFileName.toString)
+  }
+
   /** Drop every staged entry belonging to `spark`, unpersisting any
     * materialized checkpoint blocks — dropping only the map entry would
     * leave the previous pass's RDD blocks in the block manager until the

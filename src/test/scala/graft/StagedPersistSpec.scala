@@ -93,4 +93,90 @@ class StagedPersistSpec extends AnyFunSuite {
       Staged.reset(spark)
     }
   }
+
+  test("persist mode: concurrent builders of one stage publish exactly one table; losers read the winner") {
+    val stageRoot = Files.createTempDirectory("stage_root_race").toString
+    val dataDir = Files.createTempDirectory("stage_data_race")
+    Files.write(dataDir.resolve("part-0.parquet"), "y".getBytes)
+    Staged.evict(spark)
+    Staged.enablePersist(stageRoot)
+    try {
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      // N threads race the SAME (dir, stage) cold key: the in-session memo
+      // is checked under a lock but builds run outside it, so several
+      // builders may run — each writes a temp sibling and exactly one
+      // atomic-rename wins; the rest must read the winner, not corrupt it
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val results = (1 to 4).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            override def call(): Long =
+              Staged(spark, dataDir.toString, "race-stage") {
+                builds.incrementAndGet()
+                spark.range(500).toDF()
+              }.count()
+          })
+        }
+        assert(results.map(_.get()).forall(_ === 500L))
+      } finally pool.shutdown()
+      // exactly one published table, zero surviving temp dirs
+      val fp = Staged.fingerprint(dataDir.toString)
+      val entries = Paths.get(stageRoot, fp).toFile.list().toSeq
+      assert(entries.count(_.startsWith("race-stage")) === 1 &&
+        !entries.exists(_.contains(".tmp-")),
+        s"publish race left a dirty stage dir: $entries")
+      // reread after reset still hits the one table
+      Staged.reset(spark)
+      val again = Staged(spark, dataDir.toString, "race-stage") {
+        builds.incrementAndGet(); spark.range(500).toDF()
+      }
+      assert(again.count() === 500L)
+      assert(builds.get() <= 4, "post-publish read must not rebuild")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("persist mode: gc removes stale fingerprint subtrees and orphaned publishes, keeps live ones") {
+    val stageRoot = Files.createTempDirectory("stage_root_gc").toString
+    val dataDir = Files.createTempDirectory("stage_data_gc")
+    Files.write(dataDir.resolve("part-0.parquet"), "z".getBytes)
+    Staged.evict(spark)
+    Staged.enablePersist(stageRoot)
+    try {
+      Staged(spark, dataDir.toString, "gc-stage") {
+        spark.range(10).toDF()
+      }.count()
+      val fpOld = Staged.fingerprint(dataDir.toString)
+      // corpus regen: old subtree goes stale
+      Files.setLastModifiedTime(dataDir.resolve("part-0.parquet"),
+        FileTime.fromMillis(System.currentTimeMillis() + 7000))
+      Staged.reset(spark)
+      Staged(spark, dataDir.toString, "gc-stage") {
+        spark.range(10).toDF()
+      }.count()
+      val fpNew = Staged.fingerprint(dataDir.toString)
+      assert(fpOld !== fpNew)
+      // plant a crashed publish inside the LIVE subtree
+      val orphan = Paths.get(stageRoot, fpNew, "gc-stage-xxxxxx.tmp-dead")
+      Files.createDirectories(orphan)
+      Files.write(orphan.resolve("junk"), "j".getBytes)
+      val deleted = Staged.gc(stageRoot, Seq(dataDir.toString))
+      assert(deleted === Seq(fpOld),
+        s"gc must delete exactly the stale subtree: $deleted")
+      val kept = Paths.get(stageRoot).toFile.list().toSeq
+      assert(kept === Seq(fpNew), s"live subtree must survive gc: $kept")
+      assert(!Paths.get(stageRoot, fpNew).toFile.list()
+        .exists(_.contains(".tmp-")), "orphaned publish must be swept")
+      // the live stage still reads
+      Staged.reset(spark)
+      assert(Staged(spark, dataDir.toString, "gc-stage") {
+        spark.range(10).toDF()
+      }.count() === 10L)
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
 }
