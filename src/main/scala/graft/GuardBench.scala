@@ -51,19 +51,25 @@ object GuardBench {
       .lshBandsFrom(graft.functions.TextHashing.shingleSetsRaw(docs))
       .localCheckpoint(eager = true)
 
-    def time(threshold: Long): (Double, Long) = {
+    def time(threshold: Long, anchors: Int = 2): (Double, Long) = {
       val runs = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         val n = graft.functions.TextHashing
-          .candidatePairsFromBands(functions.Materialized(bt), threshold).count()
+          .candidatePairsFromBands(functions.Materialized(bt), threshold,
+            hotBucketAnchors = anchors).count()
         ((System.nanoTime() - t0) / 1e9, n)
       }
       (Bench.median(runs.map(_._1)), runs.head._2)
     }
     val (guardedSec, guardedPairs) = time(functions.TextHashing.HotBucketDefault)
+    // the anchor-robustness knob's cost (r13 verdict #4): 4 anchors takes
+    // the window-ranked general path and roughly doubles star edges —
+    // both should stay linear in the bucket, nowhere near the quadratic
+    val (anchor4Sec, anchor4Pairs) =
+      time(functions.TextHashing.HotBucketDefault, anchors = 4)
     val (bruteSec, brutePairs) = time(Long.MaxValue)
     spark.stop()
-    println(f"""{"metric":"hot_bucket_guard","hot_docs":$hot,"unique_docs":$uniq,"passes":$passes,"calib_sec":$calibSec%.3f,"guarded_sec":$guardedSec%.3f,"brute_sec":$bruteSec%.3f,"guarded_pairs":$guardedPairs,"brute_pairs":$brutePairs,"speedup":${bruteSec / guardedSec}%.1f}""")
+    println(f"""{"metric":"hot_bucket_guard","hot_docs":$hot,"unique_docs":$uniq,"passes":$passes,"calib_sec":$calibSec%.3f,"guarded_sec":$guardedSec%.3f,"anchor4_sec":$anchor4Sec%.3f,"brute_sec":$bruteSec%.3f,"guarded_pairs":$guardedPairs,"anchor4_pairs":$anchor4Pairs,"brute_pairs":$brutePairs,"speedup":${bruteSec / guardedSec}%.1f}""")
     System.out.flush()
   }
 }
