@@ -69,11 +69,28 @@ object Staged {
 
   private[graft] def persistEnabled: Boolean = persistRoot.isDefined
 
+  // Fingerprints memoized until the next evict/reset: a cold pipeline
+  // build touches a dozen stages, and re-walking the input listing per
+  // stage adds nothing — within-session corpus stability is already the
+  // staging contract (the in-session localCheckpoint mode has no
+  // invalidation at all). evict() clears it, so a regenerated corpus is
+  // picked up at the same boundary every other staged artifact is.
+  private val fpMemo = scala.collection.mutable.HashMap.empty[String, String]
+
   /** Digest of the input directory's recursive file listing — the
     * corpus-identity half of the persistent stage key. Only name, size and
     * mtime are read (no data scan): the same cheap invariant a warehouse
-    * staging layer keys its freshness on. */
-  private[graft] def fingerprint(dir: String): String = {
+    * staging layer keys its freshness on. Memoized per input dir until
+    * the next [[evict]]/[[reset]]. */
+  private[graft] def fingerprint(dir: String): String =
+    fpMemo.synchronized(fpMemo.get(dir)) match {
+      case Some(v) => v
+      case None =>
+        val v = fingerprintUncached(dir)
+        fpMemo.synchronized(fpMemo.getOrElseUpdate(dir, v))
+    }
+
+  private def fingerprintUncached(dir: String): String = {
     val root = java.nio.file.Paths.get(dir)
     val md = java.security.MessageDigest.getInstance("MD5")
     if (java.nio.file.Files.isDirectory(root)) {
@@ -183,7 +200,9 @@ object Staged {
   def gc(root: String, liveDirs: Seq[String]): Seq[String] = {
     val rootPath = java.nio.file.Paths.get(root)
     if (!java.nio.file.Files.isDirectory(rootPath)) return Seq.empty
-    val live = liveDirs.map(fingerprint).toSet
+    // CURRENT fingerprints, never the session memo: a stale memo here
+    // could mark another session's freshly built subtree as garbage
+    val live = liveDirs.map(fingerprintUncached).toSet
     val s = java.nio.file.Files.list(rootPath)
     val entries = try {
       import scala.jdk.CollectionConverters._
@@ -242,9 +261,12 @@ object Staged {
     // The counted gates' auto-pins and gate-internal checkpoints share
     // this lifecycle (r13 ADVICE — they previously waited on the
     // ContextCleaner), as does the guard's probe memo (its entries key on
-    // plans whose checkpoint RDDs the lines above may just have freed).
+    // plans whose checkpoint RDDs the lines above may just have freed)
+    // and the persist-mode fingerprint memo (a corpus regenerated between
+    // resets must re-fingerprint).
     graft.functions.Materialized.releaseAll(spark)
     graft.functions.TextHashing.clearProbeMemo(spark)
+    fpMemo.synchronized(fpMemo.clear())
   }
 
   /** Bench hook: make every pass pay the stage-build cost, so per-query
@@ -255,6 +277,7 @@ object Staged {
     memo.synchronized(memo.clear())
     graft.functions.Materialized.clearAll()
     graft.functions.TextHashing.clearProbeMemoAll()
+    fpMemo.synchronized(fpMemo.clear())
   }
 
   private[graft] def isStaged(spark: SparkSession, dir: String,

@@ -45,12 +45,17 @@ class StagedPersistSpec extends AnyFunSuite {
       }
       assert(builds === 2 && other.count() === 7)
       // INVALIDATION: touching the corpus moves the fingerprint, so every
-      // stage rebuilds under the new subtree
+      // stage rebuilds under the new subtree. The fingerprint is memoized
+      // within a session segment, so the change is picked up at the
+      // reset boundary — the same boundary every staged artifact obeys.
       val before = Staged.fingerprint(dataDir.toString)
       Files.setLastModifiedTime(dataDir.resolve("part-0.parquet"),
         FileTime.fromMillis(System.currentTimeMillis() + 5000))
-      assert(Staged.fingerprint(dataDir.toString) !== before)
+      assert(Staged.fingerprint(dataDir.toString) === before,
+        "fingerprint is memoized until the next reset")
       Staged.reset(spark)
+      assert(Staged.fingerprint(dataDir.toString) !== before,
+        "reset must re-read the corpus fingerprint")
       stage()
       assert(builds === 3, "corpus change must invalidate the stage")
     } finally {
