@@ -184,4 +184,37 @@ class StagedPersistSpec extends AnyFunSuite {
       Staged.reset(spark)
     }
   }
+
+  test("persist mode: column pruning reaches through the stage boundary") {
+    // The quantified payoff of memoizing persisted stages as parquet
+    // SCANS: a consumer projecting two narrow columns of the staged
+    // normalized-embeddings table (vec_id, norm) must NOT read the
+    // 64-double vector column — impossible with the in-session pinned
+    // LogicalRDD, where the stage boundary is opaque to Catalyst. At
+    // 100 TB this is the difference between scanning the ids of an
+    // embedding corpus and scanning the corpus.
+    val stageRoot = Files.createTempDirectory("stage_root_prune").toString
+    operators.Staged.evict(spark)
+    Staged.enablePersist(stageRoot)
+    try {
+      val slim = operators.SimilarityQueries.normed(spark, sf)
+        .select("vec_id", "norm")
+      val plan = slim.queryExecution.executedPlan.toString
+      assert(plan.contains("FileScan parquet"), plan)
+      val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+      assert(readSchema.contains("vec_id") && readSchema.contains("norm") &&
+        !readSchema.contains("emb"),
+        s"staged scan must prune the vector column: $readSchema")
+      Staged.disablePersist()
+      Staged.reset(spark)
+      // control: the in-session stage cannot prune (pinned blocks carry
+      // every column) — this asymmetry is the persist mode's claim
+      val sessionPlan = operators.SimilarityQueries.normed(spark, sf)
+        .select("vec_id", "norm").queryExecution.executedPlan.toString
+      assert(!sessionPlan.contains("FileScan parquet"), sessionPlan)
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
 }
