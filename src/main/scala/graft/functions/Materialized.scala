@@ -35,11 +35,33 @@ object Materialized {
 
   /** True when `df` is already backed by pinned blocks — cached, or a
     * (possibly lazy) localCheckpoint/Staged LogicalRDD — so counting it
-    * is a cached-block job, not a lineage re-drive. */
+    * is a cached-block job, not a lineage re-drive. A BARE file relation
+    * (a persisted `Staged` table read back as a parquet scan) counts as
+    * materialized too: re-driving it is a plain scan of an
+    * already-written table, which is exactly the contract — pinning a
+    * localCheckpoint copy of it would double-store the stage in the
+    * block manager for nothing (and at 100 TB you don't pin a staging
+    * table in memory; you scan it). */
   def isPinned(df: DataFrame): Boolean =
     df.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
       df.queryExecution.logical
-        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD] ||
+      isBareRelation(df.queryExecution.analyzed)
+
+  /** A leaf relation (optionally alias-wrapped): a scan of stored data,
+    * nothing derived on top. Deliberately conservative — a Project or
+    * Filter above the scan means derivation whose double-drive cost this
+    * type exists to prevent. */
+  private def isBareRelation(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    plan match {
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        isBareRelation(a.child)
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        true
+      case r if r.getClass.getSimpleName == "DataSourceV2Relation" => true
+      case _ => false
+    }
 
   /** Wrap `df` as materialized: a no-op for already-pinned frames; anything
     * else gets a LAZY localCheckpoint (the gate's construction-time job is

@@ -217,4 +217,27 @@ class StagedPersistSpec extends AnyFunSuite {
       Staged.reset(spark)
     }
   }
+
+  test("persist mode: wrapping a staged parquet scan in Materialized is a no-op (no redundant pin)") {
+    import graft.functions.Materialized
+    val stageRoot = Files.createTempDirectory("stage_root_nopin").toString
+    operators.Staged.evict(spark)
+    Staged.enablePersist(stageRoot)
+    try {
+      val staged = Staged(spark, sf, "nopin-stage") {
+        Tables.documents(spark, sf).select("doc_id")
+      }
+      assert(Materialized.isPinned(staged),
+        "a persisted stage scan is materialized by definition")
+      val before = Materialized.adoptedCount(spark)
+      assert(Materialized(staged).df eq staged,
+        "the wrap must not localCheckpoint-copy a persisted stage")
+      assert(Materialized.adoptedCount(spark) === before)
+      // but anything DERIVED from the scan is not bare and still pins
+      assert(!Materialized.isPinned(staged.filter("doc_id > 0")))
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
 }
