@@ -190,9 +190,10 @@ class TextHashingSpec extends AnyFunSuite {
       val docs = docsDf(texts)
       val sh = TextHashing.shingleSetsRaw(docs).localCheckpoint(eager = true)
       val bt = TextHashing.lshBandsFrom(sh).localCheckpoint(eager = true)
-      def comps(threshold: Long): Map[Long, Long] = {
+      def comps(threshold: Long, anchors: Int = 2): Map[Long, Long] = {
         val pairs = TextHashing.candidatePairsFromBands(
-          graft.functions.Materialized(bt), threshold)
+          graft.functions.Materialized(bt), threshold,
+          hotBucketAnchors = anchors)
         val verified = TextHashing.jaccardOnCandidates(sh,
             graft.functions.Materialized(pairs))
           .filter(col("jaccard") >= 0.7)
@@ -202,7 +203,12 @@ class TextHashingSpec extends AnyFunSuite {
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       }
       val brute = comps(Long.MaxValue)
-      Seq(1L, 3L).forall(t => comps(t) == brute)
+      // every anchor count preserves the closure on duplicate clusters
+      // (anchors are true members here; the planted-false-anchor case is
+      // the dedicated spec below) — including the 1-anchor and window-
+      // ranked general (>2) paths
+      Seq(1L, 3L).forall(t => comps(t) == brute) &&
+        Seq(1, 3, 4).forall(a => comps(1L, a) == brute)
     })
   }
 
