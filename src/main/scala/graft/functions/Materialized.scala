@@ -76,7 +76,7 @@ object Materialized {
     * symmetrized CC edge table, the final CC label table a returned plan
     * references) so they share the Staged lifecycle instead of waiting on
     * the ContextCleaner. */
-  private[functions] def adopt(df: DataFrame): DataFrame = {
+  private[graft] def adopt(df: DataFrame): DataFrame = {
     adopted.synchronized {
       adopted(df.sparkSession) = df :: adopted.getOrElse(df.sparkSession, Nil)
     }

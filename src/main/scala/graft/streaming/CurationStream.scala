@@ -440,19 +440,25 @@ object CurationStream {
       batchAssigned: Option[org.apache.spark.sql.DataFrame])
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val m = upserts.select(col("docId").as("doc_id"),
-      col("clusterId").as("cluster_id"), col("nTok").as("n_tok"),
-      col("fetchTs").as("fetch_ts"), col("seq"))
-      .localCheckpoint(true)
+    // both per-call checkpoints are adopted into the Staged lifecycle:
+    // the returned patch/deferred frames reference them, so they cannot
+    // be freed here — before adoption they waited on the ContextCleaner
+    // (the r13-ADVICE memory-pressure class)
+    val m = graft.functions.Materialized.adopt(
+      upserts.select(col("docId").as("doc_id"),
+        col("clusterId").as("cluster_id"), col("nTok").as("n_tok"),
+        col("fetchTs").as("fetch_ts"), col("seq"))
+        .localCheckpoint(true))
     val vertices = m.select(col("doc_id"))
       .union(m.select(col("cluster_id").as("doc_id"))).distinct()
     // the component labels feed the election, the present-filter AND the
     // taint split — checkpoint once so the propagation never re-runs
-    val comp = graft.functions.TextHashing.connectedComponents(vertices,
-      graft.functions.Materialized(
-        m.filter(col("doc_id") =!= col("cluster_id"))
-          .select(col("doc_id").as("src"), col("cluster_id").as("dst"))))
-      .localCheckpoint(true)
+    val comp = graft.functions.Materialized.adopt(
+      graft.functions.TextHashing.connectedComponents(vertices,
+        graft.functions.Materialized(
+          m.filter(col("doc_id") =!= col("cluster_id"))
+            .select(col("doc_id").as("src"), col("cluster_id").as("dst"))))
+        .localCheckpoint(true))
     // seq is a PER-CLUSTER counter, so for a doc observed in two clusters
     // at the same fetch_ts the seq comparison is between incomparable
     // counters — cluster_id breaks that tie deterministically (smallest
@@ -649,17 +655,21 @@ object CurationStream {
     val foldedIds = folded.select(col("batch_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).filter(_ != CompactedBatchId)
     if (foldedIds.isEmpty) return
-    folded
+    // lineage cut: Spark refuses to overwrite a path it is reading from.
+    // Consumed entirely within this call, so the checkpoint is released
+    // as soon as the fold is written — a long-running sink compacting on
+    // cadence must not accrete one table-sized checkpoint per fold.
+    val fold = folded
       .withColumn("rn", row_number().over(Window.partitionBy(col("clusterId"))
         .orderBy(col("seq").desc, col("batch_id").desc)))
       .filter(col("rn") === 1).drop("rn")
       .withColumn("batch_id", lit(CompactedBatchId))
-      // lineage cut: Spark refuses to overwrite a path it is reading from
       .localCheckpoint(true)
-      .write.mode("overwrite")
+    try fold.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(tableDir)
+    finally graft.functions.Materialized.unpersistCheckpoint(fold)
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     foldedIds.foreach { id =>

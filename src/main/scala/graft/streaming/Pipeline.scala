@@ -171,11 +171,14 @@ object Pipeline {
       s"$tableDir is not a batch_id-partitioned sink table")
     val df = all.filter(col("batch_id") <= upToBatchId)
     val nParts = df.select("batch_id").distinct().count().toInt.max(1)
-    df.repartition(nParts, col("batch_id"))
+    // checkpoint consumed within the call — released after the write
+    // instead of lingering until the ContextCleaner
+    val cut = df.repartition(nParts, col("batch_id"))
       .localCheckpoint(eager = true)
-      .write.mode("overwrite")
+    try cut.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(tableDir)
+    finally graft.functions.Materialized.unpersistCheckpoint(cut)
   }
 }
