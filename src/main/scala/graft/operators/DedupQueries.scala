@@ -33,7 +33,8 @@ object DedupQueries {
     * [[TextHashing.jaccardOnCandidates]]) — so nothing in the pipeline
     * ever shuffles the full corpus' shingle sets just to dedup them. */
   private[graft] def shinglesStage(spark: SparkSession, dir: String): DataFrame =
-    Staged(spark, dir, "shingles_raw") {
+    Staged.appendable(spark, dir, "shingles_raw", "documents")(
+      docs => TextHashing.shingleSetsRaw(docs)) {
       TextHashing.shingleSetsRaw(Tables.documents(spark, dir))
     }
 
@@ -42,7 +43,11 @@ object DedupQueries {
     * stage (vs the bare localCheckpoint it replaced) lets `Staged.reset`
     * free the blocks. */
   private def bandsStage(spark: SparkSession, dir: String): DataFrame =
-    Staged(spark, dir, "lsh_bands") {
+    Staged.appendable(spark, dir, "lsh_bands", "documents")(
+      // delta: re-shingle only the appended docs (delta-sized work; the
+      // in-session/cold path below still reads the staged shingle table)
+      docs => TextHashing.lshBandsFrom(
+        TextHashing.shingleSetsRaw(docs), B, R)) {
       TextHashing.lshBandsFrom(shinglesStage(spark, dir), B, R)
     }
 
@@ -62,7 +67,8 @@ object DedupQueries {
 
   /** SimHash fingerprint table (shared by the fingerprint + pairs queries). */
   private def simhashStage(spark: SparkSession, dir: String): DataFrame =
-    Staged(spark, dir, "simhash") {
+    Staged.appendable(spark, dir, "simhash", "documents")(
+      docs => TextHashing.simhash(docs)) {
       TextHashing.simhash(Tables.documents(spark, dir))
     }
 

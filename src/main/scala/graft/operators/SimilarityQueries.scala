@@ -147,16 +147,23 @@ object SimilarityQueries {
     * vec_dot — same left-to-right fold, ~50× the interpreted lambda).
     * Staged once per session: all three index variants (and the cosine
     * dedup) read the same normalized table, as they would at 100 TB. */
+  /** The one normalization rule (raw embeddings → vec_id, label, emb,
+    * norm) — shared by the full build and the append-delta build. Drops
+    * the raw float column BEFORE materialization: pruning cannot reach
+    * through a checkpoint, and no consumer reads it — left in, every
+    * staged block carries a dead 64-float array. */
+  private def normTransform(raw: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(raw.sparkSession)
+    raw.withColumn("emb", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      .withColumn("norm", expr("sqrt(vec_dot(emb, emb))"))
+      .select(col("vec_id"), col("label"), col("emb"), col("norm"))
+  }
+
   private[graft] def normed(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
-    Staged(spark, dir, "normed_embeddings") {
-      Tables.embeddings(spark, dir)
-        .withColumn("emb", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
-        .withColumn("norm", expr("sqrt(vec_dot(emb, emb))"))
-        // drop the raw float column BEFORE the checkpoint: pruning cannot
-        // reach through the materialized LogicalRDD, and no consumer reads
-        // it — left in, every staged block carries a dead 64-float array
-        .select(col("vec_id"), col("label"), col("emb"), col("norm"))
+    Staged.appendable(spark, dir, "normed_embeddings", "embeddings")(
+      normTransform) {
+      normTransform(Tables.embeddings(spark, dir))
     }
   }
 
@@ -169,12 +176,15 @@ object SimilarityQueries {
     * double vector (same formula as `ann_topk_int8`'s original inline
     * form); the integer dot (≤ 127²·64 ≪ 2^53) is exact — rank order is
     * bit-stable across engines, unlike float cosine. */
+  private def quantTransform(n: DataFrame): DataFrame =
+    n.withColumn("q8", expr(
+        "transform(emb, v -> greatest(least(floor(v * 64D), 127D), -127D))"))
+      .select(col("vec_id"), col("q8"))
+
   private[operators] def quantized(spark: SparkSession, dir: String): DataFrame =
-    Staged(spark, dir, "q8_embeddings") {
-      normed(spark, dir)
-        .withColumn("q8", expr(
-          "transform(emb, v -> greatest(least(floor(v * 64D), 127D), -127D))"))
-        .select(col("vec_id"), col("q8"))
+    Staged.appendable(spark, dir, "q8_embeddings", "embeddings")(
+      raw => quantTransform(normTransform(raw))) {
+      quantTransform(normed(spark, dir))
     }
 
   /** IVF cell assignment (vec_id, cid, rn ∈ 1..cfg.nprobe) — IDS ONLY,
@@ -298,8 +308,10 @@ object SimilarityQueries {
     * keeping the join a plain (tbl, bucket) shuffle key. The dot products
     * are vec_dot folds over literal plane matrices — one narrow projection,
     * no shuffle, before the single explode. */
-  private def buckets(spark: SparkSession, dir: String): DataFrame = {
-    val e = normed(spark, dir)
+  private def buckets(spark: SparkSession, dir: String): DataFrame =
+    bucketsFrom(normed(spark, dir))
+
+  private def bucketsFrom(e: DataFrame): DataFrame = {
     val tables = (0 until NumTables).map { t =>
       val bits = (0 until NumPlanes).map { p =>
         val w = (1 to Dim)
@@ -323,7 +335,10 @@ object SimilarityQueries {
       val e = normed(spark, dir)
       // named stage (not a bare localCheckpoint): referenced as both sides
       // of the bucket join, and reset-freeable like every other stage
-      val b = Staged(spark, dir, "lsh_sign_buckets") { buckets(spark, dir) }
+      val b = Staged.appendable(spark, dir, "lsh_sign_buckets",
+        "embeddings")(raw => bucketsFrom(normTransform(raw))) {
+        buckets(spark, dir)
+      }
       // candidates = union over tables of same-bucket pairs, deduped
       val cand = b.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))

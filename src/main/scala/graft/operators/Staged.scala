@@ -147,6 +147,219 @@ object Staged {
     }
   }
 
+  /** Append-aware build-or-reuse for ROW-DISTRIBUTIVE stages (r14).
+    *
+    * Contract: `deltaBuild` must be distributive over the source's rows —
+    * `deltaBuild(a ∪ b) == deltaBuild(a) ∪ deltaBuild(b)` — which holds
+    * for every per-document / per-vector transform (shingling, MinHash
+    * banding, SimHash, tokenization, embedding normalization) and fails
+    * for anything corpus-level (candidate pairs, components, IDF, IVF
+    * centroids — those stay on [[apply]] and rebuild, the documented
+    * design split in SCALE.md).
+    *
+    * Why: at 100 TB the corpus grows by APPENDED part files (a crawl
+    * drop); re-hashing 100 TB because 1 TB arrived is the exact cost a
+    * persisted staging layer exists to avoid. Under persist mode this
+    * stage is a MANIFEST of parquet segments: a cold build writes one
+    * segment; when the source's change since a previous fingerprint is
+    * pure file-append (every old part file present, byte-identical by
+    * size+mtime), only the NEW files are run through `deltaBuild` into a
+    * new segment and the manifest references the prior fingerprint's
+    * segments in place — no data copy, Iceberg-style metadata reuse.
+    * Any in-place modification or deletion of an old part file falls
+    * back to a full cold build (invalidation by construction, as
+    * before). [[gc]] retains stale fingerprint subtrees whose segments a
+    * live manifest still references.
+    *
+    * Default (in-session) mode is byte-for-byte the historical
+    * behavior: `fullBuild` under a lazy localCheckpoint — `deltaBuild`
+    * is never invoked, so the oracle-checked default path cannot drift.
+    *
+    * @param source table name under `dir` (e.g. "documents" →
+    *   `dir/documents.parquet`, a bare file or a directory of parts)
+    * @param deltaBuild stage transform applied to a frame holding ONLY
+    *   the appended part files' rows
+    * @param fullBuild the historical whole-source build (may read other
+    *   staged tables; used in-session and for cold persist builds)
+    */
+  def appendable(spark: SparkSession, dir: String, stage: String,
+      source: String)(deltaBuild: DataFrame => DataFrame)(
+      fullBuild: => DataFrame): DataFrame = {
+    val key = (spark, dir, stage)
+    memo.synchronized {
+      val sc = spark.sparkContext
+      if (hooked.add(sc)) sc.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+          onAppEnd()
+      })
+      memo.get(key)
+    } match {
+      case Some(df) => df
+      case None =>
+        val built = persistRoot match {
+          case Some(root) =>
+            persistedAppendable(spark, root, dir, stage, source)(
+              deltaBuild)(fullBuild)
+          case None => fullBuild.localCheckpoint(eager = false)
+        }
+        memo.synchronized(memo.getOrElseUpdate(key, built))
+    }
+  }
+
+  /** Manifest file inside an appendable stage dir: records the source
+    * part-file listing the stage covers and the absolute segment dirs
+    * whose union IS the stage table. Plain line format (no parser deps):
+    * `v1` / `source\trel:size:mtime`* / `segment\tabsPath`*. */
+  private val ManifestName = "_GRAFT_STAGE"
+
+  private final case class Manifest(source: Seq[String], segments: Seq[String])
+
+  private def readManifest(p: java.nio.file.Path): Option[Manifest] = {
+    if (!java.nio.file.Files.exists(p)) return None
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(p).asScala.toList
+    if (lines.headOption.contains("v1")) Some(Manifest(
+      lines.collect { case l if l.startsWith("source\t") => l.drop(7) },
+      lines.collect { case l if l.startsWith("segment\t") => l.drop(8) }))
+    else None
+  }
+
+  private def writeManifest(p: java.nio.file.Path, m: Manifest): Unit = {
+    val body = ("v1" +: (m.source.map("source\t" + _) ++
+      m.segments.map("segment\t" + _))).mkString("\n") + "\n"
+    java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+    ()
+  }
+
+  /** DATA-file listing of the stage's source (`.parquet` parts only —
+    * writer markers like `_SUCCESS` churn on every append and must not
+    * veto delta eligibility). Each entry `rel:size:mtime`. */
+  private def sourceListing(dir: String, source: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(dir, s"$source.parquet")
+    if (java.nio.file.Files.isDirectory(root)) {
+      val s = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map { p =>
+            s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+              s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+          }.toSeq.sorted
+      } finally s.close()
+    } else if (java.nio.file.Files.isRegularFile(root))
+      Seq(s"${root.getFileName}:${java.nio.file.Files.size(root)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(root).toMillis}")
+    else Seq.empty
+  }
+
+  /** Spec instrumentation: (stage, mode) per persist-path resolution,
+    * mode ∈ hit | cold | delta | relink. */
+  private[graft] val buildLog =
+    scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+  private def logBuild(stage: String, mode: String): Unit =
+    buildLog.synchronized { buildLog += ((stage, mode)); () }
+  private[graft] def clearBuildLog(): Unit =
+    buildLog.synchronized { buildLog.clear() }
+  private[graft] def buildLogSnapshot: Seq[(String, String)] =
+    buildLog.synchronized(buildLog.toList)
+
+  /** Best prior fingerprint subtree to delta from: same stage dir, a
+    * readable manifest whose source listing is a subset of `current`
+    * (every old part file still present, identical size+mtime) and whose
+    * segment dirs all still exist. Largest covered listing wins. */
+  private def findDeltaBase(root: String, currentFp: String, stageDir: String,
+      current: Seq[String]): Option[Manifest] = {
+    val rootPath = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(rootPath)) return None
+    val cur = current.toSet
+    val s = java.nio.file.Files.list(rootPath)
+    val candidates = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString != currentFp)
+        .flatMap(p => readManifest(p.resolve(stageDir).resolve(ManifestName)))
+        .filter(m => m.source.nonEmpty && m.source.forall(cur.contains) &&
+          m.segments.forall(seg =>
+            java.nio.file.Files.isDirectory(java.nio.file.Paths.get(seg))))
+        .toList
+    } finally s.close()
+    candidates.sortBy(-_.source.size).headOption
+  }
+
+  /** Persist-mode resolution for an appendable stage: manifest hit →
+    * union scan of its segments; append-only growth vs a prior
+    * fingerprint → deltaBuild over only the new part files, prior
+    * segments referenced in place; otherwise cold fullBuild. Publishes
+    * atomically like [[persisted]]. */
+  private def persistedAppendable(spark: SparkSession, root: String,
+      dir: String, stage: String, source: String)(
+      deltaBuild: DataFrame => DataFrame)(
+      fullBuild: => DataFrame): DataFrame = {
+    val fp = fingerprint(dir)
+    val target = java.nio.file.Paths.get(root, fp, stageDirName(stage))
+    readManifest(target.resolve(ManifestName)) match {
+      case Some(m) =>
+        log.info(s"stage hit: $stage <- $target (${m.segments.size} segments)")
+        logBuild(stage, "hit")
+        return spark.read.parquet(m.segments: _*)
+      case None => ()
+    }
+    val current = sourceListing(dir, source)
+    val base =
+      if (current.nonEmpty)
+        findDeltaBase(root, fp, stageDirName(stage), current)
+      else None
+    val tmp = target.resolveSibling(
+      target.getFileName.toString + ".tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    java.nio.file.Files.createDirectories(target.getParent)
+    val manifest = base match {
+      case Some(old) =>
+        val newFiles = current.filterNot(old.source.toSet)
+        if (newFiles.isEmpty) {
+          // pure relink: this fingerprint changed for reasons outside the
+          // source (another table regenerated) — reuse every segment
+          log.info(s"stage relink: $stage reuses ${old.segments.size} " +
+            s"segments (source unchanged)")
+          logBuild(stage, "relink")
+          java.nio.file.Files.createDirectories(tmp)
+          Manifest(current, old.segments)
+        } else {
+          val srcRoot = java.nio.file.Paths.get(dir, s"$source.parquet")
+          val newPaths = newFiles.map(e =>
+            srcRoot.resolve(e.split(':').dropRight(2).mkString(":")).toString)
+          log.info(s"stage delta: $stage builds ${newPaths.size} appended " +
+            s"part files over ${old.segments.size} prior segments")
+          logBuild(stage, "delta")
+          val seg = "seg-" + java.util.UUID.randomUUID().toString.take(8)
+          deltaBuild(spark.read.parquet(newPaths: _*))
+            .write.mode("overwrite").parquet(tmp.resolve(seg).toString)
+          Manifest(current, old.segments :+ target.resolve(seg).toString)
+        }
+      case None =>
+        log.info(s"stage miss: $stage -> building $target (cold)")
+        logBuild(stage, "cold")
+        val seg = "seg-" + java.util.UUID.randomUUID().toString.take(8)
+        fullBuild.write.mode("overwrite").parquet(tmp.resolve(seg).toString)
+        Manifest(current, Seq(target.resolve(seg).toString))
+    }
+    writeManifest(tmp.resolve(ManifestName), manifest)
+    try java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.AccessDeniedException |
+           _: java.nio.file.FileSystemException =>
+        deleteRecursively(tmp)
+    }
+    // read back whatever won the publish race
+    val winner = readManifest(target.resolve(ManifestName)).getOrElse(manifest)
+    spark.read.parquet(winner.segments: _*)
+  }
+
   /** Disk-backed build-or-reuse: hit → parquet scan of the persisted
     * table; miss → run the build ONCE, write to a temp sibling, atomic
     * rename into place (a lost race reads the winner), scan. */
@@ -196,7 +409,10 @@ object Staged {
     * Returns the deleted top-level entries. Safe to run while sessions
     * are reading: a reader of a LIVE fingerprint is untouched, and a
     * reader of a STALE one is mid-query on data whose corpus was already
-    * regenerated — it re-stages on its next construction. */
+    * regenerated — it re-stages on its next construction. Stale subtrees
+    * whose segments a LIVE subtree's appendable-stage manifest still
+    * references are retained (pinned by reference) — deleting them would
+    * break the live stage's union scan. */
   def gc(root: String, liveDirs: Seq[String]): Seq[String] = {
     val rootPath = java.nio.file.Paths.get(root)
     if (!java.nio.file.Files.isDirectory(rootPath)) return Seq.empty
@@ -208,9 +424,31 @@ object Staged {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala.toList
     } finally s.close()
+    // Appendable-stage manifests in LIVE subtrees may reference segments
+    // inside STALE fingerprint subtrees (delta builds reuse prior
+    // segments in place) — those parents are pinned by reference, not
+    // garbage. Collect every fingerprint name a live manifest reaches.
+    val referenced: Set[String] = entries
+      .filter(p => live.contains(p.getFileName.toString))
+      .flatMap { fpDir =>
+        val inner = java.nio.file.Files.list(fpDir)
+        val stages = try {
+          import scala.jdk.CollectionConverters._
+          inner.iterator().asScala.toList
+        } finally inner.close()
+        stages.flatMap(st => readManifest(st.resolve(ManifestName)))
+          .flatMap(_.segments)
+          .flatMap { seg =>
+            val p = java.nio.file.Paths.get(seg)
+            if (p.startsWith(rootPath) &&
+                p.getNameCount > rootPath.getNameCount)
+              Some(p.getName(rootPath.getNameCount).toString)
+            else None
+          }
+      }.toSet
     val deleted = entries.filter { p =>
       val name = p.getFileName.toString
-      val stale = !live.contains(name)
+      val stale = !live.contains(name) && !referenced.contains(name)
       if (stale) deleteRecursively(p)
       else {
         // inside a live subtree, sweep only crashed publishes

@@ -27,11 +27,15 @@ object VocabQueries {
     * makes a query's own multi-branch reads of the tokens (e.g. TF-IDF's
     * df side) hit one explode: the pruned second branch otherwise defeats
     * AQE stage reuse and re-explodes the corpus. */
+  /** One tokenization rule (doc_id, tok) — shared by the in-session/cold
+    * full build and the append-delta build so the two cannot drift. */
+  private def tokenize(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+
   private[operators] def tokens(spark: org.apache.spark.sql.SparkSession,
       dir: String) =
-    Staged(spark, dir, "tokens") {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    Staged.appendable(spark, dir, "tokens", "documents")(tokenize) {
+      tokenize(Tables.documents(spark, dir))
     }
 
   /** Per-document term frequencies (doc_id, tok, tf) — the second persisted
@@ -43,7 +47,12 @@ object VocabQueries {
     * re-aggregating the raw token explode). */
   private[operators] def termFreq(spark: org.apache.spark.sql.SparkSession,
       dir: String) =
-    Staged(spark, dir, "tf") {
+    Staged.appendable(spark, dir, "tf", "documents")(
+      // distributive because doc_id is a grouping key and a document
+      // never spans part files — appended docs' counts are disjoint rows
+      docs => tokenize(docs)
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))) {
       tokens(spark, dir)
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"))

@@ -1,0 +1,287 @@
+package graft
+
+import graft.operators.Staged
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** Incremental append-only staging (r14): when a corpus grows by appended
+  * part files — the 100 TB growth mode, a crawl drop landing next to the
+  * existing parts — row-distributive stages delta-build ONLY the new
+  * files and reference the prior fingerprint's segments by manifest (no
+  * data copy). Any in-place modification still invalidates to a cold
+  * rebuild, and the default in-session mode is untouched.
+  */
+class StagedIncrementalSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  /** Synthetic documents written as a parquet DIRECTORY (the layout
+    * appends happen in), with enough structure for near-dup pipelines:
+    * every doc distinct unless ids are listed in `dupOf`. */
+  private def writeDocs(dir: String, ids: Range, append: Boolean,
+      dupOf: Map[Int, Int] = Map.empty): Unit = {
+    import spark.implicits._
+    val rows = ids.map { i =>
+      val base = dupOf.getOrElse(i, i)
+      val text = s"alpha bravo charlie delta echo foxtrot golf hotel " +
+        s"india juliet kilo lima word$base tail$base end$base"
+      (i.toLong, text, "en", s"src${i % 3}", text.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars").repartition(2)
+      .write.mode(if (append) "append" else "overwrite")
+      .parquet(s"$dir/documents.parquet")
+  }
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("inc_data")
+    d.toString
+  }
+
+  private def modes(stage: String): Seq[String] =
+    Staged.buildLogSnapshot.collect { case (s, m) if s == stage => m }
+
+  test("append-only growth: delta-builds only the new part files, manifest references prior segments in place") {
+    val stageRoot = Files.createTempDirectory("inc_root").toString
+    val dir = freshDir()
+    writeDocs(dir, 0 until 40, append = false)
+    Staged.evict(spark)
+    Staged.enablePersist(stageRoot)
+    try {
+      def stage() = Staged.appendable(spark, dir, "inc@mech", "documents")(
+        docs => docs.selectExpr("doc_id", "length(text) AS n")) {
+        spark.read.parquet(s"$dir/documents.parquet")
+          .selectExpr("doc_id", "length(text) AS n")
+      }
+      Staged.clearBuildLog()
+      assert(stage().count() === 40)
+      assert(modes("inc@mech") === Seq("cold"))
+      val fpOld = Staged.fingerprint(dir)
+
+      // the crawl drop: 10 appended docs, old part files untouched
+      writeDocs(dir, 40 until 50, append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val grown = stage()
+      assert(modes("inc@mech") === Seq("delta"),
+        s"append must delta-build, got ${Staged.buildLogSnapshot}")
+      assert(grown.count() === 50)
+      val fpNew = Staged.fingerprint(dir)
+      assert(fpOld !== fpNew)
+      // the new manifest references the OLD fingerprint's segment in place
+      val manifest = Files.readAllLines(Paths.get(stageRoot, fpNew)
+        .toFile.listFiles().filter(_.getName.startsWith("inc_mech"))
+        .head.toPath.resolve("_GRAFT_STAGE"))
+      import scala.jdk.CollectionConverters._
+      val segs = manifest.asScala.filter(_.startsWith("segment\t"))
+      assert(segs.size === 2, s"expected 2 segments: $segs")
+      assert(segs.exists(_.contains(fpOld)),
+        s"prior segment must be referenced, not copied: $segs")
+      // value parity with a full cold rebuild in a pristine root
+      val incRows = grown.collect().map(_.toString).sorted.toSeq
+      Staged.disablePersist()
+      Staged.reset(spark)
+      Staged.enablePersist(Files.createTempDirectory("inc_root_cold").toString)
+      Staged.clearBuildLog()
+      val coldRows = stage().collect().map(_.toString).sorted.toSeq
+      assert(modes("inc@mech") === Seq("cold"))
+      assert(incRows === coldRows, "delta union must equal a cold rebuild")
+      // and warm rereads hit
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      stage().count()
+      assert(modes("inc@mech") === Seq("hit"))
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("in-place modification of an old part file falls back to a cold rebuild") {
+    val stageRoot = Files.createTempDirectory("inc_root_mod").toString
+    val dir = freshDir()
+    writeDocs(dir, 0 until 20, append = false)
+    Staged.evict(spark)
+    Staged.enablePersist(stageRoot)
+    try {
+      def stage() = Staged.appendable(spark, dir, "inc@mod", "documents")(
+        docs => docs.selectExpr("doc_id")) {
+        spark.read.parquet(s"$dir/documents.parquet").selectExpr("doc_id")
+      }
+      Staged.clearBuildLog()
+      stage().count()
+      assert(modes("inc@mod") === Seq("cold"))
+      // REWRITE (not append): every part file replaced
+      writeDocs(dir, 0 until 25, append = false)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(stage().count() === 25)
+      assert(modes("inc@mod") === Seq("cold"),
+        s"a rewritten source must cold-rebuild, got ${Staged.buildLogSnapshot}")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("source-unchanged fingerprint move relinks every segment without building") {
+    val stageRoot = Files.createTempDirectory("inc_root_rel").toString
+    val dir = freshDir()
+    writeDocs(dir, 0 until 15, append = false)
+    Staged.evict(spark)
+    Staged.enablePersist(stageRoot)
+    try {
+      def stage() = Staged.appendable(spark, dir, "inc@rel", "documents")(
+        docs => docs.selectExpr("doc_id")) {
+        spark.read.parquet(s"$dir/documents.parquet").selectExpr("doc_id")
+      }
+      Staged.clearBuildLog()
+      stage().count()
+      assert(modes("inc@rel") === Seq("cold"))
+      // ANOTHER table in the corpus dir regenerates: the directory
+      // fingerprint moves but this stage's source listing is unchanged
+      Files.write(Paths.get(dir, "other.parquet"), "o".getBytes)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(stage().count() === 15)
+      assert(modes("inc@rel") === Seq("relink"),
+        s"unchanged source must relink, got ${Staged.buildLogSnapshot}")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("gc retains stale subtrees pinned by a live manifest, deletes unreferenced ones") {
+    val stageRoot = Files.createTempDirectory("inc_root_gc").toString
+    val dir = freshDir()
+    writeDocs(dir, 0 until 10, append = false)
+    Staged.evict(spark)
+    Staged.enablePersist(stageRoot)
+    try {
+      def stage() = Staged.appendable(spark, dir, "inc@gc", "documents")(
+        docs => docs.selectExpr("doc_id")) {
+        spark.read.parquet(s"$dir/documents.parquet").selectExpr("doc_id")
+      }
+      stage().count()
+      val fp1 = Staged.fingerprint(dir)
+      writeDocs(dir, 10 until 14, append = true)
+      Staged.reset(spark)
+      stage().count()
+      val fp2 = Staged.fingerprint(dir)
+      // fp1 is stale (fingerprint moved) but fp2's manifest references its
+      // segment — gc must keep BOTH
+      val deleted1 = Staged.gc(stageRoot, Seq(dir))
+      assert(deleted1.isEmpty, s"referenced subtree must survive: $deleted1")
+      assert(Paths.get(stageRoot, fp1).toFile.isDirectory)
+      // full rewrite: fp3's stage is cold, nothing references fp1/fp2
+      writeDocs(dir, 0 until 12, append = false)
+      Staged.reset(spark)
+      stage().count()
+      val fp3 = Staged.fingerprint(dir)
+      val deleted2 = Staged.gc(stageRoot, Seq(dir))
+      assert(deleted2.toSet === Set(fp1, fp2),
+        s"unreferenced stales must go: $deleted2")
+      assert(Paths.get(stageRoot, fp3).toFile.isDirectory)
+      // the live stage still reads after the sweep
+      Staged.reset(spark)
+      assert(stage().count() === 12)
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("real pipeline: near-dup + vocab queries after an append equal a cold rebuild and the in-session mode") {
+    val dir = freshDir()
+    // two engineered near-dup pairs inside the base corpus, one pair
+    // SPLIT ACROSS the append boundary (doc 55 duplicates doc 3): the
+    // delta-built signatures must join against the prior segments'
+    val base = Map(20 -> 1, 30 -> 2)
+    writeDocs(dir, 0 until 50, append = false, dupOf = base)
+    val queries = Seq("dedup_components", "dedup_canonicalize",
+      "dedup_simhash_pairs", "vocab_topk", "tfidf_topterms")
+      .filter(SparkEntry.queries.contains)
+    def collectSorted(name: String): Seq[String] = {
+      Staged.reset(spark)
+      SparkEntry.queries(name)(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    Staged.evict(spark)
+    try {
+      // incremental path: cold-stage the base, append, re-run
+      Staged.enablePersist(Files.createTempDirectory("inc_rp_a").toString)
+      queries.foreach(collectSorted) // cold build at base corpus
+      writeDocs(dir, 50 until 60, append = true, dupOf = Map(55 -> 3))
+      Staged.clearBuildLog()
+      val incremental = queries.map(q => q -> collectSorted(q)).toMap
+      val shingleModes = modes("shingles_raw")
+      assert(shingleModes.headOption.contains("delta"),
+        s"per-doc stages must delta-build after the append: " +
+          s"${Staged.buildLogSnapshot.take(12)}")
+      // cold path: a pristine root sees the grown corpus all at once
+      Staged.disablePersist()
+      Staged.reset(spark)
+      Staged.enablePersist(Files.createTempDirectory("inc_rp_b").toString)
+      val cold = queries.map(q => q -> collectSorted(q)).toMap
+      // in-session control
+      Staged.disablePersist()
+      Staged.reset(spark)
+      val session = queries.map(q => q -> collectSorted(q)).toMap
+      for (q <- queries) {
+        assert(incremental(q) === cold(q),
+          s"$q drifted between incremental and cold staging")
+        assert(incremental(q) === session(q),
+          s"$q drifted between incremental and in-session mode")
+      }
+      // the engineered cross-boundary duplicate was actually found
+      assert(incremental("dedup_components").exists(_.contains("55")) ||
+        incremental("dedup_canonicalize").exists(_.contains("55")),
+        "the append-boundary near-dup pair must appear in the components")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("real pipeline: ANN sign-bucket and quantized stages delta-build over appended embeddings") {
+    import spark.implicits._
+    val dir = freshDir()
+    def writeEmb(ids: Range, append: Boolean): Unit = {
+      val rows = ids.map { i =>
+        (i.toLong,
+          Array.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat / 6f),
+          i % 5)
+      }
+      rows.toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    }
+    writeEmb(0 until 40, append = false)
+    val queries = Seq("ann_topk_lsh", "ann_topk_int8")
+      .filter(SparkEntry.queries.contains)
+    def collectSorted(name: String): Seq[String] = {
+      Staged.reset(spark)
+      SparkEntry.queries(name)(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    Staged.evict(spark)
+    try {
+      Staged.enablePersist(Files.createTempDirectory("inc_emb_a").toString)
+      queries.foreach(collectSorted)
+      writeEmb(40 until 55, append = true)
+      Staged.clearBuildLog()
+      val incremental = queries.map(q => q -> collectSorted(q)).toMap
+      assert(modes("normed_embeddings").headOption.contains("delta"),
+        s"normed stage must delta-build: ${Staged.buildLogSnapshot.take(12)}")
+      Staged.disablePersist()
+      Staged.reset(spark)
+      val session = queries.map(q => q -> collectSorted(q)).toMap
+      for (q <- queries)
+        assert(incremental(q) === session(q),
+          s"$q drifted between incremental staging and in-session mode")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+}
