@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** A/B evidence for incremental append-only staging (SCALE.md): on a
+  * replicated corpus laid out as parquet part-file directories, measure
+  * the persisted stage layer (a) built cold, (b) refreshed after a ~1%
+  * append via `Staged.appendable`'s delta path, and (c) built cold over
+  * the grown corpus — (c) is what every pre-r14 deployment paid on ANY
+  * corpus change; (b) is what an append now costs. Consumers span the
+  * per-doc stages (SimHash fingerprints, tokens, normalized + quantized
+  * embeddings) and one corpus-level rebuild (`dedup_components`) so the
+  * row also shows the documented design split: corpus-level aggregates
+  * rebuild in both modes.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (base corpus), SPARK_GRAFT_SCALE_X (default
+  * 5), SPARK_GRAFT_CPUS. One STAGEBENCH_ROW JSON line per (phase, query)
+  * plus a final `{"metric":"stage_bench",...}` summary. */
+object StageBench {
+  private val Queries =
+    Seq("dedup_simhash", "vocab_topk", "ann_topk_int8", "dedup_components")
+
+  /** Appended docs are word-disjoint from every existing replica (each
+    * token prefixed) with ids offset past every replica stride, so the
+    * append behaves like a fresh crawl drop: new content, new ids, the
+    * same duplicate-free structure. */
+  private def appendSlice(spark: SparkSession, work: String, k: Int): Unit = {
+    val stride = 100000000L * (k + 1)
+    spark.read.parquet(s"$work/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(100)) === 3)
+      .select(
+        (col("doc_id") + stride).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(lit("zx"), t)), " ").as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("append").parquet(s"$work/documents.parquet")
+    spark.read.parquet(s"$work/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(100)) === 3)
+      .select((col("vec_id") + stride).as("vec_id"), col("embedding"),
+        col("label"))
+      .write.mode("append").parquet(s"$work/embeddings.parquet")
+  }
+
+  private def timePhase(spark: SparkSession, phase: String, dir: String)
+      : Seq[(String, String, Double)] = {
+    operators.Staged.reset(spark)
+    operators.Staged.clearBuildLog()
+    Queries.map { q =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).count()
+      (phase, q, (System.nanoTime() - t0) / 1e9)
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally s.close()
+    }
+
+  /** Hardlink every regular file of `from` into `to`, preserving names —
+    * links share the inode, so size AND mtime match exactly, which is
+    * what makes the grown dir's base files delta-eligible against
+    * manifests staged from the base dir. */
+  private def linkTree(from: java.nio.file.Path,
+      to: java.nio.file.Path): Unit = {
+    val s = java.nio.file.Files.walk(from)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.foreach { p =>
+        val dest = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dest)
+        else java.nio.file.Files.createLink(dest, p)
+        ()
+      }
+    } finally s.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = Bench.envSfDir
+    val k = math.max(1, sys.env.get("SPARK_GRAFT_SCALE_X")
+      .flatMap(_.toIntOption).getOrElse(5))
+    val passes = Bench.envPasses
+    val spark = SparkSession.builder()
+      .master(s"local[${Bench.envCpus}]")
+      .config("spark.sql.shuffle.partitions", Bench.envCpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val calibSec =
+      try Bench.calibrationProbe(spark)
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val rep = ScaleData.ensureReplicated(spark, base, k)
+    // writable part-file copies — appends must never touch the shared
+    // replica cache or the read-only testdata. workGrown = hardlinks of
+    // workBase's files (identical rel:size:mtime → delta-eligible) plus
+    // the appended slice, so every pass measures a true cold→delta
+    // transition on immutable dirs.
+    val workBase = s"/tmp/graft_incbench_base_x$k"
+    val workGrown = s"/tmp/graft_incbench_grown_x$k"
+    Seq(workBase, workGrown)
+      .foreach(d => deleteRecursively(java.nio.file.Paths.get(d)))
+    Seq("documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$rep/$t.parquet")
+        .write.parquet(s"$workBase/$t.parquet")
+    }
+    linkTree(java.nio.file.Paths.get(workBase),
+      java.nio.file.Paths.get(workGrown))
+    appendSlice(spark, workGrown, k)
+
+    var deltaStages = 0
+    val rows = (1 to passes).flatMap { _ =>
+      val rootA = java.nio.file.Files
+        .createTempDirectory("incbench_rootA").toString
+      val rootB = java.nio.file.Files
+        .createTempDirectory("incbench_rootB").toString
+      operators.Staged.enablePersist(rootA)
+      val cold = timePhase(spark, "cold", workBase)
+      val incremental = timePhase(spark, "incremental", workGrown)
+      deltaStages = operators.Staged.buildLogSnapshot.count(_._2 == "delta")
+      operators.Staged.enablePersist(rootB)
+      val coldGrown = timePhase(spark, "cold_grown", workGrown)
+      operators.Staged.disablePersist()
+      operators.Staged.reset(spark)
+      Seq(rootA, rootB)
+        .foreach(d => deleteRecursively(java.nio.file.Paths.get(d)))
+      cold ++ incremental ++ coldGrown
+    }
+    def medians(phase: String): Seq[(String, Double)] =
+      Queries.map(q => q -> Bench.median(
+        rows.collect { case (`phase`, `q`, s) => s }))
+    val phases = Seq("cold", "incremental", "cold_grown")
+    phases.foreach { phase =>
+      medians(phase).foreach { case (q, sec) =>
+        println(f"""STAGEBENCH_ROW {"phase":"$phase","query":"$q","median_sec":$sec%.3f}""")
+      }
+    }
+    def total(phase: String): Double = medians(phase).map(_._2).sum
+    val docRows = spark.read.parquet(s"$workGrown/documents.parquet").count()
+    spark.stop()
+    println(f"""{"metric":"stage_bench","x":$k,"passes":$passes,"doc_rows":$docRows,"calib_sec":$calibSec%.3f,"cold_sec":${total("cold")}%.3f,"incremental_sec":${total("incremental")}%.3f,"cold_grown_sec":${total("cold_grown")}%.3f,"delta_stage_builds":$deltaStages}""")
+    System.out.flush()
+  }
+}
