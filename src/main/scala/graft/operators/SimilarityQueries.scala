@@ -643,6 +643,70 @@ object SimilarityQueries {
       WHERE rank <= 5
     """))
 
+  /** Intra-cell int8 similarity floor for [[semanticDedup]]: ≈0.24 cosine
+    * at this corpus' ~4,100 self-dot scale — calibrated so the synthetic
+    * embeddings (which carry no engineered near-dups) still exercise the
+    * operator end to end; a production corpus sets its own floor the same
+    * way it sets IvfConfig. Integer-exact in both engines. */
+  private val SemDedupDot = 1000L
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus (here: the SAME staged IVF
+    * home-cell assignment the ANN family uses — one index, two
+    * consumers), then compare embeddings only WITHIN a cell, dropping
+    * any vector that has a more-canonical (smaller-id) neighbor above
+    * the similarity floor. The intra-cell restriction is the entire
+    * scale story: the O(N²) corpus self-join becomes Σ|cell|², and
+    * cells are bounded by construction (the centroid rule grows nlist
+    * ~N/100, so E|cell| ≈ 100 regardless of corpus size) — a shuffle on
+    * cid, quadratic only in a constant. Similarity is the exact integer
+    * int8 dot (the staged [[quantized]] table), so the keep/drop
+    * decision is bit-stable across engines — no float-boundary flake.
+    * Output: one row per DROPPED vector with its cell and the smallest
+    * qualifying keeper (`dup_of`), the keep/rewrite table a training
+    * build applies. */
+  val semanticDedup = QueryDef(
+    "dedup_semantic",
+    (spark, dir) => {
+      val home = ivfCells(spark, dir).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+      val q8 = quantized(spark, dir)
+      val a = home.join(q8, "vec_id")
+      val b = a.select(col("vec_id").as("other_id"), col("cid").as("ocid"),
+        col("q8").as("oq8"))
+      a.join(b, col("cid") === col("ocid") && col("other_id") < col("vec_id"))
+        .withColumn("dot", expr("vec_dot(q8, oq8)"))
+        .filter(col("dot") >= SemDedupDot)
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(min(col("other_id")).as("dup_of"))
+    },
+    Some(s"""
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        WHERE vec_id % 100 = 7),
+      home AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.cemb AS DOUBLE[])) DESC,
+                   c.cid ASC) AS rn
+          FROM embeddings e, cents c)
+        WHERE rn = 1),
+      q8 AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 v -> greatest(least(floor(v * 64), 127), -127)) AS qv
+        FROM embeddings)
+      SELECT a.vec_id, a.cid, min(b.vec_id) AS dup_of
+      FROM home a
+      JOIN home b ON a.cid = b.cid AND b.vec_id < a.vec_id
+      JOIN q8 qa ON qa.vec_id = a.vec_id
+      JOIN q8 qb ON qb.vec_id = b.vec_id
+      WHERE list_dot_product(qa.qv, qb.qv) >= $SemDedupDot
+      GROUP BY a.vec_id, a.cid
+    """))
+
   val defs: Seq[QueryDef] =
-    Seq(bruteTopK, lshTopK, ivfTopK, ivfTunedTopK, ivfInt8TopK)
+    Seq(bruteTopK, lshTopK, ivfTopK, ivfTunedTopK, ivfInt8TopK, semanticDedup)
 }

@@ -333,6 +333,66 @@ object VocabQueries {
       HAVING count(*) >= 2
     """))
 
+  /** One bigram-instance rule (doc_id, bigram) — shared by the corpus
+    * counts and the per-doc instance side, and by the full/delta stage
+    * builds; mirrors [[bigramTopK]]'s short-document clamp. */
+  private def bigramize(docs: org.apache.spark.sql.DataFrame) = {
+    graft.functions.NgramExprs.register(docs.sparkSession)
+    docs.select(col("doc_id"), explode(
+      call_function("word_ngrams", split(col("text"), " "), lit(2)))
+      .as("bigram"))
+  }
+
+  private def bigrams(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Staged.appendable(spark, dir, "bigrams", "documents")(bigramize) {
+      bigramize(Tables.documents(spark, dir))
+    }
+
+  /** Per-document bigram-LM surprise — the CCNet-style language-model
+    * quality signal (perplexity under a corpus n-gram LM) in an
+    * integer-exact form both engines agree on bit-for-bit: instead of
+    * `-Σ log P(w_i|w_{i-1})` (float, engine-ordering-sensitive), score
+    * each bigram instance `1e6 DIV corpus_count(bigram)` — a rare bigram
+    * contributes ~1e6, a ubiquitous one ~0 — and sum per doc. Ranking by
+    * this surprise finds the same tail (rare constructions, noise,
+    * boilerplate-free docs) a log-perplexity sort finds, with exact
+    * integer arithmetic end to end. Plan shape: the staged bigram table
+    * is read twice (corpus counts + instance side) — one explode, not
+    * two; the counts join is a plain shuffle on the bigram key (counts
+    * side is 1 row/key, so frequent bigrams skew partitions but never
+    * explode pairs — AQE's skew split applies); the global top-50 is
+    * TakeOrdered, no full sort. */
+  val lmSurprise = QueryDef(
+    "lm_surprise",
+    (spark, dir) => {
+      val inst = bigrams(spark, dir)
+      val cnt = inst.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      val scored = inst.join(cnt, "bigram")
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("1000000 div n")).as("surprise"))
+      scored.orderBy(col("surprise").desc, col("doc_id")).limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("surprise").desc, col("doc_id"))).cast("long"))
+    },
+    Some("""
+      WITH inst AS (
+        SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS bigram
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, greatest(len(toks) - 1, 1))) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents))),
+      cnt AS (SELECT bigram, count(*) AS n FROM inst GROUP BY bigram),
+      scored AS (
+        SELECT doc_id, CAST(sum(1000000 // n) AS BIGINT) AS surprise
+        FROM inst JOIN cnt USING (bigram) GROUP BY doc_id)
+      SELECT doc_id, surprise, rank FROM (
+        SELECT doc_id, surprise,
+               row_number() OVER (ORDER BY surprise DESC, doc_id) AS rank
+        FROM scored)
+      WHERE rank <= 50
+    """))
+
   val defs: Seq[QueryDef] = Seq(
-    vocabTopK, bigramTopK, tfidfTopTerms, containment, cmsTopK, decontaminate)
+    vocabTopK, bigramTopK, tfidfTopTerms, containment, cmsTopK, decontaminate,
+    lmSurprise)
 }

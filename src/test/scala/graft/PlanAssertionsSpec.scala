@@ -339,6 +339,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "an exchange crept in between the rank window and the histogram join:\n" + p)
   }
 
+  test("dedup_semantic: intra-cell self-join stays an equi-join on cid, never a product") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the SemDeDup cell restriction must plan an equi-join:\n" + p)
+  }
+
+  test("lm_surprise: global top-50 plans TakeOrdered, not a global sort") {
+    val p = plan("lm_surprise")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k not a per-partition heap:\n" + p)
+  }
+
   test("dedup_exact: whole-stage codegen covers the hash/agg pipeline") {
     // AQE only inserts WholeStageCodegen nodes into the final plan, so
     // execute before inspecting.
