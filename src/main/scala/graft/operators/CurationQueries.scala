@@ -304,6 +304,69 @@ object CurationQueries {
       GROUP BY source
     """))
 
+  /** Token-budget-equalizing domain mixture (the static data-mixing step
+    * a multi-domain training build runs — DoReMi-style reweighting with
+    * the weights COMPUTED from the corpus rather than fixed like
+    * [[rateSample]]'s): per-source token totals set each domain's
+    * sampling rate `min_domain_tokens · 1e6 DIV domain_tokens` (ppm, so
+    * the smallest domain keeps everything and larger domains downsample
+    * toward parity), then the same deterministic LCG-hash filter selects
+    * docs at that rate. Everything is exact integer arithmetic, so the
+    * sampled set — not just its size — is bit-identical across engines
+    * and re-runs (reproducible mixtures are the operational requirement).
+    * Plan shape: one corpus scan aggregated per source (3-row table), a
+    * 1-row min cross-joined on (the scalar-aggregate pattern), rates
+    * joined back to the corpus on `source` (AQE broadcasts the 3-row
+    * side), map-side filter, second per-source aggregate — two scans
+    * total, no window, no global sort. Output: per-source audit row
+    * (budgets, rate, sampled counts + token mass). */
+  val domainMixture = QueryDef(
+    "domain_mixture",
+    (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+      val bySrc = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens"))
+      val minTok = bySrc.agg(min(col("tokens")).as("min_tokens"))
+      // broadcast: BOUNDED — a 1-row scalar aggregate.
+      val rates = bySrc.crossJoin(broadcast(minTok))
+        .withColumn("rate_ppm", expr("min_tokens * 1000000 div tokens"))
+        .select(col("source"), col("n_docs"), col("tokens"), col("rate_ppm"))
+      val sampled = d
+        .join(rates.select(col("source"), col("rate_ppm")), "source")
+        .filter(expr("pmod(doc_id * 2654435761, 1000000) < rate_ppm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("ntok")).as("sampled_tokens"))
+      rates.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("tokens"), col("rate_ppm"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        FROM documents),
+      s AS (SELECT source, count(*) AS n_docs,
+                   CAST(sum(ntok) AS BIGINT) AS tokens
+            FROM d GROUP BY source),
+      r AS (SELECT source, n_docs, tokens,
+                   (SELECT min(tokens) FROM s) * 1000000 // tokens AS rate_ppm
+            FROM s),
+      samp AS (
+        SELECT d.source, count(*) AS n_sampled,
+               CAST(sum(d.ntok) AS BIGINT) AS sampled_tokens
+        FROM d JOIN r ON d.source = r.source
+        WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm
+        GROUP BY d.source)
+      SELECT r.source, r.n_docs, r.tokens, r.rate_ppm,
+             COALESCE(samp.n_sampled, 0) AS n_sampled,
+             COALESCE(samp.sampled_tokens, 0) AS sampled_tokens
+      FROM r LEFT JOIN samp ON r.source = samp.source
+    """))
+
   /** Corpus-frequency rarity score: token-level corpus counts joined back
     * onto each doc's tokens; a doc full of corpus-rare tokens scores low
     * average frequency. Companion to [[VocabQueries]]' tf-idf (which ranks
@@ -419,5 +482,5 @@ object CurationQueries {
 
   val defs: Seq[QueryDef] = Seq(
     packSequences, packSequencesBlocked, repetition2gram, piiRedact,
-    int8TopK, rateSample, tokenRarity, lengthBand)
+    int8TopK, rateSample, domainMixture, tokenRarity, lengthBand)
 }

@@ -127,7 +127,20 @@ object Staged {
   // the lock would serialize unrelated stages and computeIfAbsent forbids the
   // reentrant stage recursion.
   def apply(spark: SparkSession, dir: String, stage: String)(
-      build: => DataFrame): DataFrame = {
+      build: => DataFrame): DataFrame =
+    memoized(spark, dir, stage) {
+      persistRoot match {
+        case Some(root) => persisted(spark, root, dir, stage)(build)
+        case None => build.localCheckpoint(eager = false)
+      }
+    }
+
+  /** The shared memo/lifecycle-hook shell of [[apply]] and
+    * [[appendable]]: check the session memo under the lock, run the
+    * resolution OUTSIDE it (see the reentrancy note above), publish
+    * first-write-wins. */
+  private def memoized(spark: SparkSession, dir: String, stage: String)(
+      resolve: => DataFrame): DataFrame = {
     val key = (spark, dir, stage)
     memo.synchronized {
       val sc = spark.sparkContext
@@ -139,10 +152,7 @@ object Staged {
     } match {
       case Some(df) => df
       case None =>
-        val built = persistRoot match {
-          case Some(root) => persisted(spark, root, dir, stage)(build)
-          case None => build.localCheckpoint(eager = false)
-        }
+        val built = resolve
         memo.synchronized(memo.getOrElseUpdate(key, built))
     }
   }
@@ -184,27 +194,15 @@ object Staged {
     */
   def appendable(spark: SparkSession, dir: String, stage: String,
       source: String)(deltaBuild: DataFrame => DataFrame)(
-      fullBuild: => DataFrame): DataFrame = {
-    val key = (spark, dir, stage)
-    memo.synchronized {
-      val sc = spark.sparkContext
-      if (hooked.add(sc)) sc.addSparkListener(new SparkListener {
-        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
-          onAppEnd()
-      })
-      memo.get(key)
-    } match {
-      case Some(df) => df
-      case None =>
-        val built = persistRoot match {
-          case Some(root) =>
-            persistedAppendable(spark, root, dir, stage, source)(
-              deltaBuild)(fullBuild)
-          case None => fullBuild.localCheckpoint(eager = false)
-        }
-        memo.synchronized(memo.getOrElseUpdate(key, built))
+      fullBuild: => DataFrame): DataFrame =
+    memoized(spark, dir, stage) {
+      persistRoot match {
+        case Some(root) =>
+          persistedAppendable(spark, root, dir, stage, source)(
+            deltaBuild)(fullBuild)
+        case None => fullBuild.localCheckpoint(eager = false)
+      }
     }
-  }
 
   /** Manifest file inside an appendable stage dir: records the source
     * part-file listing the stage covers and the absolute segment dirs
@@ -255,11 +253,18 @@ object Staged {
   }
 
   /** Spec instrumentation: (stage, mode) per persist-path resolution,
-    * mode ∈ hit | cold | delta | relink. */
+    * mode ∈ hit | cold | delta | relink. Bounded: a long-lived persist-
+    * mode server resolves stages for the life of the JVM, and a
+    * diagnostics buffer must never become the leak it exists to catch. */
+  private val BuildLogCap = 512
   private[graft] val buildLog =
     scala.collection.mutable.ArrayBuffer.empty[(String, String)]
   private def logBuild(stage: String, mode: String): Unit =
-    buildLog.synchronized { buildLog += ((stage, mode)); () }
+    buildLog.synchronized {
+      if (buildLog.size >= BuildLogCap) buildLog.remove(0)
+      buildLog += ((stage, mode))
+      ()
+    }
   private[graft] def clearBuildLog(): Unit =
     buildLog.synchronized { buildLog.clear() }
   private[graft] def buildLogSnapshot: Seq[(String, String)] =
@@ -308,26 +313,51 @@ object Staged {
       case None => ()
     }
     val current = sourceListing(dir, source)
+
+    // Build into a temp sibling, write the manifest, atomic-rename into
+    // place; a lost race deletes the temp and reads the winner's
+    // manifest (stages are deterministic functions of (dir, config)).
+    def publish(build: java.nio.file.Path => Manifest): Manifest = {
+      val tmp = target.resolveSibling(
+        target.getFileName.toString + ".tmp-" +
+          java.util.UUID.randomUUID().toString.take(8))
+      java.nio.file.Files.createDirectories(tmp)
+      val manifest = build(tmp)
+      writeManifest(tmp.resolve(ManifestName), manifest)
+      try java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.AccessDeniedException |
+             _: java.nio.file.FileSystemException =>
+          deleteRecursively(tmp)
+      }
+      readManifest(target.resolve(ManifestName)).getOrElse(manifest)
+    }
+
+    def publishCold(): Manifest = publish { tmp =>
+      log.info(s"stage miss: $stage -> building $target (cold)")
+      logBuild(stage, "cold")
+      val seg = "seg-" + java.util.UUID.randomUUID().toString.take(8)
+      fullBuild.write.mode("overwrite").parquet(tmp.resolve(seg).toString)
+      Manifest(current, Seq(target.resolve(seg).toString))
+    }
+
     val base =
       if (current.nonEmpty)
         findDeltaBase(root, fp, stageDirName(stage), current)
       else None
-    val tmp = target.resolveSibling(
-      target.getFileName.toString + ".tmp-" +
-        java.util.UUID.randomUUID().toString.take(8))
-    java.nio.file.Files.createDirectories(target.getParent)
-    val manifest = base match {
+    val winner = base match {
       case Some(old) =>
         val newFiles = current.filterNot(old.source.toSet)
-        if (newFiles.isEmpty) {
+        if (newFiles.isEmpty) publish { _ =>
           // pure relink: this fingerprint changed for reasons outside the
           // source (another table regenerated) — reuse every segment
           log.info(s"stage relink: $stage reuses ${old.segments.size} " +
             s"segments (source unchanged)")
           logBuild(stage, "relink")
-          java.nio.file.Files.createDirectories(tmp)
           Manifest(current, old.segments)
-        } else {
+        } else publish { tmp =>
           val srcRoot = java.nio.file.Paths.get(dir, s"$source.parquet")
           val newPaths = newFiles.map(e =>
             srcRoot.resolve(e.split(':').dropRight(2).mkString(":")).toString)
@@ -339,25 +369,24 @@ object Staged {
             .write.mode("overwrite").parquet(tmp.resolve(seg).toString)
           Manifest(current, old.segments :+ target.resolve(seg).toString)
         }
-      case None =>
-        log.info(s"stage miss: $stage -> building $target (cold)")
-        logBuild(stage, "cold")
-        val seg = "seg-" + java.util.UUID.randomUUID().toString.take(8)
-        fullBuild.write.mode("overwrite").parquet(tmp.resolve(seg).toString)
-        Manifest(current, Seq(target.resolve(seg).toString))
+      case None => publishCold()
     }
-    writeManifest(tmp.resolve(ManifestName), manifest)
-    try java.nio.file.Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.AccessDeniedException |
-           _: java.nio.file.FileSystemException =>
-        deleteRecursively(tmp)
+    // Close the gc race: Staged.gc may sweep a stale subtree between
+    // delta-base selection (its segments existed and were checked) and
+    // this publish (where the live manifest gc could not yet see starts
+    // referencing them). A manifest pointing at deleted segments would
+    // poison the stage until the next corpus change — detect it and
+    // rebuild cold under a fresh publish instead.
+    val swept = winner.segments.filterNot(s =>
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s)))
+    val effective = if (swept.isEmpty) winner else {
+      log.warn(s"stage $stage: ${swept.size} referenced segments swept by " +
+        "a concurrent gc between delta-base selection and publish — " +
+        "rebuilding cold")
+      deleteRecursively(target)
+      publishCold()
     }
-    // read back whatever won the publish race
-    val winner = readManifest(target.resolve(ManifestName)).getOrElse(manifest)
-    spark.read.parquet(winner.segments: _*)
+    spark.read.parquet(effective.segments: _*)
   }
 
   /** Disk-backed build-or-reuse: hit → parquet scan of the persisted
