@@ -314,32 +314,40 @@ object CurationQueries {
     * docs at that rate. Everything is exact integer arithmetic, so the
     * sampled set — not just its size — is bit-identical across engines
     * and re-runs (reproducible mixtures are the operational requirement).
-    * Plan shape: one corpus scan aggregated per source (3-row table), a
-    * 1-row min cross-joined on (the scalar-aggregate pattern), rates
-    * joined back to the corpus on `source` (AQE broadcasts the 3-row
-    * side), map-side filter, second per-source aggregate — two scans
-    * total, no window, no global sort. Output: per-source audit row
-    * (budgets, rate, sampled counts + token mass). */
+    * Plan shape: the corpus is scanned exactly TWICE — once for the
+    * per-source budget aggregate (a NAMED stage: the rate table feeds
+    * both the sample filter and the output row, and an unstaged copy
+    * canonicalizes differently per consumer, re-scanning the corpus per
+    * branch), once for the sample-filter aggregate. The min-budget
+    * normalization is an unpartitioned window over the already-aggregated
+    * #domains-row frame, and the rate table joins back onto the corpus by
+    * BROADCAST: domain cardinality is a property of the pipeline
+    * configuration (like a dimension table), not of corpus size. Output:
+    * per-source audit row (budgets, rate, sampled counts + token mass). */
   val domainMixture = QueryDef(
     "domain_mixture",
     (spark, dir) => {
       val d = Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("ntok"))
-      val bySrc = d.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens"))
-      val minTok = bySrc.agg(min(col("tokens")).as("min_tokens"))
-      // broadcast: BOUNDED — a 1-row scalar aggregate.
-      val rates = bySrc.crossJoin(broadcast(minTok))
-        .withColumn("rate_ppm", expr("min_tokens * 1000000 div tokens"))
-        .select(col("source"), col("n_docs"), col("tokens"), col("rate_ppm"))
+      val rates = Staged(spark, dir, "mixture_rates") {
+        d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens"))
+          .withColumn("min_tokens",
+            min(col("tokens")).over(Window.partitionBy()))
+          .withColumn("rate_ppm", expr("min_tokens * 1000000 div tokens"))
+          .select(col("source"), col("n_docs"), col("tokens"),
+            col("rate_ppm"))
+      }
       val sampled = d
-        .join(rates.select(col("source"), col("rate_ppm")), "source")
+        // broadcast: BOUNDED — #domains rows, a pipeline-config cardinality
+        .join(broadcast(rates.select(col("source"), col("rate_ppm"))),
+          "source")
         .filter(expr("pmod(doc_id * 2654435761, 1000000) < rate_ppm"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_sampled"),
           sum(col("ntok")).as("sampled_tokens"))
-      rates.join(sampled, Seq("source"), "left")
+      rates.join(broadcast(sampled), Seq("source"), "left")
         .select(col("source"), col("n_docs"), col("tokens"), col("rate_ppm"),
           coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
           coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))

@@ -346,6 +346,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "the SemDeDup cell restriction must plan an equi-join:\n" + p)
   }
 
+  test("domain_mixture: one corpus scan beyond the staged rate table, broadcasts, no merge join") {
+    operators.Staged.reset(spark)
+    val df = SparkEntry.queries("domain_mixture")(spark, sf)
+    df.collect() // AQE finalizes the joins
+    val full = df.queryExecution.executedPlan.toString
+    // AdaptiveSparkPlan.toString appends the pre-AQE initial plan —
+    // count scans in the FINAL section only
+    val p = full.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      "per-source rate table must broadcast back onto the corpus:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "no join in the mixer justifies a shuffle-sort:\n" + p)
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1,
+      s"one corpus scan beyond the staged rates, saw $scans:\n" + p)
+  }
+
   test("lm_surprise: global top-50 plans TakeOrdered, not a global sort") {
     val p = plan("lm_surprise")
     assert(p.contains("TakeOrderedAndProject"),

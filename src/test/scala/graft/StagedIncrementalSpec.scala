@@ -243,6 +243,59 @@ class StagedIncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("property: delta-built shingle stage equals cold at ANY append split point") {
+    // The appendable contract is row-distributivity; pin it for the real
+    // shingle transform across random corpora and random split points —
+    // any split of the same docs into (base, appended) must produce the
+    // same stage table as staging the whole corpus cold.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val wordGen = Gen.oneOf("red", "blue", "ox", "elm", "fig", "yak")
+    val docGen = Gen.chooseNum(3, 9)
+      .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val caseGen = for {
+      n <- Gen.chooseNum(4, 14)
+      texts <- Gen.listOfN(n, docGen)
+      split <- Gen.chooseNum(1, n - 1)
+    } yield (texts, split)
+    val prop = Prop.forAll(caseGen) { case (texts, split) =>
+      import spark.implicits._
+      val dir = freshDir()
+      def write(rows: Seq[(Long, String)], append: Boolean): Unit =
+        rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode(if (append) "append" else "overwrite")
+          .parquet(s"$dir/documents.parquet")
+      val all = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def shingles(): Seq[String] = {
+        Staged.reset(spark)
+        graft.operators.DedupQueries.shinglesStage(spark, dir)
+          .collect().map(_.toString).sorted.toSeq
+      }
+      Staged.evict(spark)
+      val root = Files.createTempDirectory("inc_prop").toString
+      Staged.enablePersist(root)
+      try {
+        write(all.take(split), append = false)
+        shingles() // cold-stage the base prefix
+        write(all.drop(split), append = true)
+        Staged.clearBuildLog()
+        val delta = shingles()
+        val mode = modes("shingles_raw").headOption
+        // cold control in a pristine root over the identical full corpus
+        Staged.enablePersist(Files.createTempDirectory("inc_propc").toString)
+        Staged.reset(spark)
+        val cold = shingles()
+        mode.contains("delta") && delta == cold
+      } finally {
+        Staged.disablePersist()
+        Staged.reset(spark)
+      }
+    }
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("real pipeline: ANN sign-bucket and quantized stages delta-build over appended embeddings") {
     import spark.implicits._
     val dir = freshDir()
