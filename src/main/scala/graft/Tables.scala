@@ -28,7 +28,21 @@ object Tables {
       s"graft.Tables requires spark.sql.session.timeZone=UTC (got '$tz'): " +
         "set it at SparkSession construction — the testdata's wall-clock " +
         "timestamps and the DuckDB oracle are both tz-naive at UTC")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val pq = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = pq.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(pq)) spark.read.parquet(pq.toString)
+    else {
+      // Format-flexible loading: a corpus landed as ORC (the other
+      // columnar format Spark reads natively) serves every operator
+      // unchanged — all reads go through this one loader, and both
+      // formats give Catalyst the same pushdown/pruning surface. Parquet
+      // stays the primary (checked first, and the missing-table error
+      // below keeps its message); `events` remains parquet-only because
+      // its vintage disambiguation reads the parquet footer.
+      val orc = new org.apache.hadoop.fs.Path(s"$dir/$name.orc")
+      if (fs.exists(orc)) spark.read.orc(orc.toString)
+      else spark.read.parquet(pq.toString) // surface the standard error
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -94,11 +94,10 @@ object VocabQueries {
   val bigramTopK = QueryDef(
     "bigram_topk",
     (spark, dir) => {
-      graft.functions.NgramExprs.register(spark)
-      val grams = Tables.documents(spark, dir)
-        .select(explode(
-          call_function("word_ngrams", split(col("text"), " "), lit(2)))
-          .as("bigram"))
+      // the staged bigram-instance table (shared with lm_surprise): one
+      // corpus explode serves both consumers, and under persist mode the
+      // stage delta-builds on append like every per-doc table
+      val grams = bigrams(spark, dir).select(col("bigram"))
       grams.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(100)
