@@ -51,15 +51,48 @@ object DedupQueries {
       TextHashing.lshBandsFrom(shinglesStage(spark, dir), B, R)
     }
 
+  /** Delta-gate threshold for the incremental candidate/verified stages
+    * (var for spec injection; production keeps the guard's default). An
+    * append is delta-applicable only while NO (band, sig) bucket of the
+    * GROWN band table is hot: the hot-bucket star collapse is a
+    * whole-bucket decision a delta cannot replay, so past the threshold
+    * the delta REFUSES and the stage cold-rebuilds — which keeps a delta
+    * result bit-equal to a cold build whenever a delta runs. */
+  private[graft] var deltaGateThreshold: Long = TextHashing.HotBucketDefault
+
+  /** The new candidate pairs an appended doc slice introduces: its bands
+    * joined against the grown band table (old×old pairs are unchanged by
+    * construction). Shared by the candidates and verified delta builds so
+    * the two stages cannot disagree about what the append added. */
+  private def deltaCandidates(spark: SparkSession, dir: String,
+      deltaDocs: DataFrame): DataFrame = {
+    val all = graft.functions.Materialized(bandsStage(spark, dir))
+    val maxBucket = TextHashing.probedMaxBucket(all.df, Seq("band", "sig"))
+    if (maxBucket > deltaGateThreshold)
+      throw new Staged.DeltaUnsupported(
+        s"max band bucket $maxBucket > $deltaGateThreshold: the hot-bucket " +
+          "star collapse needs a whole-table rebuild")
+    TextHashing.incrementalCandidatePairs(all,
+      TextHashing.lshBandsFrom(TextHashing.shingleSetsRaw(deltaDocs), B, R))
+  }
+
   private[graft] def candidatesStage(spark: SparkSession, dir: String): DataFrame =
-    Staged(spark, dir, "lsh_candidates") {
+    Staged.appendable(spark, dir, "lsh_candidates", "documents")(
+      deltaDocs => deltaCandidates(spark, dir, deltaDocs)) {
       TextHashing.candidatePairsFromBands(
         graft.functions.Materialized(bandsStage(spark, dir)))
     }
 
-  /** Stage 3: exact-Jaccard-verified near-dup pairs (threshold 0.7). */
+  /** Stage 3: exact-Jaccard-verified near-dup pairs (threshold 0.7).
+    * Appendable through the same gated delta as the candidate stage:
+    * the pairs an append adds are verified against the full staged
+    * shingle table (they reference old docs too), old×old verified
+    * pairs ride in the prior segments. */
   private def verifiedStage(spark: SparkSession, dir: String): DataFrame =
-    Staged(spark, dir, "jaccard_verified") {
+    Staged.appendable(spark, dir, "jaccard_verified", "documents")(
+      deltaDocs => TextHashing.jaccardOnCandidates(shinglesStage(spark, dir),
+        graft.functions.Materialized(deltaCandidates(spark, dir, deltaDocs)))
+        .filter(col("jaccard") >= 0.7)) {
       TextHashing.jaccardOnCandidates(shinglesStage(spark, dir),
         graft.functions.Materialized(candidatesStage(spark, dir)))
         .filter(col("jaccard") >= 0.7)

@@ -25,6 +25,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and with them their sessions, for the life of a long-running JVM).
   */
 object Staged {
+  /** Thrown by an [[appendable]] stage's `deltaBuild` to refuse an
+    * append it cannot soundly apply (the resolution falls back to a
+    * cold full rebuild). Part of the staging protocol, not an error. */
+  final class DeltaUnsupported(msg: String) extends RuntimeException(msg)
+
   private val memo =
     scala.collection.mutable.HashMap.empty[(SparkSession, String, String), DataFrame]
   // WeakHashMap-backed set: a context that was stopped and dropped by user
@@ -317,12 +322,18 @@ object Staged {
     // Build into a temp sibling, write the manifest, atomic-rename into
     // place; a lost race deletes the temp and reads the winner's
     // manifest (stages are deterministic functions of (dir, config)).
+    // A build that THROWS (including DeltaUnsupported) must not leave
+    // its temp dir for the gc sweep to find.
     def publish(build: java.nio.file.Path => Manifest): Manifest = {
       val tmp = target.resolveSibling(
         target.getFileName.toString + ".tmp-" +
           java.util.UUID.randomUUID().toString.take(8))
       java.nio.file.Files.createDirectories(tmp)
-      val manifest = build(tmp)
+      val manifest =
+        try build(tmp)
+        catch {
+          case e: Throwable => deleteRecursively(tmp); throw e
+        }
       writeManifest(tmp.resolve(ManifestName), manifest)
       try java.nio.file.Files.move(tmp, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -357,17 +368,34 @@ object Staged {
             s"segments (source unchanged)")
           logBuild(stage, "relink")
           Manifest(current, old.segments)
-        } else publish { tmp =>
-          val srcRoot = java.nio.file.Paths.get(dir, s"$source.parquet")
-          val newPaths = newFiles.map(e =>
-            srcRoot.resolve(e.split(':').dropRight(2).mkString(":")).toString)
-          log.info(s"stage delta: $stage builds ${newPaths.size} appended " +
-            s"part files over ${old.segments.size} prior segments")
-          logBuild(stage, "delta")
-          val seg = "seg-" + java.util.UUID.randomUUID().toString.take(8)
-          deltaBuild(spark.read.parquet(newPaths: _*))
-            .write.mode("overwrite").parquet(tmp.resolve(seg).toString)
-          Manifest(current, old.segments :+ target.resolve(seg).toString)
+        } else {
+          // a deltaBuild may REFUSE (DeltaUnsupported) when the append
+          // violates its preconditions — e.g. the incremental candidate
+          // enumeration when a band bucket crossed the hot threshold,
+          // where only a whole-table rebuild can apply the star
+          // collapse — in which case the stage cold-rebuilds exactly as
+          // if it were not appendable
+          try publish { tmp =>
+            val srcRoot = java.nio.file.Paths.get(dir, s"$source.parquet")
+            val newPaths = newFiles.map(e =>
+              srcRoot.resolve(e.split(':').dropRight(2).mkString(":"))
+                .toString)
+            log.info(s"stage delta: $stage builds ${newPaths.size} " +
+              s"appended part files over ${old.segments.size} prior segments")
+            val seg = "seg-" + java.util.UUID.randomUUID().toString.take(8)
+            // construct BEFORE logging the mode: a gated deltaBuild
+            // refuses at construction time (counted-gate idiom)
+            val df = deltaBuild(spark.read.parquet(newPaths: _*))
+            logBuild(stage, "delta")
+            df.write.mode("overwrite").parquet(tmp.resolve(seg).toString)
+            Manifest(current, old.segments :+ target.resolve(seg).toString)
+          } catch {
+            case e: DeltaUnsupported =>
+              log.info(s"stage $stage: delta refused (${e.getMessage}) " +
+                "— cold rebuild")
+              logBuild(stage, "delta-refused")
+              publishCold()
+          }
         }
       case None => publishCold()
     }

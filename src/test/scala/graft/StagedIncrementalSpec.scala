@@ -199,7 +199,8 @@ class StagedIncrementalSpec extends AnyFunSuite {
     val base = Map(20 -> 1, 30 -> 2)
     writeDocs(dir, 0 until 50, append = false, dupOf = base)
     val queries = Seq("dedup_components", "dedup_canonicalize",
-      "dedup_simhash_pairs", "vocab_topk", "tfidf_topterms")
+      "dedup_minhash_lsh", "dedup_simhash_pairs", "vocab_topk",
+      "tfidf_topterms")
       .filter(SparkEntry.queries.contains)
     def collectSorted(name: String): Seq[String] = {
       Staged.reset(spark)
@@ -218,6 +219,13 @@ class StagedIncrementalSpec extends AnyFunSuite {
       assert(shingleModes.headOption.contains("delta"),
         s"per-doc stages must delta-build after the append: " +
           s"${Staged.buildLogSnapshot.take(12)}")
+      // the candidate and verified stages delta-build too (r14 second
+      // half): no bucket is hot on this corpus, so the gated incremental
+      // enumeration applies and parity below pins it bit-equal
+      assert(modes("lsh_candidates").headOption.contains("delta"),
+        s"candidate stage must delta-build: ${Staged.buildLogSnapshot}")
+      assert(modes("jaccard_verified").headOption.contains("delta"),
+        s"verified stage must delta-build: ${Staged.buildLogSnapshot}")
       // cold path: a pristine root sees the grown corpus all at once
       Staged.disablePersist()
       Staged.reset(spark)
@@ -238,6 +246,43 @@ class StagedIncrementalSpec extends AnyFunSuite {
         incremental("dedup_canonicalize").exists(_.contains("55")),
         "the append-boundary near-dup pair must appear in the components")
     } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("hot-bucket delta gate: a refused candidate delta falls back to cold with identical results") {
+    import graft.operators.DedupQueries
+    val dir = freshDir()
+    writeDocs(dir, 0 until 30, append = false, dupOf = Map(20 -> 1))
+    def components(): Seq[String] = {
+      Staged.reset(spark)
+      SparkEntry.queries("dedup_components")(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    Staged.evict(spark)
+    Staged.enablePersist(Files.createTempDirectory("inc_gate").toString)
+    try {
+      components() // cold-stage the base
+      writeDocs(dir, 30 until 36, append = true, dupOf = Map(33 -> 2))
+      // every bucket has size >= 1, so threshold 0 refuses ANY delta —
+      // the whole-table rebuild path a truly hot bucket would take
+      DedupQueries.deltaGateThreshold = 0L
+      Staged.clearBuildLog()
+      val refused = components()
+      val candModes = modes("lsh_candidates")
+      assert(candModes.contains("delta-refused") && candModes.contains("cold"),
+        s"gate must refuse and cold-rebuild: ${Staged.buildLogSnapshot}")
+      assert(!candModes.contains("delta"))
+      // identical to the in-session run over the same grown corpus
+      Staged.disablePersist()
+      Staged.reset(spark)
+      val control = components()
+      assert(refused === control,
+        "refused-delta cold rebuild drifted from the in-session result")
+    } finally {
+      DedupQueries.deltaGateThreshold =
+        graft.functions.TextHashing.HotBucketDefault
       Staged.disablePersist()
       Staged.reset(spark)
     }
