@@ -68,8 +68,47 @@ object GuardBench {
     val (anchor4Sec, anchor4Pairs) =
       time(functions.TextHashing.HotBucketDefault, anchors = 4)
     val (bruteSec, brutePairs) = time(Long.MaxValue)
+
+    // SemDeDup degenerate cell (r14 verdict #1): the same engineered
+    // shape on the EMBEDDING side — `hotVecs` identical vectors
+    // concentrated into one IVF cell (a boilerplate embedding
+    // mega-cluster under a capped nlist) plus singleton cells — timed
+    // through the full semantic-dedup decision (guarded star vs unguarded
+    // intra-cell self-join with an exact 64-dim dot per enumerated pair).
+    // Larger default than the LSH row: a 64-double codegen'd dot is far
+    // cheaper per pair than the band-string join, so the quadratic needs
+    // a bigger cell to show its wall-clock shape.
+    val hotVecs = math.max(2, sys.env.get("SPARK_GRAFT_HOT_VECS")
+      .flatMap(_.toIntOption).getOrElse(32768))
+    val home = spark.range(0L, hotVecs.toLong, 1L, 32)
+      .select(col("id").as("vec_id"), lit(7L).as("cid"))
+      .union(spark.range(hotVecs.toLong, (hotVecs + uniq).toLong, 1L, 32)
+        .select(col("id").as("vec_id"), col("id").as("cid")))
+      .localCheckpoint(eager = true)
+    val q8 = spark.range(0L, hotVecs.toLong, 1L, 32)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), x -> 5.0D)").as("q8"))
+      .union(spark.range(hotVecs.toLong, (hotVecs + uniq).toLong, 1L, 32)
+        .select(col("id").as("vec_id"),
+          expr("transform(sequence(1, 64), " +
+            "x -> CAST(pmod(id * 31 + x, 13) - 6 AS DOUBLE))").as("q8")))
+      .localCheckpoint(eager = true)
+    def timeSem(threshold: Long): (Double, Long) = {
+      val cfg = operators.SemDedupConfig(hotCellThreshold = threshold)
+      val runs = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val n = operators.SimilarityQueries.semanticDedupOn(home, q8, cfg)
+          .count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      (Bench.median(runs.map(_._1)), runs.head._2)
+    }
+    val (semGuardSec, semGuardDrops) =
+      timeSem(functions.TextHashing.HotBucketDefault)
+    val (semBruteSec, semBruteDrops) = timeSem(Long.MaxValue)
     spark.stop()
     println(f"""{"metric":"hot_bucket_guard","hot_docs":$hot,"unique_docs":$uniq,"passes":$passes,"calib_sec":$calibSec%.3f,"guarded_sec":$guardedSec%.3f,"anchor4_sec":$anchor4Sec%.3f,"brute_sec":$bruteSec%.3f,"guarded_pairs":$guardedPairs,"anchor4_pairs":$anchor4Pairs,"brute_pairs":$brutePairs,"speedup":${bruteSec / guardedSec}%.1f}""")
+    println(f"""{"metric":"semantic_cell_guard","hot_vecs":$hotVecs,"unique_vecs":$uniq,"passes":$passes,"calib_sec":$calibSec%.3f,"guarded_sec":$semGuardSec%.3f,"brute_sec":$semBruteSec%.3f,"guarded_drops":$semGuardDrops,"brute_drops":$semBruteDrops,"speedup":${semBruteSec / semGuardSec}%.1f}""")
     System.out.flush()
   }
 }

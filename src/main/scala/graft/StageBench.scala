@@ -24,23 +24,55 @@ object StageBench {
   /** Appended docs are word-disjoint from every existing replica (each
     * token prefixed) with ids offset past every replica stride, so the
     * append behaves like a fresh crawl drop: new content, new ids, the
-    * same duplicate-free structure. */
-  private def appendSlice(spark: SparkSession, work: String, k: Int): Unit = {
-    val stride = 100000000L * (k + 1)
-    spark.read.parquet(s"$work/documents.parquet")
-      .filter(pmod(col("doc_id"), lit(100)) === 3)
-      .select(
-        (col("doc_id") + stride).as("doc_id"),
-        array_join(transform(split(col("text"), " "),
-          t => concat(lit("zx"), t)), " ").as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .write.mode("append").parquet(s"$work/documents.parquet")
-    spark.read.parquet(s"$work/embeddings.parquet")
-      .filter(pmod(col("vec_id"), lit(100)) === 3)
-      .select((col("vec_id") + stride).as("vec_id"), col("embedding"),
-        col("label"))
-      .write.mode("append").parquet(s"$work/embeddings.parquet")
+    * same duplicate-free structure.
+    *
+    * The slice is MATERIALIZED to a temp directory first and its part
+    * files then moved into the target — never a read-and-append on the
+    * same path in one job, which only works while the file listing is
+    * snapshotted at planning time and risks reading partially committed
+    * output on a re-listing filesystem (r14 ADVICE). */
+  private def appendSlice(spark: SparkSession, work: String, k: Int,
+      idx: Int = 0): Unit = {
+    // idx > 0 = the Nth drop of an append CHAIN: each drop slices the
+    // ORIGINAL replicas only (id cutoff below), offsets by its own stride
+    // and prefixes its own token namespace — successive drops stay
+    // id-disjoint (the delta gate requires it) and word-disjoint
+    val stride = 100000000L * (k + 1 + idx)
+    val cut = 100000000L * (k + 1)
+    val pfx = if (idx == 0) "zx" else s"zx$idx"
+    def appendVia(table: String)(
+        slice: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Unit = {
+      val target = java.nio.file.Paths.get(s"$work/$table.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory("incbench_slice")
+      slice(spark.read.parquet(target.toString))
+        .write.mode("overwrite").parquet(tmp.toString)
+      val s = java.nio.file.Files.list(tmp)
+      try {
+        import scala.jdk.CollectionConverters._
+        // Spark part-file names carry a task UUID — no collision with the
+        // target's existing parts; writer markers (_SUCCESS) stay behind
+        s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(p => java.nio.file.Files.move(p,
+            target.resolve(p.getFileName.toString)))
+      } finally s.close()
+      deleteRecursively(tmp)
+    }
+    appendVia("documents") { d =>
+      d.filter(pmod(col("doc_id"), lit(100)) === 3 && col("doc_id") < cut)
+        .select(
+          (col("doc_id") + stride).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(lit(pfx), t)), " ").as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    appendVia("embeddings") { e =>
+      e.filter(pmod(col("vec_id"), lit(100)) === 3 && col("vec_id") < cut)
+        .select((col("vec_id") + stride).as("vec_id"), col("embedding"),
+          col("label"))
+    }
   }
 
   private def timePhase(spark: SparkSession, phase: String, dir: String)
@@ -144,6 +176,44 @@ object StageBench {
       }
     }
     def total(phase: String): Double = medians(phase).map(_._2).sum
+
+    // Append-CHAIN mode (r14 verdict ask #4): N successive drops against
+    // one persisted root — measures that read cost stays FLAT after many
+    // appends because segment compaction folds manifests past the cap
+    // (set SPARK_GRAFT_COMPACT_ABOVE huge to measure the unfolded
+    // control). Off by default so driver rows keep their shape.
+    val chainN = sys.env.get("SPARK_GRAFT_APPEND_CHAIN")
+      .flatMap(_.toIntOption).getOrElse(0)
+    if (chainN > 0) {
+      sys.env.get("SPARK_GRAFT_COMPACT_ABOVE").flatMap(_.toIntOption)
+        .foreach(v => operators.Staged.compactSegmentsAbove = v)
+      val workChain = s"/tmp/graft_incbench_chain_x$k"
+      deleteRecursively(java.nio.file.Paths.get(workChain))
+      linkTree(java.nio.file.Paths.get(workBase),
+        java.nio.file.Paths.get(workChain))
+      val rootC = java.nio.file.Files
+        .createTempDirectory("incbench_rootC").toString
+      operators.Staged.enablePersist(rootC)
+      timePhase(spark, "chain_cold", workChain)
+      val warm0 = timePhase(spark, "chain_warm0", workChain).map(_._3).sum
+      var refreshTotal = 0.0
+      var compacts = 0
+      for (i <- 1 to chainN) {
+        appendSlice(spark, workChain, k, i)
+        refreshTotal +=
+          timePhase(spark, s"chain_refresh_$i", workChain).map(_._3).sum
+        compacts += operators.Staged.buildLogSnapshot
+          .count(_._2 == "delta-compact")
+      }
+      val warmN = timePhase(spark, "chain_warmN", workChain).map(_._3).sum
+      val segs = operators.Staged.segmentCount(rootC, workChain, "simhash")
+      operators.Staged.disablePersist()
+      operators.Staged.reset(spark)
+      println(f"""{"metric":"stage_chain","x":$k,"appends":$chainN,"compact_above":${operators.Staged.compactSegmentsAbove},"delta_compacts":$compacts,"warm_before_sec":$warm0%.3f,"warm_after_sec":$warmN%.3f,"refresh_total_sec":$refreshTotal%.3f,"simhash_segments":${segs.getOrElse(-1)}}""")
+      deleteRecursively(java.nio.file.Paths.get(rootC))
+      deleteRecursively(java.nio.file.Paths.get(workChain))
+    }
+
     val docRows = spark.read.parquet(s"$workGrown/documents.parquet").count()
     spark.stop()
     println(f"""{"metric":"stage_bench","x":$k,"passes":$passes,"doc_rows":$docRows,"calib_sec":$calibSec%.3f,"cold_sec":${total("cold")}%.3f,"incremental_sec":${total("incremental")}%.3f,"cold_grown_sec":${total("cold_grown")}%.3f,"delta_stage_builds":$deltaStages}""")

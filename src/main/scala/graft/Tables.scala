@@ -40,7 +40,13 @@ object Tables {
       // below keeps its message); `events` remains parquet-only because
       // its vintage disambiguation reads the parquet footer.
       val orc = new org.apache.hadoop.fs.Path(s"$dir/$name.orc")
-      if (fs.exists(orc)) spark.read.orc(orc.toString)
+      if (name == "events" && fs.exists(orc))
+        // explicit, not a FileNotFound from the footer read later
+        throw new IllegalStateException(
+          s"events must be parquet (found $orc): Tables.events disambiguates " +
+            "the timestamp vintage by reading the PARQUET footer annotation, " +
+            "which an ORC corpus cannot provide")
+      else if (fs.exists(orc)) spark.read.orc(orc.toString)
       else spark.read.parquet(pq.toString) // surface the standard error
     }
   }

@@ -42,6 +42,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Persist-mode evidence (r14 verdict ask #2): when the run staged to
+    // disk, emit how each stage resolved (cold/delta/hit/...) so a
+    // delta-refreshed gate run can prove the delta path actually carried it.
+    if (graft.operators.Staged.persistEnabled)
+      System.err.println("[verify] stage modes: " +
+        graft.operators.Staged.buildLogSnapshot
+          .map { case (s, m) => s"$s=$m" }.mkString(", "))
     spark.stop()
   }
 }

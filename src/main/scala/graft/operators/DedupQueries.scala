@@ -18,8 +18,28 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  private val B = 4  // LSH bands
-  private val R = 4  // minhash rows per band
+  /** MinHash-LSH deployment knobs — bands × rows-per-band and the word
+    * shingle width, as a value (r14 verdict ask #6). Today every
+    * registered query runs the oracle-pinned default; the point of the
+    * type is the STAGE KEYS: each staged table of the chain is keyed by
+    * the parameters its content depends on (`lsh_bands@8:2:3` style, via
+    * [[Staged.keyed]]), so the moment a deployment parameterizes B/R/k
+    * the persisted cross-session tables cannot silently alias two
+    * configs. The default maps to the historical bare names — nothing
+    * shifts on disk. */
+  final case class LshConfig(bands: Int = 4, rowsPerBand: Int = 4,
+      shingleK: Int = 3) {
+    require(bands >= 1 && rowsPerBand >= 1 && shingleK >= 1,
+      s"bad LSH knobs: bands=$bands rows=$rowsPerBand k=$shingleK")
+    private[graft] def key = s"$bands:$rowsPerBand:$shingleK"
+    private[graft] def stage(base: String): String =
+      Staged.keyed(base, key, LshConfig.Default.key)
+    /** The shingle stage depends only on k. */
+    private[graft] def shingleStage: String =
+      Staged.keyed("shingles_raw", shingleK.toString,
+        LshConfig.Default.shingleK.toString)
+  }
+  object LshConfig { val Default: LshConfig = LshConfig() }
 
   // Staged intermediates of the near-dup pipeline (see Staged): shingles →
   // LSH candidates → Jaccard-verified pairs, plus the SimHash fingerprint
@@ -32,23 +52,28 @@ object DedupQueries {
     * only the candidate docs' shingles (see
     * [[TextHashing.jaccardOnCandidates]]) — so nothing in the pipeline
     * ever shuffles the full corpus' shingle sets just to dedup them. */
-  private[graft] def shinglesStage(spark: SparkSession, dir: String): DataFrame =
-    Staged.appendable(spark, dir, "shingles_raw", "documents")(
-      docs => TextHashing.shingleSetsRaw(docs)) {
-      TextHashing.shingleSetsRaw(Tables.documents(spark, dir))
+  private[graft] def shinglesStage(spark: SparkSession, dir: String,
+      cfg: LshConfig = LshConfig.Default): DataFrame =
+    Staged.appendable(spark, dir, cfg.shingleStage, "documents", "doc_id")(
+      docs => TextHashing.shingleSetsRaw(docs, cfg.shingleK)) {
+      TextHashing.shingleSetsRaw(Tables.documents(spark, dir), cfg.shingleK)
     }
 
   /** Banded signature table as its own NAMED stage: it feeds both sides of
     * the candidate self-join, so it must be materialized — and a named
     * stage (vs the bare localCheckpoint it replaced) lets `Staged.reset`
     * free the blocks. */
-  private def bandsStage(spark: SparkSession, dir: String): DataFrame =
-    Staged.appendable(spark, dir, "lsh_bands", "documents")(
+  private[graft] def bandsStage(spark: SparkSession, dir: String,
+      cfg: LshConfig = LshConfig.Default): DataFrame =
+    Staged.appendable(spark, dir, cfg.stage("lsh_bands"), "documents",
+      "doc_id")(
       // delta: re-shingle only the appended docs (delta-sized work; the
       // in-session/cold path below still reads the staged shingle table)
       docs => TextHashing.lshBandsFrom(
-        TextHashing.shingleSetsRaw(docs), B, R)) {
-      TextHashing.lshBandsFrom(shinglesStage(spark, dir), B, R)
+        TextHashing.shingleSetsRaw(docs, cfg.shingleK), cfg.bands,
+        cfg.rowsPerBand)) {
+      TextHashing.lshBandsFrom(shinglesStage(spark, dir, cfg), cfg.bands,
+        cfg.rowsPerBand)
     }
 
   /** Delta-gate threshold for the incremental candidate/verified stages
@@ -65,42 +90,51 @@ object DedupQueries {
     * construction). Shared by the candidates and verified delta builds so
     * the two stages cannot disagree about what the append added. */
   private def deltaCandidates(spark: SparkSession, dir: String,
-      deltaDocs: DataFrame): DataFrame = {
-    val all = graft.functions.Materialized(bandsStage(spark, dir))
+      deltaDocs: DataFrame, cfg: LshConfig): DataFrame = {
+    val all = graft.functions.Materialized(bandsStage(spark, dir, cfg))
     val maxBucket = TextHashing.probedMaxBucket(all.df, Seq("band", "sig"))
     if (maxBucket > deltaGateThreshold)
       throw new Staged.DeltaUnsupported(
         s"max band bucket $maxBucket > $deltaGateThreshold: the hot-bucket " +
           "star collapse needs a whole-table rebuild")
     TextHashing.incrementalCandidatePairs(all,
-      TextHashing.lshBandsFrom(TextHashing.shingleSetsRaw(deltaDocs), B, R))
+      TextHashing.lshBandsFrom(
+        TextHashing.shingleSetsRaw(deltaDocs, cfg.shingleK), cfg.bands,
+        cfg.rowsPerBand))
   }
 
-  private[graft] def candidatesStage(spark: SparkSession, dir: String): DataFrame =
-    Staged.appendable(spark, dir, "lsh_candidates", "documents")(
-      deltaDocs => deltaCandidates(spark, dir, deltaDocs)) {
+  private[graft] def candidatesStage(spark: SparkSession, dir: String,
+      cfg: LshConfig = LshConfig.Default): DataFrame =
+    Staged.appendable(spark, dir, cfg.stage("lsh_candidates"), "documents",
+      "doc_id")(
+      deltaDocs => deltaCandidates(spark, dir, deltaDocs, cfg)) {
       TextHashing.candidatePairsFromBands(
-        graft.functions.Materialized(bandsStage(spark, dir)))
+        graft.functions.Materialized(bandsStage(spark, dir, cfg)))
     }
 
-  /** Stage 3: exact-Jaccard-verified near-dup pairs (threshold 0.7).
-    * Appendable through the same gated delta as the candidate stage:
-    * the pairs an append adds are verified against the full staged
-    * shingle table (they reference old docs too), old×old verified
-    * pairs ride in the prior segments. */
-  private def verifiedStage(spark: SparkSession, dir: String): DataFrame =
-    Staged.appendable(spark, dir, "jaccard_verified", "documents")(
-      deltaDocs => TextHashing.jaccardOnCandidates(shinglesStage(spark, dir),
-        graft.functions.Materialized(deltaCandidates(spark, dir, deltaDocs)))
+  /** Stage 3: exact-Jaccard-verified near-dup pairs (threshold 0.7 — a
+    * constant of the operator's contract, not a config knob; it would
+    * join the stage key the day it becomes one). Appendable through the
+    * same gated delta as the candidate stage: the pairs an append adds
+    * are verified against the full staged shingle table (they reference
+    * old docs too), old×old verified pairs ride in the prior segments. */
+  private def verifiedStage(spark: SparkSession, dir: String,
+      cfg: LshConfig = LshConfig.Default): DataFrame =
+    Staged.appendable(spark, dir, cfg.stage("jaccard_verified"), "documents",
+      "doc_id")(
+      deltaDocs => TextHashing.jaccardOnCandidates(
+        shinglesStage(spark, dir, cfg),
+        graft.functions.Materialized(
+          deltaCandidates(spark, dir, deltaDocs, cfg)))
         .filter(col("jaccard") >= 0.7)) {
-      TextHashing.jaccardOnCandidates(shinglesStage(spark, dir),
-        graft.functions.Materialized(candidatesStage(spark, dir)))
+      TextHashing.jaccardOnCandidates(shinglesStage(spark, dir, cfg),
+        graft.functions.Materialized(candidatesStage(spark, dir, cfg)))
         .filter(col("jaccard") >= 0.7)
     }
 
   /** SimHash fingerprint table (shared by the fingerprint + pairs queries). */
   private def simhashStage(spark: SparkSession, dir: String): DataFrame =
-    Staged.appendable(spark, dir, "simhash", "documents")(
+    Staged.appendable(spark, dir, "simhash", "documents", "doc_id")(
       docs => TextHashing.simhash(docs)) {
       TextHashing.simhash(Tables.documents(spark, dir))
     }
@@ -121,6 +155,8 @@ object DedupQueries {
     * uses exact double math (values < 2^53) then BIGINT for the affine
     * step (products < 2^62). */
   private val minhashCte: String = {
+    val B = LshConfig.Default.bands // the oracle mirrors the DEFAULT config
+    val R = LshConfig.Default.rowsPerBand
     val p = TextHashing.MinhashP
     val hs = (0 until B * R).map { i =>
       val (a, b) = TextHashing.minhashSeed(i)
@@ -283,14 +319,76 @@ object DedupQueries {
     * [[components]] verbatim and [[canonicalize]] as its cluster input —
     * so before r9 the iteration ran twice per suite pass. Two slim long
     * columns per doc; at 100 TB this is the persisted component-assignment
-    * table the canonical mapping derives from. */
+    * table the canonical mapping derives from.
+    *
+    * Incrementally maintained under persist mode (r14 verdict ask #5,
+    * `Staged.rebuildable`): an append adds only edges touching new docs,
+    * so the closure is seeded with the PRIOR label table instead of
+    * re-converging from scratch — see [[incrementalComponents]]. */
   private def componentsStage(spark: SparkSession, dir: String): DataFrame =
-    Staged(spark, dir, "components") {
+    Staged.rebuildable(spark, dir, "components", "documents", "doc_id")(
+      (prior, deltaDocs) =>
+        incrementalComponents(spark, dir, prior, deltaDocs)) {
       TextHashing.connectedComponents(
         Tables.documents(spark, dir).select("doc_id"),
         graft.functions.Materialized(verifiedStage(spark, dir)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))))
     }
+
+  /** Delta maintenance of the component closure, exact by contraction:
+    * the prior labels already collapse every old component to its
+    * smallest id and old×old edges cannot appear in an append (the
+    * candidate delta enumerates only pairs touching new docs), so the
+    * only NEW connectivity flows through delta edges. Map each delta
+    * edge's endpoints through the prior labels (new docs map to
+    * themselves), run the closure on that CONTRACTED graph — super-
+    * vertices are prior component ids plus new doc ids, edge count =
+    * delta edge count, both delta-sized — then relabel: old rows join
+    * the super-component remap (untouched components pass through), new
+    * docs take their super label or themselves. The result is exactly
+    * the cold closure over the grown edge set: contraction preserves
+    * reachability, and min-label composition preserves the
+    * smallest-reachable-id rule (every super id IS the minimum of its
+    * contracted set). */
+  private def incrementalComponents(spark: SparkSession, dir: String,
+      prior: DataFrame, deltaDocs: DataFrame): DataFrame = {
+    val ids = deltaDocs.select(col("doc_id"))
+    // the GROWN verified table (itself delta-built or rebuilt by now);
+    // edges the append added = pairs touching a new doc
+    val v = verifiedStage(spark, dir).select(col("doc_a"), col("doc_b"))
+    val touchA = v.join(ids.select(col("doc_id").as("doc_a")),
+      Seq("doc_a"), "left_semi")
+    val touchB = v.join(ids.select(col("doc_id").as("doc_b")),
+      Seq("doc_b"), "left_semi")
+    // duplicates (an edge touching two new docs) are harmless to CC
+    val deltaEdges = touchA.unionByName(touchB)
+    val labA = prior.select(col("doc_id").as("doc_a"),
+      col("component").as("la"))
+    val labB = prior.select(col("doc_id").as("doc_b"),
+      col("component").as("lb"))
+    val contracted = deltaEdges
+      .join(labA, Seq("doc_a"), "left")
+      .join(labB, Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("src"),
+        coalesce(col("lb"), col("doc_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val verts = contracted.select(col("src").as("doc_id"))
+      .union(contracted.select(col("dst").as("doc_id"))).distinct()
+    // closure on the contracted (delta-sized) graph only
+    val superCC = TextHashing.connectedComponents(verts,
+      graft.functions.Materialized(contracted))
+    val remap = superCC.select(col("component").as("new_lab"),
+      col("doc_id").as("old_lab"))
+    val oldRelab = prior
+      .join(remap, prior("component") === remap("old_lab"), "left")
+      .select(prior("doc_id"),
+        coalesce(col("new_lab"), prior("component")).as("component"))
+    val newRelab = ids
+      .join(remap, ids("doc_id") === remap("old_lab"), "left")
+      .select(ids("doc_id"),
+        coalesce(col("new_lab"), ids("doc_id")).as("component"))
+    oldRelab.unionByName(newRelab)
+  }
 
   /** Cluster closure: connected components (iterative smallest-id
     * propagation, one shuffle per iteration) over the Jaccard-verified

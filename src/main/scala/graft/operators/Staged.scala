@@ -116,6 +116,15 @@ object Staged {
     md.digest().map("%02x".format(_)).mkString.take(12)
   }
 
+  /** Config-keyed stage name (r14 verdict ask #6, extending the
+    * `IvfConfig.stageKey` precedent `ivf_cells@50:3:3`): the DEFAULT
+    * configuration keeps the historical bare name — nothing shifts on
+    * disk, in the memo, or in the build log — while any other
+    * parameterization suffixes its key, so persisted cross-session reuse
+    * can never silently alias two configs of one stage. */
+  def keyed(base: String, key: String, defaultKey: String): String =
+    if (key == defaultKey) base else s"$base@$key"
+
   /** Filesystem-safe stage directory name: sanitized for readability plus
     * a digest suffix so sanitization can never alias two stage keys. */
   private def stageDirName(stage: String): String = {
@@ -190,24 +199,91 @@ object Staged {
     * behavior: `fullBuild` under a lazy localCheckpoint — `deltaBuild`
     * is never invoked, so the oracle-checked default path cannot drift.
     *
+    * Soundness precondition (r14 ADVICE): row-distributivity also assumes
+    * the appended part files carry only NEW source keys — a crawl drop
+    * that RE-DELIVERS an existing doc_id would make aggregating delta
+    * stages (e.g. `tf`'s groupBy(doc_id, tok)) emit a second row next to
+    * the prior segment's instead of merged counts, silently drifting from
+    * a cold rebuild. The delta path therefore CHECKS key disjointness
+    * against the prior source files (`sourceKey`; range fast path, exact
+    * semi-join fallback) and refuses via [[DeltaUnsupported]] on overlap,
+    * falling back to a cold rebuild exactly like the hot-bucket gate.
+    *
     * @param source table name under `dir` (e.g. "documents" →
     *   `dir/documents.parquet`, a bare file or a directory of parts)
+    * @param sourceKey the source's unique-id column the delta
+    *   disjointness check runs on ("doc_id" / "vec_id")
     * @param deltaBuild stage transform applied to a frame holding ONLY
     *   the appended part files' rows
     * @param fullBuild the historical whole-source build (may read other
     *   staged tables; used in-session and for cold persist builds)
     */
   def appendable(spark: SparkSession, dir: String, stage: String,
-      source: String)(deltaBuild: DataFrame => DataFrame)(
+      source: String, sourceKey: String)(deltaBuild: DataFrame => DataFrame)(
       fullBuild: => DataFrame): DataFrame =
     memoized(spark, dir, stage) {
       persistRoot match {
         case Some(root) =>
-          persistedAppendable(spark, root, dir, stage, source)(
+          persistedAppendable(spark, root, dir, stage, source, sourceKey)(
             deltaBuild)(fullBuild)
         case None => fullBuild.localCheckpoint(eager = false)
       }
     }
+
+  /** The appendable delta path's key-disjointness gate: throw
+    * [[DeltaUnsupported]] when any appended row re-delivers a key already
+    * present in the prior source files. Range comparison first (two
+    * column-pruned single-column aggregates — the monotone-id append
+    * every scheduled drop produces passes here); only overlapping ranges
+    * pay the exact semi-join probe. */
+  // Disjointness verdicts memoized per (key, old listing, new listing):
+  // every appendable stage of one source re-checks the SAME file sets
+  // during a refresh — one probe, eleven consumers. Cleared with the
+  // fingerprint memo (evict/reset/app end).
+  private val disjointMemo =
+    scala.collection.mutable.HashMap.empty[(String, Seq[String], Seq[String]), Boolean]
+
+  private def assertDisjointAppend(spark: SparkSession, sourceKey: String,
+      oldPaths: Seq[String], newPaths: Seq[String]): Unit = {
+    val memoKey = (sourceKey, oldPaths, newPaths)
+    disjointMemo.synchronized(disjointMemo.get(memoKey)) match {
+      case Some(true) => return
+      case Some(false) => throw new DeltaUnsupported(
+        s"appended part files re-deliver existing $sourceKey values: " +
+          "delta union semantics would double-count them")
+      case None => ()
+    }
+    val ok =
+      try { checkDisjointAppend(spark, sourceKey, oldPaths, newPaths); true }
+      catch { case e: DeltaUnsupported =>
+        disjointMemo.synchronized(disjointMemo.update(memoKey, false))
+        throw e
+      }
+    disjointMemo.synchronized(disjointMemo.update(memoKey, ok))
+    ()
+  }
+
+  private def checkDisjointAppend(spark: SparkSession, sourceKey: String,
+      oldPaths: Seq[String], newPaths: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max, min}
+    val newKeys = spark.read.parquet(newPaths: _*).select(col(sourceKey))
+    val oldKeys = spark.read.parquet(oldPaths: _*).select(col(sourceKey))
+    val newR = newKeys.agg(min(col(sourceKey)).as("nlo"),
+      max(col(sourceKey)).as("nhi"))
+    val oldR = oldKeys.agg(min(col(sourceKey)).as("olo"),
+      max(col(sourceKey)).as("ohi"))
+    val disjointRanges = newR.crossJoin(oldR)
+      .select(coalesce(col("nlo") > col("ohi") || col("nhi") < col("olo"),
+        lit(false)).as("d"))
+      .head().getBoolean(0)
+    if (!disjointRanges) {
+      val overlaps = newKeys.distinct()
+        .join(oldKeys, Seq(sourceKey), "left_semi").limit(1).count() > 0
+      if (overlaps) throw new DeltaUnsupported(
+        s"appended part files re-deliver existing $sourceKey values: " +
+          "delta union semantics would double-count them")
+    }
+  }
 
   /** Manifest file inside an appendable stage dir: records the source
     * part-file listing the stage covers and the absolute segment dirs
@@ -257,8 +333,30 @@ object Staged {
     else Seq.empty
   }
 
+  /** Appendable-manifest segment cap (r14 verdict ask #4): a delta
+    * publish that would push a stage past this many segments FOLDS
+    * instead — the prior segments' union plus the delta output is
+    * rewritten as ONE consolidated segment under the current fingerprint
+    * (mode `delta-compact`). Without the fold a daily-drop deployment
+    * accretes one segment per append forever (365/year per stage), every
+    * read unions them all, and each stale parent fingerprint subtree
+    * stays pinned by reference; folding bounds the union fan-in at K and
+    * lets [[gc]] reclaim the parents. The fold pays a read+write of the
+    * stage's data but NOT the transform (the expensive half), and
+    * amortizes to O(rows · appends / K) extra IO. Var for spec injection;
+    * production tunes it like any warehouse compaction threshold. */
+  private[graft] var compactSegmentsAbove: Int = 16
+
+  /** Test seam (r14 verdict ask #8): invoked on the delta path right
+    * after a delta base is selected and before its publish begins — lets
+    * a spec interleave a concurrent appender or a gc sweep
+    * DETERMINISTICALLY into the race window that the swept-segment
+    * re-check and the mid-build fallback close. Noop in production. */
+  private[graft] var onDeltaBaseSelected: () => Unit = () => ()
+
   /** Spec instrumentation: (stage, mode) per persist-path resolution,
-    * mode ∈ hit | cold | delta | relink. Bounded: a long-lived persist-
+    * mode ∈ hit | cold | delta | delta-compact | delta-refused |
+    * delta-swept | relink. Bounded: a long-lived persist-
     * mode server resolves stages for the life of the JVM, and a
     * diagnostics buffer must never become the leak it exists to catch. */
   private val BuildLogCap = 512
@@ -299,13 +397,72 @@ object Staged {
     candidates.sortBy(-_.source.size).headOption
   }
 
+  /** Build into a temp sibling, write the manifest, atomic-rename into
+    * place; a lost race deletes the temp and reads the winner's manifest
+    * (stages are deterministic functions of (dir, config)). A build that
+    * THROWS (including DeltaUnsupported) must not leave its temp dir for
+    * the gc sweep to find. Shared by the appendable and rebuildable
+    * resolutions. */
+  private def publishAtomic(target: java.nio.file.Path)(
+      build: java.nio.file.Path => Manifest): Manifest = {
+    val tmp = target.resolveSibling(
+      target.getFileName.toString + ".tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    java.nio.file.Files.createDirectories(tmp)
+    val manifest =
+      try build(tmp)
+      catch {
+        case e: Throwable => deleteRecursively(tmp); throw e
+      }
+    writeManifest(tmp.resolve(ManifestName), manifest)
+    try java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        deleteRecursively(tmp)
+        // A LOST RACE leaves the winner's manifest at target; a REAL
+        // move failure leaves nothing — swallowing it would hand
+        // consumers a manifest whose fresh segment paths never
+        // materialized under target (the data died with tmp). Rethrow.
+        if (readManifest(target.resolve(ManifestName)).isEmpty) throw e
+    }
+    readManifest(target.resolve(ManifestName)).getOrElse(manifest)
+  }
+
+  /** Close the gc race: [[gc]] may sweep a stale subtree between
+    * delta-base selection (its segments existed and were checked) and
+    * the publish (where the live manifest gc could not yet see started
+    * referencing them). A manifest pointing at deleted segments would
+    * poison the stage until the next corpus change — detect it and
+    * rebuild cold under a fresh publish instead. */
+  private def resolveSwept(stage: String, target: java.nio.file.Path,
+      winner: Manifest)(publishCold: () => Manifest): Manifest = {
+    val swept = winner.segments.filterNot(s =>
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s)))
+    if (swept.isEmpty) winner else {
+      log.warn(s"stage $stage: ${swept.size} referenced segments swept by " +
+        "a concurrent gc between delta-base selection and publish — " +
+        "rebuilding cold")
+      deleteRecursively(target)
+      publishCold()
+    }
+  }
+
+  /** Source listing entries → absolute part-file paths. */
+  private def sourcePaths(dir: String, source: String,
+      entries: Seq[String]): Seq[String] = {
+    val srcRoot = java.nio.file.Paths.get(dir, s"$source.parquet")
+    entries.map(e =>
+      srcRoot.resolve(e.split(':').dropRight(2).mkString(":")).toString)
+  }
+
   /** Persist-mode resolution for an appendable stage: manifest hit →
     * union scan of its segments; append-only growth vs a prior
     * fingerprint → deltaBuild over only the new part files, prior
     * segments referenced in place; otherwise cold fullBuild. Publishes
     * atomically like [[persisted]]. */
   private def persistedAppendable(spark: SparkSession, root: String,
-      dir: String, stage: String, source: String)(
+      dir: String, stage: String, source: String, sourceKey: String)(
       deltaBuild: DataFrame => DataFrame)(
       fullBuild: => DataFrame): DataFrame = {
     val fp = fingerprint(dir)
@@ -318,33 +475,8 @@ object Staged {
       case None => ()
     }
     val current = sourceListing(dir, source)
-
-    // Build into a temp sibling, write the manifest, atomic-rename into
-    // place; a lost race deletes the temp and reads the winner's
-    // manifest (stages are deterministic functions of (dir, config)).
-    // A build that THROWS (including DeltaUnsupported) must not leave
-    // its temp dir for the gc sweep to find.
-    def publish(build: java.nio.file.Path => Manifest): Manifest = {
-      val tmp = target.resolveSibling(
-        target.getFileName.toString + ".tmp-" +
-          java.util.UUID.randomUUID().toString.take(8))
-      java.nio.file.Files.createDirectories(tmp)
-      val manifest =
-        try build(tmp)
-        catch {
-          case e: Throwable => deleteRecursively(tmp); throw e
-        }
-      writeManifest(tmp.resolve(ManifestName), manifest)
-      try java.nio.file.Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.AccessDeniedException |
-             _: java.nio.file.FileSystemException =>
-          deleteRecursively(tmp)
-      }
-      readManifest(target.resolve(ManifestName)).getOrElse(manifest)
-    }
+    def publish(build: java.nio.file.Path => Manifest): Manifest =
+      publishAtomic(target)(build)
 
     def publishCold(): Manifest = publish { tmp =>
       log.info(s"stage miss: $stage -> building $target (cold)")
@@ -375,45 +507,159 @@ object Staged {
           // where only a whole-table rebuild can apply the star
           // collapse — in which case the stage cold-rebuilds exactly as
           // if it were not appendable
+          onDeltaBaseSelected()
           try publish { tmp =>
-            val srcRoot = java.nio.file.Paths.get(dir, s"$source.parquet")
-            val newPaths = newFiles.map(e =>
-              srcRoot.resolve(e.split(':').dropRight(2).mkString(":"))
-                .toString)
+            val newPaths = sourcePaths(dir, source, newFiles)
+            // key-disjointness gate (r14 ADVICE): a re-delivered key makes
+            // the segment union double-count — refuse to a cold rebuild
+            assertDisjointAppend(spark, sourceKey,
+              sourcePaths(dir, source, old.source), newPaths)
             log.info(s"stage delta: $stage builds ${newPaths.size} " +
               s"appended part files over ${old.segments.size} prior segments")
             val seg = "seg-" + java.util.UUID.randomUUID().toString.take(8)
             // construct BEFORE logging the mode: a gated deltaBuild
             // refuses at construction time (counted-gate idiom)
             val df = deltaBuild(spark.read.parquet(newPaths: _*))
-            logBuild(stage, "delta")
-            df.write.mode("overwrite").parquet(tmp.resolve(seg).toString)
-            Manifest(current, old.segments :+ target.resolve(seg).toString)
+            if (old.segments.size + 1 > compactSegmentsAbove) {
+              // fold: prior segments ∪ delta → ONE segment owned by this
+              // fingerprint (see compactSegmentsAbove). The transform
+              // still ran only over the appended files; the fold is pure
+              // IO over already-staged rows.
+              logBuild(stage, "delta-compact")
+              log.info(s"stage compact: $stage folds ${old.segments.size} " +
+                "prior segments + delta into one")
+              spark.read.parquet(old.segments: _*).unionByName(df)
+                .write.mode("overwrite").parquet(tmp.resolve(seg).toString)
+              Manifest(current, Seq(target.resolve(seg).toString))
+            } else {
+              logBuild(stage, "delta")
+              df.write.mode("overwrite").parquet(tmp.resolve(seg).toString)
+              Manifest(current, old.segments :+ target.resolve(seg).toString)
+            }
           } catch {
             case e: DeltaUnsupported =>
               log.info(s"stage $stage: delta refused (${e.getMessage}) " +
                 "— cold rebuild")
               logBuild(stage, "delta-refused")
               publishCold()
+            case scala.util.control.NonFatal(e)
+                if old.segments.exists(s => !java.nio.file.Files
+                  .isDirectory(java.nio.file.Paths.get(s))) =>
+              // a concurrent gc swept the delta base MID-BUILD (the
+              // compaction fold reads prior segments): same recovery as
+              // the post-publish re-check — rebuild cold
+              log.warn(s"stage $stage: delta base swept by a concurrent " +
+                s"gc mid-build (${e.getClass.getSimpleName}) — cold rebuild")
+              logBuild(stage, "delta-swept")
+              publishCold()
           }
         }
       case None => publishCold()
     }
-    // Close the gc race: Staged.gc may sweep a stale subtree between
-    // delta-base selection (its segments existed and were checked) and
-    // this publish (where the live manifest gc could not yet see starts
-    // referencing them). A manifest pointing at deleted segments would
-    // poison the stage until the next corpus change — detect it and
-    // rebuild cold under a fresh publish instead.
-    val swept = winner.segments.filterNot(s =>
-      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s)))
-    val effective = if (swept.isEmpty) winner else {
-      log.warn(s"stage $stage: ${swept.size} referenced segments swept by " +
-        "a concurrent gc between delta-base selection and publish — " +
-        "rebuilding cold")
-      deleteRecursively(target)
-      publishCold()
+    val effective = resolveSwept(stage, target, winner)(publishCold)
+    spark.read.parquet(effective.segments: _*)
+  }
+
+  /** Append-aware build-or-reuse for INCREMENTALLY MAINTAINED, FULLY
+    * MATERIALIZED stages (r14 verdict ask #5) — stages whose output is
+    * NOT a row-distributive union of per-file transforms (connected
+    * components: one appended edge can relabel OLD rows), but which can
+    * be rebuilt cheaply FROM the prior output plus the appended rows.
+    *
+    * Where [[appendable]] manifests a UNION of segments, a rebuildable
+    * stage's delta resolution runs `deltaBuild(prior, deltaRows)` —
+    * `prior` scans the delta base's segments, `deltaRows` only the
+    * appended part files — and publishes the result as the stage's ONE
+    * segment under the current fingerprint: the prior table is an INPUT
+    * of the new build, not a component of it. A pure relink (fingerprint
+    * moved, source unchanged) still reuses the prior segments in place.
+    * The key-disjointness gate, `DeltaUnsupported` cold-rebuild
+    * fallback, atomic publish, and swept-segment re-check are exactly
+    * [[appendable]]'s. In-session (default) mode runs `fullBuild` under
+    * a lazy localCheckpoint — byte-for-byte the historical behavior. */
+  def rebuildable(spark: SparkSession, dir: String, stage: String,
+      source: String, sourceKey: String)(
+      deltaBuild: (DataFrame, DataFrame) => DataFrame)(
+      fullBuild: => DataFrame): DataFrame =
+    memoized(spark, dir, stage) {
+      persistRoot match {
+        case Some(root) =>
+          persistedRebuildable(spark, root, dir, stage, source, sourceKey)(
+            deltaBuild)(fullBuild)
+        case None => fullBuild.localCheckpoint(eager = false)
+      }
     }
+
+  private def persistedRebuildable(spark: SparkSession, root: String,
+      dir: String, stage: String, source: String, sourceKey: String)(
+      deltaBuild: (DataFrame, DataFrame) => DataFrame)(
+      fullBuild: => DataFrame): DataFrame = {
+    val fp = fingerprint(dir)
+    val target = java.nio.file.Paths.get(root, fp, stageDirName(stage))
+    readManifest(target.resolve(ManifestName)) match {
+      case Some(m) =>
+        log.info(s"stage hit: $stage <- $target")
+        logBuild(stage, "hit")
+        return spark.read.parquet(m.segments: _*)
+      case None => ()
+    }
+    val current = sourceListing(dir, source)
+    def publishCold(): Manifest = publishAtomic(target) { tmp =>
+      log.info(s"stage miss: $stage -> building $target (cold)")
+      logBuild(stage, "cold")
+      val seg = "seg-" + java.util.UUID.randomUUID().toString.take(8)
+      fullBuild.write.mode("overwrite").parquet(tmp.resolve(seg).toString)
+      Manifest(current, Seq(target.resolve(seg).toString))
+    }
+    val base =
+      if (current.nonEmpty)
+        findDeltaBase(root, fp, stageDirName(stage), current)
+      else None
+    val winner = base match {
+      case Some(old) =>
+        val newFiles = current.filterNot(old.source.toSet)
+        if (newFiles.isEmpty) publishAtomic(target) { _ =>
+          log.info(s"stage relink: $stage reuses ${old.segments.size} " +
+            s"segments (source unchanged)")
+          logBuild(stage, "relink")
+          Manifest(current, old.segments)
+        } else {
+          onDeltaBaseSelected()
+          try publishAtomic(target) { tmp =>
+            val newPaths = sourcePaths(dir, source, newFiles)
+            assertDisjointAppend(spark, sourceKey,
+              sourcePaths(dir, source, old.source), newPaths)
+            log.info(s"stage delta: $stage rebuilds from the prior table " +
+              s"+ ${newPaths.size} appended part files")
+            val seg = "seg-" + java.util.UUID.randomUUID().toString.take(8)
+            val prior = spark.read.parquet(old.segments: _*)
+            val df = deltaBuild(prior, spark.read.parquet(newPaths: _*))
+            logBuild(stage, "delta")
+            // REPLACES the prior table: one segment, owned by this
+            // fingerprint — the stale parent is left for gc, unpinned
+            df.write.mode("overwrite").parquet(tmp.resolve(seg).toString)
+            Manifest(current, Seq(target.resolve(seg).toString))
+          } catch {
+            case e: DeltaUnsupported =>
+              log.info(s"stage $stage: delta refused (${e.getMessage}) " +
+                "— cold rebuild")
+              logBuild(stage, "delta-refused")
+              publishCold()
+            case scala.util.control.NonFatal(e)
+                if old.segments.exists(s => !java.nio.file.Files
+                  .isDirectory(java.nio.file.Paths.get(s))) =>
+              // the rebuild READS the prior table — a concurrent gc
+              // sweeping the delta base mid-build fails that scan; fall
+              // back to a cold rebuild, mirroring the post-publish check
+              log.warn(s"stage $stage: delta base swept by a concurrent " +
+                s"gc mid-build (${e.getClass.getSimpleName}) — cold rebuild")
+              logBuild(stage, "delta-swept")
+              publishCold()
+          }
+        }
+      case None => publishCold()
+    }
+    val effective = resolveSwept(stage, target, winner)(publishCold)
     spark.read.parquet(effective.segments: _*)
   }
 
@@ -438,12 +684,13 @@ object Staged {
     try java.nio.file.Files.move(tmp, target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.AccessDeniedException |
-           _: java.nio.file.FileSystemException =>
+      case e: java.nio.file.FileSystemException =>
         // lost the publish race — the winner's table is equivalent
-        // (stages are deterministic functions of (dir, stage config))
+        // (stages are deterministic functions of (dir, stage config)).
+        // But a GENUINE move failure (no winner at target) must rethrow:
+        // the scan below would otherwise read a path that never appeared.
         deleteRecursively(tmp)
+        if (!java.nio.file.Files.exists(success)) throw e
     }
     spark.read.parquet(target.toString)
   }
@@ -562,6 +809,7 @@ object Staged {
     graft.functions.Materialized.releaseAll(spark)
     graft.functions.TextHashing.clearProbeMemo(spark)
     fpMemo.synchronized(fpMemo.clear())
+    disjointMemo.synchronized(disjointMemo.clear())
   }
 
   /** Bench hook: make every pass pay the stage-build cost, so per-query
@@ -573,7 +821,16 @@ object Staged {
     graft.functions.Materialized.clearAll()
     graft.functions.TextHashing.clearProbeMemoAll()
     fpMemo.synchronized(fpMemo.clear())
+    disjointMemo.synchronized(disjointMemo.clear())
   }
+
+  /** Bench/spec helper: segment count of a persisted appendable stage's
+    * manifest at `dir`'s CURRENT fingerprint. */
+  private[graft] def segmentCount(root: String, dir: String,
+      stage: String): Option[Int] =
+    readManifest(java.nio.file.Paths
+      .get(root, fingerprintUncached(dir), stageDirName(stage))
+      .resolve(ManifestName)).map(_.segments.size)
 
   private[graft] def isStaged(spark: SparkSession, dir: String,
       stage: String): Boolean =

@@ -34,7 +34,7 @@ object VocabQueries {
 
   private[operators] def tokens(spark: org.apache.spark.sql.SparkSession,
       dir: String) =
-    Staged.appendable(spark, dir, "tokens", "documents")(tokenize) {
+    Staged.appendable(spark, dir, "tokens", "documents", "doc_id")(tokenize) {
       tokenize(Tables.documents(spark, dir))
     }
 
@@ -47,7 +47,7 @@ object VocabQueries {
     * re-aggregating the raw token explode). */
   private[operators] def termFreq(spark: org.apache.spark.sql.SparkSession,
       dir: String) =
-    Staged.appendable(spark, dir, "tf", "documents")(
+    Staged.appendable(spark, dir, "tf", "documents", "doc_id")(
       // distributive because doc_id is a grouping key and a document
       // never spans part files — appended docs' counts are disjoint rows
       docs => tokenize(docs)
@@ -335,16 +335,22 @@ object VocabQueries {
   /** One bigram-instance rule (doc_id, bigram) — shared by the corpus
     * counts and the per-doc instance side, and by the full/delta stage
     * builds; mirrors [[bigramTopK]]'s short-document clamp. */
-  private def bigramize(docs: org.apache.spark.sql.DataFrame) = {
+  private def bigramize(docs: org.apache.spark.sql.DataFrame,
+      n: Int = 2) = {
     graft.functions.NgramExprs.register(docs.sparkSession)
     docs.select(col("doc_id"), explode(
-      call_function("word_ngrams", split(col("text"), " "), lit(2)))
+      call_function("word_ngrams", split(col("text"), " "), lit(n)))
       .as("bigram"))
   }
 
-  private def bigrams(spark: org.apache.spark.sql.SparkSession, dir: String) =
-    Staged.appendable(spark, dir, "bigrams", "documents")(bigramize) {
-      bigramize(Tables.documents(spark, dir))
+  // config-keyed (r14 verdict ask #6): a non-default n-gram order stages
+  // under "bigrams@n" so persisted reuse cannot alias two orders; the
+  // default keeps the historical bare name
+  private[operators] def bigrams(spark: org.apache.spark.sql.SparkSession,
+      dir: String, n: Int = 2) =
+    Staged.appendable(spark, dir, Staged.keyed("bigrams", n.toString, "2"),
+      "documents", "doc_id")(docs => bigramize(docs, n)) {
+      bigramize(Tables.documents(spark, dir), n)
     }
 
   /** Per-document bigram-LM surprise — the CCNet-style language-model

@@ -263,6 +263,75 @@ class ScaleSpec extends AnyFunSuite {
       "simhash star-collapse changed the transitive closure")
   }
 
+  test("SemDeDup cell pairing shares the hot-bucket guard: plan identity below, keeper parity above (r14 verdict #1)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextHashing
+    import operators.{SemDedupConfig, SimilarityQueries}
+    // Engineered degenerate cell: 1,000 identical embeddings whose home
+    // cell is the same (a boilerplate embedding mega-cluster — exactly
+    // what a capped-nlist deployment concentrates into one cell), plus 50
+    // vectors in singleton cells.
+    val hotN = 1000L
+    val home = spark.range(0L, hotN)
+      .select(col("id").as("vec_id"), lit(7L).as("cid"))
+      .union(spark.range(hotN, hotN + 50L)
+        .select(col("id").as("vec_id"), col("id").as("cid")))
+      .localCheckpoint(eager = true)
+    val q8 = spark.range(0L, hotN)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), x -> 5.0D)").as("q8"))
+      .union(spark.range(hotN, hotN + 50L)
+        .select(col("id").as("vec_id"),
+          expr("transform(sequence(1, 64), " +
+            "x -> CAST(pmod(id * 31 + x, 13) - 6 AS DOUBLE))").as("q8")))
+      .localCheckpoint(eager = true)
+    // Below the threshold the pairing is EXACTLY the per-cell self-join —
+    // same operators, same shape; only expression ids may differ.
+    val cells = home.select(col("vec_id").as("doc_id"), col("cid"))
+      .localCheckpoint(eager = true)
+    def normalized(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+        .replaceAll("#\\d+", "#x").replaceAll("plan_id=\\d+", "plan_id=x")
+    val below = TextHashing.guardedPairs(
+      graft.functions.Materialized(cells), Seq("cid"),
+      hotBucketThreshold = 10000L)
+    val legacy = {
+      val a = cells.as("a")
+      val b = cells.as("b")
+      a.join(b, col("a.cid") === col("b.cid") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    }
+    assert(normalized(below) === normalized(legacy),
+      "below-threshold cell pairing drifted from the historical self-join:\n" +
+        normalized(below))
+    // Above the threshold the hot cell star-collapses: O(|cell|) edges,
+    // never the O(|cell|²) single-task quadratic.
+    val starPairs = TextHashing.guardedPairs(
+      graft.functions.Materialized(cells), Seq("cid"),
+      hotBucketThreshold = 100L)
+    // guardedPairs does not dedup (the (min,max) edge rides in both star
+    // halves — min/agg consumers are insensitive): 2(B-1) edges total
+    assert(starPairs.count() === 2L * (hotN - 1L),
+      "hot cell must contribute the two-anchor star, not O(|cell|²) pairs")
+    // Keeper semantics: on the identical-vector cluster the guarded
+    // decision must EQUAL brute exactly — every non-minimum doc dropped
+    // toward the cluster minimum, minimum kept, singleton cells untouched.
+    def decisions(cfg: SemDedupConfig): Set[(Long, Long, Long)] =
+      SimilarityQueries.semanticDedupOn(home, q8, cfg)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val guarded = decisions(SemDedupConfig(hotCellThreshold = 100L))
+    val brute = decisions(SemDedupConfig(hotCellThreshold = Long.MaxValue))
+    assert(guarded === brute,
+      "star-collapsed keeper assignment diverged from the brute self-join")
+    assert(guarded === (1L until hotN).map(i => (i, 7L, 0L)).toSet,
+      "every non-minimum member of the degenerate cell must drop to the " +
+        "cell minimum; singleton cells must be untouched")
+    // And every dup_of is a valid keeper under the documented rule:
+    // smaller than the doc it replaces.
+    assert(guarded.forall { case (v, _, d) => d < v })
+  }
+
   test("IvfConfig: deployment rule as configuration, not prose (r12 verdict #2)") {
     import org.apache.spark.sql.functions._
     import operators.{IvfConfig, SimilarityQueries}

@@ -1,0 +1,184 @@
+package graft
+
+import graft.operators.Staged
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** Concurrent-appender and gc-race hardening for the persisted staging
+  * layer (r14 verdict ask #8). The invariant under test: NO published
+  * manifest ever references a swept segment — racing builders may lose
+  * publishes or fall back to cold rebuilds, but a reader following a
+  * manifest must always find its data. The deterministic race window is
+  * opened through `Staged.onDeltaBaseSelected` (fires between delta-base
+  * selection and publish — exactly where a concurrent gc or appender can
+  * interleave). */
+class StagedConcurrencySpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def writeDocs(dir: String, ids: Range, append: Boolean): Unit = {
+    import spark.implicits._
+    val rows = ids.map { i =>
+      (i.toLong, s"alpha bravo charlie delta tok$i tail$i", "en",
+        s"src${i % 3}", 40L)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars").repartition(2)
+      .write.mode(if (append) "append" else "overwrite")
+      .parquet(s"$dir/documents.parquet")
+  }
+
+  private def freshDir(): String =
+    Files.createTempDirectory("conc_data").toString
+
+  private def modes(stage: String): Seq[String] =
+    Staged.buildLogSnapshot.collect { case (s, m) if s == stage => m }
+
+  /** Every manifest under `root` must reference only existing segment
+    * dirs — the spec's central invariant. */
+  private def assertManifestsLive(root: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(Paths.get(root))
+    val manifests = try {
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString == "_GRAFT_STAGE").toList
+    } finally s.close()
+    assert(manifests.nonEmpty, "expected at least one published manifest")
+    for (m <- manifests) {
+      val segs = Files.readAllLines(m).asScala
+        .filter(_.startsWith("segment\t")).map(_.drop(8))
+      for (seg <- segs)
+        assert(Files.isDirectory(Paths.get(seg)),
+          s"manifest $m references swept segment $seg")
+    }
+  }
+
+  test("two concurrent appenders: racing publishes serialize, gc retains the referenced base (r14 verdict #8)") {
+    val root = Files.createTempDirectory("conc_root").toString
+    val dir = freshDir()
+    writeDocs(dir, 0 until 40, append = false)
+    Staged.evict(spark)
+    Staged.enablePersist(root)
+    def stage(s: org.apache.spark.sql.SparkSession) =
+      Staged.appendable(s, dir, "conc@two", "documents", "doc_id")(
+        docs => docs.selectExpr("doc_id", "length(text) AS n")) {
+        s.read.parquet(s"$dir/documents.parquet")
+          .selectExpr("doc_id", "length(text) AS n")
+      }
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    try {
+      stage(spark).count() // fp1 staged cold
+      writeDocs(dir, 40 until 50, append = true)
+      Staged.reset(spark)
+      // two sessions resolve the grown corpus CONCURRENTLY: both select
+      // fp1 as delta base, both publish; the atomic rename serializes —
+      // the loser reads the winner's manifest
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val counts = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+      val threads = Seq(s1, s2).map { s =>
+        new Thread(() =>
+          try counts.add(stage(s).count())
+          catch { case e: Throwable => errors.add(e); () })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      assert(errors.isEmpty, s"concurrent appender failed: ${errors.peek()}")
+      import scala.jdk.CollectionConverters._
+      assert(counts.asScala.toSeq === Seq(50L, 50L))
+      assertManifestsLive(root)
+      // the winner's manifest references fp1's segment — gc must retain it
+      val deleted = Staged.gc(root, Seq(dir))
+      assert(deleted.isEmpty,
+        s"gc must retain the delta base a live manifest references: $deleted")
+      assertManifestsLive(root)
+      // and a third reader still resolves to a plain hit
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(stage(spark).count() === 50)
+      assert(modes("conc@two") === Seq("hit"))
+    } finally {
+      Staged.onDeltaBaseSelected = () => ()
+      Staged.disablePersist()
+      Staged.evict(s1)
+      Staged.evict(s2)
+      Staged.reset(spark)
+    }
+  }
+
+  test("gc sweep inside the delta window: appendable recovers via the swept-segment re-check (r14 verdict #8)") {
+    val root = Files.createTempDirectory("conc_root_gc").toString
+    val dir = freshDir()
+    writeDocs(dir, 0 until 30, append = false)
+    Staged.evict(spark)
+    Staged.enablePersist(root)
+    def stage() =
+      Staged.appendable(spark, dir, "conc@gc", "documents", "doc_id")(
+        docs => docs.selectExpr("doc_id", "length(text) AS n")) {
+        spark.read.parquet(s"$dir/documents.parquet")
+          .selectExpr("doc_id", "length(text) AS n")
+      }
+    try {
+      stage().count() // fp1 cold
+      writeDocs(dir, 30 until 36, append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      // the race, made deterministic: right after the builder selects fp1
+      // as delta base, a gc sweeps — fp1 is unreferenced at that instant
+      // (the new fingerprint has published nothing yet), so it is deleted
+      Staged.onDeltaBaseSelected = () => {
+        Staged.onDeltaBaseSelected = () => ()
+        val swept = Staged.gc(root, Seq(dir))
+        assert(swept.nonEmpty, "the race window must actually sweep fp1")
+      }
+      val grown = stage()
+      // the delta publish succeeded but referenced swept segments — the
+      // post-publish re-check must force a cold rebuild
+      assert(modes("conc@gc") === Seq("delta", "cold"),
+        s"swept delta base must cold-rebuild: ${Staged.buildLogSnapshot}")
+      assert(grown.count() === 36)
+      assertManifestsLive(root)
+    } finally {
+      Staged.onDeltaBaseSelected = () => ()
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("gc sweep inside the delta window: rebuildable's prior-table read falls back cold (r14 verdict #8)") {
+    val root = Files.createTempDirectory("conc_root_rb").toString
+    val dir = freshDir()
+    writeDocs(dir, 0 until 30, append = false)
+    Staged.evict(spark)
+    Staged.enablePersist(root)
+    def stage() =
+      Staged.rebuildable(spark, dir, "conc@rb", "documents", "doc_id")(
+        (prior, delta) =>
+          prior.unionByName(delta.selectExpr("doc_id",
+            "length(text) AS n"))) {
+        spark.read.parquet(s"$dir/documents.parquet")
+          .selectExpr("doc_id", "length(text) AS n")
+      }
+    try {
+      stage().count() // fp1 cold
+      writeDocs(dir, 30 until 36, append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      Staged.onDeltaBaseSelected = () => {
+        Staged.onDeltaBaseSelected = () => ()
+        val swept = Staged.gc(root, Seq(dir))
+        assert(swept.nonEmpty, "the race window must actually sweep fp1")
+      }
+      val grown = stage()
+      // the rebuild READS the swept prior table — the mid-build fallback
+      // must catch the failed scan and rebuild cold
+      assert(modes("conc@rb") === Seq("delta-swept", "cold"),
+        s"swept rebuild base must fall back cold: ${Staged.buildLogSnapshot}")
+      assert(grown.count() === 36)
+      assertManifestsLive(root)
+    } finally {
+      Staged.onDeltaBaseSelected = () => ()
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+}

@@ -47,7 +47,7 @@ class StagedIncrementalSpec extends AnyFunSuite {
     Staged.evict(spark)
     Staged.enablePersist(stageRoot)
     try {
-      def stage() = Staged.appendable(spark, dir, "inc@mech", "documents")(
+      def stage() = Staged.appendable(spark, dir, "inc@mech", "documents", "doc_id")(
         docs => docs.selectExpr("doc_id", "length(text) AS n")) {
         spark.read.parquet(s"$dir/documents.parquet")
           .selectExpr("doc_id", "length(text) AS n")
@@ -103,7 +103,7 @@ class StagedIncrementalSpec extends AnyFunSuite {
     Staged.evict(spark)
     Staged.enablePersist(stageRoot)
     try {
-      def stage() = Staged.appendable(spark, dir, "inc@mod", "documents")(
+      def stage() = Staged.appendable(spark, dir, "inc@mod", "documents", "doc_id")(
         docs => docs.selectExpr("doc_id")) {
         spark.read.parquet(s"$dir/documents.parquet").selectExpr("doc_id")
       }
@@ -123,6 +123,53 @@ class StagedIncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("re-delivered source keys refuse the delta and cold-rebuild (r14 ADVICE)") {
+    // An appended part file that RE-DELIVERS an existing doc_id breaks
+    // the union semantics of aggregating delta stages (a groupBy(doc_id)
+    // stage would emit a second row next to the prior segment's) — the
+    // key-disjointness gate must refuse and fall back to a cold rebuild,
+    // whose result is then exact.
+    val stageRoot = Files.createTempDirectory("inc_root_dup").toString
+    val dir = freshDir()
+    writeDocs(dir, 0 until 30, append = false)
+    Staged.evict(spark)
+    Staged.enablePersist(stageRoot)
+    try {
+      // an AGGREGATING stage — the shape the overlap would corrupt
+      def stage() = Staged.appendable(spark, dir, "inc@dup", "documents",
+        "doc_id")(docs => docs.groupBy("doc_id").count()) {
+        spark.read.parquet(s"$dir/documents.parquet")
+          .groupBy("doc_id").count()
+      }
+      Staged.clearBuildLog()
+      assert(stage().count() === 30)
+      assert(modes("inc@dup") === Seq("cold"))
+      // the bad drop: ids 25..34 — 25..29 re-delivered
+      writeDocs(dir, 25 until 35, append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val grown = stage()
+      assert(modes("inc@dup") === Seq("delta-refused", "cold"),
+        s"overlapping keys must refuse the delta: ${Staged.buildLogSnapshot}")
+      // cold rebuild merged the duplicates: 35 distinct ids, re-delivered
+      // ids counted twice
+      assert(grown.count() === 35)
+      import org.apache.spark.sql.functions.col
+      assert(grown.filter(col("count") === 2).count() === 5,
+        "re-delivered ids must aggregate across old and new part files")
+      // a GENUINELY disjoint follow-up append still delta-builds
+      writeDocs(dir, 40 until 45, append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(stage().count() === 40)
+      assert(modes("inc@dup") === Seq("delta"),
+        s"disjoint append must still delta-build: ${Staged.buildLogSnapshot}")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
   test("source-unchanged fingerprint move relinks every segment without building") {
     val stageRoot = Files.createTempDirectory("inc_root_rel").toString
     val dir = freshDir()
@@ -130,7 +177,7 @@ class StagedIncrementalSpec extends AnyFunSuite {
     Staged.evict(spark)
     Staged.enablePersist(stageRoot)
     try {
-      def stage() = Staged.appendable(spark, dir, "inc@rel", "documents")(
+      def stage() = Staged.appendable(spark, dir, "inc@rel", "documents", "doc_id")(
         docs => docs.selectExpr("doc_id")) {
         spark.read.parquet(s"$dir/documents.parquet").selectExpr("doc_id")
       }
@@ -151,6 +198,79 @@ class StagedIncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("segment compaction: manifests fold past the cap, value parity holds, gc unpins the parents (r14 verdict #4)") {
+    val stageRoot = Files.createTempDirectory("inc_root_cmp").toString
+    val dir = freshDir()
+    writeDocs(dir, 0 until 12, append = false)
+    Staged.evict(spark)
+    Staged.enablePersist(stageRoot)
+    val savedCap = Staged.compactSegmentsAbove
+    Staged.compactSegmentsAbove = 3
+    try {
+      def stage() = Staged.appendable(spark, dir, "inc@cmp", "documents",
+        "doc_id")(docs => docs.selectExpr("doc_id", "length(text) AS n")) {
+        spark.read.parquet(s"$dir/documents.parquet")
+          .selectExpr("doc_id", "length(text) AS n")
+      }
+      def segments(): Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        val fp = Staged.fingerprint(dir)
+        val stageDir = Paths.get(stageRoot, fp).toFile.listFiles()
+          .filter(_.getName.startsWith("inc_cmp")).head.toPath
+        Files.readAllLines(stageDir.resolve("_GRAFT_STAGE")).asScala
+          .filter(_.startsWith("segment\t")).toSeq
+      }
+      stage().count() // cold: 1 segment
+      val fps = scala.collection.mutable.ArrayBuffer(Staged.fingerprint(dir))
+      assert(segments().size === 1)
+      // two appends accrete segments (2, then 3 = cap, no fold yet)
+      for ((r, want) <- Seq(((12 until 15), 2), ((15 until 18), 3))) {
+        writeDocs(dir, r, append = true)
+        Staged.reset(spark)
+        stage().count()
+        fps += Staged.fingerprint(dir)
+        assert(segments().size === want, s"expected $want segments")
+      }
+      // the next append would make 4 > cap: the publish folds to ONE
+      // segment owned by the current fingerprint
+      writeDocs(dir, 18 until 21, append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val folded = stage()
+      assert(modes("inc@cmp") === Seq("delta-compact"),
+        s"past-cap append must fold: ${Staged.buildLogSnapshot}")
+      val segs = segments()
+      val fpNow = Staged.fingerprint(dir)
+      assert(segs.size === 1, s"fold must leave one segment: $segs")
+      assert(segs.head.contains(fpNow),
+        s"folded segment must live under the current fingerprint: $segs")
+      // value parity with a cold rebuild over the same grown corpus
+      val foldedRows = folded.collect().map(_.toString).sorted.toSeq
+      Staged.enablePersist(Files.createTempDirectory("inc_cmp_cold").toString)
+      Staged.reset(spark)
+      val coldRows = stage().collect().map(_.toString).sorted.toSeq
+      assert(foldedRows === coldRows, "fold drifted from a cold rebuild")
+      // the fold unpinned every stale parent: gc reclaims all prior fps
+      Staged.enablePersist(stageRoot)
+      val deleted = Staged.gc(stageRoot, Seq(dir))
+      assert(deleted.toSet === fps.toSet.diff(Set(fpNow)),
+        s"fold must let gc reclaim the stale parents: deleted=$deleted " +
+          s"fps=$fps now=$fpNow")
+      // and the folded stage still reads after the sweep
+      Staged.reset(spark)
+      assert(stage().count() === 21)
+      // a further append restarts accretion at 2 segments
+      writeDocs(dir, 21 until 24, append = true)
+      Staged.reset(spark)
+      stage().count()
+      assert(segments().size === 2)
+    } finally {
+      Staged.compactSegmentsAbove = savedCap
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
   test("gc retains stale subtrees pinned by a live manifest, deletes unreferenced ones") {
     val stageRoot = Files.createTempDirectory("inc_root_gc").toString
     val dir = freshDir()
@@ -158,7 +278,7 @@ class StagedIncrementalSpec extends AnyFunSuite {
     Staged.evict(spark)
     Staged.enablePersist(stageRoot)
     try {
-      def stage() = Staged.appendable(spark, dir, "inc@gc", "documents")(
+      def stage() = Staged.appendable(spark, dir, "inc@gc", "documents", "doc_id")(
         docs => docs.selectExpr("doc_id")) {
         spark.read.parquet(s"$dir/documents.parquet").selectExpr("doc_id")
       }
@@ -212,7 +332,11 @@ class StagedIncrementalSpec extends AnyFunSuite {
       // incremental path: cold-stage the base, append, re-run
       Staged.enablePersist(Files.createTempDirectory("inc_rp_a").toString)
       queries.foreach(collectSorted) // cold build at base corpus
-      writeDocs(dir, 50 until 60, append = true, dupOf = Map(55 -> 3))
+      // 55 duplicates base doc 3 (new→old edge); 56 duplicates 3 too, so
+      // 55↔56 is a new→new edge — the incremental closure must merge the
+      // appended pair into the OLD doc's component through contraction
+      writeDocs(dir, 50 until 60, append = true,
+        dupOf = Map(55 -> 3, 56 -> 3))
       Staged.clearBuildLog()
       val incremental = queries.map(q => q -> collectSorted(q)).toMap
       val shingleModes = modes("shingles_raw")
@@ -226,6 +350,10 @@ class StagedIncrementalSpec extends AnyFunSuite {
         s"candidate stage must delta-build: ${Staged.buildLogSnapshot}")
       assert(modes("jaccard_verified").headOption.contains("delta"),
         s"verified stage must delta-build: ${Staged.buildLogSnapshot}")
+      // r15: the component closure delta-maintains from the prior label
+      // table (Staged.rebuildable) — parity below pins it equal to cold
+      assert(modes("components").headOption.contains("delta"),
+        s"components must delta-rebuild: ${Staged.buildLogSnapshot}")
       // cold path: a pristine root sees the grown corpus all at once
       Staged.disablePersist()
       Staged.reset(spark)

@@ -72,6 +72,30 @@ class StagedSpec extends AnyFunSuite {
       s"reset freed no checkpoint blocks: before=$persistedBefore after=$persistedAfter")
   }
 
+  test("config-keyed text stages: two LSH configs stage disjointly (r14 verdict #6)") {
+    import TestSpark.sf
+    import graft.operators.DedupQueries
+    import graft.operators.DedupQueries.LshConfig
+    Staged.evict(spark)
+    // default config keeps the HISTORICAL bare names — nothing shifts
+    DedupQueries.candidatesStage(spark, sf).count()
+    for (s <- Seq("shingles_raw", "lsh_bands", "lsh_candidates"))
+      assert(Staged.isStaged(spark, sf, s), s"default must stage bare '$s'")
+    // a non-default config stages under its own keys, coexisting
+    val cfg = LshConfig(bands = 8, rowsPerBand = 2)
+    DedupQueries.candidatesStage(spark, sf, cfg).count()
+    for (s <- Seq("lsh_bands@8:2:3", "lsh_candidates@8:2:3"))
+      assert(Staged.isStaged(spark, sf, s), s"non-default must stage '$s'")
+    // the shingle stage depends only on k, so k=3 REUSES the default table
+    assert(!Staged.isStaged(spark, sf, "shingles_raw@3"))
+    // the keyed names flow through to DISTINCT persisted directories
+    assert(Staged.keyed("lsh_bands", "8:2:3", "4:4:3") === "lsh_bands@8:2:3")
+    assert(Staged.keyed("lsh_bands", "4:4:3", "4:4:3") === "lsh_bands")
+    // and a k change does re-key the shingles
+    assert(LshConfig(shingleK = 2).shingleStage === "shingles_raw@2")
+    Staged.evict(spark)
+  }
+
   test("application end clears every entry") {
     Staged(spark, "/tmp/staged-spec", "stage-b") { spark.range(3).toDF() }
     assert(Staged.size > 0)

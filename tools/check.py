@@ -11,6 +11,7 @@ depends on Python.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -47,8 +48,12 @@ def canon(rows, cols):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # a table may be a bare parquet file (driver testdata) or a
+        # DIRECTORY of part files (Spark/appended corpora) — glob the dir
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
