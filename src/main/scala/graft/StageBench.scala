@@ -35,10 +35,14 @@ object StageBench {
       idx: Int = 0): Unit = {
     // idx > 0 = the Nth drop of an append CHAIN: each drop slices the
     // ORIGINAL replicas only (id cutoff below), offsets by its own stride
-    // and prefixes its own token namespace — successive drops stay
-    // id-disjoint (the delta gate requires it) and word-disjoint
-    val stride = 100000000L * (k + 1 + idx)
+    // and prefixes its own token namespace. Strides are spaced by the
+    // FULL original id span ((k+1) replica strides), not one replica
+    // stride — successive drops must be id-disjoint from each other, not
+    // just from the originals, or the key-disjointness gate (correctly)
+    // refuses every delta past the first. idx=0 reproduces the
+    // historical single-append stride exactly.
     val cut = 100000000L * (k + 1)
+    val stride = cut * (idx + 1)
     val pfx = if (idx == 0) "zx" else s"zx$idx"
     def appendVia(table: String)(
         slice: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
@@ -79,11 +83,17 @@ object StageBench {
       : Seq[(String, String, Double)] = {
     operators.Staged.reset(spark)
     operators.Staged.clearBuildLog()
-    Queries.map { q =>
+    val rows = Queries.map { q =>
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).count()
       (phase, q, (System.nanoTime() - t0) / 1e9)
     }
+    // resolution-mode evidence on stderr (same shape as Verify's): lets a
+    // reader confirm WHICH stages the phase delta-built vs cold-rebuilt
+    System.err.println(s"STAGEBENCH_MODES $phase: " +
+      operators.Staged.buildLogSnapshot
+        .map { case (s, m) => s"$s=$m" }.mkString(", "))
+    rows
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
@@ -212,6 +222,64 @@ object StageBench {
       println(f"""{"metric":"stage_chain","x":$k,"appends":$chainN,"compact_above":${operators.Staged.compactSegmentsAbove},"delta_compacts":$compacts,"warm_before_sec":$warm0%.3f,"warm_after_sec":$warmN%.3f,"refresh_total_sec":$refreshTotal%.3f,"simhash_segments":${segs.getOrElse(-1)}}""")
       deleteRecursively(java.nio.file.Paths.get(rootC))
       deleteRecursively(java.nio.file.Paths.get(workChain))
+    }
+
+    // Closure-regime A/B (r14 verdict ask #5's crossover evidence): when
+    // the edge list exceeds the union-find threshold, the full closure is
+    // the ITERATIVE distributed phase — O(diameter) shuffles over the
+    // full edge list per refresh — while contraction's iteration input is
+    // delta-sized. Synthetic graph: `nBase` docs in 8-chains (~nBase·7/8
+    // edges > 2^20 → the full path runs iterative naturally, no forcing),
+    // prior labels = the chains' closure, delta = 1,000 new docs each
+    // BRIDGING two chain heads (real merges). Off by default.
+    if (sys.env.contains("SPARK_GRAFT_CC_REGIME")) {
+      import graft.functions.{Materialized, TextHashing}
+      val chain = 8L
+      val nBase = sys.env.get("SPARK_GRAFT_CC_DOCS")
+        .flatMap(_.toLongOption).getOrElse(2000000L)
+      val base = spark.range(0L, nBase, 1L, 32)
+      val baseEdges = base
+        .filter(pmod(col("id"), lit(chain)) =!= lit(chain - 1))
+        .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+      val prior = base.select(col("id").as("doc_id"),
+        (col("id") - pmod(col("id"), lit(chain))).as("component"))
+        .localCheckpoint(eager = true)
+      val nd = 1000L
+      val newDocs = spark.range(0L, nd)
+        .select((col("id") + nBase).as("doc_id"), col("id").as("j"))
+        .localCheckpoint(eager = true)
+      val deltaEdges = newDocs
+        .select(col("doc_id").as("src"),
+          (col("j") * lit(2L * chain)).as("dst"))
+        .union(newDocs.select(col("doc_id").as("src"),
+          (col("j") * lit(2L * chain) + lit(chain)).as("dst")))
+      val allEdges = baseEdges.union(deltaEdges)
+        .localCheckpoint(eager = true)
+      val allVerts = base.select(col("id").as("doc_id"))
+        .union(newDocs.select(col("doc_id")))
+        .localCheckpoint(eager = true)
+      def timed(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (fullSec, fullRows) = timed {
+        TextHashing.connectedComponents(allVerts, Materialized(allEdges))
+          .count()
+      }
+      val (incSec, incRows) = timed {
+        TextHashing.incrementalComponents(prior,
+          newDocs.select(col("doc_id")), allEdges).count()
+      }
+      val edgeCount = allEdges.count()
+      // order-insensitive checksum: the two labelings must be IDENTICAL
+      def sig(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum(hash(col("doc_id"), col("component")).cast("long")))
+          .head().getLong(0)
+      val parity = sig(TextHashing.connectedComponents(allVerts,
+        Materialized(allEdges))) == sig(TextHashing.incrementalComponents(
+        prior, newDocs.select(col("doc_id")), allEdges))
+      println(f"""{"metric":"cc_regime","docs":${nBase + nd},"edges":$edgeCount,"full_iterative_sec":$fullSec%.3f,"contraction_sec":$incSec%.3f,"full_rows":$fullRows,"contraction_rows":$incRows,"parity":$parity,"speedup":${fullSec / incSec}%.1f}""")
     }
 
     val docRows = spark.read.parquet(s"$workGrown/documents.parquet").count()

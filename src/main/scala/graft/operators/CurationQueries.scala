@@ -488,7 +488,44 @@ object CurationQueries {
       FROM r WHERE rk * 20 > n AND rk * 20 <= n * 19
     """))
 
+  /** Deterministic train/validation split — the pipeline step every
+    * training build ends with. Assignment is content-free and stable:
+    * bucket = md5(doc_id) as an integer mod 100, train iff bucket < 90 —
+    * the same doc lands in the same split on every run, every engine,
+    * every corpus growth (an append never reshuffles old docs across
+    * splits, unlike any count-based split). Output is per-(split, source)
+    * counts + char volume: the table a mixer checks to confirm the split
+    * preserved the corpus mix. Map-only assignment + one tiny aggregate;
+    * exact integers end to end. */
+  val trainValSplit = QueryDef(
+    "train_val_split",
+    (spark, dir) => {
+      val bucket = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) " +
+          "AS BIGINT) % 100")
+      Tables.documents(spark, dir)
+        .select(col("source"), col("n_chars"), bucket.as("bkt"))
+        .withColumn("split",
+          when(col("bkt") < 90, "train").otherwise("val"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT source, n_chars,
+               CAST(list_sum(list_transform(range(8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), i + 1, 1)) - 1)
+                   * (16 ** (7 - i)))) AS BIGINT) % 100 AS bkt
+        FROM documents)
+      SELECT CASE WHEN bkt < 90 THEN 'train' ELSE 'val' END AS split,
+             source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM b GROUP BY 1, 2
+    """))
+
   val defs: Seq[QueryDef] = Seq(
     packSequences, packSequencesBlocked, repetition2gram, piiRedact,
-    int8TopK, rateSample, domainMixture, tokenRarity, lengthBand)
+    int8TopK, rateSample, domainMixture, tokenRarity, lengthBand,
+    trainValSplit)
 }

@@ -335,59 +335,39 @@ object DedupQueries {
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))))
     }
 
-  /** Delta maintenance of the component closure, exact by contraction:
-    * the prior labels already collapse every old component to its
-    * smallest id and old×old edges cannot appear in an append (the
-    * candidate delta enumerates only pairs touching new docs), so the
-    * only NEW connectivity flows through delta edges. Map each delta
-    * edge's endpoints through the prior labels (new docs map to
-    * themselves), run the closure on that CONTRACTED graph — super-
-    * vertices are prior component ids plus new doc ids, edge count =
-    * delta edge count, both delta-sized — then relabel: old rows join
-    * the super-component remap (untouched components pass through), new
-    * docs take their super label or themselves. The result is exactly
-    * the cold closure over the grown edge set: contraction preserves
-    * reachability, and min-label composition preserves the
-    * smallest-reachable-id rule (every super id IS the minimum of its
-    * contracted set). */
+  /** Contraction pays only when the closure itself is expensive: below
+    * this edge count the full rebuild IS one driver union-find pass over
+    * a materialized edge list (`connectedComponents`'s
+    * localEdgeThreshold, same default), and contraction's extra joins
+    * cannot win — MEASURED at ×25 (SCALE.md): contraction 5.4 s vs the
+    * plain rebuild ~4.2 s on a 126k-doc corpus whose whole edge list
+    * union-finds in milliseconds. Past the threshold the closure is the
+    * iterative distributed phase — O(diameter) shuffles over the FULL
+    * edge list every refresh — while contraction's iteration input stays
+    * delta-sized; that regime (any web-scale corpus) is what the delta
+    * path exists for. Var for spec/bench injection (negative forces
+    * contraction). */
+  private[graft] var contractionMinEdges: Long = 1L << 20
+
+  /** Delta maintenance of the component closure — the gate plus a call
+    * into the general contraction ([[TextHashing.incrementalComponents]],
+    * which documents the exactness argument). The append's new
+    * connectivity flows only through edges touching new docs (the
+    * candidate delta's invariant), so contracting the grown verified
+    * edge list through the prior labels leaves a delta-sized graph. */
   private def incrementalComponents(spark: SparkSession, dir: String,
       prior: DataFrame, deltaDocs: DataFrame): DataFrame = {
-    val ids = deltaDocs.select(col("doc_id"))
-    // the GROWN verified table (itself delta-built or rebuilt by now);
-    // edges the append added = pairs touching a new doc
-    val v = verifiedStage(spark, dir).select(col("doc_a"), col("doc_b"))
-    val touchA = v.join(ids.select(col("doc_id").as("doc_a")),
-      Seq("doc_a"), "left_semi")
-    val touchB = v.join(ids.select(col("doc_id").as("doc_b")),
-      Seq("doc_b"), "left_semi")
-    // duplicates (an edge touching two new docs) are harmless to CC
-    val deltaEdges = touchA.unionByName(touchB)
-    val labA = prior.select(col("doc_id").as("doc_a"),
-      col("component").as("la"))
-    val labB = prior.select(col("doc_id").as("doc_b"),
-      col("component").as("lb"))
-    val contracted = deltaEdges
-      .join(labA, Seq("doc_a"), "left")
-      .join(labB, Seq("doc_b"), "left")
-      .select(coalesce(col("la"), col("doc_a")).as("src"),
-        coalesce(col("lb"), col("doc_b")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-    val verts = contracted.select(col("src").as("doc_id"))
-      .union(contracted.select(col("dst").as("doc_id"))).distinct()
-    // closure on the contracted (delta-sized) graph only
-    val superCC = TextHashing.connectedComponents(verts,
-      graft.functions.Materialized(contracted))
-    val remap = superCC.select(col("component").as("new_lab"),
-      col("doc_id").as("old_lab"))
-    val oldRelab = prior
-      .join(remap, prior("component") === remap("old_lab"), "left")
-      .select(prior("doc_id"),
-        coalesce(col("new_lab"), prior("component")).as("component"))
-    val newRelab = ids
-      .join(remap, ids("doc_id") === remap("old_lab"), "left")
-      .select(ids("doc_id"),
-        coalesce(col("new_lab"), ids("doc_id")).as("component"))
-    oldRelab.unionByName(newRelab)
+    // the GROWN verified table (itself delta-built or rebuilt by now)
+    val v = verifiedStage(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = v.count()
+    if (edges <= contractionMinEdges)
+      throw new Staged.DeltaUnsupported(
+        s"$edges verified edges <= $contractionMinEdges: the full closure " +
+          "is one driver union-find pass at this size — a plain rebuild " +
+          "beats contraction overhead")
+    TextHashing.incrementalComponents(prior,
+      deltaDocs.select(col("doc_id")), v)
   }
 
   /** Cluster closure: connected components (iterative smallest-id
@@ -719,8 +699,46 @@ object DedupQueries {
       FROM documents d LEFT JOIN agg a USING (doc_id)
     """))
 
+  /** Sketch-accuracy audit: per LSH candidate pair, the MinHash ESTIMATE
+    * of Jaccard similarity — the count of agreeing signature slots
+    * (0..16; est ≈ match/16 is the textbook unbiased estimator) — as an
+    * exact integer. Joining this against `dedup_jaccard_verify`'s exact
+    * values is how a deployment calibrates its banding (B, R) to its
+    * corpus: the estimator's spread around the exact value decides how
+    * much verification the candidate stage needs. Scale shape: one
+    * groupBy-fold pass over the staged shingle table (n_docs × 16 longs
+    * out — the corpus never moves), then two id equi-joins against the
+    * near-dup-sized candidate pairs; no new shuffle classes, no pair
+    * enumeration beyond the already-guarded candidate stage. */
+  val minhashEstimate = QueryDef(
+    "dedup_minhash_estimate",
+    (spark, dir) => {
+      val cfg = LshConfig.Default
+      val n = cfg.bands * cfg.rowsPerBand
+      val mh = TextHashing.minhashSignaturesFrom(shinglesStage(spark, dir), n)
+      val pairs = candidatesStage(spark, dir)
+      val est = (0 until n).map(i =>
+        when(col(s"a.h$i") === col(s"b.h$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      pairs.join(mh.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(mh.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"), est.as("est_match"))
+    },
+    Some {
+      val matches = (0 until LshConfig.Default.bands *
+        LshConfig.Default.rowsPerBand)
+        .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""$minhashCte
+      SELECT doc_a, doc_b, CAST($matches AS BIGINT) AS est_match
+      FROM cand
+      JOIN mh a ON a.doc_id = doc_a
+      JOIN mh b ON b.doc_id = doc_b
+      """
+    })
+
   val defs: Seq[QueryDef] = Seq(
     exact, minhashLsh, jaccardVerify, simhash, simhashPairs,
     embeddingCosine, components, canonicalize, reconcile,
-    substringSpans, scrubSpans)
+    substringSpans, scrubSpans, minhashEstimate)
 }

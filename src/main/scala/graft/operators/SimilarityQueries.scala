@@ -766,6 +766,55 @@ object SimilarityQueries {
       GROUP BY a.vec_id, a.cid
     """))
 
+  /** Per-label embedding cohesion — "how tight is each label's cluster" —
+    * in O(N) instead of O(N²) by the sum-vector identity:
+    * Σ_{i≠j} qᵢ·qⱼ = ‖Σq‖² − Σ‖qᵢ‖². The naive form is a label-blocked
+    * pair self-join (quadratic per label — a mega-label at corpus scale is
+    * the same degenerate-bucket failure the guard family kills); this form
+    * is ONE explode of the staged int8 table into (label, dim, v) and a
+    * two-level aggregate (64·|labels| intermediate rows), map-side
+    * combined — no join, no pairs, exact integer arithmetic end to end
+    * (int8 components; every sum ≪ 2^53, so double addition is exact in
+    * any order). Output keeps the raw integer terms (no division) so the
+    * hash compare is float-free. */
+  val labelCohesion = QueryDef(
+    "label_cohesion",
+    (spark, dir) => {
+      val q8 = quantized(spark, dir)
+      val lab = normed(spark, dir).select(col("vec_id"), col("label"))
+      val ex = q8.join(lab, "vec_id")
+        .select(col("label"), posexplode(col("q8")).as(Seq("i", "v")))
+      val perDim = ex.groupBy(col("label"), col("i"))
+        .agg(sum(col("v")).as("s"), sum(col("v") * col("v")).as("ss"))
+      val agg = perDim.groupBy(col("label"))
+        .agg(sum(col("s") * col("s")).cast("long").as("sum_sq_total"),
+          sum(col("ss")).cast("long").as("self_sq"))
+      val n = lab.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+      agg.join(n, "label")
+        .select(col("label"), col("n_vecs"), col("sum_sq_total"),
+          col("self_sq"),
+          (col("sum_sq_total") - col("self_sq")).as("cross_sum"))
+    },
+    Some("""
+      WITH q8 AS (
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 v -> greatest(least(floor(v * 64), 127), -127)) AS qv
+        FROM embeddings),
+      ex AS (SELECT label, i, qv[i] AS v
+             FROM q8, (SELECT unnest(generate_series(1, 64)) AS i)),
+      perdim AS (SELECT label, i, sum(v) AS s, sum(v * v) AS ss
+                 FROM ex GROUP BY 1, 2),
+      agg AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS sum_sq_total,
+                     CAST(sum(ss) AS BIGINT) AS self_sq
+              FROM perdim GROUP BY 1),
+      n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+      SELECT a.label, CAST(n.n_vecs AS BIGINT) AS n_vecs, a.sum_sq_total,
+             a.self_sq, a.sum_sq_total - a.self_sq AS cross_sum
+      FROM agg a JOIN n USING (label)
+    """))
+
   val defs: Seq[QueryDef] =
-    Seq(bruteTopK, lshTopK, ivfTopK, ivfTunedTopK, ivfInt8TopK, semanticDedup)
+    Seq(bruteTopK, lshTopK, ivfTopK, ivfTunedTopK, ivfInt8TopK,
+      semanticDedup, labelCohesion)
 }

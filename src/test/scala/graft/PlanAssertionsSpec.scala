@@ -346,6 +346,36 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "the SemDeDup cell restriction must plan an equi-join:\n" + p)
   }
 
+  test("label_cohesion: no pair join anywhere — one explode feeding aggregates (r15)") {
+    // the whole point of the sum-vector identity is replacing the
+    // label-blocked pair self-join: the plan must contain NO join between
+    // row-multiplying sides (the only joins are the vec_id label fetch
+    // and the final |labels|-sized assembly), and no product of any kind
+    val p = plan("label_cohesion")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate"), "expected the posexplode pass:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("train_val_split: map-only assignment + one aggregate, no join, no window") {
+    val p = plan("train_val_split")
+    assert(!p.contains("Join"), "split assignment must not join:\n" + p)
+    assert(!p.contains("Window"), "split assignment must not window:\n" + p)
+    // exactly one shuffle: the (split, source) aggregate's exchange
+    val exchanges = "Exchange".r
+      .findAllIn(p.replace("BroadcastExchange", "")).size
+    assert(exchanges === 1, s"expected one aggregate exchange, got $exchanges:\n" + p)
+  }
+
+  test("dedup_minhash_estimate: id equi-joins over near-dup-sized pairs, no product") {
+    operators.Staged.reset(spark)
+    val p = plan("dedup_minhash_estimate")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    operators.Staged.reset(spark)
+  }
+
   test("domain_mixture: one corpus scan beyond the staged rate table, broadcasts, no merge join") {
     operators.Staged.reset(spark)
     val df = SparkEntry.queries("domain_mixture")(spark, sf)

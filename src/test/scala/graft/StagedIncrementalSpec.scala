@@ -329,6 +329,10 @@ class StagedIncrementalSpec extends AnyFunSuite {
     }
     Staged.evict(spark)
     try {
+      // force the components contraction: this corpus' edge list is far
+      // below the union-find threshold where the delta would (correctly)
+      // refuse — the parity assertions below are the contraction's gate
+      operators.DedupQueries.contractionMinEdges = -1L
       // incremental path: cold-stage the base, append, re-run
       Staged.enablePersist(Files.createTempDirectory("inc_rp_a").toString)
       queries.foreach(collectSorted) // cold build at base corpus
@@ -373,6 +377,36 @@ class StagedIncrementalSpec extends AnyFunSuite {
       assert(incremental("dedup_components").exists(_.contains("55")) ||
         incremental("dedup_canonicalize").exists(_.contains("55")),
         "the append-boundary near-dup pair must appear in the components")
+    } finally {
+      operators.DedupQueries.contractionMinEdges = 1L << 20
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("components contraction gate: below the union-find threshold the delta refuses to a plain rebuild") {
+    val dir = freshDir()
+    writeDocs(dir, 0 until 40, append = false, dupOf = Map(20 -> 1))
+    def components(): Seq[String] = {
+      Staged.reset(spark)
+      SparkEntry.queries("dedup_components")(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    Staged.evict(spark)
+    Staged.enablePersist(Files.createTempDirectory("inc_ccgate").toString)
+    try {
+      components() // cold-stage the base
+      writeDocs(dir, 40 until 46, append = true, dupOf = Map(43 -> 2))
+      Staged.clearBuildLog()
+      val refused = components()
+      val ccModes = modes("components")
+      assert(ccModes === Seq("delta-refused", "cold"),
+        s"a tiny edge list must refuse contraction: ${Staged.buildLogSnapshot}")
+      // and the rebuild is still exact
+      Staged.disablePersist()
+      Staged.reset(spark)
+      assert(refused === components(),
+        "the refused-contraction rebuild drifted from the in-session result")
     } finally {
       Staged.disablePersist()
       Staged.reset(spark)
