@@ -43,7 +43,10 @@ object StageBench {
     // historical single-append stride exactly.
     val cut = 100000000L * (k + 1)
     val stride = cut * (idx + 1)
-    val pfx = if (idx == 0) "zx" else s"zx$idx"
+    // fixed-width, terminator-delimited prefixes are mutually prefix-free
+    // (zx01_, zx02_, …), so no two drops can alias a token pair the way
+    // "zx"+"1abc" vs "zx1"+"abc" could; idx=0 keeps the historical "zx"
+    val pfx = if (idx == 0) "zx" else f"zx$idx%02d_"
     def appendVia(table: String)(
         slice: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
         : Unit = {

@@ -360,6 +360,23 @@ object DedupQueries {
     // the GROWN verified table (itself delta-built or rebuilt by now)
     val v = verifiedStage(spark, dir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // Soundness gate (r15 self-review): contraction assumes the OLD
+    // docs' edge semantics did not change under the append — which fails
+    // exactly when a band bucket crossed the hot threshold: the verified
+    // stage then cold-rebuilds WITH the star collapse, old×old pairs
+    // shrink to anchor stars, and prior labels may encode connectivity
+    // the grown edge list no longer derives (the guard's documented
+    // anchor-false-positive residual). Same memoized probe as the
+    // candidate/verify delta gate — one shared entry, zero extra jobs on
+    // the delta path that already ran it.
+    val maxBucket = TextHashing.probedMaxBucket(
+      graft.functions.Materialized(bandsStage(spark, dir)).df,
+      Seq("band", "sig"))
+    if (maxBucket > deltaGateThreshold)
+      throw new Staged.DeltaUnsupported(
+        s"max band bucket $maxBucket > $deltaGateThreshold: the verified " +
+          "edge list rebuilt under the star collapse, so prior labels are " +
+          "not a sound contraction base")
     val edges = v.count()
     if (edges <= contractionMinEdges)
       throw new Staged.DeltaUnsupported(

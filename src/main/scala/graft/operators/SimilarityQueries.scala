@@ -773,9 +773,12 @@ object SimilarityQueries {
     * the same degenerate-bucket failure the guard family kills); this form
     * is ONE explode of the staged int8 table into (label, dim, v) and a
     * two-level aggregate (64·|labels| intermediate rows), map-side
-    * combined — no join, no pairs, exact integer arithmetic end to end
-    * (int8 components; every sum ≪ 2^53, so double addition is exact in
-    * any order). Output keeps the raw integer terms (no division) so the
+    * combined — no join, no pairs, exact LONG integer arithmetic end to
+    * end (components cast to long at the explode, so the per-dim sums
+    * are 64-bit integer adds, exact and order-free up to |Σv| ≤ 2^31 per
+    * dim — ~10⁷ vectors per label at int8 range — far past where a
+    * double-accumulated form starts rounding differently across
+    * engines). Output keeps the raw integer terms (no division) so the
     * hash compare is float-free. */
   val labelCohesion = QueryDef(
     "label_cohesion",
@@ -783,12 +786,13 @@ object SimilarityQueries {
       val q8 = quantized(spark, dir)
       val lab = normed(spark, dir).select(col("vec_id"), col("label"))
       val ex = q8.join(lab, "vec_id")
-        .select(col("label"), posexplode(col("q8")).as(Seq("i", "v")))
+        .select(col("label"), posexplode(col("q8")).as(Seq("i", "vd")))
+        .select(col("label"), col("i"), col("vd").cast("long").as("v"))
       val perDim = ex.groupBy(col("label"), col("i"))
         .agg(sum(col("v")).as("s"), sum(col("v") * col("v")).as("ss"))
       val agg = perDim.groupBy(col("label"))
-        .agg(sum(col("s") * col("s")).cast("long").as("sum_sq_total"),
-          sum(col("ss")).cast("long").as("self_sq"))
+        .agg(sum(col("s") * col("s")).as("sum_sq_total"),
+          sum(col("ss")).as("self_sq"))
       val n = lab.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
       agg.join(n, "label")
         .select(col("label"), col("n_vecs"), col("sum_sq_total"),
@@ -799,7 +803,8 @@ object SimilarityQueries {
       WITH q8 AS (
         SELECT vec_id, label,
                list_transform(CAST(embedding AS DOUBLE[]),
-                 v -> greatest(least(floor(v * 64), 127), -127)) AS qv
+                 v -> CAST(greatest(least(floor(v * 64), 127), -127)
+                        AS BIGINT)) AS qv
         FROM embeddings),
       ex AS (SELECT label, i, qv[i] AS v
              FROM q8, (SELECT unnest(generate_series(1, 64)) AS i)),

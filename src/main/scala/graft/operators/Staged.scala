@@ -263,25 +263,78 @@ object Staged {
     ()
   }
 
+  /** Driver-side (min, max) of an INT64 column straight from parquet
+    * FOOTER statistics — metadata-only, zero data IO: the gate's fast
+    * path must not reintroduce an O(corpus) key-column scan into the
+    * O(delta) refresh (r15 self-review — a monotone-id crawl drop, the
+    * normal case, now clears the gate without touching old data). None
+    * when any file lacks usable stats (missing column, non-INT64,
+    * suppressed statistics) — callers fall back to a Spark scan. */
+  private def footerLongRange(spark: SparkSession, paths: Seq[String],
+      column: String): Option[(Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    for (p <- paths) {
+      val reader =
+        try org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p), conf))
+        catch { case scala.util.control.NonFatal(_) => return None }
+      try {
+        import scala.jdk.CollectionConverters._
+        for (block <- reader.getFooter.getBlocks.asScala) {
+          val cc = block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .getOrElse(return None)
+          if (cc.getPrimitiveType.getPrimitiveTypeName !=
+              org.apache.parquet.schema.PrimitiveType
+                .PrimitiveTypeName.INT64) return None
+          val st = cc.getStatistics
+          if (st == null || st.isEmpty || !st.hasNonNullValue) return None
+          (st.genericGetMin, st.genericGetMax) match {
+            case (mn: java.lang.Long, mx: java.lang.Long) =>
+              lo = math.min(lo, mn)
+              hi = math.max(hi, mx)
+            case _ => return None
+          }
+        }
+      } finally reader.close()
+    }
+    if (lo > hi) None else Some((lo, hi))
+  }
+
   private def checkDisjointAppend(spark: SparkSession, sourceKey: String,
       oldPaths: Seq[String], newPaths: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, max, min}
-    val newKeys = spark.read.parquet(newPaths: _*).select(col(sourceKey))
-    val oldKeys = spark.read.parquet(oldPaths: _*).select(col(sourceKey))
-    val newR = newKeys.agg(min(col(sourceKey)).as("nlo"),
-      max(col(sourceKey)).as("nhi"))
-    val oldR = oldKeys.agg(min(col(sourceKey)).as("olo"),
-      max(col(sourceKey)).as("ohi"))
-    val disjointRanges = newR.crossJoin(oldR)
-      .select(coalesce(col("nlo") > col("ohi") || col("nhi") < col("olo"),
-        lit(false)).as("d"))
-      .head().getBoolean(0)
-    if (!disjointRanges) {
-      val overlaps = newKeys.distinct()
-        .join(oldKeys, Seq(sourceKey), "left_semi").limit(1).count() > 0
+    def semiJoinProbe(): Unit = {
+      val overlaps = spark.read.parquet(newPaths: _*).select(col(sourceKey))
+        .distinct()
+        .join(spark.read.parquet(oldPaths: _*).select(col(sourceKey)),
+          Seq(sourceKey), "left_semi")
+        .limit(1).count() > 0
       if (overlaps) throw new DeltaUnsupported(
         s"appended part files re-deliver existing $sourceKey values: " +
           "delta union semantics would double-count them")
+    }
+    (footerLongRange(spark, newPaths, sourceKey),
+      footerLongRange(spark, oldPaths, sourceKey)) match {
+      case (Some((nlo, nhi)), Some((olo, ohi))) =>
+        // footer ranges are authoritative: disjoint → accept with zero
+        // data IO; overlapping → only the exact probe can decide
+        if (!(nlo > ohi || nhi < olo)) semiJoinProbe()
+      case _ =>
+        // no usable footer stats (non-long key, statistics suppressed):
+        // Spark range fast path over the key column, then the exact probe
+        val newR = spark.read.parquet(newPaths: _*)
+          .agg(min(col(sourceKey)).as("nlo"), max(col(sourceKey)).as("nhi"))
+        val oldR = spark.read.parquet(oldPaths: _*)
+          .agg(min(col(sourceKey)).as("olo"), max(col(sourceKey)).as("ohi"))
+        val disjointRanges = newR.crossJoin(oldR)
+          .select(coalesce(col("nlo") > col("ohi") ||
+            col("nhi") < col("olo"), lit(false)).as("d"))
+          .head().getBoolean(0)
+        if (!disjointRanges) semiJoinProbe()
     }
   }
 
@@ -456,14 +509,21 @@ object Staged {
       srcRoot.resolve(e.split(':').dropRight(2).mkString(":")).toString)
   }
 
-  /** Persist-mode resolution for an appendable stage: manifest hit →
-    * union scan of its segments; append-only growth vs a prior
-    * fingerprint → deltaBuild over only the new part files, prior
-    * segments referenced in place; otherwise cold fullBuild. Publishes
-    * atomically like [[persisted]]. */
-  private def persistedAppendable(spark: SparkSession, root: String,
+  /** The ONE persist-mode resolution skeleton shared by [[appendable]]
+    * and [[rebuildable]] (r15 self-review — the two previously duplicated
+    * ~60 lines of hit/relink/gate/fallback scaffolding): manifest hit →
+    * scan; source unchanged under a moved fingerprint → relink; append-
+    * only growth vs a prior fingerprint → key-disjointness gate, then
+    * `deltaPublish(old, newPaths, tmp, target)` writes the delta
+    * resolution into `tmp` and returns the new segment list (it may
+    * throw [[DeltaUnsupported]] → cold; a mid-build scan failure with
+    * swept base segments → cold); anything else → cold `fullBuild`. All
+    * publishes are atomic; the post-publish swept-segment re-check runs
+    * on every path. */
+  private def persistedManifest(spark: SparkSession, root: String,
       dir: String, stage: String, source: String, sourceKey: String)(
-      deltaBuild: DataFrame => DataFrame)(
+      deltaPublish: (Manifest, Seq[String], java.nio.file.Path,
+        java.nio.file.Path) => Seq[String])(
       fullBuild: => DataFrame): DataFrame = {
     val fp = fingerprint(dir)
     val target = java.nio.file.Paths.get(root, fp, stageDirName(stage))
@@ -475,17 +535,13 @@ object Staged {
       case None => ()
     }
     val current = sourceListing(dir, source)
-    def publish(build: java.nio.file.Path => Manifest): Manifest =
-      publishAtomic(target)(build)
-
-    def publishCold(): Manifest = publish { tmp =>
+    def publishCold(): Manifest = publishAtomic(target) { tmp =>
       log.info(s"stage miss: $stage -> building $target (cold)")
       logBuild(stage, "cold")
       val seg = "seg-" + java.util.UUID.randomUUID().toString.take(8)
       fullBuild.write.mode("overwrite").parquet(tmp.resolve(seg).toString)
       Manifest(current, Seq(target.resolve(seg).toString))
     }
-
     val base =
       if (current.nonEmpty)
         findDeltaBase(root, fp, stageDirName(stage), current)
@@ -493,7 +549,7 @@ object Staged {
     val winner = base match {
       case Some(old) =>
         val newFiles = current.filterNot(old.source.toSet)
-        if (newFiles.isEmpty) publish { _ =>
+        if (newFiles.isEmpty) publishAtomic(target) { _ =>
           // pure relink: this fingerprint changed for reasons outside the
           // source (another table regenerated) — reuse every segment
           log.info(s"stage relink: $stage reuses ${old.segments.size} " +
@@ -501,41 +557,18 @@ object Staged {
           logBuild(stage, "relink")
           Manifest(current, old.segments)
         } else {
-          // a deltaBuild may REFUSE (DeltaUnsupported) when the append
-          // violates its preconditions — e.g. the incremental candidate
-          // enumeration when a band bucket crossed the hot threshold,
-          // where only a whole-table rebuild can apply the star
-          // collapse — in which case the stage cold-rebuilds exactly as
-          // if it were not appendable
+          // a deltaPublish may REFUSE (DeltaUnsupported) when the append
+          // violates its preconditions — hot-bucket star collapse,
+          // re-delivered keys — in which case the stage cold-rebuilds
+          // exactly as if it were not append-aware
           onDeltaBaseSelected()
-          try publish { tmp =>
+          try publishAtomic(target) { tmp =>
             val newPaths = sourcePaths(dir, source, newFiles)
-            // key-disjointness gate (r14 ADVICE): a re-delivered key makes
-            // the segment union double-count — refuse to a cold rebuild
+            // key-disjointness gate (r14 ADVICE): a re-delivered key
+            // breaks union and contraction semantics alike
             assertDisjointAppend(spark, sourceKey,
               sourcePaths(dir, source, old.source), newPaths)
-            log.info(s"stage delta: $stage builds ${newPaths.size} " +
-              s"appended part files over ${old.segments.size} prior segments")
-            val seg = "seg-" + java.util.UUID.randomUUID().toString.take(8)
-            // construct BEFORE logging the mode: a gated deltaBuild
-            // refuses at construction time (counted-gate idiom)
-            val df = deltaBuild(spark.read.parquet(newPaths: _*))
-            if (old.segments.size + 1 > compactSegmentsAbove) {
-              // fold: prior segments ∪ delta → ONE segment owned by this
-              // fingerprint (see compactSegmentsAbove). The transform
-              // still ran only over the appended files; the fold is pure
-              // IO over already-staged rows.
-              logBuild(stage, "delta-compact")
-              log.info(s"stage compact: $stage folds ${old.segments.size} " +
-                "prior segments + delta into one")
-              spark.read.parquet(old.segments: _*).unionByName(df)
-                .write.mode("overwrite").parquet(tmp.resolve(seg).toString)
-              Manifest(current, Seq(target.resolve(seg).toString))
-            } else {
-              logBuild(stage, "delta")
-              df.write.mode("overwrite").parquet(tmp.resolve(seg).toString)
-              Manifest(current, old.segments :+ target.resolve(seg).toString)
-            }
+            Manifest(current, deltaPublish(old, newPaths, tmp, target))
           } catch {
             case e: DeltaUnsupported =>
               log.info(s"stage $stage: delta refused (${e.getMessage}) " +
@@ -546,8 +579,8 @@ object Staged {
                 if old.segments.exists(s => !java.nio.file.Files
                   .isDirectory(java.nio.file.Paths.get(s))) =>
               // a concurrent gc swept the delta base MID-BUILD (the
-              // compaction fold reads prior segments): same recovery as
-              // the post-publish re-check — rebuild cold
+              // compaction fold and the rebuildable prior both READ prior
+              // segments): same recovery as the post-publish re-check
               log.warn(s"stage $stage: delta base swept by a concurrent " +
                 s"gc mid-build (${e.getClass.getSimpleName}) — cold rebuild")
               logBuild(stage, "delta-swept")
@@ -559,6 +592,39 @@ object Staged {
     val effective = resolveSwept(stage, target, winner)(publishCold)
     spark.read.parquet(effective.segments: _*)
   }
+
+  /** Persist-mode resolution for an appendable stage: the shared skeleton
+    * with a UNION-manifest delta — the new segment joins the prior ones
+    * in place (or folds them past [[compactSegmentsAbove]]). */
+  private def persistedAppendable(spark: SparkSession, root: String,
+      dir: String, stage: String, source: String, sourceKey: String)(
+      deltaBuild: DataFrame => DataFrame)(
+      fullBuild: => DataFrame): DataFrame =
+    persistedManifest(spark, root, dir, stage, source, sourceKey)(
+      (old, newPaths, tmp, target) => {
+        log.info(s"stage delta: $stage builds ${newPaths.size} " +
+          s"appended part files over ${old.segments.size} prior segments")
+        val seg = "seg-" + java.util.UUID.randomUUID().toString.take(8)
+        // construct BEFORE logging the mode: a gated deltaBuild refuses
+        // at construction time (counted-gate idiom)
+        val df = deltaBuild(spark.read.parquet(newPaths: _*))
+        if (old.segments.size + 1 > compactSegmentsAbove) {
+          // fold: prior segments ∪ delta → ONE segment owned by this
+          // fingerprint (see compactSegmentsAbove). The transform still
+          // ran only over the appended files; the fold is pure IO over
+          // already-staged rows.
+          logBuild(stage, "delta-compact")
+          log.info(s"stage compact: $stage folds ${old.segments.size} " +
+            "prior segments + delta into one")
+          spark.read.parquet(old.segments: _*).unionByName(df)
+            .write.mode("overwrite").parquet(tmp.resolve(seg).toString)
+          Seq(target.resolve(seg).toString)
+        } else {
+          logBuild(stage, "delta")
+          df.write.mode("overwrite").parquet(tmp.resolve(seg).toString)
+          old.segments :+ target.resolve(seg).toString
+        }
+      })(fullBuild)
 
   /** Append-aware build-or-reuse for INCREMENTALLY MAINTAINED, FULLY
     * MATERIALIZED stages (r14 verdict ask #5) — stages whose output is
@@ -590,78 +656,25 @@ object Staged {
       }
     }
 
+  /** Persist-mode resolution for a rebuildable stage: the shared skeleton
+    * with a REPLACING delta — `deltaBuild(prior, deltaRows)` reads the
+    * delta base's segments as an input and publishes ONE segment owned by
+    * this fingerprint; the stale parent is left for gc, unpinned. */
   private def persistedRebuildable(spark: SparkSession, root: String,
       dir: String, stage: String, source: String, sourceKey: String)(
       deltaBuild: (DataFrame, DataFrame) => DataFrame)(
-      fullBuild: => DataFrame): DataFrame = {
-    val fp = fingerprint(dir)
-    val target = java.nio.file.Paths.get(root, fp, stageDirName(stage))
-    readManifest(target.resolve(ManifestName)) match {
-      case Some(m) =>
-        log.info(s"stage hit: $stage <- $target")
-        logBuild(stage, "hit")
-        return spark.read.parquet(m.segments: _*)
-      case None => ()
-    }
-    val current = sourceListing(dir, source)
-    def publishCold(): Manifest = publishAtomic(target) { tmp =>
-      log.info(s"stage miss: $stage -> building $target (cold)")
-      logBuild(stage, "cold")
-      val seg = "seg-" + java.util.UUID.randomUUID().toString.take(8)
-      fullBuild.write.mode("overwrite").parquet(tmp.resolve(seg).toString)
-      Manifest(current, Seq(target.resolve(seg).toString))
-    }
-    val base =
-      if (current.nonEmpty)
-        findDeltaBase(root, fp, stageDirName(stage), current)
-      else None
-    val winner = base match {
-      case Some(old) =>
-        val newFiles = current.filterNot(old.source.toSet)
-        if (newFiles.isEmpty) publishAtomic(target) { _ =>
-          log.info(s"stage relink: $stage reuses ${old.segments.size} " +
-            s"segments (source unchanged)")
-          logBuild(stage, "relink")
-          Manifest(current, old.segments)
-        } else {
-          onDeltaBaseSelected()
-          try publishAtomic(target) { tmp =>
-            val newPaths = sourcePaths(dir, source, newFiles)
-            assertDisjointAppend(spark, sourceKey,
-              sourcePaths(dir, source, old.source), newPaths)
-            log.info(s"stage delta: $stage rebuilds from the prior table " +
-              s"+ ${newPaths.size} appended part files")
-            val seg = "seg-" + java.util.UUID.randomUUID().toString.take(8)
-            val prior = spark.read.parquet(old.segments: _*)
-            val df = deltaBuild(prior, spark.read.parquet(newPaths: _*))
-            logBuild(stage, "delta")
-            // REPLACES the prior table: one segment, owned by this
-            // fingerprint — the stale parent is left for gc, unpinned
-            df.write.mode("overwrite").parquet(tmp.resolve(seg).toString)
-            Manifest(current, Seq(target.resolve(seg).toString))
-          } catch {
-            case e: DeltaUnsupported =>
-              log.info(s"stage $stage: delta refused (${e.getMessage}) " +
-                "— cold rebuild")
-              logBuild(stage, "delta-refused")
-              publishCold()
-            case scala.util.control.NonFatal(e)
-                if old.segments.exists(s => !java.nio.file.Files
-                  .isDirectory(java.nio.file.Paths.get(s))) =>
-              // the rebuild READS the prior table — a concurrent gc
-              // sweeping the delta base mid-build fails that scan; fall
-              // back to a cold rebuild, mirroring the post-publish check
-              log.warn(s"stage $stage: delta base swept by a concurrent " +
-                s"gc mid-build (${e.getClass.getSimpleName}) — cold rebuild")
-              logBuild(stage, "delta-swept")
-              publishCold()
-          }
-        }
-      case None => publishCold()
-    }
-    val effective = resolveSwept(stage, target, winner)(publishCold)
-    spark.read.parquet(effective.segments: _*)
-  }
+      fullBuild: => DataFrame): DataFrame =
+    persistedManifest(spark, root, dir, stage, source, sourceKey)(
+      (old, newPaths, tmp, target) => {
+        log.info(s"stage delta: $stage rebuilds from the prior table " +
+          s"+ ${newPaths.size} appended part files")
+        val seg = "seg-" + java.util.UUID.randomUUID().toString.take(8)
+        val prior = spark.read.parquet(old.segments: _*)
+        val df = deltaBuild(prior, spark.read.parquet(newPaths: _*))
+        logBuild(stage, "delta")
+        df.write.mode("overwrite").parquet(tmp.resolve(seg).toString)
+        Seq(target.resolve(seg).toString)
+      })(fullBuild)
 
   /** Disk-backed build-or-reuse: hit → parquet scan of the persisted
     * table; miss → run the build ONCE, write to a temp sibling, atomic

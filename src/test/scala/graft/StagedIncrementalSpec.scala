@@ -430,12 +430,19 @@ class StagedIncrementalSpec extends AnyFunSuite {
       // every bucket has size >= 1, so threshold 0 refuses ANY delta —
       // the whole-table rebuild path a truly hot bucket would take
       DedupQueries.deltaGateThreshold = 0L
+      // force PAST the contraction's edge-count gate so the refusal below
+      // is attributable to the hot-bucket gate alone: a star-collapsed
+      // verified rebuild invalidates prior labels as a contraction base
+      DedupQueries.contractionMinEdges = -1L
       Staged.clearBuildLog()
       val refused = components()
       val candModes = modes("lsh_candidates")
       assert(candModes.contains("delta-refused") && candModes.contains("cold"),
         s"gate must refuse and cold-rebuild: ${Staged.buildLogSnapshot}")
       assert(!candModes.contains("delta"))
+      assert(modes("components") === Seq("delta-refused", "cold"),
+        s"components must refuse contraction when the verified stage " +
+          s"rebuilt under the star collapse: ${Staged.buildLogSnapshot}")
       // identical to the in-session run over the same grown corpus
       Staged.disablePersist()
       Staged.reset(spark)
@@ -445,6 +452,7 @@ class StagedIncrementalSpec extends AnyFunSuite {
     } finally {
       DedupQueries.deltaGateThreshold =
         graft.functions.TextHashing.HotBucketDefault
+      DedupQueries.contractionMinEdges = 1L << 20
       Staged.disablePersist()
       Staged.reset(spark)
     }

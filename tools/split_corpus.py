@@ -27,22 +27,25 @@ SPLIT = [("documents", "doc_id"), ("embeddings", "vec_id")]
 
 
 def main(src, base, grown, frac=0.95):
+    import shutil
     con = duckdb.connect()
+    # clean re-runs: stale outputs from a prior invocation would otherwise
+    # survive the passthrough skip or crash the grown-side hardlink
     for d in (base, grown):
-        os.makedirs(d, exist_ok=True)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        os.makedirs(d)
     for t in PASSTHROUGH:
         s = f"{src}/{t}.parquet"
         for d in (base, grown):
-            dst = f"{d}/{t}.parquet"
-            if not os.path.exists(dst):
-                os.link(s, dst)
+            os.link(s, f"{d}/{t}.parquet")
     for t, key in SPLIT:
         s = f"{src}/{t}.parquet"
         thr = con.execute(
             f"SELECT quantile_disc({key}, {frac}) FROM '{s}'").fetchone()[0]
         bdir, gdir = f"{base}/{t}.parquet", f"{grown}/{t}.parquet"
-        os.makedirs(bdir, exist_ok=True)
-        os.makedirs(gdir, exist_ok=True)
+        os.makedirs(bdir)
+        os.makedirs(gdir)
         con.execute(f"COPY (SELECT * FROM '{s}' WHERE {key} <= {thr}) "
                     f"TO '{bdir}/part-base.parquet' (FORMAT PARQUET)")
         os.link(f"{bdir}/part-base.parquet", f"{gdir}/part-base.parquet")
