@@ -170,6 +170,45 @@ class StagedIncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("disjointness gate: non-INT64 keys take the Spark fallback — delta on disjoint, refusal on overlap") {
+    // the footer-statistics fast path only serves INT64 keys; a STRING
+    // key must fall back to the Spark range + semi-join probe with the
+    // same accept/refuse semantics
+    val stageRoot = Files.createTempDirectory("inc_root_str").toString
+    val dir = freshDir()
+    writeDocs(dir, 0 until 20, append = false)
+    Staged.evict(spark)
+    Staged.enablePersist(stageRoot)
+    try {
+      // key on the TEXT column: unique per doc unless dupOf re-delivers it
+      def stage() = Staged.appendable(spark, dir, "inc@str", "documents",
+        "text")(docs => docs.selectExpr("text", "length(text) AS n")) {
+        spark.read.parquet(s"$dir/documents.parquet")
+          .selectExpr("text", "length(text) AS n")
+      }
+      Staged.clearBuildLog()
+      stage().count()
+      assert(modes("inc@str") === Seq("cold"))
+      // disjoint drop (all-new texts) must still delta-build
+      writeDocs(dir, 20 until 26, append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(stage().count() === 26)
+      assert(modes("inc@str") === Seq("delta"),
+        s"string-keyed disjoint append must delta: ${Staged.buildLogSnapshot}")
+      // overlapping drop (doc 30 re-delivers doc 3's exact text) refuses
+      writeDocs(dir, 30 until 34, append = true, dupOf = Map(30 -> 3))
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      stage().count()
+      assert(modes("inc@str") === Seq("delta-refused", "cold"),
+        s"string-keyed overlap must refuse: ${Staged.buildLogSnapshot}")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
   test("source-unchanged fingerprint move relinks every segment without building") {
     val stageRoot = Files.createTempDirectory("inc_root_rel").toString
     val dir = freshDir()

@@ -308,4 +308,24 @@ class TextHashingSpec extends AnyFunSuite {
     operators.Staged.reset(spark)
     assert(TextHashing.probeMemoSize === 0)
   }
+
+  test("minhash estimate invariant: every banded candidate agrees on at least one full band (r15)") {
+    import org.apache.spark.sql.functions.col
+    // a candidate pair exists BECAUSE some (band, sig) matched, and a
+    // matching band means all rowsPerBand of its minhash slots agree —
+    // so est_match ∈ [rowsPerBand, n] for every emitted pair. Exact
+    // identical docs must score the full n.
+    operators.Staged.reset(spark)
+    val est = SparkEntry.queries("dedup_minhash_estimate")(spark, TestSpark.sf)
+      .localCheckpoint(eager = true)
+    assert(est.count() > 0, "the test corpus must produce candidates")
+    assert(est.filter(col("est_match") < 4 || col("est_match") > 16)
+      .count() === 0,
+      "a banded candidate must agree on at least one full band (4 slots)")
+    // the corpus' exact-duplicate clusters (dedup_exact finds them) score
+    // the full 16/16
+    assert(est.filter(col("est_match") === 16).count() > 0,
+      "exact duplicates must score a full signature match")
+    operators.Staged.reset(spark)
+  }
 }
