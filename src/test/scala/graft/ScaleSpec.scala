@@ -396,6 +396,16 @@ class ScaleSpec extends AnyFunSuite {
     operators.Staged.reset(spark)
     val cc = planOf("dedup_components", rep)
     assert(!cc.contains("CartesianProduct"), cc)
+    // r15 queries: growth must not add shuffles — label_cohesion absorbs
+    // it in more per-dim cells, train_val_split in more map tasks
+    operators.Staged.reset(spark)
+    val lcRep = exchanges(planOf("label_cohesion", rep))
+    operators.Staged.reset(spark)
+    assert(lcRep === exchanges(planOf("label_cohesion", sf)),
+      "label_cohesion grew a shuffle under replication")
+    assert(exchanges(planOf("train_val_split", rep)) ===
+      exchanges(planOf("train_val_split", sf)),
+      "train_val_split grew a shuffle under replication")
     operators.Staged.reset(spark)
   }
 
