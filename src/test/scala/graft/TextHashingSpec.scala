@@ -309,6 +309,54 @@ class TextHashingSpec extends AnyFunSuite {
     assert(TextHashing.probeMemoSize === 0)
   }
 
+  test("property: incremental contraction equals the full closure on random graph growth (r15)") {
+    // ground truth by driver union-find (smallest-id roots)
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      (0L until n.toLong).map(v => v -> find(v)).toMap
+    }
+    val caseGen = for {
+      nOld <- Gen.chooseNum(2, 12)
+      nNew <- Gen.chooseNum(1, 6)
+      // base edges among old vertices only (the prior world)
+      baseE <- Gen.listOf(for {
+        a <- Gen.chooseNum(0, nOld - 1); b <- Gen.chooseNum(0, nOld - 1)
+      } yield (a.toLong, b.toLong)).map(_.filter(e => e._1 != e._2).take(20))
+      // delta edges: each touches at least one NEW vertex (the appendable
+      // invariant — old×old pairs cannot appear in an append)
+      deltaE <- Gen.listOf(for {
+        a <- Gen.chooseNum(nOld, nOld + nNew - 1)
+        b <- Gen.chooseNum(0, nOld + nNew - 1)
+      } yield (a.toLong, b.toLong)).map(_.filter(e => e._1 != e._2).take(12))
+    } yield (nOld, nNew, baseE, deltaE)
+    val prop = Prop.forAll(caseGen) { case (nOld, nNew, baseE, deltaE) =>
+      val n = nOld + nNew
+      val prior = unionFind(nOld, baseE).toSeq
+        .toDF("doc_id", "component")
+      val newIds = (nOld.toLong until n.toLong).toDF("doc_id")
+      val grownEdges = (baseE ++ deltaE).toDF("src", "dst")
+      val got = TextHashing
+        .incrementalComponents(prior, newIds, grownEdges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(n, baseE ++ deltaE)
+      got == want
+    }
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(25)
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("minhash estimate invariant: every banded candidate agrees on at least one full band (r15)") {
     import org.apache.spark.sql.functions.col
     // a candidate pair exists BECAUSE some (band, sig) matched, and a
