@@ -16,6 +16,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * later consumers reuse the materialized RDD. Keyed by (session, data dir,
   * stage) so scale factors and sessions never cross-contaminate.
   *
+  * THREE staging kinds, by how a table responds to append-only source
+  * growth under persist mode (in-session they are identical):
+  *  - [[apply]]: rebuild on any source change — corpus-level aggregates
+  *    where no delta is sound (IVF cells, IDF, hot spans).
+  *  - [[appendable]]: a manifest-UNION of segments — row-distributive
+  *    transforms where `f(a ∪ b) = f(a) ∪ f(b)` (shingles, bands,
+  *    fingerprints, tokens, quantized embeddings) plus the gated
+  *    candidate/verify chain; appends add segments, compaction folds them.
+  *  - [[rebuildable]]: REPLACED each append, but rebuilt FROM the prior
+  *    output + the delta rows (connected components by contraction) —
+  *    for tables where an append can change OLD rows yet the prior table
+  *    is a sufficient summary.
+  *
   * Lifecycle: entries (and their checkpointed RDDs) are dropped by
   * [[evict]] (one session), [[reset]] (alias, used by Bench between passes
   * so medians measure the operator, not a checkpoint read), or

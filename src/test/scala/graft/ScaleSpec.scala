@@ -330,6 +330,18 @@ class ScaleSpec extends AnyFunSuite {
     // And every dup_of is a valid keeper under the documented rule:
     // smaller than the doc it replaces.
     assert(guarded.forall { case (v, _, d) => d < v })
+    // the config drives the REAL staged query end to end too (IvfConfig
+    // precedent): a lower floor can only drop a superset of the default's
+    operators.Staged.reset(spark)
+    val dflt = SimilarityQueries
+      .semanticDedupWith(spark, sf, SemDedupConfig.Default)
+      .collect().map(_.getLong(0)).toSet
+    val loose = SimilarityQueries
+      .semanticDedupWith(spark, sf, SemDedupConfig(dotFloor = 500L))
+      .collect().map(_.getLong(0)).toSet
+    assert(dflt.subsetOf(loose),
+      "a lower similarity floor must drop a superset of the default's")
+    operators.Staged.reset(spark)
   }
 
   test("IvfConfig: deployment rule as configuration, not prose (r12 verdict #2)") {
