@@ -730,6 +730,87 @@ object Staged {
     } finally s.close()
   }
 
+  /** One catalog row per staged table under a persistent root — the
+    * operational inventory any warehouse staging layer exposes: what is
+    * staged, under which corpus fingerprint, how big, whether the
+    * fingerprint is LIVE (a current corpus), and whether a live manifest
+    * still REFERENCES its segments (pinned against [[gc]]). A row with
+    * live=false and referenced=false is exactly what the next gc sweep
+    * reclaims. `bytes` sums the stage's own files plus, for manifest
+    * stages, every referenced segment's files (shared segments count once
+    * per referencing manifest — the cost of READING the stage, not
+    * exclusive disk). */
+  final case class StageEntry(fingerprint: String, stageDir: String,
+      kind: String, segments: Int, bytes: Long, live: Boolean,
+      referenced: Boolean)
+
+  def catalog(root: String, liveDirs: Seq[String]): Seq[StageEntry] = {
+    val rootPath = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(rootPath)) return Seq.empty
+    val live = liveDirs.map(fingerprintUncached).toSet
+    import scala.jdk.CollectionConverters._
+    def entriesOf(p: java.nio.file.Path): List[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.toList finally s.close()
+    }
+    def sizeOf(p: java.nio.file.Path): Long =
+      if (!java.nio.file.Files.exists(p)) 0L
+      else {
+        val s = java.nio.file.Files.walk(p)
+        try s.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+        finally s.close()
+      }
+    val fpDirs = entriesOf(rootPath)
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        !p.getFileName.toString.contains(".tmp-"))
+    val referenced = referencedFingerprints(rootPath, live)
+    fpDirs.flatMap { fpDir =>
+      val fp = fpDir.getFileName.toString
+      entriesOf(fpDir)
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          !p.getFileName.toString.contains(".tmp-"))
+        .map { st =>
+          val name = st.getFileName.toString
+          readManifest(st.resolve(ManifestName)) match {
+            case Some(m) => StageEntry(fp, name, "manifest", m.segments.size,
+              sizeOf(st) + m.segments
+                .filterNot(_.startsWith(st.toString))
+                .map(s => sizeOf(java.nio.file.Paths.get(s))).sum,
+              live.contains(fp), referenced.contains(fp))
+            case None => StageEntry(fp, name, "table", 1, sizeOf(st),
+              live.contains(fp), referenced.contains(fp))
+          }
+        }
+    }
+  }
+
+  /** Fingerprint names a LIVE subtree's appendable manifests still reach
+    * — pinned by reference, not garbage (shared by [[gc]] and
+    * [[catalog]]). */
+  private def referencedFingerprints(rootPath: java.nio.file.Path,
+      live: Set[String]): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(rootPath)
+    val entries = try s.iterator().asScala.toList finally s.close()
+    entries
+      .filter(p => live.contains(p.getFileName.toString))
+      .flatMap { fpDir =>
+        val inner = java.nio.file.Files.list(fpDir)
+        val stages = try inner.iterator().asScala.toList finally inner.close()
+        stages.flatMap(st => readManifest(st.resolve(ManifestName)))
+          .flatMap(_.segments)
+          .flatMap { seg =>
+            val p = java.nio.file.Paths.get(seg)
+            if (p.startsWith(rootPath) &&
+                p.getNameCount > rootPath.getNameCount)
+              Some(p.getName(rootPath.getNameCount).toString)
+            else None
+          }
+      }.toSet
+  }
+
   /** Garbage-collect the persistent stage root: delete every fingerprint
     * subtree that does not correspond to one of `liveDirs`' CURRENT
     * fingerprints (a regenerated corpus leaves its old subtree stranded
@@ -757,25 +838,8 @@ object Staged {
     // Appendable-stage manifests in LIVE subtrees may reference segments
     // inside STALE fingerprint subtrees (delta builds reuse prior
     // segments in place) — those parents are pinned by reference, not
-    // garbage. Collect every fingerprint name a live manifest reaches.
-    val referenced: Set[String] = entries
-      .filter(p => live.contains(p.getFileName.toString))
-      .flatMap { fpDir =>
-        val inner = java.nio.file.Files.list(fpDir)
-        val stages = try {
-          import scala.jdk.CollectionConverters._
-          inner.iterator().asScala.toList
-        } finally inner.close()
-        stages.flatMap(st => readManifest(st.resolve(ManifestName)))
-          .flatMap(_.segments)
-          .flatMap { seg =>
-            val p = java.nio.file.Paths.get(seg)
-            if (p.startsWith(rootPath) &&
-                p.getNameCount > rootPath.getNameCount)
-              Some(p.getName(rootPath.getNameCount).toString)
-            else None
-          }
-      }.toSet
+    // garbage.
+    val referenced = referencedFingerprints(rootPath, live)
     val deleted = entries.filter { p =>
       val name = p.getFileName.toString
       val stale = !live.contains(name) && !referenced.contains(name)

@@ -310,6 +310,65 @@ class StagedIncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog: inventory rows carry kind/segments/bytes and the live/referenced flags gc acts on (r15)") {
+    val stageRoot = Files.createTempDirectory("inc_root_cat").toString
+    val dir = freshDir()
+    writeDocs(dir, 0 until 20, append = false)
+    Staged.evict(spark)
+    Staged.enablePersist(stageRoot)
+    try {
+      def appendableStage() = Staged.appendable(spark, dir, "cat@m",
+        "documents", "doc_id")(docs => docs.selectExpr("doc_id")) {
+        spark.read.parquet(s"$dir/documents.parquet").selectExpr("doc_id")
+      }
+      def plainStage() = Staged(spark, dir, "cat@t") {
+        spark.read.parquet(s"$dir/documents.parquet")
+          .selectExpr("count(*) AS n")
+      }
+      appendableStage().count()
+      plainStage().count()
+      val fp1 = Staged.fingerprint(dir)
+      // grow: the manifest stage delta-builds, pinning fp1 by reference
+      writeDocs(dir, 20 until 25, append = true)
+      Staged.reset(spark)
+      appendableStage().count()
+      plainStage().count()
+      val fp2 = Staged.fingerprint(dir)
+      val cat = Staged.catalog(stageRoot, Seq(dir))
+      def row(fp: String, pfx: String) =
+        cat.find(e => e.fingerprint == fp && e.stageDir.startsWith(pfx))
+      val m1 = row(fp1, "cat_m").get
+      val m2 = row(fp2, "cat_m").get
+      val t2 = row(fp2, "cat_t").get
+      assert(m2.kind === "manifest" && m2.segments === 2 &&
+        m2.live && m2.referenced)
+      assert(t2.kind === "table" && t2.live)
+      // fp1 is stale but PINNED by fp2's manifest: not reclaimable
+      assert(!m1.live && m1.referenced,
+        s"fp1 must read stale-but-referenced: $cat")
+      assert(cat.forall(_.bytes > 0), s"every stage has files: $cat")
+      // the union read costs more than fp1's own segment alone
+      assert(m2.bytes > m1.bytes)
+      // gc acts exactly on the (live=false, referenced=false) rows: none
+      assert(Staged.gc(stageRoot, Seq(dir)).isEmpty)
+      // full rewrite → fp3; fp1/fp2 now unreferenced → catalog predicts
+      // the sweep
+      writeDocs(dir, 0 until 8, append = false)
+      Staged.reset(spark)
+      appendableStage().count()
+      val cat3 = Staged.catalog(stageRoot, Seq(dir))
+      val reclaimable = cat3.filter(e => !e.live && !e.referenced)
+        .map(_.fingerprint).toSet
+      assert(reclaimable === Set(fp1, fp2))
+      assert(Staged.gc(stageRoot, Seq(dir)).toSet === Set(fp1, fp2))
+      assert(Staged.catalog(stageRoot, Seq(dir))
+        .forall(e => e.live && e.fingerprint != fp1 && e.fingerprint != fp2))
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
   test("gc retains stale subtrees pinned by a live manifest, deletes unreferenced ones") {
     val stageRoot = Files.createTempDirectory("inc_root_gc").toString
     val dir = freshDir()
