@@ -774,12 +774,16 @@ object SimilarityQueries {
     * is ONE explode of the staged int8 table into (label, dim, v) and a
     * two-level aggregate (64·|labels| intermediate rows), map-side
     * combined — no join, no pairs, exact LONG integer arithmetic end to
-    * end (components cast to long at the explode, so the per-dim sums
-    * are 64-bit integer adds, exact and order-free up to |Σv| ≤ 2^31 per
-    * dim — ~10⁷ vectors per label at int8 range — far past where a
-    * double-accumulated form starts rounding differently across
-    * engines). Output keeps the raw integer terms (no division) so the
-    * hash compare is float-free. */
+    * end (components cast to long at the explode, so every sum is a
+    * 64-bit integer add, exact and order-free). The binding exactness
+    * bound is the SQUARED term: Σ_d s_d² ≤ 2^63 needs |s_d| ≲ 2^28.5,
+    * i.e. ~2.7M worst-case (all-±127) vectors per label, ~10⁷ at
+    * typical component magnitudes — past that a deployment widens `s`
+    * to DECIMAL(38,0) (a one-line cast; both engines sum decimals
+    * exactly), it does NOT fall back to doubles, whose accumulation
+    * order diverges across engines long before it overflows. Output
+    * keeps the raw integer terms (no division) so the hash compare is
+    * float-free. */
   val labelCohesion = QueryDef(
     "label_cohesion",
     (spark, dir) => {

@@ -252,13 +252,21 @@ object Staged {
   // Disjointness verdicts memoized per (key, old listing, new listing):
   // every appendable stage of one source re-checks the SAME file sets
   // during a refresh — one probe, eleven consumers. Cleared with the
-  // fingerprint memo (evict/reset/app end).
+  // fingerprint memo (evict/reset/app end) AND capped: a long-lived
+  // persist-mode server accretes one ever-larger entry (the keys hold
+  // full part-file listings) per source per drop, and a perf memo must
+  // never become the leak it exists to avoid — past the cap the map
+  // resets wholesale (the next refresh's stages simply re-probe once).
+  private val DisjointMemoCap = 64
   private val disjointMemo =
     scala.collection.mutable.HashMap.empty[(String, Seq[String], Seq[String]), Boolean]
 
   private def assertDisjointAppend(spark: SparkSession, sourceKey: String,
       oldPaths: Seq[String], newPaths: Seq[String]): Unit = {
     val memoKey = (sourceKey, oldPaths, newPaths)
+    disjointMemo.synchronized {
+      if (disjointMemo.size >= DisjointMemoCap) disjointMemo.clear()
+    }
     disjointMemo.synchronized(disjointMemo.get(memoKey)) match {
       case Some(true) => return
       case Some(false) => throw new DeltaUnsupported(
@@ -547,6 +555,19 @@ object Staged {
         return spark.read.parquet(m.segments: _*)
       case None => ()
     }
+    // Format migration (r15 self-review): a stage CONVERTED from the
+    // plain-table kind (e.g. `components` moving to rebuildable) can meet
+    // a manifest-less dir a prior binary published at this fingerprint.
+    // The atomic publish below cannot move onto a non-empty dir — without
+    // this the stage would rethrow DirectoryNotEmpty on every run until
+    // the fingerprint moved. A completed publish of THIS format always
+    // has its manifest (written before the move), so a manifest-less dir
+    // is never a live same-format table.
+    if (java.nio.file.Files.isDirectory(target)) {
+      log.warn(s"stage $stage: clearing pre-manifest-format dir $target " +
+        "(stage kind changed across versions) — rebuilding")
+      deleteRecursively(target)
+    }
     val current = sourceListing(dir, source)
     def publishCold(): Manifest = publishAtomic(target) { tmp =>
       log.info(s"stage miss: $stage -> building $target (cold)")
@@ -700,6 +721,15 @@ object Staged {
     if (java.nio.file.Files.exists(success)) {
       log.info(s"stage hit: $stage <- $target")
       return spark.read.parquet(target.toString)
+    }
+    // symmetric format migration: a marker-less dir here is either the
+    // manifest format from a stage-kind change or a crashed pre-atomic
+    // writer — never a live same-format table (parquet writes _SUCCESS
+    // before the atomic move); clear it or the move below cannot land
+    if (java.nio.file.Files.isDirectory(target)) {
+      log.warn(s"stage $stage: clearing marker-less dir $target " +
+        "(stage kind changed across versions) — rebuilding")
+      deleteRecursively(target)
     }
     log.info(s"stage miss: $stage -> building $target")
     val tmp = target.resolveSibling(

@@ -310,6 +310,48 @@ class StagedIncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("stage-kind change across versions: a mismatched-format dir clears and rebuilds instead of wedging (r15)") {
+    // converting a stage between the plain-table and manifest kinds (as
+    // `components` did moving to rebuildable) meets the OTHER format's
+    // dir at the same fingerprint in an existing persist root — the
+    // atomic publish cannot move onto a non-empty dir, so the resolver
+    // must clear the stale-format dir and rebuild, not rethrow forever
+    val stageRoot = Files.createTempDirectory("inc_root_mig").toString
+    val dir = freshDir()
+    writeDocs(dir, 0 until 15, append = false)
+    Staged.evict(spark)
+    Staged.enablePersist(stageRoot)
+    try {
+      def full = spark.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("doc_id")
+      // "old binary": plain-table format under this name
+      Staged(spark, dir, "mig@k")(full).count()
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      // "new binary": the same name resolved as a MANIFEST stage
+      val migrated = Staged.rebuildable(spark, dir, "mig@k", "documents",
+        "doc_id")((prior, _) => prior)(full)
+      assert(migrated.count() === 15)
+      assert(modes("mig@k") === Seq("cold"),
+        s"format change must rebuild cold: ${Staged.buildLogSnapshot}")
+      // and the REVERSE direction: manifest format met by the plain kind
+      Staged.appendable(spark, dir, "mig@r", "documents", "doc_id")(
+        d => d.selectExpr("doc_id"))(full).count()
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(Staged(spark, dir, "mig@r")(full).count() === 15)
+      // subsequent resolutions of both are plain hits
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(Staged.rebuildable(spark, dir, "mig@k", "documents", "doc_id")(
+        (prior, _) => prior)(full).count() === 15)
+      assert(modes("mig@k") === Seq("hit"))
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
   test("catalog: inventory rows carry kind/segments/bytes and the live/referenced flags gc acts on (r15)") {
     val stageRoot = Files.createTempDirectory("inc_root_cat").toString
     val dir = freshDir()
