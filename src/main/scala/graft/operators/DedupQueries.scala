@@ -754,8 +754,44 @@ object DedupQueries {
       """
     })
 
+  /** Per-source near-duplication report — the first table a curator pulls
+    * after a dedup pass: for each source, how many docs it contributed and
+    * how many of them are non-canonical members of a near-dup cluster
+    * (doc_id ≠ component, i.e. would be dropped by a keep-smallest
+    * policy). A polluted feed shows up as an outlier rate. Third consumer
+    * of the staged component table (components/canonicalize are the other
+    * two — nothing re-shingles); one slim id join against the (doc_id,
+    * source) projection, one tiny aggregate. */
+  val rateBySource = QueryDef(
+    "dedup_rate_by_source",
+    (spark, dir) => {
+      val comp = componentsStage(spark, dir)
+      val src = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"))
+      comp.join(src, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("component"), 1L).otherwise(0L))
+            .as("n_dup_docs"))
+    },
+    Some(s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.7
+                UNION ALL
+                SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.7),
+      reach AS (
+        SELECT doc_id AS a, doc_id AS b FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY 1)
+      SELECT d.source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN c.doc_id <> c.component THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dup_docs
+      FROM comp c JOIN documents d USING (doc_id)
+      GROUP BY 1
+    """))
+
   val defs: Seq[QueryDef] = Seq(
     exact, minhashLsh, jaccardVerify, simhash, simhashPairs,
     embeddingCosine, components, canonicalize, reconcile,
-    substringSpans, scrubSpans, minhashEstimate)
+    substringSpans, scrubSpans, minhashEstimate, rateBySource)
 }
