@@ -237,7 +237,11 @@ object StageBench {
     // BRIDGING two chain heads (real merges). Off by default.
     if (sys.env.contains("SPARK_GRAFT_CC_REGIME")) {
       import graft.functions.{Materialized, TextHashing}
-      val chain = 8L
+      // chain length = component diameter = the full closure's iteration
+      // count: a SECOND operating point (deeper chains) shows the gap
+      // growing with diameter, not just edge count
+      val chain = math.max(2L, sys.env.get("SPARK_GRAFT_CC_CHAIN")
+        .flatMap(_.toLongOption).getOrElse(8L))
       val nBase = sys.env.get("SPARK_GRAFT_CC_DOCS")
         .flatMap(_.toLongOption).getOrElse(2000000L)
       val base = spark.range(0L, nBase, 1L, 32)
@@ -282,7 +286,7 @@ object StageBench {
       val parity = sig(TextHashing.connectedComponents(allVerts,
         Materialized(allEdges))) == sig(TextHashing.incrementalComponents(
         prior, newDocs.select(col("doc_id")), allEdges))
-      println(f"""{"metric":"cc_regime","docs":${nBase + nd},"edges":$edgeCount,"full_iterative_sec":$fullSec%.3f,"contraction_sec":$incSec%.3f,"full_rows":$fullRows,"contraction_rows":$incRows,"parity":$parity,"speedup":${fullSec / incSec}%.1f}""")
+      println(f"""{"metric":"cc_regime","docs":${nBase + nd},"edges":$edgeCount,"chain":$chain,"full_iterative_sec":$fullSec%.3f,"contraction_sec":$incSec%.3f,"full_rows":$fullRows,"contraction_rows":$incRows,"parity":$parity,"speedup":${fullSec / incSec}%.1f}""")
     }
 
     val docRows = spark.read.parquet(s"$workGrown/documents.parquet").count()
