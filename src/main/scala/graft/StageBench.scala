@@ -43,9 +43,15 @@ object StageBench {
     // historical single-append stride exactly.
     val cut = 100000000L * (k + 1)
     val stride = cut * (idx + 1)
-    // fixed-width, terminator-delimited prefixes are mutually prefix-free
-    // (zx01_, zx02_, …), so no two drops can alias a token pair the way
-    // "zx"+"1abc" vs "zx1"+"abc" could; idx=0 keeps the historical "zx"
+    // chain drops (idx >= 1) use fixed-width, terminator-delimited
+    // prefixes that are mutually prefix-free AMONG THEMSELVES (zx01_,
+    // zx02_, …), so no two chain drops can alias a token pair the way
+    // "zx1"+"abc" vs "zx"+"1abc" could. The bare "zx" of idx=0 is NOT
+    // prefix-free against them ("zx" prefixes "zx01_", so an original
+    // token starting "01_…" would alias a drop-1 token) — which is why
+    // idx=0 is reserved for the historical SINGLE-append path, never
+    // mixed into a chain (chain mode starts at idx=1).
+    require(idx >= 0, s"negative drop index: $idx")
     val pfx = if (idx == 0) "zx" else f"zx$idx%02d_"
     def appendVia(table: String)(
         slice: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)

@@ -251,19 +251,27 @@ object Staged {
     * pay the exact semi-join probe. */
   // Disjointness verdicts memoized per (key, old listing, new listing):
   // every appendable stage of one source re-checks the SAME file sets
-  // during a refresh — one probe, eleven consumers. Cleared with the
-  // fingerprint memo (evict/reset/app end) AND capped: a long-lived
-  // persist-mode server accretes one ever-larger entry (the keys hold
-  // full part-file listings) per source per drop, and a perf memo must
-  // never become the leak it exists to avoid — past the cap the map
-  // resets wholesale (the next refresh's stages simply re-probe once).
+  // during a refresh — one probe, eleven consumers. Keyed on the FULL
+  // `rel:size:mtime` listing entries, not resolved path names (r15
+  // ADVICE): a path-only key made the memo's safety depend on
+  // findDeltaBase's size+mtime subset check never admitting an in-place
+  // rewrite — a cross-function invariant a future change could silently
+  // break, re-admitting overlapping keys from a cached `true`. Cleared
+  // with the fingerprint memo (evict/reset/app end) AND capped: a
+  // long-lived persist-mode server accretes one ever-larger entry (the
+  // keys hold full part-file listings) per source per drop, and a perf
+  // memo must never become the leak it exists to avoid — past the cap the
+  // map resets wholesale (the next refresh's stages simply re-probe once).
   private val DisjointMemoCap = 64
   private val disjointMemo =
     scala.collection.mutable.HashMap.empty[(String, Seq[String], Seq[String]), Boolean]
 
   private def assertDisjointAppend(spark: SparkSession, sourceKey: String,
-      oldPaths: Seq[String], newPaths: Seq[String]): Unit = {
-    val memoKey = (sourceKey, oldPaths, newPaths)
+      dir: String, source: String, oldEntries: Seq[String],
+      newEntries: Seq[String]): Unit = {
+    val memoKey = (sourceKey, oldEntries, newEntries)
+    val oldPaths = sourcePaths(dir, source, oldEntries)
+    val newPaths = sourcePaths(dir, source, newEntries)
     disjointMemo.synchronized {
       if (disjointMemo.size >= DisjointMemoCap) disjointMemo.clear()
     }
@@ -471,12 +479,41 @@ object Staged {
     candidates.sortBy(-_.source.size).headOption
   }
 
+  /** Atomically move a stale-format dir out of the publish target's way —
+    * NEVER delete it (r15 ADVICE): deletion raced a concurrent publish in
+    * the window between a manifest re-read and the delete, destroying a
+    * freshly published valid stage. A rename is atomic, so the worst a
+    * lost race costs is one `.stale-*` dir of equivalent data that the
+    * next [[gc]] sweep reclaims alongside `.tmp-*` leftovers. A rename
+    * failure (someone else already moved it) is fine — the way is clear
+    * either way. */
+  private def renameAside(target: java.nio.file.Path, why: String): Unit = {
+    val aside = target.resolveSibling(
+      target.getFileName.toString + ".stale-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    log.warn(s"moving $why aside: $target -> ${aside.getFileName}")
+    try { java.nio.file.Files.move(target, aside,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE); () }
+    catch { case _: java.nio.file.FileSystemException => () }
+  }
+
   /** Build into a temp sibling, write the manifest, atomic-rename into
     * place; a lost race deletes the temp and reads the winner's manifest
     * (stages are deterministic functions of (dir, config)). A build that
     * THROWS (including DeltaUnsupported) must not leave its temp dir for
     * the gc sweep to find. Shared by the appendable and rebuildable
-    * resolutions. */
+    * resolutions.
+    *
+    * Format migration lives HERE, inside the move-failure path (r15
+    * ADVICE — the old resolution-time pre-clear could delete a publish
+    * that completed between its manifest miss and its delete): a move
+    * refused by a non-empty target either lost a race (manifest present —
+    * read the winner) or met a pre-manifest-format dir from a stage-kind
+    * change (manifest absent — a COMPLETED publish of this format always
+    * has its manifest, written before the move, so a manifest-less dir is
+    * never a live same-format table). The stale dir is renamed aside, not
+    * deleted, and the move retried once; losing THAT retry means a
+    * concurrent publisher landed — its manifest is the result. */
   private def publishAtomic(target: java.nio.file.Path)(
       build: java.nio.file.Path => Manifest): Manifest = {
     val tmp = target.resolveSibling(
@@ -489,16 +526,31 @@ object Staged {
         case e: Throwable => deleteRecursively(tmp); throw e
       }
     writeManifest(tmp.resolve(ManifestName), manifest)
-    try java.nio.file.Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    def move(): Unit = { java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE); () }
+    try move()
     catch {
       case e: java.nio.file.FileSystemException =>
-        deleteRecursively(tmp)
-        // A LOST RACE leaves the winner's manifest at target; a REAL
-        // move failure leaves nothing — swallowing it would hand
-        // consumers a manifest whose fresh segment paths never
-        // materialized under target (the data died with tmp). Rethrow.
-        if (readManifest(target.resolve(ManifestName)).isEmpty) throw e
+        if (readManifest(target.resolve(ManifestName)).nonEmpty)
+          deleteRecursively(tmp) // lost the race — the winner is live
+        else if (java.nio.file.Files.isDirectory(target)) {
+          renameAside(target,
+            "pre-manifest-format stage dir (stage kind changed)")
+          try move()
+          catch {
+            case e2: java.nio.file.FileSystemException =>
+              deleteRecursively(tmp)
+              // a racing publisher can land between the rename and the
+              // retry — then its manifest is at target; a REAL move
+              // failure leaves nothing and must rethrow (swallowing it
+              // would hand consumers segment paths that died with tmp)
+              if (readManifest(target.resolve(ManifestName)).isEmpty)
+                throw e2
+          }
+        } else {
+          deleteRecursively(tmp)
+          throw e
+        }
     }
     readManifest(target.resolve(ManifestName)).getOrElse(manifest)
   }
@@ -555,19 +607,12 @@ object Staged {
         return spark.read.parquet(m.segments: _*)
       case None => ()
     }
-    // Format migration (r15 self-review): a stage CONVERTED from the
-    // plain-table kind (e.g. `components` moving to rebuildable) can meet
-    // a manifest-less dir a prior binary published at this fingerprint.
-    // The atomic publish below cannot move onto a non-empty dir — without
-    // this the stage would rethrow DirectoryNotEmpty on every run until
-    // the fingerprint moved. A completed publish of THIS format always
-    // has its manifest (written before the move), so a manifest-less dir
-    // is never a live same-format table.
-    if (java.nio.file.Files.isDirectory(target)) {
-      log.warn(s"stage $stage: clearing pre-manifest-format dir $target " +
-        "(stage kind changed across versions) — rebuilding")
-      deleteRecursively(target)
-    }
+    // Format migration (a stage CONVERTED from the plain-table kind, e.g.
+    // `components` moving to rebuildable, meets a manifest-less dir a
+    // prior binary published at this fingerprint) is handled INSIDE
+    // publishAtomic's move-failure path — see its scaladoc; a
+    // resolution-time pre-clear here raced concurrent publishes (r15
+    // ADVICE).
     val current = sourceListing(dir, source)
     def publishCold(): Manifest = publishAtomic(target) { tmp =>
       log.info(s"stage miss: $stage -> building $target (cold)")
@@ -600,8 +645,8 @@ object Staged {
             val newPaths = sourcePaths(dir, source, newFiles)
             // key-disjointness gate (r14 ADVICE): a re-delivered key
             // breaks union and contraction semantics alike
-            assertDisjointAppend(spark, sourceKey,
-              sourcePaths(dir, source, old.source), newPaths)
+            assertDisjointAppend(spark, sourceKey, dir, source,
+              old.source, newFiles)
             Manifest(current, deltaPublish(old, newPaths, tmp, target))
           } catch {
             case e: DeltaUnsupported =>
@@ -713,23 +758,33 @@ object Staged {
   /** Disk-backed build-or-reuse: hit → parquet scan of the persisted
     * table; miss → run the build ONCE, write to a temp sibling, atomic
     * rename into place (a lost race reads the winner), scan. */
+  /** Does a published plain-stage dir hold a readable parquet table?
+    * `_SUCCESS` when the writer emits markers, else any `.parquet` part
+    * file — the publish is an atomic rename from a FULLY-written tmp, so
+    * presence implies completeness even under
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` (r15
+    * ADVICE: keying liveness on the marker alone made such deployments
+    * delete and rebuild every valid table on each resolution). A
+    * manifest-format dir (stage-kind change) is NOT a plain table. */
+  private def plainTableAt(target: java.nio.file.Path): Boolean = {
+    if (!java.nio.file.Files.isDirectory(target)) return false
+    if (java.nio.file.Files.exists(target.resolve(ManifestName))) return false
+    if (java.nio.file.Files.exists(target.resolve("_SUCCESS"))) return true
+    val s = java.nio.file.Files.list(target)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .exists(_.getFileName.toString.endsWith(".parquet"))
+    } finally s.close()
+  }
+
   private def persisted(spark: SparkSession, root: String, dir: String,
       stage: String)(build: => DataFrame): DataFrame = {
     val target = java.nio.file.Paths.get(root, fingerprint(dir),
       stageDirName(stage))
-    val success = target.resolve("_SUCCESS")
-    if (java.nio.file.Files.exists(success)) {
+    if (plainTableAt(target)) {
       log.info(s"stage hit: $stage <- $target")
       return spark.read.parquet(target.toString)
-    }
-    // symmetric format migration: a marker-less dir here is either the
-    // manifest format from a stage-kind change or a crashed pre-atomic
-    // writer — never a live same-format table (parquet writes _SUCCESS
-    // before the atomic move); clear it or the move below cannot land
-    if (java.nio.file.Files.isDirectory(target)) {
-      log.warn(s"stage $stage: clearing marker-less dir $target " +
-        "(stage kind changed across versions) — rebuilding")
-      deleteRecursively(target)
     }
     log.info(s"stage miss: $stage -> building $target")
     val tmp = target.resolveSibling(
@@ -737,16 +792,33 @@ object Staged {
         java.util.UUID.randomUUID().toString.take(8))
     java.nio.file.Files.createDirectories(target.getParent)
     build.write.mode("overwrite").parquet(tmp.toString)
-    try java.nio.file.Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    def move(): Unit = { java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE); () }
+    try move()
     catch {
       case e: java.nio.file.FileSystemException =>
-        // lost the publish race — the winner's table is equivalent
-        // (stages are deterministic functions of (dir, stage config)).
-        // But a GENUINE move failure (no winner at target) must rethrow:
-        // the scan below would otherwise read a path that never appeared.
-        deleteRecursively(tmp)
-        if (!java.nio.file.Files.exists(success)) throw e
+        if (plainTableAt(target)) deleteRecursively(tmp) // lost the race
+        else if (java.nio.file.Files.isDirectory(target)) {
+          // symmetric format migration, handled at the SAME point as the
+          // manifest path (publishAtomic): a manifest-format or empty dir
+          // from a stage-kind change blocks the move — rename it ASIDE
+          // (never delete: a delete raced concurrent publishes, r15
+          // ADVICE) and retry once; losing the retry means a concurrent
+          // publisher landed an equivalent table.
+          renameAside(target, "non-plain-format stage dir (stage kind changed)")
+          try move()
+          catch {
+            case e2: java.nio.file.FileSystemException =>
+              deleteRecursively(tmp)
+              // a GENUINE move failure (no winner at target) must
+              // rethrow: the scan below would otherwise read a path that
+              // never appeared
+              if (!plainTableAt(target)) throw e2
+          }
+        } else {
+          deleteRecursively(tmp)
+          throw e
+        }
     }
     spark.read.parquet(target.toString)
   }
@@ -792,15 +864,17 @@ object Staged {
           .map(java.nio.file.Files.size).sum
         finally s.close()
       }
+    def isLeftover(name: String): Boolean =
+      name.contains(".tmp-") || name.contains(".stale-")
     val fpDirs = entriesOf(rootPath)
       .filter(p => java.nio.file.Files.isDirectory(p) &&
-        !p.getFileName.toString.contains(".tmp-"))
+        !isLeftover(p.getFileName.toString))
     val referenced = referencedFingerprints(rootPath, live)
     fpDirs.flatMap { fpDir =>
       val fp = fpDir.getFileName.toString
       entriesOf(fpDir)
         .filter(p => java.nio.file.Files.isDirectory(p) &&
-          !p.getFileName.toString.contains(".tmp-"))
+          !isLeftover(p.getFileName.toString))
         .map { st =>
           val name = st.getFileName.toString
           readManifest(st.resolve(ManifestName)) match {
@@ -829,7 +903,14 @@ object Staged {
       .flatMap { fpDir =>
         val inner = java.nio.file.Files.list(fpDir)
         val stages = try inner.iterator().asScala.toList finally inner.close()
-        stages.flatMap(st => readManifest(st.resolve(ManifestName)))
+        stages
+          .filterNot { st =>
+            val n = st.getFileName.toString
+            // leftovers renamed aside by format migration may still carry
+            // a manifest — they are garbage, not references
+            n.contains(".tmp-") || n.contains(".stale-")
+          }
+          .flatMap(st => readManifest(st.resolve(ManifestName)))
           .flatMap(_.segments)
           .flatMap { seg =>
             val p = java.nio.file.Paths.get(seg)
@@ -875,12 +956,16 @@ object Staged {
       val stale = !live.contains(name) && !referenced.contains(name)
       if (stale) deleteRecursively(p)
       else {
-        // inside a live subtree, sweep only crashed publishes
+        // inside a live subtree, sweep crashed publishes (`.tmp-*`) and
+        // format-migration leftovers renamed aside (`.stale-*`)
         val inner = java.nio.file.Files.list(p)
         try {
           import scala.jdk.CollectionConverters._
           inner.iterator().asScala
-            .filter(_.getFileName.toString.contains(".tmp-"))
+            .filter { q =>
+              val n = q.getFileName.toString
+              n.contains(".tmp-") || n.contains(".stale-")
+            }
             .foreach(deleteRecursively)
         } finally inner.close()
       }

@@ -185,6 +185,84 @@ class StagedPersistSpec extends AnyFunSuite {
     }
   }
 
+  test("persist mode: a plain table published without _SUCCESS markers is read, not deleted (r15 ADVICE)") {
+    // a deployment running mapreduce.fileoutputcommitter.marksuccessfuljobs
+    // =false publishes valid tables with no marker; liveness must key on
+    // the parquet part files too, or every resolution deletes and
+    // cold-rebuilds a valid table (and the delete can break a concurrent
+    // reader mid-scan)
+    val stageRoot = Files.createTempDirectory("stage_root_nomark").toString
+    val dataDir = Files.createTempDirectory("stage_data_nomark")
+    Files.write(dataDir.resolve("part-0.parquet"), "m".getBytes)
+    Staged.evict(spark)
+    Staged.enablePersist(stageRoot)
+    try {
+      var builds = 0
+      def stage() = Staged(spark, dataDir.toString, "nomark@k") {
+        builds += 1
+        spark.range(42).toDF()
+      }
+      assert(stage().count() === 42)
+      assert(builds === 1)
+      // simulate the marker-suppressing deployment: drop _SUCCESS
+      val fp = Staged.fingerprint(dataDir.toString)
+      val stDir = Paths.get(stageRoot, fp).toFile.listFiles()
+        .find(_.getName.startsWith("nomark_k")).get.toPath
+      Files.deleteIfExists(stDir.resolve("_SUCCESS"))
+      Staged.reset(spark)
+      assert(stage().count() === 42)
+      assert(builds === 1,
+        "a marker-less dir with parquet parts is a live table — read it")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("persist mode: format migration renames aside (never deletes) and gc sweeps the .stale leftover (r15 ADVICE)") {
+    val stageRoot = Files.createTempDirectory("stage_root_aside").toString
+    val dataDir = Files.createTempDirectory("stage_data_aside")
+    Files.write(dataDir.resolve("part-0.parquet"), "a".getBytes)
+    Files.write(dataDir.resolve("docs.parquet"), "d".getBytes)
+    // a real documents source for the appendable kind
+    val docs = Files.createTempDirectory("stage_docs_aside").toString
+    spark.range(5).selectExpr("id AS doc_id")
+      .write.mode("overwrite").parquet(s"$docs/documents.parquet")
+    Staged.evict(spark)
+    Staged.enablePersist(stageRoot)
+    try {
+      // "old binary": plain-table format
+      Staged(spark, docs, "aside@k") {
+        spark.read.parquet(s"$docs/documents.parquet")
+      }.count()
+      Staged.reset(spark)
+      // "new binary": same name as a manifest stage → the plain dir
+      // blocks the publish and must be renamed ASIDE, not deleted (a
+      // delete could race a concurrent valid publish)
+      val migrated = Staged.appendable(spark, docs, "aside@k", "documents",
+        "doc_id")(d => d)(spark.read.parquet(s"$docs/documents.parquet"))
+      assert(migrated.count() === 5)
+      val fp = Staged.fingerprint(docs)
+      val names = Paths.get(stageRoot, fp).toFile.list().toSeq
+      assert(names.exists(_.contains(".stale-")),
+        s"the stale-format dir must survive as .stale-*: $names")
+      // the catalog never lists leftovers
+      assert(!Staged.catalog(stageRoot, Seq(docs))
+        .exists(_.stageDir.contains(".stale-")))
+      // gc sweeps the leftover inside the live subtree, keeps the stage
+      Staged.gc(stageRoot, Seq(docs))
+      val after = Paths.get(stageRoot, fp).toFile.list().toSeq
+      assert(!after.exists(_.contains(".stale-")), s"gc must sweep: $after")
+      Staged.reset(spark)
+      assert(Staged.appendable(spark, docs, "aside@k", "documents",
+        "doc_id")(d => d)(spark.read.parquet(s"$docs/documents.parquet"))
+        .count() === 5)
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
   test("persist mode: column pruning reaches through the stage boundary") {
     // The quantified payoff of memoizing persisted stages as parquet
     // SCANS: a consumer projecting two narrow columns of the staged
