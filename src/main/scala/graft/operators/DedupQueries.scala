@@ -41,6 +41,27 @@ object DedupQueries {
   }
   object LshConfig { val Default: LshConfig = LshConfig() }
 
+  /** SimHash deployment knob (r15 verdict ask #4, closing the one
+    * appendable stage left on a bare name): the fingerprint WIDTH in
+    * bits. Bits vote independently, so a narrower fingerprint is the
+    * 64-bit one's prefix (TextHashingSpec pins it) — the knob trades
+    * Hamming resolution for fingerprint-table bytes. Like [[LshConfig]],
+    * the point is the STAGE KEY: the persisted `simhash` table is keyed
+    * by the width its content depends on (`simhash@32` style), so two
+    * configs can never silently alias one cross-session table; the
+    * default maps to the historical bare name — nothing shifts on disk.
+    * The Hamming-pairs pigeonhole path consumes the DEFAULT width (its
+    * block parse is 64-bit); a non-default width serves
+    * fingerprint-table consumers. */
+  final case class SimHashConfig(bits: Int = 64) {
+    require(bits >= 2 && bits <= 64 && bits % 2 == 0,
+      s"bad simhash width: $bits")
+    private[graft] def key = bits.toString
+    private[graft] def stage: String =
+      Staged.keyed("simhash", key, SimHashConfig.Default.key)
+  }
+  object SimHashConfig { val Default: SimHashConfig = SimHashConfig() }
+
   // Staged intermediates of the near-dup pipeline (see Staged): shingles →
   // LSH candidates → Jaccard-verified pairs, plus the SimHash fingerprint
   // table — each materialized once per session and shared by every
@@ -132,11 +153,13 @@ object DedupQueries {
         .filter(col("jaccard") >= 0.7)
     }
 
-  /** SimHash fingerprint table (shared by the fingerprint + pairs queries). */
-  private def simhashStage(spark: SparkSession, dir: String): DataFrame =
-    Staged.appendable(spark, dir, "simhash", "documents", "doc_id")(
-      docs => TextHashing.simhash(docs)) {
-      TextHashing.simhash(Tables.documents(spark, dir))
+  /** SimHash fingerprint table (shared by the fingerprint + pairs
+    * queries), config-keyed by width — see [[SimHashConfig]]. */
+  private[graft] def simhashStage(spark: SparkSession, dir: String,
+      cfg: SimHashConfig = SimHashConfig.Default): DataFrame =
+    Staged.appendable(spark, dir, cfg.stage, "documents", "doc_id")(
+      docs => TextHashing.simhash(docs, cfg.bits)) {
+      TextHashing.simhash(Tables.documents(spark, dir), cfg.bits)
     }
 
   /** Shared DuckDB CTE prefix: distinct word 3-shingles per doc. */

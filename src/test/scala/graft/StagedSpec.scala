@@ -96,6 +96,28 @@ class StagedSpec extends AnyFunSuite {
     Staged.evict(spark)
   }
 
+  test("config-keyed simhash stage: two widths stage disjointly, default keeps the bare name (r15 verdict #4)") {
+    import TestSpark.sf
+    import graft.operators.DedupQueries
+    import graft.operators.DedupQueries.SimHashConfig
+    Staged.evict(spark)
+    // default width keeps the HISTORICAL bare name — nothing shifts
+    DedupQueries.simhashStage(spark, sf).count()
+    assert(Staged.isStaged(spark, sf, "simhash"))
+    // a non-default width stages under its own key, coexisting
+    val narrow = DedupQueries.simhashStage(spark, sf, SimHashConfig(32))
+    narrow.count()
+    assert(Staged.isStaged(spark, sf, "simhash@32"))
+    assert(Staged.isStaged(spark, sf, "simhash"), "configs must coexist")
+    assert(SimHashConfig(32).stage === "simhash@32")
+    assert(SimHashConfig().stage === "simhash")
+    // the narrow table really is the narrow fingerprint
+    import org.apache.spark.sql.functions.length
+    assert(narrow.select(length(org.apache.spark.sql.functions
+      .col("simhash"))).distinct().head().getInt(0) === 32)
+    Staged.evict(spark)
+  }
+
   test("application end clears every entry") {
     Staged(spark, "/tmp/staged-spec", "stage-b") { spark.range(3).toDF() }
     assert(Staged.size > 0)

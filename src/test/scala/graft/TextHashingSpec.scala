@@ -168,6 +168,21 @@ class TextHashingSpec extends AnyFunSuite {
     })
   }
 
+  test("property: a narrower simhash is the 64-bit fingerprint's prefix (r15 verdict #4)") {
+    // bits vote independently, so width only truncates — the invariant
+    // that makes the width knob safe to key the staged table on
+    check(Prop.forAll(Gen.listOfN(4, docGen)) { texts =>
+      val docs = docsDf(texts)
+      val wide = TextHashing.simhash(docs, 64).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      Seq(16, 32).forall { w =>
+        val narrow = TextHashing.simhash(docs, w).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        narrow.forall { case (id, s) => s == wide(id).take(w) }
+      }
+    })
+  }
+
   test("property: hot-bucket guard preserves components at ANY threshold for duplicate clusters") {
     // The guard's contract, generalized past the engineered ScaleSpec
     // case: when a bucket's members are TRUE duplicates (the degenerate
