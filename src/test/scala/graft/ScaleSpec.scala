@@ -344,6 +344,38 @@ class ScaleSpec extends AnyFunSuite {
     operators.Staged.reset(spark)
   }
 
+  test("label_cohesion width gate: long plan below the bound, exact DECIMAL(38,0) past it, equal values (r15 verdict #2)") {
+    import operators.{CohesionConfig, SimilarityQueries}
+    operators.Staged.reset(spark)
+    // the documented bound is now code, derivable: 64·(n·127)² < 2^63
+    assert(CohesionConfig.LongExactMaxVecs * 127L <=
+      math.pow(2, 28.5).toLong,
+      "the shipped bound must sit inside the provable-exactness region")
+    val narrow = SimilarityQueries
+      .labelCohesionWith(spark, sf, CohesionConfig.Default)
+    val wide = SimilarityQueries
+      .labelCohesionWith(spark, sf, CohesionConfig(decimalAboveVecs = 0L))
+    // branch selection is the gate's observable: LONG types below the
+    // bound (bit-identical to the historical plan), DECIMAL(38,0) past it
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    assert(narrow.schema("sum_sq_total").dataType === LongType)
+    assert(narrow.schema("cross_sum").dataType === LongType)
+    assert(wide.schema("sum_sq_total").dataType === DecimalType(38, 0))
+    assert(wide.schema("cross_sum").dataType === DecimalType(38, 0))
+    // and the wide branch computes the SAME exact integers — decimal
+    // widens the headroom, never the values
+    val a = narrow.collect()
+      .map(r => r.get(0).toString ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val b = wide.collect()
+      .map(r => r.get(0).toString -> (r.getDecimal(2).longValueExact(),
+        r.getDecimal(3).longValueExact(), r.getDecimal(4).longValueExact()))
+      .toMap
+    assert(a === b, "the two branches must agree exactly at this scale")
+    operators.Staged.reset(spark)
+  }
+
   test("IvfConfig: deployment rule as configuration, not prose (r12 verdict #2)") {
     import org.apache.spark.sql.functions._
     import operators.{IvfConfig, SimilarityQueries}
