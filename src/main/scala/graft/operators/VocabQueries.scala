@@ -58,6 +58,31 @@ object VocabQueries {
         .agg(count(lit(1)).as("tf"))
     }
 
+  /** Document frequencies (tok, df), DELTA-MAINTAINED (r15 verdict ask
+    * #3 — this was the last text-side rebuild-by-design that the append
+    * gates already made sound): df counts are ADDITIVE across disjoint
+    * doc sets, and the key-disjointness gate guarantees appended part
+    * files carry only new doc_ids, so the stage is `rebuildable`: the
+    * delta merges the PRIOR df table with the appended docs' df by
+    * summing per term — O(|vocab| + |delta tokens|) instead of the
+    * corpus-wide count pass. `tfidf_topterms` still recomputes the
+    * per-doc ranking every refresh (N changes every weight — that part
+    * is irreducible) but stops paying the corpus-wide df pass on append.
+    * In-session the stage materializes once and feeds the tfidf join
+    * directly (previously an inline aggregate of the tf stage). */
+  private[operators] def docFreq(spark: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Staged.rebuildable(spark, dir, "df", "documents", "doc_id")(
+      (prior, deltaDocs) => {
+        val deltaDf = tokenize(deltaDocs)
+          .dropDuplicates("doc_id", "tok")
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        prior.unionByName(deltaDf)
+          .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+      }) {
+      termFreq(spark, dir).groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    }
+
   /** Top-100 vocabulary by corpus term frequency (ties broken by token):
     * the vocabulary-building scan. The global top-k is orderBy+limit —
     * Spark plans TakeOrderedAndProject (per-partition heaps, no global
@@ -133,7 +158,7 @@ object VocabQueries {
       // the shuffle stage — without the stage the token table would be
       // aggregated twice.
       val tf = termFreq(spark, dir)
-      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val df = docFreq(spark, dir) // delta-maintained on append (ask #3)
       val n = Tables.documents(spark, dir)
         .agg(count(lit(1)).as("n_docs"))
       // broadcast: SF-GROWING (derived) — df is vocabulary-sized, Heaps-law

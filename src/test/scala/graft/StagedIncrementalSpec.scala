@@ -498,6 +498,11 @@ class StagedIncrementalSpec extends AnyFunSuite {
       // table (Staged.rebuildable) — parity below pins it equal to cold
       assert(modes("components").headOption.contains("delta"),
         s"components must delta-rebuild: ${Staged.buildLogSnapshot}")
+      // r16: document frequencies delta-merge (additive counts under the
+      // key-disjointness gate) — tfidf's parity below pins the values
+      assert(modes("df").headOption.contains("delta"),
+        s"df must delta-merge, not recount the corpus: " +
+          s"${Staged.buildLogSnapshot}")
       // cold path: a pristine root sees the grown corpus all at once
       Staged.disablePersist()
       Staged.reset(spark)
