@@ -30,14 +30,34 @@ import org.apache.spark.sql.functions._
   *   recall-target inversion runs against (r13 verdict ask #3: a
   *   deployment feeds ITS OWN curve — `ScaleBench`'s IVF_SWEEP rows emit
   *   exactly this shape — instead of inheriting the repo's). Defaults to
-  *   [[IvfConfig.MeasuredSweep]]. */
+  *   [[IvfConfig.MeasuredSweep]].
+  * @param frozen freeze the trained coarse quantizer (r15 verdict ask
+  *   #1 — production IVF discipline): the centroid set is STAGED ONCE at
+  *   the founding corpus and appended vectors are map-only assigned to
+  *   it, so the whole cell/ANN/semantic family becomes append-
+  *   incremental instead of rebuilding O(corpus) per drop. The default
+  *   stays false — and with it the oracle-checked semantics, where the
+  *   centroid RULE reads the current corpus (an append that adds
+  *   rule-matching ids then moves existing assignments, which is exactly
+  *   the O(corpus) rebuild this flag exists to kill). Frozen-mode
+  *   correctness is pinned by parity and recall specs (ScaleSpec /
+  *   StagedIncrementalSpec) rather than the SQL oracle, which cannot
+  *   know the founding corpus.
+  * @param driftFractionMax frozen-mode re-founding gate: on append, the
+  *   measured fraction of APPENDED vectors that a re-trained quantizer
+  *   would assign to a NEW centroid (the assignment-fraction-changed
+  *   probe, O(delta)); past the bound the centroid stage refuses the
+  *   delta and re-founds cold. Delta-sided by design — probing old
+  *   vectors would cost the O(corpus) pass the freeze avoids. */
 final case class IvfConfig(
     centroidEvery: Long = 100L,
     centroidKey: Long = 7L,
     nprobe: Int = 2,
     probeFraction: Double = 0.25,
     recallTarget: Option[Double] = None,
-    sweep: Seq[(Double, Double)] = IvfConfig.MeasuredSweep) {
+    sweep: Seq[(Double, Double)] = IvfConfig.MeasuredSweep,
+    frozen: Boolean = false,
+    driftFractionMax: Double = 0.1) {
   require(centroidEvery > 0 && centroidKey >= 0 &&
     centroidKey < centroidEvery,
     s"centroid rule needs 0 <= key < every: every=$centroidEvery key=$centroidKey")
@@ -53,6 +73,8 @@ final case class IvfConfig(
     sweep.map(_._2) == sweep.map(_._2).sorted,
     s"sweep must be strictly increasing in fraction and non-decreasing " +
       s"in recall (a non-monotone curve cannot be inverted): $sweep")
+  require(driftFractionMax >= 0 && driftFractionMax <= 1,
+    s"driftFractionMax must be in [0, 1]: $driftFractionMax")
 
   /** The deterministic centroid-membership predicate — the ONE
     * definition of the coarse quantizer's centroid set. */
@@ -253,17 +275,132 @@ object SimilarityQueries {
     * vec_id % 100 == 7, so nlist grows ~N/100 on the test corpus);
     * rn ≤ cfg.nprobe keeps both the query probe and the rn=1 home cell
     * in one table. */
-  private[operators] def ivfCells(spark: SparkSession, dir: String,
-      cfg: IvfConfig = IvfConfig.Default): DataFrame = {
-    // Keyed solely on stageKey (r13 ADVICE): configs differing only in
-    // QUERY-side fields (probeFraction / recallTarget / sweep) share the
-    // staged index — the table's content depends on nothing else. The
-    // default stageKey maps to its historical name so nothing shifts.
-    val key = if (cfg.stageKey == IvfConfig.Default.stageKey) "ivf_cells"
-      else s"ivf_cells@${cfg.stageKey}"
-    Staged(spark, dir, key) {
-      ivfCellsRaw(spark, dir, maxRn = cfg.nprobe, cfg)
+  private[graft] def ivfCells(spark: SparkSession, dir: String,
+      cfg: IvfConfig = IvfConfig.Default): DataFrame =
+    if (!cfg.frozen) {
+      // Keyed solely on stageKey (r13 ADVICE): configs differing only in
+      // QUERY-side fields (probeFraction / recallTarget / sweep) share the
+      // staged index — the table's content depends on nothing else. The
+      // default stageKey maps to its historical name so nothing shifts.
+      val key = if (cfg.stageKey == IvfConfig.Default.stageKey) "ivf_cells"
+        else s"ivf_cells@${cfg.stageKey}"
+      Staged(spark, dir, key) {
+        ivfCellsRaw(spark, dir, maxRn = cfg.nprobe, cfg)
+      }
+    } else {
+      // FROZEN mode (r15 verdict ask #1): cells are an APPENDABLE stage —
+      // an append map-only assigns the new vectors against the frozen
+      // centroid table and lands one delta segment; old assignments ride
+      // untouched in prior segments (they depend only on the frozen set).
+      // The stage key carries a digest of the centroid ID SET, so a
+      // re-founding (drift refusal or config change) moves the cells to a
+      // fresh stage name and they cold-rebuild in lockstep — the two
+      // stages cannot desynchronize by construction.
+      val cents = frozenCentroids(spark, dir, cfg)
+      val key = s"ivf_cells@${cfg.stageKey}+frz${centroidSetDigest(cents)}"
+      Staged.appendable(spark, dir, key, "embeddings", "vec_id")(
+        raw => assignCells(normTransform(raw), cents, cfg.nprobe)) {
+        assignCells(normed(spark, dir), cents, cfg.nprobe)
+      }
     }
+
+  /** The (cid, cemb, cnorm) centroid table under `cfg` — frozen mode
+    * reads the staged founding set, default mode derives it from the
+    * CURRENT corpus by the rule. NOT broadcast here; call sites wrap. */
+  private def centroidsOf(spark: SparkSession, dir: String,
+      cfg: IvfConfig): DataFrame =
+    if (cfg.frozen) frozenCentroids(spark, dir, cfg)
+    else normed(spark, dir).filter(cfg.centroidFilter)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+        col("norm").as("cnorm"))
+
+  /** The frozen coarse quantizer (r15 verdict ask #1): centroids staged
+    * ONCE by the rule over the founding corpus, then kept VERBATIM across
+    * appends — a `rebuildable` stage whose delta republishes the prior
+    * table unchanged (nlist rows of IO, nothing scored) after the drift
+    * gate passes. Re-founding happens only on (a) a config change (the
+    * stage key moves) or (b) measured drift: the assignment-fraction-
+    * changed probe scores each APPENDED vector against the frozen set and
+    * the would-be-new centroids the rule finds in the delta, and refuses
+    * via [[Staged.DeltaUnsupported]] — falling back to a cold re-train —
+    * when more than `cfg.driftFractionMax` of them would be captured by a
+    * new centroid. Strict inequality on the capture test: in a true
+    * re-train the tie-break is (ccos desc, cid asc) and appended
+    * centroids carry larger ids, so a tied vector stays with the frozen
+    * centroid there too. O(|delta| · (nlist + |delta|/centroidEvery))
+    * work, all broadcast-sided — bounded by config, never by corpus. */
+  private[graft] def frozenCentroids(spark: SparkSession, dir: String,
+      cfg: IvfConfig): DataFrame =
+    Staged.rebuildable(spark, dir, s"ivf_centroids@${cfg.stageKey}",
+      "embeddings", "vec_id")((prior, deltaRaw) => {
+      graft.functions.VectorExprs.register(spark)
+      val delta = normTransform(deltaRaw)
+      val cand = delta.filter(cfg.centroidFilter)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+          col("norm").as("cnorm"))
+      if (cand.limit(1).count() == 0L) prior // frozen == rule: zero drift
+      else {
+        // broadcast: BOUNDED BY CONFIG — nlist frozen rows plus the
+        // delta's rule matches (|delta|/centroidEvery; a deployment's
+        // rule caps both, the same classification as ivfCellsRaw's).
+        val tagged = broadcast(
+          prior.withColumn("is_new", lit(false))
+            .unionByName(cand.withColumn("is_new", lit(true))))
+        val best = delta.select(col("vec_id"), col("emb"), col("norm"))
+          .crossJoin(tagged)
+          .withColumn("ccos", expr("vec_dot(emb, cemb) / (norm * cnorm)"))
+          .groupBy(col("vec_id"))
+          .agg(max(when(!col("is_new"), col("ccos"))).as("bf"),
+            max(when(col("is_new"), col("ccos"))).as("bn"))
+        val row = best.agg(count(lit(1)).as("n"),
+          count(when(col("bn") > col("bf"), 1)).as("moved")).head()
+        val n = row.getLong(0)
+        val drift = if (n == 0L) 0.0 else row.getLong(1).toDouble / n
+        val log = org.slf4j.LoggerFactory.getLogger(getClass)
+        if (drift > cfg.driftFractionMax)
+          throw new Staged.DeltaUnsupported(
+            f"quantizer drift $drift%.3f > ${cfg.driftFractionMax}%.3f: " +
+              "re-training the frozen coarse quantizer")
+        log.info(f"frozen quantizer kept: measured drift $drift%.3f <= " +
+          f"${cfg.driftFractionMax}%.3f over $n appended vectors")
+        prior
+      }
+    }) {
+      normed(spark, dir).filter(cfg.centroidFilter)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+          col("norm").as("cnorm"))
+    }
+
+  /** Digest of a centroid table's ID set — the content half of the
+    * frozen cells' stage key. One bounded collect (nlist ≤ ~64k ids by
+    * config, the same bound that makes the set broadcastable). */
+  private def centroidSetDigest(cents: DataFrame): String = {
+    val ids = cents.select(col("cid")).collect().map(_.getLong(0)).sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    ids.foreach { id =>
+      buf.clear(); buf.putLong(id); md.update(buf.array())
+    }
+    md.digest().map("%02x".format(_)).mkString.take(8)
+  }
+
+  /** Nearest-centroid assignment of `vecs` against an explicit centroid
+    * table — the ONE scoring/tie-break rule ((ccos desc, cid asc)),
+    * shared by the rule-derived [[ivfCellsRaw]] and the frozen delta
+    * path so the two cannot drift. */
+  private def assignCells(vecs: DataFrame, cents: DataFrame,
+      maxRn: Int): DataFrame = {
+    graft.functions.VectorExprs.register(vecs.sparkSession)
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    vecs.select(col("vec_id"), col("emb"), col("norm"))
+      // broadcast: BOUNDED BY CONFIG — nlist centroid rows (see the
+      // classification note at ivfCellsRaw).
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("vec_dot(emb, cemb) / (norm * cnorm)"))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") <= maxRn)
+      .select(col("vec_id"), col("cid"), col("rn"))
   }
 
   /** The IVF coarse-quantizer computation itself, parameterized by how
@@ -274,26 +411,14 @@ object SimilarityQueries {
     * wider maxRn (a bench-only sweep must not widen the staged table,
     * but it MUST measure this index, not a drifted copy). */
   private[graft] def ivfCellsRaw(spark: SparkSession, dir: String,
-      maxRn: Int, cfg: IvfConfig = IvfConfig.Default): DataFrame = {
-    val e = normed(spark, dir)
-    // broadcast: BOUNDED BY CONFIG — an IVF centroid table has exactly
-    // nlist rows, and nlist is a CHOSEN index parameter (≤ ~64k centroids
-    // in practice, always broadcastable), not a corpus fraction. The
-    // default `% 100` rule makes nlist ~ N/100 only because the test
-    // corpus is tiny; a deployment constructs its IvfConfig so the rule
-    // caps nlist rather than deriving it from corpus size.
-    val cents = broadcast(e.filter(cfg.centroidFilter)
-      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
-        col("norm").as("cnorm")))
-    val aw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid").asc)
-    e.select(col("vec_id"), col("emb"), col("norm"))
-      .crossJoin(cents)
-      .withColumn("ccos", expr("vec_dot(emb, cemb) / (norm * cnorm)"))
-      .withColumn("rn", row_number().over(aw))
-      .filter(col("rn") <= maxRn)
-      .select(col("vec_id"), col("cid"), col("rn"))
-  }
+      maxRn: Int, cfg: IvfConfig = IvfConfig.Default): DataFrame =
+    // broadcast inside assignCells: BOUNDED BY CONFIG — an IVF centroid
+    // table has exactly nlist rows, and nlist is a CHOSEN index parameter
+    // (≤ ~64k centroids in practice, always broadcastable), not a corpus
+    // fraction. The default `% 100` rule makes nlist ~ N/100 only because
+    // the test corpus is tiny; a deployment constructs its IvfConfig so
+    // the rule caps nlist rather than deriving it from corpus size.
+    assignCells(normed(spark, dir), centroidsOf(spark, dir, cfg), maxRn)
 
   /** The shared ANN ranking tail: per-query row_number over (score desc,
     * neighbor_id asc) — the one place the tie-break and output-shape
@@ -554,10 +679,10 @@ object SimilarityQueries {
     val e = normed(spark, dir)
     // broadcast: BOUNDED BY CONFIG — nlist rows (see ivfCellsRaw's
     // classification; the deployment's IvfConfig caps nlist). nprobe
-    // below is a single-row agg: BOUNDED.
-    val cents = broadcast(e.filter(cfg.centroidFilter)
-      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
-        col("norm").as("cnorm")))
+    // below is a single-row agg: BOUNDED. centroidsOf: a frozen config
+    // probes the SAME staged founding set the cell table was built
+    // against — query-side scoring and the index can never disagree.
+    val cents = broadcast(centroidsOf(spark, dir, cfg))
     val nprobe = broadcast(cents.agg(
       greatest(lit(cfg.nprobe.toLong),
         ceil(count(lit(1)) * lit(cfg.effectiveProbeFraction))).cast("int")
@@ -737,11 +862,14 @@ object SimilarityQueries {
       .select(col("vec_id"), col("cid"), col("dup_of"))
   }
 
-  /** [[semanticDedup]] under an explicit [[SemDedupConfig]]. */
+  /** [[semanticDedup]] under an explicit [[SemDedupConfig]] (and
+    * optionally a non-default [[IvfConfig]] — a FROZEN index makes the
+    * dedup's cell input append-incremental, ask #1's semantic leg). */
   private[graft] def semanticDedupWith(spark: SparkSession, dir: String,
-      cfg: SemDedupConfig): DataFrame =
+      cfg: SemDedupConfig,
+      ivfCfg: IvfConfig = IvfConfig.Default): DataFrame =
     semanticDedupOn(
-      ivfCells(spark, dir).filter(col("rn") === 1)
+      ivfCells(spark, dir, ivfCfg).filter(col("rn") === 1)
         .select(col("vec_id"), col("cid")),
       quantized(spark, dir), cfg)
 

@@ -344,6 +344,80 @@ class ScaleSpec extends AnyFunSuite {
     operators.Staged.reset(spark)
   }
 
+  test("frozen IVF quantizer: recall parity with a re-trained index on an un-drifted append (r15 verdict #1)") {
+    import org.apache.spark.sql.functions._
+    import operators.{IvfConfig, SimilarityQueries}
+    // A same-distribution append (verbatim vector copies under fresh
+    // ids — the ScaleData replica idea): the case the freeze exists for.
+    // The frozen index must delta-assign the drop and match the recall
+    // of a full re-train within the suite's noise band.
+    val work = java.nio.file.Files.createTempDirectory("frz_recall").toString
+    Tables.embeddings(spark, sf)
+      .write.parquet(s"$work/embeddings.parquet")
+    def tops(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.filter(col("rank") <= 5).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) =>
+          q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    def recall(gold: Map[Long, Set[Long]],
+        got: Map[Long, Set[Long]]): Double =
+      gold.keys.toSeq.map(q =>
+        (gold(q) & got.getOrElse(q, Set.empty)).size.toDouble /
+          gold(q).size).sum / gold.size
+    // driftFractionMax = 1.0: this test's subject is recall under a KEPT
+    // quantizer; the gate's refusal behavior is pinned in
+    // StagedIncrementalSpec
+    val frozenCfg = IvfConfig(frozen = true, driftFractionMax = 1.0)
+    operators.Staged.evict(spark)
+    operators.Staged.enablePersist(
+      java.nio.file.Files.createTempDirectory("frz_recall_root").toString)
+    try {
+      // found the quantizer at the base corpus
+      SimilarityQueries.ivfTopKWith(spark, work, frozenCfg).count()
+      // the drop: every third vector re-landed verbatim under a new id
+      val slice = spark.read.parquet(s"$work/embeddings.parquet")
+        .filter(pmod(col("vec_id"), lit(3)) === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"),
+          col("label"))
+      val tmp = java.nio.file.Files.createTempDirectory("frz_slice")
+      slice.write.mode("overwrite").parquet(tmp.toString)
+      val target = java.nio.file.Paths.get(s"$work/embeddings.parquet")
+      val l = java.nio.file.Files.list(tmp)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(p => java.nio.file.Files.move(p,
+            target.resolve(p.getFileName.toString)))
+      } finally l.close()
+      operators.Staged.reset(spark)
+      operators.Staged.clearBuildLog()
+      val frozenTops = tops(
+        SimilarityQueries.ivfTopKWith(spark, work, frozenCfg))
+      // the incremental claim at the recall level too: the whole family
+      // resolved by delta, nothing re-scored the old corpus
+      val ivfModes = operators.Staged.buildLogSnapshot.collect {
+        case (s, m) if s.startsWith("ivf_c") => (s, m) }
+      assert(ivfModes.nonEmpty && ivfModes.forall(_._2 == "delta"),
+        s"frozen family must delta-resolve: $ivfModes")
+      // comparators run in session mode on the grown corpus
+      operators.Staged.disablePersist()
+      operators.Staged.reset(spark)
+      val gold = tops(SparkEntry.queries("ann_topk_brute")(spark, work))
+      val rebuilt = tops(
+        SimilarityQueries.ivfTopKWith(spark, work, IvfConfig.Default))
+      val rf = recall(gold, frozenTops)
+      val rr = recall(gold, rebuilt)
+      assert(rf >= 0.5, f"frozen recall@5 fell below the floor: $rf%.3f")
+      assert(rf >= rr - 0.05,
+        f"frozen recall $rf%.3f must match the re-trained index's " +
+          f"$rr%.3f on an un-drifted append")
+    } finally {
+      operators.Staged.disablePersist()
+      operators.Staged.reset(spark)
+    }
+  }
+
   test("label_cohesion width gate: long plan below the bound, exact DECIMAL(38,0) past it, equal values (r15 verdict #2)") {
     import operators.{CohesionConfig, SimilarityQueries}
     operators.Staged.reset(spark)

@@ -656,6 +656,86 @@ class StagedIncrementalSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("frozen IVF quantizer: centroids stage once, cells delta-assign appends, drift re-founds (r15 verdict #1)") {
+    import spark.implicits._
+    import operators.{IvfConfig, SimilarityQueries}
+    val dir = freshDir()
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat / 6f)
+    def writeEmb(ids: Range, append: Boolean,
+        of: Int => Array[Float]): Unit =
+      ids.map(i => (i.toLong, of(i), i % 5))
+        .toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    writeEmb(0 until 40, append = false, vec)
+    val cfg = IvfConfig(centroidEvery = 10, centroidKey = 7,
+      frozen = true, driftFractionMax = 1.0)
+    def cellRows(c: IvfConfig): Set[(Long, Long, Int)] = {
+      SimilarityQueries.ivfCells(spark, dir, c).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    def centIds(c: IvfConfig): Set[Long] =
+      SimilarityQueries.frozenCentroids(spark, dir, c)
+        .select("cid").collect().map(_.getLong(0)).toSet
+    def cellModes: Seq[(String, String)] = Staged.buildLogSnapshot.collect {
+      case (s, m) if s.startsWith("ivf_cells@10:7:2+frz") => (s, m)
+    }
+    Staged.evict(spark)
+    Staged.enablePersist(Files.createTempDirectory("inc_frz").toString)
+    try {
+      val baseCells = cellRows(cfg)
+      val founding = centIds(cfg)
+      assert(founding === Set(7L, 17L, 27L, 37L),
+        s"founding centroid set by the rule: $founding")
+      // the crawl drop, INCLUDING a would-be centroid id (47) — a frozen
+      // quantizer must ignore it, a rule-over-current-corpus one may not
+      writeEmb(40 until 55, append = true, vec)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val grownCells = cellRows(cfg)
+      assert(modes("ivf_centroids@10:7:2") === Seq("delta"),
+        s"frozen centroids must keep the prior table: " +
+          s"${Staged.buildLogSnapshot}")
+      assert(cellModes.map(_._2) === Seq("delta"),
+        s"cells must map-only delta-assign: ${Staged.buildLogSnapshot}")
+      assert(centIds(cfg) === founding,
+        "the quantizer is frozen: the appended rule id must NOT join it")
+      // old assignments byte-identical, new vectors assigned to frozen
+      // cells only, one home cell each
+      assert(baseCells.subsetOf(grownCells),
+        "an append must never move an existing assignment")
+      val newRows = grownCells -- baseCells
+      assert(newRows.nonEmpty && newRows.forall(_._1 >= 40L))
+      assert(newRows.forall(r => founding.contains(r._2)),
+        s"new vectors must land in frozen cells: $newRows")
+      assert(newRows.count(_._3 == 1) === 15)
+      // drift re-founding: a zero-tolerance gate plus an engineered
+      // drifted drop — every appended vector IS the new rule-matching
+      // vector's (cos 1.0 against it, < 1.0 against every frozen
+      // centroid), so the capture fraction is 1.0 and the stage must
+      // refuse and re-train
+      val tight = cfg.copy(driftFractionMax = 0.0)
+      writeEmb(100 until 115, append = true, _ => vec(107))
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val refoundedCells = cellRows(tight)
+      assert(modes("ivf_centroids@10:7:2") === Seq("delta-refused", "cold"),
+        s"measured drift must re-found: ${Staged.buildLogSnapshot}")
+      assert(centIds(tight) === Set(7L, 17L, 27L, 37L, 47L, 107L),
+        "re-founding re-runs the rule over the grown corpus")
+      // the cells key carries the centroid-set digest, so they re-found
+      // in lockstep under a FRESH stage name
+      assert(cellModes.map(_._2) === Seq("cold"),
+        s"cells must cold-rebuild with the re-founded set: $cellModes")
+      assert(refoundedCells.map(_._1) ===
+        (0 until 55).map(_.toLong).toSet ++ (100 until 115).map(_.toLong))
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
   test("real pipeline: ANN sign-bucket and quantized stages delta-build over appended embeddings") {
     import spark.implicits._
     val dir = freshDir()
