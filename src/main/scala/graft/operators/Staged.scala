@@ -974,6 +974,83 @@ object Staged {
     deleted.map(_.getFileName.toString)
   }
 
+  /** Retention rule for [[retain]] — the operational half of the catalog
+    * (r15 verdict ask #8): how many STALE corpus generations a long-lived
+    * server keeps around (rollback / audit) and for how long. Live and
+    * referenced fingerprints are never subject to either bound. */
+  final case class RetentionPolicy(keepStale: Int = 1,
+      maxAgeMs: Long = Long.MaxValue) {
+    require(keepStale >= 0, s"keepStale must be >= 0: $keepStale")
+    require(maxAgeMs >= 0, s"maxAgeMs must be >= 0: $maxAgeMs")
+  }
+
+  /** Policy-driven retention sweep — [[gc]] generalized so a long-lived
+    * server needs no manual sweep scheduling: instead of reclaiming EVERY
+    * stale fingerprint subtree, keep the newest `policy.keepStale` stale
+    * generations that are also younger than `policy.maxAgeMs` (age = time
+    * since the subtree's last write), and reclaim the rest. Safety
+    * invariants, identical to gc's and spec-pinned: a LIVE fingerprint is
+    * never touched, and reference pinning is TRANSITIVE — a retained
+    * stale generation's appendable manifests may reference segments in an
+    * even older subtree (delta builds reuse parents in place), so every
+    * subtree reachable through kept manifests is kept too, whatever the
+    * policy says (a rollback target with missing segments would be
+    * retention theater). Leftover `.tmp-*`/`.stale-*` entries inside kept
+    * subtrees are swept as in gc. Returns the deleted top-level names. */
+  def retain(root: String, liveDirs: Seq[String], policy: RetentionPolicy,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val rootPath = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(rootPath)) return Seq.empty
+    val live = liveDirs.map(fingerprintUncached).toSet
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(rootPath)
+    val entries = try s.iterator().asScala.toList finally s.close()
+    def isLeftover(n: String): Boolean =
+      n.contains(".tmp-") || n.contains(".stale-")
+    def lastWriteMs(p: java.nio.file.Path): Long = {
+      val w = java.nio.file.Files.walk(p)
+      try w.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.getLastModifiedTime(_).toMillis)
+        .foldLeft(java.nio.file.Files.getLastModifiedTime(p).toMillis)(
+          math.max)
+      finally w.close()
+    }
+    val fpDirs = entries.filter(p =>
+      java.nio.file.Files.isDirectory(p) &&
+        !isLeftover(p.getFileName.toString))
+    val stale = fpDirs.filterNot(p => live.contains(p.getFileName.toString))
+    // the policy's pick: newest-first among stale, top keepStale, each
+    // within maxAge of now
+    val chosen = stale.map(p => (p.getFileName.toString, lastWriteMs(p)))
+      .sortBy(-_._2)
+      .take(policy.keepStale)
+      .collect { case (n, ts) if nowMs - ts <= policy.maxAgeMs => n }
+      .toSet
+    // transitive reference closure over KEPT subtrees' manifests
+    var keep = live ++ chosen
+    var grown = true
+    while (grown) {
+      val next = keep ++ referencedFingerprints(rootPath, keep)
+      grown = next.size > keep.size
+      keep = next
+    }
+    val deleted = entries.filter { p =>
+      val name = p.getFileName.toString
+      val doomed = !keep.contains(name)
+      if (doomed) deleteRecursively(p)
+      else if (java.nio.file.Files.isDirectory(p)) {
+        val inner = java.nio.file.Files.list(p)
+        try inner.iterator().asScala
+          .filter(q => isLeftover(q.getFileName.toString))
+          .foreach(deleteRecursively)
+        finally inner.close()
+      }
+      doomed
+    }
+    deleted.map(_.getFileName.toString)
+  }
+
   /** Drop every staged entry belonging to `spark`, unpersisting any
     * materialized checkpoint blocks — dropping only the map entry would
     * leave the previous pass's RDD blocks in the block manager until the

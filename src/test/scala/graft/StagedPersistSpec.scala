@@ -318,4 +318,72 @@ class StagedPersistSpec extends AnyFunSuite {
       Staged.reset(spark)
     }
   }
+
+  test("retention policy: keeps newest stale generations, pins references transitively, never reclaims live (r15 verdict #8)") {
+    import org.apache.spark.sql.functions.col
+    val stageRoot = Files.createTempDirectory("stage_root_retain").toString
+    val docs = Files.createTempDirectory("stage_docs_retain").toString
+    def writeDocs(ids: Range, append: Boolean): Unit = {
+      import TestSpark.spark.implicits._
+      ids.map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+        .repartition(1)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$docs/documents.parquet")
+    }
+    def resolve(): Unit = {
+      Staged.appendable(spark, docs, "ret@k", "documents", "doc_id")(
+        d => d.select(col("doc_id")))(
+        spark.read.parquet(s"$docs/documents.parquet")
+          .select(col("doc_id"))).count()
+      ()
+    }
+    def fp(): String = { Staged.reset(spark); Staged.fingerprint(docs) }
+    Staged.evict(spark)
+    Staged.enablePersist(stageRoot)
+    try {
+      // four corpus generations: A (cold) -> B (full rewrite, cold) ->
+      // C (append onto B, DELTA manifest referencing B's segments) ->
+      // D (full rewrite, live)
+      writeDocs(0 until 10, append = false)
+      val fpA = fp(); resolve()
+      writeDocs(0 until 10, append = false)
+      val fpB = fp(); resolve()
+      writeDocs(100 until 110, append = true)
+      val fpC = fp()
+      Staged.clearBuildLog()
+      resolve()
+      assert(Staged.buildLogSnapshot.contains(("ret@k", "delta")),
+        s"C must delta-build on B: ${Staged.buildLogSnapshot}")
+      writeDocs(200 until 205, append = false)
+      val fpD = fp(); resolve()
+      assert(Seq(fpA, fpB, fpC, fpD).distinct.size === 4)
+      def dirs(): Set[String] =
+        Paths.get(stageRoot).toFile.list().toSet
+      // keepStale=1 picks C (newest stale); B is pinned TRANSITIVELY
+      // (C's delta manifest references B's segments); only A falls
+      val del1 = Staged.retain(stageRoot, Seq(docs),
+        Staged.RetentionPolicy(keepStale = 1))
+      assert(del1 === Seq(fpA), s"deleted: $del1")
+      // B retained solely by C's manifest reference: the rollback
+      // target's delta chain stays intact on disk
+      assert(dirs() === Set(fpB, fpC, fpD))
+      // maxAge=0 expires every stale generation whatever keepStale says;
+      // the LIVE fingerprint is untouchable under any policy
+      val del2 = Staged.retain(stageRoot, Seq(docs),
+        Staged.RetentionPolicy(keepStale = 5, maxAgeMs = 0L),
+        nowMs = System.currentTimeMillis() + 60000L)
+      assert(del2.toSet === Set(fpB, fpC), s"deleted: $del2")
+      assert(dirs() === Set(fpD))
+      // the live stage still resolves warm off its intact subtree
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      resolve()
+      assert(Staged.buildLogSnapshot === Seq(("ret@k", "hit")),
+        s"live subtree must have survived retention: " +
+          s"${Staged.buildLogSnapshot}")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
 }
