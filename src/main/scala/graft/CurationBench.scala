@@ -28,10 +28,16 @@ import org.apache.spark.sql.streaming.Trigger
   *    cadence's cost is a measured number, not an assumption;
   *  - `burst` (r13 verdict ask #5): the near gate over an engineered
   *    degenerate burst — SPARK_GRAFT_BURST_DOCS identical-content docs,
-  *    every probe hitting the same B band keys — whose docs/s must sit in
-  *    the `near` row's regime (no streaming hot-bucket quadratic; the
+  *    every probe hitting the same B band keys — whose probes/s must sit
+  *    in the `near` row's regime (no streaming hot-bucket quadratic; the
   *    per-batch boundedness assertion lives in CurationStreamSpec's
-  *    burst soak).
+  *    burst soak);
+  *  - `sem` (r15 verdict ask #7): the semantic gate over the replicated
+  *    embeddings as a VecIn file stream — frozen-quantizer cell
+  *    assignment (map-only), int8 dot against the per-cell keeper
+  *    registry on `transformWithState`; the frozen centroid stage is
+  *    built ONCE before the passes (a deployment's index cost, not a
+  *    per-batch cost).
   * All run on the RocksDB state store (the 100 TB state path; the
   * stateful modes require it). Run: `sbt "runMain graft.CurationBench"`;
   * env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE_X (default 10),
@@ -102,19 +108,43 @@ object CurationBench {
       .repartitionByRange(16, col("fetchTs"), col("docId"))
       .write.mode("overwrite").parquet(burstDir)
 
+    // Semantic-gate layout (r15 verdict ask #7's measured row): the
+    // replicated embeddings as a VecIn-shaped file stream, plus the
+    // FROZEN coarse quantizer staged once on the driver session before
+    // any pass starts (the index-build cost a deployment pays once, not
+    // a per-micro-batch cost — excluded from the gate's docs/s by the
+    // same logic that excludes the crawl layout write above).
+    val vecDir = s"$work/vecs"
+    spark.read.parquet(s"$rep/embeddings.parquet")
+      .select(col("vec_id").as("vecId"), col("embedding"),
+        timestamp_millis(lit(1714521600000L) +
+          pmod(col("vec_id"), lit(100000000L)) * 100L).as("fetchTs"))
+      .repartitionByRange(64, col("fetchTs"), col("vecId"))
+      .write.mode("overwrite").parquet(vecDir)
+    val vecs = spark.read.parquet(vecDir).count()
+    val frozenCents = CurationStream.frozenCentroidLits(spark, rep,
+      graft.operators.IvfConfig(frozen = true))
+
     def run(mode: String, pass: Int): Double = {
-      val srcDir = if (mode == "burst") burstDir else crawlDir
-      val stream = spark.readStream
-        .schema(Encoders.product[DocIn].schema)
-        .option("maxFilesPerTrigger", filesPerTrigger.toString)
-        .parquet(srcDir)
-        .as[DocIn](Encoders.product[DocIn])
+      val srcDir = mode match {
+        case "burst" => burstDir
+        case "sem" => vecDir
+        case _ => crawlDir
+      }
+      def readAs[T <: Product : scala.reflect.runtime.universe.TypeTag]() =
+        spark.readStream
+          .schema(Encoders.product[T].schema)
+          .option("maxFilesPerTrigger", filesPerTrigger.toString)
+          .parquet(srcDir)
+          .as[T](Encoders.product[T])
       val t0 = System.nanoTime()
       val q = mode match {
-        case "exact" | "near" | "burst" =>
+        case "exact" | "near" | "burst" | "sem" =>
           val out = mode match {
-            case "exact" => CurationStream.curate(stream)
-            case "near" | "burst" => CurationStream.nearDedup(stream)
+            case "exact" => CurationStream.curate(readAs[DocIn]())
+            case "near" | "burst" => CurationStream.nearDedup(readAs[DocIn]())
+            case "sem" => CurationStream.semDedupGate(
+              readAs[CurationStream.VecIn](), frozenCents)
           }
           out.writeStream.outputMode("append").format("parquet")
             .option("path", s"$work/out_${mode}_$pass")
@@ -122,7 +152,7 @@ object CurationBench {
             .trigger(Trigger.AvailableNow())
             .start()
         case "canon" | "canonc" =>
-          CurationStream.startCanonicalSink(stream,
+          CurationStream.startCanonicalSink(readAs[DocIn](),
             tableDir = s"$work/out_${mode}_$pass",
             checkpointDir = s"$work/ckpt_${mode}_$pass",
             compactEvery = if (mode == "canonc") compactEvery else 0,
@@ -132,7 +162,7 @@ object CurationBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val modes = Seq("exact", "near", "canon", "canonc", "burst")
+    val modes = Seq("exact", "near", "canon", "canonc", "burst", "sem")
     val times: Map[String, Seq[Double]] = {
       val all = for { pass <- 1 to passes; m <- modes } yield m -> run(m, pass)
       all.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
@@ -147,9 +177,12 @@ object CurationBench {
       "canon" -> CurationStream.canonicalTable(spark, s"$work/out_canon_1")
         .count(),
       "canonc" -> CurationStream.canonicalTable(spark, s"$work/out_canonc_1")
-        .count())
+        .count(),
+      // sem emits a verdict per vector; "kept" is the gate's keep count
+      "sem" -> spark.read.parquet(s"$work/out_sem_1")
+        .filter(col("kept")).count())
     val line =
-      f"""{"metric":"curation_docs_per_sec","docs":$docs,"x":$k,"sf":"$sfDir","passes":$passes,"files_per_trigger":$filesPerTrigger,"compact_every":$compactEvery,"calib_sec":$calibSec%.3f,"exact_sec":${med("exact")}%.3f,"near_sec":${med("near")}%.3f,"canon_sec":${med("canon")}%.3f,"canonc_sec":${med("canonc")}%.3f,"exact_dps":${docs / med("exact")}%.0f,"near_dps":${docs / med("near")}%.0f,"canon_dps":${docs / med("canon")}%.0f,"canonc_dps":${docs / med("canonc")}%.0f,"exact_kept":${kept("exact")},"near_kept":${kept("near")},"canon_clusters":${kept("canon")},"canonc_clusters":${kept("canonc")},"burst_docs":$burstDocs,"burst_sec":${med("burst")}%.3f,"burst_dps":${burstDocs / med("burst")}%.0f,"burst_kept":${kept("burst")}}"""
+      f"""{"metric":"curation_docs_per_sec","docs":$docs,"x":$k,"sf":"$sfDir","passes":$passes,"files_per_trigger":$filesPerTrigger,"compact_every":$compactEvery,"calib_sec":$calibSec%.3f,"exact_sec":${med("exact")}%.3f,"near_sec":${med("near")}%.3f,"canon_sec":${med("canon")}%.3f,"canonc_sec":${med("canonc")}%.3f,"exact_dps":${docs / med("exact")}%.0f,"near_dps":${docs / med("near")}%.0f,"canon_dps":${docs / med("canon")}%.0f,"canonc_dps":${docs / med("canonc")}%.0f,"exact_kept":${kept("exact")},"near_kept":${kept("near")},"canon_clusters":${kept("canon")},"canonc_clusters":${kept("canonc")},"burst_docs":$burstDocs,"burst_sec":${med("burst")}%.3f,"burst_dps":${burstDocs / med("burst")}%.0f,"burst_kept":${kept("burst")},"sem_vecs":$vecs,"sem_sec":${med("sem")}%.3f,"sem_dps":${vecs / med("sem")}%.0f,"sem_kept":${kept("sem")}}"""
     spark.stop()
     println(line)
     System.out.flush()

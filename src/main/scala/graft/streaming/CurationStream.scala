@@ -677,4 +677,208 @@ object CurationStream {
         true)
     }
   }
+
+  // ---------------------------------------------------------------------
+  // Streaming SEMANTIC gate (r15 verdict ask #7): the embedding-space
+  // analogue of the MinHash near-dup gate. A re-crawl that PARAPHRASES —
+  // new tokens, new shingles — sails past both the exact content hash and
+  // the band registry, but its embedding still lands next to the original;
+  // the batch `dedup_semantic` would drop it a day later. This gate makes
+  // the same decision at intake time: map-only assignment to the FROZEN
+  // coarse quantizer (ask #1 — without a frozen centroid set the cell ids
+  // drift under growth and the state keys mean nothing across batches),
+  // then an int8-dot comparison against the cell's registered keepers on
+  // transformWithState. The decision mirrors semanticDedupOn bit for bit:
+  // same quantization (floor(v·64) clamped ±127), same exact integer dot,
+  // same floor, same min-id dup_of — pinned by replay-parity spec.
+  // ---------------------------------------------------------------------
+
+  /** A crawled document's embedding entering the streaming semantic gate
+    * (same float vector shape as the batch `embeddings` table). */
+  final case class VecIn(vecId: Long, embedding: Array[Float],
+      fetchTs: Timestamp)
+
+  /** The gate's verdict: `kept`, or dropped as a semantic near-dup of
+    * `dupOf` (the smallest-id registered match — the batch rule). */
+  final case class VecVerdict(vecId: Long, cid: Long, fetchTs: Timestamp,
+      kept: Boolean, dupOf: Long)
+
+  /** A frozen-quantizer centroid shipped into the stream's closure —
+    * nlist rows by config, the same bound that makes the set
+    * broadcastable on the batch side. */
+  final case class CentroidLit(cid: Long, cemb: Array[Double],
+      cnorm: Double)
+
+  /** Load the staged frozen coarse quantizer for [[semDedupGate]]: one
+    * bounded driver-side collect (nlist rows by config). Requires a
+    * frozen [[graft.operators.IvfConfig]] — under the default
+    * rule-over-current-corpus mode the centroid SET moves on every
+    * append, and a cell registry keyed on moving cell ids would compare
+    * vectors that were never cell-mates. */
+  def frozenCentroidLits(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cfg: graft.operators.IvfConfig): Seq[CentroidLit] = {
+    require(cfg.frozen, "semDedupGate needs a FROZEN quantizer (ask #1): " +
+      "rule-derived centroids drift under growth, so cell-registry state " +
+      "keyed on them is meaningless across appends")
+    graft.operators.SimilarityQueries.frozenCentroids(spark, dir, cfg)
+      .collect()
+      .map(r => CentroidLit(r.getLong(0),
+        r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_.cid).toSeq
+  }
+
+  /** One vector, assigned to its home cell and quantized — the gate's
+    * internal probe row. The key prefixes the centroid-set digest
+    * (StateSchemas discipline, the banding-scheme precedent): a restart
+    * with a RE-FOUNDED quantizer probes a disjoint keyspace instead of
+    * comparing against keepers that were assigned under different cells;
+    * old entries evict via their event-time timers within a horizon. */
+  private[streaming] final case class CellProbe(cellKey: String,
+      cid: Long, vecId: Long, q8: Array[Byte], fetchTs: Timestamp)
+
+  /** A registered occupant of a cell: id, event time, quantized vector
+    * (64 bytes at the test dims — state per cell is rate × horizon of
+    * these, the same bound class as the band registry's keepers). */
+  private[streaming] final case class CellKeeper(vecId: Long,
+      tsMillis: Long, q8: Array[Byte])
+
+  /** Per-cell keeper registry. EVERY probe registers, kept or dropped —
+    * batch parity demands it: `semanticDedupOn` forms pairs over ALL
+    * intra-cell vectors, so a dropped vector still suppresses later
+    * near-dups of itself. The verdict window is the same symmetric
+    * event-time horizon as [[BucketProcessor]]'s, cleanup the same
+    * watermark-driven timer at ts + 2×horizon. Per-probe work is
+    * O(registered keepers in the cell) = O(cell arrival rate × horizon)
+    * — bounded by crawl rate, never corpus size (the accumulated-corpus
+    * quadratic hazard lives in the BATCH layer, where the hot-cell guard
+    * star-collapses degenerate cells; here the horizon is the bound). */
+  private[streaming] class CellRegistryProcessor(horizonMs: Long,
+      dotFloor: Long)
+      extends StatefulProcessor[String, CellProbe, VecVerdict] {
+    @transient private var reg
+        : org.apache.spark.sql.streaming.ListState[CellKeeper] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      reg = getHandle.getListState[CellKeeper]("keepers",
+        Encoders.product[CellKeeper], TTLConfig.NONE)
+
+    /** The batch rule's exact integer dot (`vec_dot` over the q8
+      * arrays): ≤ 127²·dims ≪ 2^63 — never overflows, never a float. */
+    private def dot(a: Array[Byte], b: Array[Byte]): Long = {
+      val n = math.min(a.length, b.length)
+      var s = 0L
+      var i = 0
+      while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
+      s
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[CellProbe],
+        timerValues: TimerValues): Iterator[VecVerdict] = {
+      // same-batch determinism: earliest (fetchTs, vecId) first, so one
+      // micro-batch decides exactly like arrival over separate batches
+      val sorted = rows.toSeq.sortBy(p => (p.fetchTs.getTime, p.vecId))
+      val keepers = scala.collection.mutable.ArrayBuffer.empty[CellKeeper]
+      val it = reg.get()
+      while (it.hasNext) keepers += it.next()
+      val out = sorted.map { p =>
+        val ts = p.fetchTs.getTime
+        var dupOf = Long.MaxValue
+        keepers.foreach { k =>
+          if (math.abs(ts - k.tsMillis) <= horizonMs &&
+              k.vecId != p.vecId && k.vecId < dupOf &&
+              dot(p.q8, k.q8) >= dotFloor)
+            dupOf = k.vecId
+        }
+        val kept = dupOf == Long.MaxValue
+        val reg0 = CellKeeper(p.vecId, ts, p.q8)
+        keepers += reg0
+        reg.appendValue(reg0)
+        getHandle.registerTimer(ts + 2 * horizonMs)
+        VecVerdict(p.vecId, p.cid, p.fetchTs, kept,
+          if (kept) p.vecId else dupOf)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[VecVerdict] = {
+      // a later registration arms a newer timer for the key; this firing
+      // may only evict the entries it really covers
+      val expiry = expiredTimerInfo.getExpiryTimeInMs()
+      val live = scala.collection.mutable.ArrayBuffer.empty[CellKeeper]
+      val it = reg.get()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k.tsMillis + 2 * horizonMs > expiry) live += k
+      }
+      if (live.isEmpty) reg.clear() else reg.put(live.toArray)
+      Iterator.empty
+    }
+  }
+
+  /** The streaming semantic near-dup gate: assign each incoming vector
+    * to its frozen home cell (map-only — the centroid literal set rides
+    * the closure), quantize exactly as the batch `q8_embeddings` stage
+    * does, and consult the per-cell keeper registry. Emits a verdict for
+    * EVERY in-gate vector — `kept` or dropped-as-dup-of — so a consumer
+    * can both filter the keep stream and audit the drops (the batch
+    * `dedup_semantic` output shape). Scale: one narrow map, then a
+    * shuffle on the cell key (uniform under a healthy quantizer), state
+    * bounded by crawl rate × horizon via event-time timers. */
+  def semDedupGate(vecs: Dataset[VecIn], centroids: Seq[CentroidLit],
+      horizonMs: Long = 3600000L,
+      dotFloor: Long = graft.operators.SemDedupConfig.Default.dotFloor)
+      : Dataset[VecVerdict] = {
+    import vecs.sparkSession.implicits._
+    require(horizonMs > 0, s"horizonMs must be positive: $horizonMs")
+    require(dotFloor > 0, s"dotFloor must be positive: $dotFloor")
+    require(centroids.nonEmpty, "semDedupGate needs a non-empty frozen " +
+      "centroid set (frozenCentroidLits)")
+    val cents = centroids.sortBy(_.cid).toArray
+    val prefix = StateSchemas.semGateCellPrefix(
+      cents.map(_.cid).toSeq)
+    val probes = vecs.map { v =>
+      // double-cast, left-to-right norm fold, (ccos desc, cid asc)
+      // tie-break — each the batch path's exact arithmetic (vec_dot is
+      // the same left-to-right fold), so the home cell can never differ
+      val emb = new Array[Double](v.embedding.length)
+      var ss = 0.0
+      var i = 0
+      while (i < emb.length) {
+        emb(i) = v.embedding(i).toDouble
+        ss += emb(i) * emb(i)
+        i += 1
+      }
+      val norm = math.sqrt(ss)
+      var best = 0
+      var bestCos = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val ce = cents(c).cemb
+        val n = math.min(emb.length, ce.length)
+        var d = 0.0
+        var j = 0
+        while (j < n) { d += emb(j) * ce(j); j += 1 }
+        val cos = d / (norm * cents(c).cnorm)
+        // strict >: ties keep the earlier (smaller) cid — cents is sorted
+        if (cos > bestCos) { bestCos = cos; best = c }
+        c += 1
+      }
+      val q8 = new Array[Byte](emb.length)
+      i = 0
+      while (i < emb.length) {
+        val q = math.floor(emb(i) * 64.0)
+        q8(i) = math.max(-127.0, math.min(127.0, q)).toByte
+        i += 1
+      }
+      val cid = cents(best).cid
+      CellProbe(s"$prefix#$cid", cid, v.vecId, q8, v.fetchTs)
+    }
+    probes
+      .withWatermark("fetchTs", s"$horizonMs milliseconds")
+      .groupByKey(_.cellKey)
+      .transformWithState(new CellRegistryProcessor(horizonMs, dotFloor),
+        "fetchTs", OutputMode.Append())
+  }
 }

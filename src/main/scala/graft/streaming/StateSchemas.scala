@@ -51,4 +51,23 @@ object StateSchemas {
     * cluster / CanonState value states). v1 — never broken since
     * introduction. */
   val CurationCanonicalStateVersion: Int = 1
+
+  /** Semantic-gate cell registry key (`CurationStream.semDedupGate`).
+    * v1 (r16). The key prefixes a digest of the FROZEN centroid id set —
+    * the same discipline as the banding-scheme prefix above: a restart
+    * under a re-founded quantizer (drift refusal, IvfConfig change)
+    * probes a disjoint keyspace instead of comparing vectors that were
+    * cell-mates only under the OLD cells; stale entries evict via their
+    * event-time timers within a horizon. `horizonMs`/`dotFloor` stay out
+    * of the key — they shift verdicts, not key identity (same reasoning
+    * as horizonMs above). */
+  val SemGateCellKeyVersion: Int = 1
+  def semGateCellPrefix(centroidIds: Seq[Long]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    centroidIds.sorted.foreach { id =>
+      buf.clear(); buf.putLong(id); md.update(buf.array())
+    }
+    md.digest().map("%02x".format(_)).mkString.take(8)
+  }
 }
