@@ -18,8 +18,25 @@ import org.apache.spark.sql.functions._
   * 5), SPARK_GRAFT_CPUS. One STAGEBENCH_ROW JSON line per (phase, query)
   * plus a final `{"metric":"stage_bench",...}` summary. */
 object StageBench {
+  /** r15 verdict ask #1: the refresh row must show the ANN/semantic
+    * family delta-resolving, which requires the FROZEN quantizer —
+    * the registered `ann_topk_ivf`/`dedup_semantic` stay on the
+    * oracle-checkable rule-over-current-corpus default and so rebuild
+    * cold on any append by design. */
+  private val FrozenIvf = operators.IvfConfig(frozen = true)
+  private val Extras: Map[String,
+      (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "ann_topk_ivf_frozen" -> ((s, d) =>
+      operators.SimilarityQueries.ivfTopKWith(s, d, FrozenIvf)),
+    "dedup_semantic_frozen" -> ((s, d) =>
+      operators.SimilarityQueries.semanticDedupWith(s, d,
+        operators.SemDedupConfig.Default, FrozenIvf)))
+  private def lookup(q: String)
+      : (SparkSession, String) => org.apache.spark.sql.DataFrame =
+    Extras.getOrElse(q, SparkEntry.queries(q))
   private val Queries =
-    Seq("dedup_simhash", "vocab_topk", "ann_topk_int8", "dedup_components")
+    Seq("dedup_simhash", "vocab_topk", "ann_topk_int8", "dedup_components",
+      "ann_topk_ivf_frozen", "dedup_semantic_frozen")
 
   /** Appended docs are word-disjoint from every existing replica (each
     * token prefixed) with ids offset past every replica stride, so the
@@ -94,7 +111,7 @@ object StageBench {
     operators.Staged.clearBuildLog()
     val rows = Queries.map { q =>
       val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, dir).count()
+      lookup(q)(spark, dir).count()
       (phase, q, (System.nanoTime() - t0) / 1e9)
     }
     // resolution-mode evidence on stderr (same shape as Verify's): lets a
