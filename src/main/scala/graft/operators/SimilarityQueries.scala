@@ -171,6 +171,12 @@ final case class SemDedupConfig(
   require(dotFloor > 0, s"dotFloor must be positive: $dotFloor")
   require(hotCellThreshold > 0 && anchors >= 1,
     s"bad guard knobs: threshold=$hotCellThreshold anchors=$anchors")
+
+  /** Stage-key half for the frozen-mode staged drops table — every
+    * content-bearing knob (floor always; threshold/anchors decide the
+    * hot-regime output), the `IvfConfig.stageKey` precedent. */
+  private[operators] def stageKey: String =
+    s"$dotFloor:$hotCellThreshold:$anchors"
 }
 
 object SemDedupConfig { val Default: SemDedupConfig = SemDedupConfig() }
@@ -863,15 +869,93 @@ object SimilarityQueries {
   }
 
   /** [[semanticDedup]] under an explicit [[SemDedupConfig]] (and
-    * optionally a non-default [[IvfConfig]] — a FROZEN index makes the
-    * dedup's cell input append-incremental, ask #1's semantic leg). */
+    * optionally a non-default [[IvfConfig]]). Under a FROZEN index the
+    * DROPS TABLE ITSELF is staged append-incrementally — not just its
+    * cell/q8 inputs: the r16 StageBench row showed the inputs delta-
+    * building while the intra-cell pair scoring still recomputed
+    * O(Σ|cell|²) per refresh, which at 100 TB is the whole cost. */
   private[graft] def semanticDedupWith(spark: SparkSession, dir: String,
       cfg: SemDedupConfig,
-      ivfCfg: IvfConfig = IvfConfig.Default): DataFrame =
-    semanticDedupOn(
-      ivfCells(spark, dir, ivfCfg).filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid")),
-      quantized(spark, dir), cfg)
+      ivfCfg: IvfConfig = IvfConfig.Default): DataFrame = {
+    def home = ivfCells(spark, dir, ivfCfg).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    if (!ivfCfg.frozen) semanticDedupOn(home, quantized(spark, dir), cfg)
+    else {
+      // Frozen mode: drops are a `rebuildable` stage. SOUNDNESS of the
+      // delta rests on the drop rule "v is dropped iff some SMALLER-id
+      // cell-mate dots above the floor":
+      //  (a) id-order gate — if every appended id exceeds every prior
+      //      id, no OLD vector can gain a new smaller-id match, so the
+      //      prior table's rows (drops AND implicit keeps) are immutable
+      //      and only appended vectors need scoring. An out-of-order
+      //      append refuses -> cold rebuild.
+      //  (b) hot-cell gate — the cold build's pairing star-collapses
+      //      cells past cfg.hotCellThreshold (guard semantics); exact
+      //      delta pairs would silently diverge from what a cold rebuild
+      //      of the grown corpus produces, so a grown corpus whose max
+      //      cell reaches the threshold refuses. Cells only grow under
+      //      append, so this also covers "prior was built anchored".
+      // Both gates read the slim ids-only cell table (already
+      // delta-built), never the vectors — O(corpus) rows of three ints,
+      // a rounding error next to the O(Σ|cell|²) scoring they replace.
+      // The stage key carries the centroid-set digest like the cells
+      // stage, so a re-founding moves the drops to a fresh name in
+      // lockstep with the whole frozen family.
+      val cents = frozenCentroids(spark, dir, ivfCfg)
+      val key = s"sem_drops@${cfg.stageKey}@${ivfCfg.stageKey}" +
+        s"+frz${centroidSetDigest(cents)}"
+      Staged.rebuildable(spark, dir, key, "embeddings", "vec_id")(
+        (prior, deltaRaw) => {
+          graft.functions.VectorExprs.register(spark)
+          val cells = home
+          val deltaIds = deltaRaw.select(col("vec_id"))
+          val dminRow = deltaIds.agg(min(col("vec_id"))).head()
+          if (dminRow.isNullAt(0)) prior // 0-row appended files
+          else {
+            val dmin = dminRow.getLong(0)
+            val oldAtOrAbove = cells.filter(col("vec_id") >= dmin)
+              .join(deltaIds, Seq("vec_id"), "left_anti").limit(1).count()
+            if (oldAtOrAbove > 0L)
+              throw new Staged.DeltaUnsupported(
+                s"append is not id-ordered (a prior vec_id >= $dmin): a " +
+                  "smaller-id arrival can re-anchor old verdicts — " +
+                  "re-scoring the corpus")
+            val maxCell = cells.groupBy(col("cid")).count()
+              .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+            // same strict bound as guardedPairs (exact AT the threshold,
+            // star-collapse past it) so refusal tracks the guard exactly
+            if (maxCell > cfg.hotCellThreshold)
+              throw new Staged.DeltaUnsupported(
+                s"max cell $maxCell past the hot-cell threshold " +
+                  s"${cfg.hotCellThreshold}: cold pairing star-collapses " +
+                  "there, exact delta pairs would diverge")
+            // new drops: appended vector b vs every smaller-id cell-mate
+            // a (old or new — partners include the delta). Ids-only
+            // pairing, vectors joined back per side, exact integer dot,
+            // min-id anchor — semanticDedupOn's below-threshold rule
+            // verbatim.
+            val dcells = cells.join(deltaIds, Seq("vec_id"), "left_semi")
+              .select(col("vec_id").as("b"), col("cid"))
+            val partners = cells.select(col("vec_id").as("a"), col("cid"))
+            val q8 = quantized(spark, dir)
+            val newDrops = dcells.join(partners, "cid")
+              .filter(col("a") < col("b"))
+              .join(q8.select(col("vec_id").as("a"), col("q8").as("aq8")),
+                "a")
+              .join(q8.select(col("vec_id").as("b"), col("q8").as("bq8")),
+                "b")
+              .withColumn("dot", expr("vec_dot(bq8, aq8)"))
+              .filter(col("dot") >= cfg.dotFloor)
+              .groupBy(col("b"), col("cid"))
+              .agg(min(col("a")).as("dup_of"))
+              .select(col("b").as("vec_id"), col("cid"), col("dup_of"))
+            prior.unionByName(newDrops)
+          }
+        }) {
+        semanticDedupOn(home, quantized(spark, dir), cfg)
+      }
+    }
+  }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus (here: the SAME staged IVF
@@ -1047,7 +1131,90 @@ object SimilarityQueries {
       FROM agg a JOIN n USING (label)
     """))
 
+  /** IVF index-health audit (r16): the 20 most-occupied home cells of
+    * the staged cell table — the skew report a deployment reads after
+    * every crawl drop, because a cell marching toward
+    * `SemDedupConfig.hotCellThreshold` is the semantic-dedup guard's
+    * (and the frozen index's drift gate's) early warning. Next
+    * consumer of the staged ids-only cell table: one slim aggregate +
+    * TakeOrdered(20) on a total order, nothing re-scores vectors. */
+  val ivfCellSkew = QueryDef(
+    "ivf_cell_skew",
+    (spark, dir) =>
+      ivfCells(spark, dir).filter(col("rn") === 1)
+        .groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("cid").asc)
+        .limit(20),
+    Some("""
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        WHERE vec_id % 100 = 7),
+      home AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.cemb AS DOUBLE[])) DESC,
+                   c.cid ASC) AS rn
+          FROM embeddings e, cents c)
+        WHERE rn = 1)
+      SELECT cid, count(*) AS n_members
+      FROM home GROUP BY cid
+      ORDER BY n_members DESC, cid ASC
+      LIMIT 20
+    """))
+
+  /** Per-label semantic-duplication rate (r16): which labels (domains)
+    * are semantically polluted — the embedding-space sibling of
+    * `dedup_rate_by_source`, and a second consumer of the semantic
+    * drops (staged under a frozen index; the default config recomputes
+    * in-session). One slim id left-join + one aggregate; exact integer
+    * counts, no rates divided into floats. */
+  val semanticRateByLabel = QueryDef(
+    "semantic_rate_by_label",
+    (spark, dir) => {
+      val drops = semanticDedupWith(spark, dir, SemDedupConfig.Default)
+        .select(col("vec_id"), lit(1L).as("isdup"))
+      normed(spark, dir).select(col("vec_id"), col("label"))
+        .join(drops, Seq("vec_id"), "left")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(coalesce(col("isdup"), lit(0L))).as("n_dups"))
+    },
+    Some(s"""
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        WHERE vec_id % 100 = 7),
+      home AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.cemb AS DOUBLE[])) DESC,
+                   c.cid ASC) AS rn
+          FROM embeddings e, cents c)
+        WHERE rn = 1),
+      q8 AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 v -> greatest(least(floor(v * 64), 127), -127)) AS qv
+        FROM embeddings),
+      drops AS (
+        SELECT DISTINCT a.vec_id
+        FROM home a
+        JOIN home b ON a.cid = b.cid AND b.vec_id < a.vec_id
+        JOIN q8 qa ON qa.vec_id = a.vec_id
+        JOIN q8 qb ON qb.vec_id = b.vec_id
+        WHERE list_dot_product(qa.qv, qb.qv) >=
+          ${SemDedupConfig.Default.dotFloor})
+      SELECT e.label, count(*) AS n_vecs, count(d.vec_id) AS n_dups
+      FROM embeddings e
+      LEFT JOIN drops d ON d.vec_id = e.vec_id
+      GROUP BY e.label
+    """))
+
   val defs: Seq[QueryDef] =
     Seq(bruteTopK, lshTopK, ivfTopK, ivfTunedTopK, ivfInt8TopK,
-      semanticDedup, labelCohesion, labelCohesionWide)
+      semanticDedup, labelCohesion, labelCohesionWide, ivfCellSkew,
+      semanticRateByLabel)
 }

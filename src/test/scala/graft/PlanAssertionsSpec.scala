@@ -408,4 +408,21 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // codegen stages render as "*(n) Op" in the final adaptive plan
     assert(p.contains("*("), "no whole-stage-codegen stages in:\n" + p)
   }
+
+  test("ivf_cell_skew: slim aggregate over the staged cell table, TakeOrdered, join-free (r16)") {
+    operators.Staged.reset(spark)
+    val p = plan("ivf_cell_skew")
+    // the audit reads the staged ids-only cell table: one aggregate and a
+    // per-partition heap — it must never join or re-score vectors
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 cells not a per-partition heap:\n" + p)
+    assert(!p.contains("Join"), "cell skew must not join:\n" + p)
+  }
+
+  test("semantic_rate_by_label: slim id left-join + one aggregate, no product (r16)") {
+    operators.Staged.reset(spark)
+    val p = plan("semantic_rate_by_label")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "rate-by-label must never plan a product:\n" + p)
+  }
 }

@@ -656,6 +656,112 @@ class StagedIncrementalSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("frozen semantic drops: delta-scores only the append; refuses out-of-order ids and hot cells (r16)") {
+    import spark.implicits._
+    import operators.{IvfConfig, SemDedupConfig, SimilarityQueries}
+    val dir = freshDir()
+    // decorrelated family (the 13-periodic one used elsewhere aliases
+    // vec(3)=vec(16)=..., and anything affine in d correlates): a
+    // murmur-style avalanche per (i, d) — only ENGINEERED copies match
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d =>
+        (math.floorMod(mix(i * 64L + d), 1021L).toInt - 510) / 510f)
+    def writeEmb(rows: Seq[(Long, Array[Float])], append: Boolean): Unit =
+      rows.map { case (id, e) => (id, e, (id % 5).toInt) }
+        .toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    // base: 30 distinct vectors plus a same-cell copy (33 copies 3)
+    writeEmb((0 until 30).map(i => (i.toLong, vec(i))) :+ (33L, vec(3)),
+      append = false)
+    val cfg = IvfConfig(centroidEvery = 10, centroidKey = 7,
+      frozen = true, driftFractionMax = 1.0)
+    // floor chosen between the copy dot (~87k self-dot at these dims)
+    // and the random-pair band (std ~11k): only engineered copies match
+    val sem = SemDedupConfig(dotFloor = 60000L)
+    def drops(c: SemDedupConfig = sem): Set[(Long, Long, Long)] =
+      SimilarityQueries.semanticDedupWith(spark, dir, c, cfg).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def dropModes(c: SemDedupConfig = sem): Seq[String] =
+      Staged.buildLogSnapshot.collect {
+        case (s, m) if s.startsWith(s"sem_drops@${c.dotFloor}:" +
+          s"${c.hotCellThreshold}:${c.anchors}@") => m
+      }
+    val rootA = Files.createTempDirectory("inc_sem_a").toString
+    Staged.evict(spark)
+    Staged.enablePersist(rootA)
+    try {
+      val baseDrops = drops()
+      assert(baseDrops.exists(d => d._1 == 33L && d._3 == 3L),
+        s"the engineered base copy must be dropped: $baseDrops")
+      // the drop: higher ids only, NO rule ids (so a fresh founding on
+      // the grown corpus picks the same centroid set — cold-parity
+      // below compares equal semantics), with one copy of an OLD vector
+      // (100 copies 3) and one new-new pair (102 copies 101)
+      writeEmb(Seq((100L, vec(3)), (101L, vec(41)), (102L, vec(41)),
+        (103L, vec(42)), (104L, vec(43))), append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val grownDrops = drops()
+      assert(dropModes() === Seq("delta"),
+        s"drops must delta-build: ${Staged.buildLogSnapshot}")
+      assert(baseDrops.subsetOf(grownDrops),
+        "prior verdicts are immutable under an id-ordered append")
+      assert(grownDrops.exists(d => d._1 == 100L && d._3 == 3L),
+        s"appended copy of an OLD vector must drop against it: $grownDrops")
+      assert(grownDrops.exists(d => d._1 == 102L && d._3 == 101L),
+        s"appended copy of an APPENDED vector must drop against it: " +
+          s"$grownDrops")
+      assert(!grownDrops.exists(_._1 == 101L),
+        "the smaller-id twin of a new-new pair stays kept")
+      // cold parity: a fresh root founds on the grown corpus — same
+      // centroid set (no appended rule ids), so the exact same drops
+      val rootB = Files.createTempDirectory("inc_sem_b").toString
+      Staged.enablePersist(rootB)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val coldDrops = drops()
+      assert(dropModes() === Seq("cold"), s"${Staged.buildLogSnapshot}")
+      assert(coldDrops === grownDrops,
+        "the delta-built table must equal a cold rebuild of the grown " +
+          "corpus")
+      // OUT-OF-ORDER refusal: id 60 is above the base ids but below the
+      // 100s already in the corpus — it could re-anchor 100's verdict,
+      // so the delta must refuse and rebuild cold (and land the same
+      // answer a from-scratch build does)
+      Staged.enablePersist(rootA)
+      writeEmb(Seq((60L, vec(60))), append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      drops()
+      assert(dropModes() === Seq("delta-refused", "cold"),
+        s"out-of-order append must refuse: ${Staged.buildLogSnapshot}")
+      // HOT-CELL refusal: found a tiny-threshold stage, then append in
+      // order — the grown max cell exceeds the threshold, where the cold
+      // pairing star-collapses, so exact delta pairs must refuse
+      val tiny = sem.copy(hotCellThreshold = 2L)
+      drops(tiny) // founds the tiny-threshold stage at this fingerprint
+      writeEmb(Seq((200L, vec(2))), append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      drops(tiny)
+      assert(dropModes(tiny) === Seq("delta-refused", "cold"),
+        s"hot cells must refuse the delta: ${Staged.buildLogSnapshot}")
+      drops()
+      assert(dropModes() === Seq("delta"),
+        "the default-threshold stage still delta-builds the same append")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
   test("frozen IVF quantizer: centroids stage once, cells delta-assign appends, drift re-founds (r15 verdict #1)") {
     import spark.implicits._
     import operators.{IvfConfig, SimilarityQueries}

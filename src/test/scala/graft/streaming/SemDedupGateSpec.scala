@@ -136,4 +136,48 @@ class SemDedupGateSpec extends AnyFunSuite {
     } finally q.stop()
     }
   }
+
+  test("semantic gate: cell registry survives a checkpointed restart") {
+    // a paraphrase re-crawl arriving AFTER a restart must still dot
+    // against the keeper registered BEFORE it — RocksDB state restore
+    // over the ListState, the near-dup gate's restart discipline
+    val dir = freshCorpus()
+    Staged.reset(spark)
+    val cents = CurationStream.frozenCentroidLits(spark, dir, cfg)
+    withRocksDb {
+      val ckpt = java.nio.file.Files.createTempDirectory("sg_ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("sg_out").toString
+      def start(input: MemoryStream[CurationStream.VecIn]) =
+        CurationStream.semDedupGate(input.toDS(), cents).writeStream
+          .outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt).start()
+      val batch1 = Seq(
+        CurationStream.VecIn(1L, vec(5), ts("2024-05-01 10:00:00")),
+        CurationStream.VecIn(2L, vec(12), ts("2024-05-01 10:00:01")))
+      val input1 = MemoryStream[CurationStream.VecIn]
+      val q1 = start(input1)
+      try {
+        input1.addData(batch1: _*)
+        q1.processAllAvailable()
+        assert(spark.read.parquet(outDir).count() === 2)
+      } finally q1.stop()
+      val input2 = MemoryStream[CurationStream.VecIn]
+      input2.addData(batch1: _*) // restart replays the committed batch
+      val q2 = start(input2)
+      try {
+        input2.addData(
+          // semantic copy of vec 1, in-horizon: the restored registry
+          // must drop it and anchor on the pre-restart keeper
+          CurationStream.VecIn(10L, vec(5), ts("2024-05-01 10:20:00")),
+          CurationStream.VecIn(11L, vec(30), ts("2024-05-01 10:20:01")))
+        q2.processAllAvailable()
+        val out = spark.read.parquet(outDir)
+          .as[CurationStream.VecVerdict].collect()
+          .map(v => v.vecId -> (v.kept, v.dupOf)).toMap
+        assert(out(10L) === ((false, 1L)),
+          s"restored registry must drop the post-restart copy: $out")
+        assert(out(11L)._1 === true)
+      } finally q2.stop()
+    }
+  }
 }
