@@ -303,7 +303,8 @@ object SimilarityQueries {
       // fresh stage name and they cold-rebuild in lockstep — the two
       // stages cannot desynchronize by construction.
       val cents = frozenCentroids(spark, dir, cfg)
-      val key = s"ivf_cells@${cfg.stageKey}+frz${centroidSetDigest(cents)}"
+      val key =
+        s"ivf_cells@${cfg.stageKey}+frz${frozenDigest(spark, dir, cfg)}"
       Staged.appendable(spark, dir, key, "embeddings", "vec_id")(
         raw => assignCells(normTransform(raw), cents, cfg.nprobe)) {
         assignCells(normed(spark, dir), cents, cfg.nprobe)
@@ -322,35 +323,63 @@ object SimilarityQueries {
 
   /** The frozen coarse quantizer (r15 verdict ask #1): centroids staged
     * ONCE by the rule over the founding corpus, then kept VERBATIM across
-    * appends — a `rebuildable` stage whose delta republishes the prior
-    * table unchanged (nlist rows of IO, nothing scored) after the drift
-    * gate passes. Re-founding happens only on (a) a config change (the
-    * stage key moves) or (b) measured drift: the assignment-fraction-
-    * changed probe scores each APPENDED vector against the frozen set and
-    * the would-be-new centroids the rule finds in the delta, and refuses
-    * via [[Staged.DeltaUnsupported]] — falling back to a cold re-train —
-    * when more than `cfg.driftFractionMax` of them would be captured by a
-    * new centroid. Strict inequality on the capture test: in a true
-    * re-train the tie-break is (ccos desc, cid asc) and appended
-    * centroids carry larger ids, so a tied vector stays with the frozen
-    * centroid there too. O(|delta| · (nlist + |delta|/centroidEvery))
-    * work, all broadcast-sided — bounded by config, never by corpus. */
+    * appends — a `rebuildable` stage whose delta keeps the LIVE rows
+    * unchanged after the drift gate passes. The staged table carries one
+    * row per rule-matching id ever seen, flagged `live`: founding rows
+    * are live (the frozen set this accessor returns), and rule ids
+    * arriving in later drops are RECORDED dead rather than discarded —
+    * a true re-train over the grown corpus would include them, so the
+    * drift probe must keep scoring against them forever, not just
+    * against the current delta's candidates (a cluster drifting toward a
+    * candidate discarded three drops ago is still drift). Re-founding
+    * happens on (a) a config change — the stage key carries the centroid
+    * rule, nprobe AND `driftFractionMax`, since the kept-vs-re-founded
+    * decision is content under append and two bounds must never alias
+    * one lineage — or (b) measured drift: the probe scores each APPENDED
+    * vector against the live set and EVERY recorded candidate (dead ∪
+    * this delta's), refusing via [[Staged.DeltaUnsupported]] — falling
+    * back to a cold re-train — when more than `cfg.driftFractionMax`
+    * would be captured by a non-live centroid. Strict inequality on the
+    * capture test: in a true re-train the tie-break is (ccos desc, cid
+    * asc) and recorded candidates carry larger ids than founding ones,
+    * so a tied vector stays with the frozen centroid there too.
+    * O(|delta| · (nlist + |candidates|)) work, all broadcast-sided —
+    * bounded by the deployment's capped rule, never by corpus (the same
+    * classification as ivfCellsRaw's nlist note). */
   private[graft] def frozenCentroids(spark: SparkSession, dir: String,
       cfg: IvfConfig): DataFrame =
-    Staged.rebuildable(spark, dir, s"ivf_centroids@${cfg.stageKey}",
+    frozenCentroidTable(spark, dir, cfg).filter(col("live"))
+      .select(col("cid"), col("cemb"), col("cnorm"))
+
+  /** The staged (cid, cemb, cnorm, live) table behind
+    * [[frozenCentroids]] — live rows are the frozen set, dead rows the
+    * recorded would-be candidates the drift probe scores against. */
+  private def frozenCentroidTable(spark: SparkSession, dir: String,
+      cfg: IvfConfig): DataFrame = {
+    val dkey =
+      if (cfg.driftFractionMax == IvfConfig.Default.driftFractionMax) ""
+      else s":d${cfg.driftFractionMax}"
+    Staged.rebuildable(spark, dir, s"ivf_centroids@${cfg.stageKey}$dkey",
       "embeddings", "vec_id")((prior, deltaRaw) => {
       graft.functions.VectorExprs.register(spark)
       val delta = normTransform(deltaRaw)
       val cand = delta.filter(cfg.centroidFilter)
         .select(col("vec_id").as("cid"), col("emb").as("cemb"),
           col("norm").as("cnorm"))
-      if (cand.limit(1).count() == 0L) prior // frozen == rule: zero drift
+      val priorDead = prior.filter(!col("live"))
+        .select(col("cid"), col("cemb"), col("cnorm"))
+      if (cand.limit(1).count() == 0L &&
+          priorDead.limit(1).count() == 0L)
+        prior // no candidate anywhere: frozen == a re-train, zero drift
       else {
-        // broadcast: BOUNDED BY CONFIG — nlist frozen rows plus the
-        // delta's rule matches (|delta|/centroidEvery; a deployment's
-        // rule caps both, the same classification as ivfCellsRaw's).
+        // broadcast: BOUNDED BY CONFIG — nlist live rows plus every
+        // recorded candidate (a deployment's capped rule bounds both,
+        // the same classification as ivfCellsRaw's).
         val tagged = broadcast(
-          prior.withColumn("is_new", lit(false))
+          prior.filter(col("live"))
+            .select(col("cid"), col("cemb"), col("cnorm"))
+            .withColumn("is_new", lit(false))
+            .unionByName(priorDead.withColumn("is_new", lit(true)))
             .unionByName(cand.withColumn("is_new", lit(true))))
         val best = delta.select(col("vec_id"), col("emb"), col("norm"))
           .crossJoin(tagged)
@@ -369,22 +398,52 @@ object SimilarityQueries {
               "re-training the frozen coarse quantizer")
         log.info(f"frozen quantizer kept: measured drift $drift%.3f <= " +
           f"${cfg.driftFractionMax}%.3f over $n appended vectors")
-        prior
+        prior.unionByName(cand.withColumn("live", lit(false)))
       }
     }) {
       normed(spark, dir).filter(cfg.centroidFilter)
         .select(col("vec_id").as("cid"), col("emb").as("cemb"),
           col("norm").as("cnorm"))
+        .withColumn("live", lit(true))
     }
+  }
 
-  /** Digest of a centroid table's ID set — the content half of the
-    * frozen cells' stage key. One bounded collect (nlist ≤ ~64k ids by
-    * config, the same bound that makes the set broadcastable). */
-  private def centroidSetDigest(cents: DataFrame): String = {
-    val ids = cents.select(col("cid")).collect().map(_.getLong(0)).sorted
+  // Digest memo keyed on the memoized stage frame's IDENTITY: Staged
+  // returns one instance per (session, dir, stage) until reset, so the
+  // collect behind the digest runs once per resolved stage instead of
+  // once per query construction; entries die with the frame.
+  private val digestMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, String]())
+
+  /** Digest of the frozen LIVE centroid id set — the content half of
+    * the frozen cells' stage key. One bounded collect (nlist ≤ ~64k ids
+    * by config, the same bound that makes the set broadcastable),
+    * memoized on the staged table's memo instance. Recorded-dead
+    * candidate rows do NOT participate: accepting a low-drift delta
+    * appends dead rows but leaves the live set — and so every dependent
+    * stage name — unchanged. */
+  private def frozenDigest(spark: SparkSession, dir: String,
+      cfg: IvfConfig): String = {
+    val staged = frozenCentroidTable(spark, dir, cfg)
+    val hit = digestMemo.get(staged)
+    if (hit != null) hit
+    else {
+      val d = idSetDigest(staged.filter(col("live")).select(col("cid"))
+        .collect().map(_.getLong(0)).toSeq)
+      digestMemo.put(staged, d)
+      d
+    }
+  }
+
+  /** The ONE id-set digest (md5 over sorted longs, 8 hex chars) shared
+    * by the frozen-family stage keys and the streaming semantic gate's
+    * state-key prefix (`StateSchemas.semGateCellPrefix`) — one
+    * definition, so the stream's keyspace moves in lockstep with the
+    * staged family on a re-founding. */
+  private[graft] def idSetDigest(ids: Seq[Long]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = java.nio.ByteBuffer.allocate(8)
-    ids.foreach { id =>
+    ids.sorted.foreach { id =>
       buf.clear(); buf.putLong(id); md.update(buf.array())
     }
     md.digest().map("%02x".format(_)).mkString.take(8)
@@ -901,9 +960,8 @@ object SimilarityQueries {
       // The stage key carries the centroid-set digest like the cells
       // stage, so a re-founding moves the drops to a fresh name in
       // lockstep with the whole frozen family.
-      val cents = frozenCentroids(spark, dir, ivfCfg)
       val key = s"sem_drops@${cfg.stageKey}@${ivfCfg.stageKey}" +
-        s"+frz${centroidSetDigest(cents)}"
+        s"+frz${frozenDigest(spark, dir, ivfCfg)}"
       Staged.rebuildable(spark, dir, key, "embeddings", "vec_id")(
         (prior, deltaRaw) => {
           graft.functions.VectorExprs.register(spark)

@@ -548,8 +548,19 @@ object Staged {
                 throw e2
           }
         } else {
-          deleteRecursively(tmp)
-          throw e
+          // the blocking entry VANISHED between the failed move and this
+          // check — a racing publisher's format migration renamed it
+          // aside (r16: previously this window rethrew a spurious
+          // failure at the loser). The target is clear; retry once. A
+          // retry lost to the racer's own landing reads its manifest
+          // below; only a genuinely empty target rethrows.
+          try move()
+          catch {
+            case e2: java.nio.file.FileSystemException =>
+              deleteRecursively(tmp)
+              if (readManifest(target.resolve(ManifestName)).isEmpty)
+                throw e2
+          }
         }
     }
     readManifest(target.resolve(ManifestName)).getOrElse(manifest)
@@ -765,7 +776,18 @@ object Staged {
     * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` (r15
     * ADVICE: keying liveness on the marker alone made such deployments
     * delete and rebuild every valid table on each resolution). A
-    * manifest-format dir (stage-kind change) is NOT a plain table. */
+    * manifest-format dir (stage-kind change) is NOT a plain table.
+    *
+    * CONTRACT: this layer has only ever published via tmp-then-atomic-
+    * rename, so a marker-less dir with part files at a stage target is a
+    * complete table — a partially-written one cannot exist at the target
+    * under this layer's own discipline (a crashed build dies in its
+    * `.tmp-*` sibling, which gc sweeps). A FOREIGN writer dropping
+    * non-atomic output directly at a stage target is outside the
+    * contract: prefer the destructive-but-safe alternative of clearing
+    * the dir only if you can prove no concurrent reader exists — which
+    * resolution time cannot — so the layer reads what the name promises
+    * and leaves foreign-writer hygiene to the operator. */
   private def plainTableAt(target: java.nio.file.Path): Boolean = {
     if (!java.nio.file.Files.isDirectory(target)) return false
     if (java.nio.file.Files.exists(target.resolve(ManifestName))) return false
@@ -816,8 +838,17 @@ object Staged {
               if (!plainTableAt(target)) throw e2
           }
         } else {
-          deleteRecursively(tmp)
-          throw e
+          // the blocking entry VANISHED between the failed move and this
+          // check — a racing publisher's format migration renamed it
+          // aside (r16: this window previously rethrew a spurious
+          // failure at the loser). The target is clear; retry once, and
+          // only rethrow when no winner landed either.
+          try move()
+          catch {
+            case e2: java.nio.file.FileSystemException =>
+              deleteRecursively(tmp)
+              if (!plainTableAt(target)) throw e2
+          }
         }
     }
     spark.read.parquet(target.toString)

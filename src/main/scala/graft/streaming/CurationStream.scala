@@ -688,9 +688,16 @@ object CurationStream {
   // coarse quantizer (ask #1 — without a frozen centroid set the cell ids
   // drift under growth and the state keys mean nothing across batches),
   // then an int8-dot comparison against the cell's registered keepers on
-  // transformWithState. The decision mirrors semanticDedupOn bit for bit:
-  // same quantization (floor(v·64) clamped ±127), same exact integer dot,
-  // same floor, same min-id dup_of — pinned by replay-parity spec.
+  // transformWithState. The decision ARITHMETIC mirrors semanticDedupOn
+  // exactly — same quantization (floor(v·64) clamped ±127), same exact
+  // integer dot, same floor, dup_of = the smallest matching REGISTERED
+  // id — but the keep/drop rule is the stream's: first-ARRIVED survives
+  // (the band registry's own documented discipline), where batch keeps
+  // the smallest ID. The two agree whenever arrival order respects id
+  // order — the normal crawl, and what the replay-parity spec pins; a
+  // late-but-in-watermark smaller-id arrival is suppressed by the
+  // already-registered larger-id keeper (exactly one of the pair
+  // survives; arrival decided which — BucketProcessor's rule).
   // ---------------------------------------------------------------------
 
   /** A crawled document's embedding entering the streaming semantic gate
@@ -763,14 +770,18 @@ object CurationStream {
         Encoders.product[CellKeeper], TTLConfig.NONE)
 
     /** The batch rule's exact integer dot (`vec_dot` over the q8
-      * arrays): ≤ 127²·dims ≪ 2^63 — never overflows, never a float. */
-    private def dot(a: Array[Byte], b: Array[Byte]): Long = {
-      val n = math.min(a.length, b.length)
-      var s = 0L
-      var i = 0
-      while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
-      s
-    }
+      * arrays): ≤ 127²·dims ≪ 2^63 — never overflows, never a float.
+      * A length mismatch is NO MATCH, mirroring the batch `vec_dot`'s
+      * NULL (which can never clear the positive floor) — a
+      * mis-dimensioned vector must not be dropped on a prefix dot. */
+    private def dot(a: Array[Byte], b: Array[Byte]): Long =
+      if (a.length != b.length) Long.MinValue
+      else {
+        var s = 0L
+        var i = 0
+        while (i < a.length) { s += a(i).toLong * b(i).toLong; i += 1 }
+        s
+      }
 
     override def handleInputRows(key: String, rows: Iterator[CellProbe],
         timerValues: TimerValues): Iterator[VecVerdict] = {

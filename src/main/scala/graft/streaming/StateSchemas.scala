@@ -62,12 +62,9 @@ object StateSchemas {
     * of the key — they shift verdicts, not key identity (same reasoning
     * as horizonMs above). */
   val SemGateCellKeyVersion: Int = 1
-  def semGateCellPrefix(centroidIds: Seq[Long]): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val buf = java.nio.ByteBuffer.allocate(8)
-    centroidIds.sorted.foreach { id =>
-      buf.clear(); buf.putLong(id); md.update(buf.array())
-    }
-    md.digest().map("%02x".format(_)).mkString.take(8)
-  }
+  /** Delegates to the ONE id-set digest the frozen-family stage keys
+    * use — shared code, so the stream's keyspace cannot drift from the
+    * staged family's names on a re-founding. */
+  def semGateCellPrefix(centroidIds: Seq[Long]): String =
+    graft.operators.SimilarityQueries.idSetDigest(centroidIds)
 }

@@ -800,7 +800,9 @@ class StagedIncrementalSpec extends AnyFunSuite {
       Staged.reset(spark)
       Staged.clearBuildLog()
       val grownCells = cellRows(cfg)
-      assert(modes("ivf_centroids@10:7:2") === Seq("delta"),
+      // the drift bound keys the lineage (r16 self-review: two bounds
+      // whose kept-vs-re-founded decisions differ must never alias)
+      assert(modes("ivf_centroids@10:7:2:d1.0") === Seq("delta"),
         s"frozen centroids must keep the prior table: " +
           s"${Staged.buildLogSnapshot}")
       assert(cellModes.map(_._2) === Seq("delta"),
@@ -816,26 +818,95 @@ class StagedIncrementalSpec extends AnyFunSuite {
       assert(newRows.forall(r => founding.contains(r._2)),
         s"new vectors must land in frozen cells: $newRows")
       assert(newRows.count(_._3 == 1) === 15)
-      // drift re-founding: a zero-tolerance gate plus an engineered
-      // drifted drop — every appended vector IS the new rule-matching
-      // vector's (cos 1.0 against it, < 1.0 against every frozen
-      // centroid), so the capture fraction is 1.0 and the stage must
-      // refuse and re-train
+      // a different drift bound is a DIFFERENT lineage (r16): it founds
+      // its own stage cold over the grown corpus — including the rule
+      // ids the frozen lineage ignored — rather than inheriting a table
+      // a looser policy accepted
       val tight = cfg.copy(driftFractionMax = 0.0)
       writeEmb(100 until 115, append = true, _ => vec(107))
       Staged.reset(spark)
       Staged.clearBuildLog()
-      val refoundedCells = cellRows(tight)
-      assert(modes("ivf_centroids@10:7:2") === Seq("delta-refused", "cold"),
-        s"measured drift must re-found: ${Staged.buildLogSnapshot}")
+      cellRows(tight)
+      assert(modes("ivf_centroids@10:7:2:d0.0") === Seq("cold"),
+        s"a fresh drift bound must found its own lineage: " +
+          s"${Staged.buildLogSnapshot}")
       assert(centIds(tight) === Set(7L, 17L, 27L, 37L, 47L, 107L),
+        "founding runs the rule over the grown corpus")
+      // drift re-founding ON the tight lineage: an engineered drifted
+      // drop — every appended vector IS the drop's rule-matching
+      // vector (cos 1.0 against it, < 1.0 against every frozen
+      // centroid), so the capture fraction is 1.0 and the stage must
+      // refuse and re-train
+      writeEmb(200 until 210, append = true, _ => vec(207))
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val refoundedCells = cellRows(tight)
+      assert(modes("ivf_centroids@10:7:2:d0.0") ===
+        Seq("delta-refused", "cold"),
+        s"measured drift must re-found: ${Staged.buildLogSnapshot}")
+      assert(centIds(tight) ===
+        Set(7L, 17L, 27L, 37L, 47L, 107L, 207L),
         "re-founding re-runs the rule over the grown corpus")
       // the cells key carries the centroid-set digest, so they re-found
       // in lockstep under a FRESH stage name
       assert(cellModes.map(_._2) === Seq("cold"),
         s"cells must cold-rebuild with the re-founded set: $cellModes")
       assert(refoundedCells.map(_._1) ===
-        (0 until 55).map(_.toLong).toSet ++ (100 until 115).map(_.toLong))
+        (0 until 55).map(_.toLong).toSet ++
+          (100 until 115).map(_.toLong) ++ (200 until 210).map(_.toLong))
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("frozen quantizer drift accumulates: a rule id discarded by an EARLIER drop still counts as drift (r16 self-review)") {
+    import spark.implicits._
+    import operators.{IvfConfig, SimilarityQueries}
+    val dir = freshDir()
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat / 6f)
+    def writeEmb(rows: Seq[(Long, Array[Float])], append: Boolean): Unit =
+      rows.map { case (id, e) => (id, e, (id % 5).toInt) }
+        .toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    writeEmb((0 until 40).map(i => (i.toLong, vec(i))), append = false)
+    val cfg = IvfConfig(centroidEvery = 10, centroidKey = 7,
+      frozen = true, driftFractionMax = 0.5)
+    val stage = "ivf_centroids@10:7:2:d0.5"
+    def centIds(): Set[Long] =
+      SimilarityQueries.frozenCentroids(spark, dir, cfg)
+        .select("cid").collect().map(_.getLong(0)).toSet
+    Staged.evict(spark)
+    Staged.enablePersist(Files.createTempDirectory("inc_acc").toString)
+    try {
+      assert(centIds() === Set(7L, 17L, 27L, 37L))
+      // drop A: rule id 47 arrives with LOW measured drift — nine of the
+      // ten vectors sit EXACTLY on frozen centroid 7 (tie keeps frozen),
+      // only 47 itself is captured by the new candidate -> 0.1 <= 0.5,
+      // delta accepted, 47 recorded (not discarded)
+      writeEmb(Seq(40L, 41L, 42L, 43L, 44L, 45L, 46L, 48L, 49L)
+        .map(id => (id, vec(7))) :+ (47L, vec(47)), append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(centIds() === Set(7L, 17L, 27L, 37L),
+        "low-drift drop keeps the founding set")
+      assert(modes(stage) === Seq("delta"), s"${Staged.buildLogSnapshot}")
+      // drop B: a cluster lands ON 47 — but contains NO rule id of its
+      // own. A probe that only scores the current delta's candidates
+      // sees an empty candidate set and reports zero drift; the honest
+      // probe scores against the RECORDED candidate and must re-found.
+      writeEmb(Seq(300L, 301L, 302L, 303L, 304L, 305L)
+        .map(id => (id, vec(47))), append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val after = centIds()
+      assert(modes(stage) === Seq("delta-refused", "cold"),
+        s"accumulated drift toward a recorded candidate must re-found: " +
+          s"${Staged.buildLogSnapshot}")
+      assert(after === Set(7L, 17L, 27L, 37L, 47L),
+        s"the re-found set includes the recorded candidate: $after")
     } finally {
       Staged.disablePersist()
       Staged.reset(spark)

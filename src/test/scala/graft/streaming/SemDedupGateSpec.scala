@@ -137,6 +137,37 @@ class SemDedupGateSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic gate: a mis-dimensioned vector never drops on a prefix dot (r16 self-review)") {
+    // batch vec_dot yields NULL on a length mismatch, which can never
+    // clear the positive floor — the stream must agree (a truncated
+    // prefix dot of an identical first half would wrongly drop)
+    val dir = freshCorpus()
+    Staged.reset(spark)
+    val cents = CurationStream.frozenCentroidLits(spark, dir, cfg)
+    withRocksDb {
+      val input = MemoryStream[CurationStream.VecIn]
+      val q = CurationStream.semDedupGate(input.toDS(), cents)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("semgate_dim").start()
+      try {
+        input.addData(
+          CurationStream.VecIn(1L, vec(5), ts("2024-05-01 10:00:00")))
+        q.processAllAvailable()
+        // the corrupt vector: vec(5)'s first 32 dims — its prefix dot
+        // against keeper 1 is huge, but the batch rule calls it NO MATCH
+        input.addData(
+          CurationStream.VecIn(2L, vec(5).take(32),
+            ts("2024-05-01 10:00:30")))
+        q.processAllAvailable()
+        val out = spark.table("semgate_dim")
+          .as[CurationStream.VecVerdict].collect()
+          .map(v => v.vecId -> v.kept).toMap
+        assert(out(2L) === true,
+          s"mismatched dims must never match a keeper: $out")
+      } finally q.stop()
+    }
+  }
+
   test("semantic gate: cell registry survives a checkpointed restart") {
     // a paraphrase re-crawl arriving AFTER a restart must still dot
     // against the keeper registered BEFORE it — RocksDB state restore
