@@ -1271,8 +1271,92 @@ object SimilarityQueries {
       GROUP BY e.label
     """))
 
+  /** Resolve every dropped vector's dup_of CHAIN to its ultimately-KEPT
+    * keeper (r16) — the apply table for semantic dedup, the sibling of
+    * `dedup_canonicalize` on the MinHash side: `dedup_semantic`'s dup_of
+    * is the smallest MATCHING cell-mate, which may itself be dropped, so
+    * rewriting onto raw dup_of targets rows the dedup removed. Anchors
+    * strictly DECREASE along a chain (dup_of < vec_id always), so every
+    * chain terminates at a kept vector. Resolution is pointer jumping
+    * over the pinned drops table: each round composes the map with
+    * itself, doubling resolved chain length — log2(depth) rounds of a
+    * slim (two longs) self-equi-join, never O(depth) sequential steps.
+    * Convergence is a filter on the round's own output (prev ≠ keeper),
+    * and superseded checkpoints release eagerly — the
+    * [[graft.functions.TextHashing.connectedComponents]] loop's
+    * discipline. At 100 TB the joined table is dup-fraction-sized, not
+    * corpus-sized. */
+  val semanticKeeperResolve = QueryDef(
+    "semantic_keeper_resolve",
+    (spark, dir) => {
+      val drops = graft.functions.Materialized(
+        semanticDedupWith(spark, dir, SemDedupConfig.Default)
+          .select(col("vec_id"), col("dup_of"))).df
+      def releaseCheckpoint(df: DataFrame): Unit =
+        df.queryExecution.logical match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false); ()
+          case _ => ()
+        }
+      var ckpt = drops.select(col("vec_id"), col("dup_of").as("keeper"))
+        .localCheckpoint(eager = false)
+      var labels = ckpt
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 64) {
+        val right = labels
+          .select(col("vec_id").as("bv"), col("keeper").as("bk"))
+        val next = labels.join(right, col("keeper") === col("bv"), "left")
+          .select(col("vec_id"), col("keeper").as("prev"),
+            coalesce(col("bk"), col("keeper")).as("keeper"))
+          .localCheckpoint(eager = false)
+        converged = next.filter(col("keeper") =!= col("prev"))
+          .limit(1).count() == 0L
+        releaseCheckpoint(ckpt)
+        ckpt = next
+        labels = next.select(col("vec_id"), col("keeper"))
+        iter += 1
+      }
+      labels
+    },
+    Some(s"""
+      WITH RECURSIVE cents AS (
+        SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        WHERE vec_id % 100 = 7),
+      home AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.cemb AS DOUBLE[])) DESC,
+                   c.cid ASC) AS rn
+          FROM embeddings e, cents c)
+        WHERE rn = 1),
+      q8 AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 v -> greatest(least(floor(v * 64), 127), -127)) AS qv
+        FROM embeddings),
+      drops AS (
+        SELECT a.vec_id, min(b.vec_id) AS dup_of
+        FROM home a
+        JOIN home b ON a.cid = b.cid AND b.vec_id < a.vec_id
+        JOIN q8 qa ON qa.vec_id = a.vec_id
+        JOIN q8 qb ON qb.vec_id = b.vec_id
+        WHERE list_dot_product(qa.qv, qb.qv) >=
+          ${SemDedupConfig.Default.dotFloor}
+        GROUP BY a.vec_id),
+      resolve AS (
+        SELECT vec_id, dup_of AS keeper FROM drops
+        UNION ALL
+        SELECT r.vec_id, d.dup_of
+        FROM resolve r JOIN drops d ON d.vec_id = r.keeper)
+      SELECT vec_id, min(keeper) AS keeper
+      FROM resolve GROUP BY vec_id
+    """))
+
   val defs: Seq[QueryDef] =
     Seq(bruteTopK, lshTopK, ivfTopK, ivfTunedTopK, ivfInt8TopK,
       semanticDedup, labelCohesion, labelCohesionWide, ivfCellSkew,
-      semanticRateByLabel)
+      semanticRateByLabel, semanticKeeperResolve)
 }

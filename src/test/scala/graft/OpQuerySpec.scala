@@ -442,4 +442,23 @@ class OpQuerySpec extends AnyFunSuite {
       .count()
     assert(bad === 0)
   }
+
+  test("semantic_keeper_resolve: every resolved keeper is itself KEPT (r16)") {
+    import spark.implicits._
+    operators.Staged.reset(spark)
+    val dropped = operators.SimilarityQueries.semanticDedup.fn(spark, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    val resolved = operators.SimilarityQueries.semanticKeeperResolve
+      .fn(spark, sf)
+      .select($"vec_id", $"keeper").as[(Long, Long)].collect()
+    assert(resolved.map(_._1).toSet === dropped,
+      "one resolution per dropped vector")
+    // the whole point of the chain resolution: raw dup_of may target a
+    // dropped vector, the resolved keeper never does
+    val badAnchors = resolved.filter(r => dropped.contains(r._2))
+    assert(badAnchors.isEmpty,
+      s"resolved keepers must be kept vectors: ${badAnchors.take(5).toSeq}")
+    assert(resolved.forall(r => r._2 < r._1),
+      "keepers precede their duplicates (dup_of strictly decreases)")
+  }
 }
