@@ -938,7 +938,15 @@ object SimilarityQueries {
       ivfCfg: IvfConfig = IvfConfig.Default): DataFrame = {
     def home = ivfCells(spark, dir, ivfCfg).filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"))
-    if (!ivfCfg.frozen) semanticDedupOn(home, quantized(spark, dir), cfg)
+    if (!ivfCfg.frozen)
+      // Staged plain (rebuild on any corpus change — the rule-derived
+      // cells move with the corpus, no delta is sound): the drops table
+      // now has THREE consumers (dedup_semantic, semantic_rate_by_label,
+      // semantic_keeper_resolve), and at 100 TB the intra-cell scoring
+      // is computed once per corpus, not once per query (r16).
+      Staged(spark, dir, s"sem_drops@${cfg.stageKey}@${ivfCfg.stageKey}") {
+        semanticDedupOn(home, quantized(spark, dir), cfg)
+      }
     else {
       // Frozen mode: drops are a `rebuildable` stage. SOUNDNESS of the
       // delta rests on the drop rule "v is dropped iff some SMALLER-id
