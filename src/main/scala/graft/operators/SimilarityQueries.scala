@@ -1363,8 +1363,135 @@ object SimilarityQueries {
       FROM resolve GROUP BY vec_id
     """))
 
+  /** Product-quantization ANN (r16) — the compression rung below int8 on
+    * the ANN ladder (brute → LSH → IVF → int8 → PQ): the 64-dim int8
+    * vector is split into 8 subspaces of 8 dims, each encoded as the id
+    * of its nearest codeword (deterministic codebook: the int8
+    * subvectors of the rule-selected vectors, `vec_id % 50 == 11` — the
+    * centroid-rule discipline, so the whole index is oracle-expressible),
+    * and queries score candidates by ASYMMETRIC distance computation:
+    * approx dot = Σ_s dot(q_s, codeword(code_s)_s). The rank scan then
+    * reads 8 SMALL INTS per vector instead of 64 bytes — a further 8×
+    * candidate-IO cut on top of int8's 4×, which is the entire point of
+    * PQ at 100 TB (Jégou et al. 2011, TPAMI — public technique,
+    * implemented fresh).
+    *
+    * Exactness discipline: encode distance uses the integer identity
+    * ‖a−b‖² = a·a + b·b − 2·a·b over int8 slices and scoring uses the
+    * integer subspace dot, so every compared number is an integral
+    * double < 2^53 — bit-stable across engines, no float-order flake.
+    * Ties break to the smaller codeword id / neighbor id. The codes
+    * table is STAGED (the index-build cost, paid once per corpus); the
+    * per-query distance table is queries × codewords × 8 — broadcast-
+    * bounded by the codebook rule exactly like the IVF centroid note.
+    *
+    * Recall honesty: on the UNIFORM-RANDOM test embeddings a small
+    * codebook carries almost no ranking signal (measured: ~0.02
+    * recall@5 standalone, ~0.28 even keeping the top-100 as a rerank
+    * candidate set) — quantization error ≈ signal when there is no
+    * cluster structure to exploit. That is a property of the data, not
+    * the operator: the oracle pins the TRANSFORM bit-exactly, the
+    * zero-error spec (codebook = corpus) pins ADC == exhaustive int8,
+    * and on clustered real embeddings PQ's 8-bytes-per-vector candidate
+    * scan is the standard prefilter rung (rerank with [[quantized]] or
+    * [[normed]] above it). */
+  /** The PQ-ADC ranking body at an arbitrary k and codebook rule — the
+    * registered query runs (k=5, %50==11); specs pin the machinery at
+    * a rule where quantization error is ZERO (codebook = corpus), where
+    * ADC must equal the exhaustive int8 ranking exactly. */
+  private[graft] def pqTopKWith(spark: SparkSession, dir: String,
+      k: Int, cwEvery: Long = 50L, cwKey: Long = 11L): DataFrame = {
+      graft.functions.VectorExprs.register(spark)
+      val q8 = quantized(spark, dir)
+      val subs = 8
+      val width = 8
+      // codebook: rule-selected int8 vectors, one codeword set shared by
+      // every subspace (their per-subspace slices differ, of course)
+      val cw = q8.filter(pmod(col("vec_id"), lit(cwEvery)) === cwKey)
+        .select(col("vec_id").as("cw_id"), col("q8").as("cv"))
+      // staged encode: per (vector, subspace) the nearest codeword by
+      // exact integer L2 over the slice — the PQ index build
+      val codes = Staged(spark, dir, s"pq_codes@$cwEvery:$cwKey:8x8") {
+        val offs = spark.range(0, subs)
+          .select((col("id") * width + 1).as("off"))
+        val ew = Window.partitionBy(col("vec_id"), col("off"))
+          .orderBy(col("dist").asc, col("cw_id").asc)
+        q8.crossJoin(broadcast(cw))
+          .crossJoin(broadcast(offs))
+          .withColumn("qs", expr(s"slice(q8, CAST(off AS INT), $width)"))
+          .withColumn("cs", expr(s"slice(cv, CAST(off AS INT), $width)"))
+          .withColumn("dist", expr(
+            "vec_dot(qs, qs) + vec_dot(cs, cs) - 2 * vec_dot(qs, cs)"))
+          .withColumn("rn", row_number().over(ew))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("off"), col("cw_id").as("code"))
+      }
+      // ADC: the query-side distance table (queries × codewords ×
+      // subspaces — broadcast-bounded), joined against the slim codes
+      val qtab = q8.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q8").as("qv"))
+        .crossJoin(cw)
+        .crossJoin(spark.range(0, subs)
+          .select((col("id") * width + 1).as("off")))
+        .withColumn("d", expr(
+          s"vec_dot(slice(qv, CAST(off AS INT), $width), " +
+            s"slice(cv, CAST(off AS INT), $width))"))
+        .select(col("query_id"), col("off"), col("cw_id").as("code"),
+          col("d"))
+      rankTopK(codes
+        .join(broadcast(qtab), Seq("off", "code"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum(col("d")).as("score"))
+        .select(col("query_id"), col("neighbor_id"), col("score")),
+        "score", k)
+  }
+
+  val pqTopK = QueryDef(
+    "ann_topk_pq",
+    (spark, dir) => pqTopKWith(spark, dir, 5),
+    Some("""
+      WITH q8 AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 v -> greatest(least(floor(v * 64), 127), -127)) AS qv
+        FROM embeddings),
+      cw AS (SELECT vec_id AS cw_id, qv AS cv FROM q8
+             WHERE vec_id % 50 = 11),
+      offs AS (SELECT unnest(range(8)) * 8 + 1 AS off),
+      enc AS (
+        SELECT vec_id, off, cw_id AS code FROM (
+          SELECT v.vec_id, o.off, c.cw_id,
+                 row_number() OVER (PARTITION BY v.vec_id, o.off ORDER BY
+                   (list_dot_product(v.qv[o.off:o.off+7],
+                                     v.qv[o.off:o.off+7]) +
+                    list_dot_product(c.cv[o.off:o.off+7],
+                                     c.cv[o.off:o.off+7]) -
+                    2 * list_dot_product(v.qv[o.off:o.off+7],
+                                         c.cv[o.off:o.off+7])) ASC,
+                   c.cw_id ASC) AS rn
+          FROM q8 v, cw c, offs o)
+        WHERE rn = 1),
+      qtab AS (
+        SELECT q.vec_id AS query_id, o.off, c.cw_id AS code,
+               list_dot_product(q.qv[o.off:o.off+7],
+                                c.cv[o.off:o.off+7]) AS d
+        FROM q8 q, cw c, offs o WHERE q.vec_id < 10)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM (
+          SELECT t.query_id, e.vec_id AS neighbor_id, sum(t.d) AS score
+          FROM enc e
+          JOIN qtab t ON t.off = e.off AND t.code = e.code
+          WHERE e.vec_id <> t.query_id
+          GROUP BY t.query_id, e.vec_id))
+      WHERE rank <= 5
+    """))
+
   val defs: Seq[QueryDef] =
     Seq(bruteTopK, lshTopK, ivfTopK, ivfTunedTopK, ivfInt8TopK,
       semanticDedup, labelCohesion, labelCohesionWide, ivfCellSkew,
-      semanticRateByLabel, semanticKeeperResolve)
+      semanticRateByLabel, semanticKeeperResolve, pqTopK)
 }

@@ -443,6 +443,24 @@ class OpQuerySpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("ann_topk_pq: with zero quantization error ADC equals the exhaustive int8 ranking (r16)") {
+    // codebook = corpus (cwEvery=1): every vector reconstructs exactly,
+    // so the ADC score IS the int8 dot and the PQ ranking must equal the
+    // exhaustive int8 top-k bit for bit — the end-to-end machinery pin
+    // (encode -> codes -> per-query distance table -> sum -> rank) that
+    // does not depend on the corpus having cluster structure
+    import spark.implicits._
+    operators.Staged.reset(spark)
+    def ranks(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.filter($"rank" <= 5).select($"query_id", $"neighbor_id", $"rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val pq = ranks(operators.SimilarityQueries.pqTopKWith(spark, sf, 5,
+      cwEvery = 1L, cwKey = 0L))
+    val int8 = ranks(operators.CurationQueries.int8TopK.fn(spark, sf))
+    assert(pq === int8,
+      "zero-error PQ must reproduce the exhaustive int8 ranking")
+  }
+
   test("semantic_keeper_resolve: every resolved keeper is itself KEPT (r16)") {
     import spark.implicits._
     operators.Staged.reset(spark)
