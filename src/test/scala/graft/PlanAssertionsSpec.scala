@@ -425,4 +425,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       "rate-by-label must never plan a product:\n" + p)
   }
+
+  test("ann_topk_pq: the ADC join hashes on (off, code), no unbroadcast product (r16)") {
+    operators.Staged.reset(spark)
+    val p = plan("ann_topk_pq")
+    // the candidate-side scan joins the slim codes table against the
+    // broadcast query distance table on equi keys — a hash join; the
+    // codebook/offset crosses are deliberate broadcast NLJs (bounded by
+    // the codebook rule), never an unbroadcast CartesianProduct
+    assert(p.contains("BroadcastHashJoin"),
+      "ADC join must hash on (off, code):\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "no unbroadcast product anywhere:\n" + p)
+  }
 }
