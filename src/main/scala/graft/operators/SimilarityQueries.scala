@@ -57,7 +57,8 @@ final case class IvfConfig(
     recallTarget: Option[Double] = None,
     sweep: Seq[(Double, Double)] = IvfConfig.MeasuredSweep,
     frozen: Boolean = false,
-    driftFractionMax: Double = 0.1) {
+    driftFractionMax: Double = 0.1,
+    recordedCandidateMax: Long = 65536L) {
   require(centroidEvery > 0 && centroidKey >= 0 &&
     centroidKey < centroidEvery,
     s"centroid rule needs 0 <= key < every: every=$centroidEvery key=$centroidKey")
@@ -75,6 +76,8 @@ final case class IvfConfig(
       s"in recall (a non-monotone curve cannot be inverted): $sweep")
   require(driftFractionMax >= 0 && driftFractionMax <= 1,
     s"driftFractionMax must be in [0, 1]: $driftFractionMax")
+  require(recordedCandidateMax >= 0,
+    s"recordedCandidateMax must be >= 0: $recordedCandidateMax")
 
   /** The deterministic centroid-membership predicate — the ONE
     * definition of the coarse quantizer's centroid set. */
@@ -329,13 +332,19 @@ object SimilarityQueries {
     * are live (the frozen set this accessor returns), and rule ids
     * arriving in later drops are RECORDED dead rather than discarded —
     * a true re-train over the grown corpus would include them, so the
-    * drift probe must keep scoring against them forever, not just
-    * against the current delta's candidates (a cluster drifting toward a
-    * candidate discarded three drops ago is still drift). Re-founding
-    * happens on (a) a config change — the stage key carries the centroid
-    * rule, nprobe AND `driftFractionMax`, since the kept-vs-re-founded
-    * decision is content under append and two bounds must never alias
-    * one lineage — or (b) measured drift: the probe scores each APPENDED
+    * drift probe must keep scoring against them until a re-founding,
+    * not just against the current delta's candidates (a cluster drifting
+    * toward a candidate discarded three drops ago is still drift).
+    * Re-founding happens on (a) a config change — the stage key carries
+    * the centroid rule, nprobe, `driftFractionMax` AND
+    * `recordedCandidateMax`, since the kept-vs-re-founded decision is
+    * content under append and two bounds must never alias one lineage —
+    * (b) the recorded set outgrowing `recordedCandidateMax`: dead rows
+    * accrete by |delta|/centroidEvery per accepted drop, so without a
+    * cap a long-lived low-drift server's probe broadcast would grow
+    * linearly with total appended corpus — the counted gate refuses
+    * past the cap and the re-found resets the dead set to empty —
+    * or (c) measured drift: the probe scores each APPENDED
     * vector against the live set and EVERY recorded candidate (dead ∪
     * this delta's), refusing via [[Staged.DeltaUnsupported]] — falling
     * back to a cold re-train — when more than `cfg.driftFractionMax`
@@ -344,8 +353,9 @@ object SimilarityQueries {
     * asc) and recorded candidates carry larger ids than founding ones,
     * so a tied vector stays with the frozen centroid there too.
     * O(|delta| · (nlist + |candidates|)) work, all broadcast-sided —
-    * bounded by the deployment's capped rule, never by corpus (the same
-    * classification as ivfCellsRaw's nlist note). */
+    * nlist is bounded by the deployment's capped rule and |candidates|
+    * by `recordedCandidateMax`'s counted gate, never by corpus (the
+    * same classification as ivfCellsRaw's nlist note). */
   private[graft] def frozenCentroids(spark: SparkSession, dir: String,
       cfg: IvfConfig): DataFrame =
     frozenCentroidTable(spark, dir, cfg).filter(col("live"))
@@ -359,7 +369,17 @@ object SimilarityQueries {
     val dkey =
       if (cfg.driftFractionMax == IvfConfig.Default.driftFractionMax) ""
       else s":d${cfg.driftFractionMax}"
-    Staged.rebuildable(spark, dir, s"ivf_centroids@${cfg.stageKey}$dkey",
+    val ckey =
+      if (cfg.recordedCandidateMax == IvfConfig.Default.recordedCandidateMax)
+        ""
+      else s":c${cfg.recordedCandidateMax}"
+    // .v2 = the live-flag schema (a mid-r16 binary persisted a flag-less
+    // founding table under the bare name; a stage NAME must key its
+    // output SCHEMA — a hit returns exactly the bytes the name promises,
+    // so schema evolution under an unchanged name would crash every
+    // consumer until the dir is hand-deleted)
+    Staged.rebuildable(spark, dir,
+      s"ivf_centroids.v2@${cfg.stageKey}$dkey$ckey",
       "embeddings", "vec_id")((prior, deltaRaw) => {
       graft.functions.VectorExprs.register(spark)
       val delta = normTransform(deltaRaw)
@@ -368,13 +388,28 @@ object SimilarityQueries {
           col("norm").as("cnorm"))
       val priorDead = prior.filter(!col("live"))
         .select(col("cid"), col("cemb"), col("cnorm"))
-      if (cand.limit(1).count() == 0L &&
-          priorDead.limit(1).count() == 0L)
+      // counted gate (r16 self-review): the recorded-dead set grows by
+      // |delta|/centroidEvery per ACCEPTED drop and is never pruned
+      // until a re-founding, so a long-lived low-drift server would
+      // accrete it linearly with total appended corpus — and the probe
+      // broadcasts live ∪ dead ∪ cand. Bound it: past the config cap,
+      // refuse and re-found over the grown corpus (which resets the
+      // dead set to empty), keeping the broadcast config-bounded in
+      // CODE, not prose. The cap joins the stage key: two caps whose
+      // kept-vs-re-founded decisions differ must never alias a lineage.
+      val deadN = priorDead.count()
+      val candN = cand.count()
+      if (candN == 0L && deadN == 0L)
         prior // no candidate anywhere: frozen == a re-train, zero drift
+      else if (deadN + candN > cfg.recordedCandidateMax)
+        throw new Staged.DeltaUnsupported(
+          s"recorded drift candidates ${deadN + candN} > " +
+            s"${cfg.recordedCandidateMax}: re-founding the quantizer " +
+            "over the grown corpus")
       else {
-        // broadcast: BOUNDED BY CONFIG — nlist live rows plus every
-        // recorded candidate (a deployment's capped rule bounds both,
-        // the same classification as ivfCellsRaw's).
+        // broadcast: BOUNDED BY CONFIG — nlist live rows (the capped
+        // rule) plus the recorded candidates (<= recordedCandidateMax,
+        // enforced by the counted gate above).
         val tagged = broadcast(
           prior.filter(col("live"))
             .select(col("cid"), col("cemb"), col("cnorm"))
@@ -1300,12 +1335,6 @@ object SimilarityQueries {
       val drops = graft.functions.Materialized(
         semanticDedupWith(spark, dir, SemDedupConfig.Default)
           .select(col("vec_id"), col("dup_of"))).df
-      def releaseCheckpoint(df: DataFrame): Unit =
-        df.queryExecution.logical match {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(blocking = false); ()
-          case _ => ()
-        }
       var ckpt = drops.select(col("vec_id"), col("dup_of").as("keeper"))
         .localCheckpoint(eager = false)
       var labels = ckpt
@@ -1320,7 +1349,9 @@ object SimilarityQueries {
           .localCheckpoint(eager = false)
         converged = next.filter(col("keeper") =!= col("prev"))
           .limit(1).count() == 0L
-        releaseCheckpoint(ckpt)
+        // release targets the RAW checkpoint frame (shared helper —
+        // the connectedComponents loop's discipline)
+        graft.functions.Materialized.unpersistCheckpoint(ckpt)
         ckpt = next
         labels = next.select(col("vec_id"), col("keeper"))
         iter += 1
@@ -1363,7 +1394,12 @@ object SimilarityQueries {
       FROM resolve GROUP BY vec_id
     """))
 
-  /** Product-quantization ANN (r16) — the compression rung below int8 on
+  /** The PQ-ADC ranking body at an arbitrary k and codebook rule — the
+    * registered query runs (k=5, %50==11); specs pin the machinery at
+    * a rule where quantization error is ZERO (codebook = corpus), where
+    * ADC must equal the exhaustive int8 ranking exactly.
+    *
+    * Product-quantization ANN (r16) — the compression rung below int8 on
     * the ANN ladder (brute → LSH → IVF → int8 → PQ): the 64-dim int8
     * vector is split into 8 subspaces of 8 dims, each encoded as the id
     * of its nearest codeword (deterministic codebook: the int8
@@ -1395,10 +1431,6 @@ object SimilarityQueries {
     * and on clustered real embeddings PQ's 8-bytes-per-vector candidate
     * scan is the standard prefilter rung (rerank with [[quantized]] or
     * [[normed]] above it). */
-  /** The PQ-ADC ranking body at an arbitrary k and codebook rule — the
-    * registered query runs (k=5, %50==11); specs pin the machinery at
-    * a rule where quantization error is ZERO (codebook = corpus), where
-    * ADC must equal the exhaustive int8 ranking exactly. */
   private[graft] def pqTopKWith(spark: SparkSession, dir: String,
       k: Int, cwEvery: Long = 50L, cwKey: Long = 11L): DataFrame = {
       graft.functions.VectorExprs.register(spark)
@@ -1447,6 +1479,9 @@ object SimilarityQueries {
         "score", k)
   }
 
+  /** `ann_topk_pq` — product-quantization ADC top-k (see [[pqTopKWith]]
+    * for the full operator description, exactness discipline, and the
+    * recall-honesty note on uniform-random embeddings). */
   val pqTopK = QueryDef(
     "ann_topk_pq",
     (spark, dir) => pqTopKWith(spark, dir, 5),

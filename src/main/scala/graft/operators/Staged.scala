@@ -698,6 +698,22 @@ object Staged {
         // construct BEFORE logging the mode: a gated deltaBuild refuses
         // at construction time (counted-gate idiom)
         val df = deltaBuild(spark.read.parquet(newPaths: _*))
+        // schema-drift net: a union manifest requires every segment to
+        // share one schema. If the current binary's transform emits a
+        // different shape than the persisted segments (schema evolved
+        // under an unchanged stage name), appending the segment would
+        // crash the compaction fold — or WORSE, silently mis-read on
+        // the multi-segment scan. Refuse → cold rebuild under the
+        // current schema (names + types; nullability/metadata don't
+        // affect the union). Footer-metadata read, zero data IO.
+        val priorSchema = spark.read.parquet(old.segments: _*).schema
+        def shape(s: org.apache.spark.sql.types.StructType) =
+          s.fields.toSeq.map(f => (f.name, f.dataType))
+        if (shape(df.schema) != shape(priorSchema))
+          throw new DeltaUnsupported(
+            s"delta segment schema ${df.schema.simpleString} differs " +
+              s"from the prior segments' ${priorSchema.simpleString} " +
+              "(stage schema evolved under an unchanged name)")
         if (old.segments.size + 1 > compactSegmentsAbove) {
           // fold: prior segments ∪ delta → ONE segment owned by this
           // fingerprint (see compactSegmentsAbove). The transform still
@@ -760,7 +776,22 @@ object Staged {
           s"+ ${newPaths.size} appended part files")
         val seg = "seg-" + java.util.UUID.randomUUID().toString.take(8)
         val prior = spark.read.parquet(old.segments: _*)
-        val df = deltaBuild(prior, spark.read.parquet(newPaths: _*))
+        // schema-drift net: an AnalysisException from CONSTRUCTING the
+        // delta plan means the persisted prior's schema no longer
+        // matches what the current binary's lambda expects (a column
+        // added/renamed under an unchanged stage name). Delta is an
+        // optimization over the cold build, so fall back — the cold
+        // rebuild writes the CURRENT schema, self-healing the stage —
+        // instead of crashing every resolution until a hand-delete.
+        // (Write-time failures happen past this point and still
+        // rethrow: genuine failures stay loud, the r14 discipline.)
+        val df =
+          try deltaBuild(prior, spark.read.parquet(newPaths: _*))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new DeltaUnsupported("prior-table schema drift: " +
+                e.getMessage.linesIterator.next().take(160))
+          }
         logBuild(stage, "delta")
         df.write.mode("overwrite").parquet(tmp.resolve(seg).toString)
         Seq(target.resolve(seg).toString)

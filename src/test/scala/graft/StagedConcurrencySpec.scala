@@ -105,7 +105,7 @@ class StagedConcurrencySpec extends AnyFunSuite {
     }
   }
 
-  test("gc sweep inside the delta window: appendable recovers via the swept-segment re-check (r14 verdict #8)") {
+  test("gc sweep inside the delta window: appendable detects the swept base at the schema probe and rebuilds cold (r14 verdict #8)") {
     val root = Files.createTempDirectory("conc_root_gc").toString
     val dir = freshDir()
     writeDocs(dir, 0 until 30, append = false)
@@ -131,9 +131,12 @@ class StagedConcurrencySpec extends AnyFunSuite {
         assert(swept.nonEmpty, "the race window must actually sweep fp1")
       }
       val grown = stage()
-      // the delta publish succeeded but referenced swept segments — the
-      // post-publish re-check must force a cold rebuild
-      assert(modes("conc@gc") === Seq("delta", "cold"),
+      // the construction-time schema probe (r16 schema-drift net) reads
+      // the prior segments and trips on the swept path BEFORE a doomed
+      // manifest is published — the delta-swept clause rebuilds cold.
+      // (Sweeps landing after the probe but before publish still recover
+      // through the post-publish re-check, unchanged.)
+      assert(modes("conc@gc") === Seq("delta-swept", "cold"),
         s"swept delta base must cold-rebuild: ${Staged.buildLogSnapshot}")
       assert(grown.count() === 36)
       assertManifestsLive(root)

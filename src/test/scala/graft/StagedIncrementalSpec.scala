@@ -802,7 +802,7 @@ class StagedIncrementalSpec extends AnyFunSuite {
       val grownCells = cellRows(cfg)
       // the drift bound keys the lineage (r16 self-review: two bounds
       // whose kept-vs-re-founded decisions differ must never alias)
-      assert(modes("ivf_centroids@10:7:2:d1.0") === Seq("delta"),
+      assert(modes("ivf_centroids.v2@10:7:2:d1.0") === Seq("delta"),
         s"frozen centroids must keep the prior table: " +
           s"${Staged.buildLogSnapshot}")
       assert(cellModes.map(_._2) === Seq("delta"),
@@ -827,7 +827,7 @@ class StagedIncrementalSpec extends AnyFunSuite {
       Staged.reset(spark)
       Staged.clearBuildLog()
       cellRows(tight)
-      assert(modes("ivf_centroids@10:7:2:d0.0") === Seq("cold"),
+      assert(modes("ivf_centroids.v2@10:7:2:d0.0") === Seq("cold"),
         s"a fresh drift bound must found its own lineage: " +
           s"${Staged.buildLogSnapshot}")
       assert(centIds(tight) === Set(7L, 17L, 27L, 37L, 47L, 107L),
@@ -841,7 +841,7 @@ class StagedIncrementalSpec extends AnyFunSuite {
       Staged.reset(spark)
       Staged.clearBuildLog()
       val refoundedCells = cellRows(tight)
-      assert(modes("ivf_centroids@10:7:2:d0.0") ===
+      assert(modes("ivf_centroids.v2@10:7:2:d0.0") ===
         Seq("delta-refused", "cold"),
         s"measured drift must re-found: ${Staged.buildLogSnapshot}")
       assert(centIds(tight) ===
@@ -874,7 +874,7 @@ class StagedIncrementalSpec extends AnyFunSuite {
     writeEmb((0 until 40).map(i => (i.toLong, vec(i))), append = false)
     val cfg = IvfConfig(centroidEvery = 10, centroidKey = 7,
       frozen = true, driftFractionMax = 0.5)
-    val stage = "ivf_centroids@10:7:2:d0.5"
+    val stage = "ivf_centroids.v2@10:7:2:d0.5"
     def centIds(): Set[Long] =
       SimilarityQueries.frozenCentroids(spark, dir, cfg)
         .select("cid").collect().map(_.getLong(0)).toSet
@@ -907,6 +907,137 @@ class StagedIncrementalSpec extends AnyFunSuite {
           s"${Staged.buildLogSnapshot}")
       assert(after === Set(7L, 17L, 27L, 37L, 47L),
         s"the re-found set includes the recorded candidate: $after")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("schema drift on a rebuildable stage self-heals: delta refuses, cold rebuild writes the current schema (r16 review)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = freshDir()
+    writeDocs(dir, 0 until 20, append = false)
+    Staged.evict(spark)
+    Staged.enablePersist(Files.createTempDirectory("inc_sd_rb").toString)
+    try {
+      // binary v1 persisted (doc_id, n) under this name
+      Staged.rebuildable(spark, dir, "sd@rb", "documents", "doc_id")(
+        (prior, delta) => prior.unionByName(
+          delta.selectExpr("doc_id", "length(text) AS n"))) {
+        spark.read.parquet(s"$dir/documents.parquet")
+          .selectExpr("doc_id", "length(text) AS n")
+      }.count()
+      // binary v2: the lambda expects a `flag` column the persisted
+      // prior does not have — construction throws AnalysisException,
+      // which must become a delta refusal + self-healing cold rebuild,
+      // NOT a crash repeated on every resolution
+      writeDocs(dir, 20 until 30, append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      def v2() = Staged.rebuildable(spark, dir, "sd@rb", "documents",
+        "doc_id")((prior, delta) => prior.unionByName(
+          delta.selectExpr("doc_id", "length(text) AS n")
+            .withColumn("flag", lit(true)))
+          .filter(col("flag") === col("flag"))) {
+        spark.read.parquet(s"$dir/documents.parquet")
+          .selectExpr("doc_id", "length(text) AS n")
+          .withColumn("flag", lit(true))
+      }
+      val healed = v2()
+      assert(modes("sd@rb") === Seq("delta-refused", "cold"),
+        s"schema drift must refuse then self-heal: " +
+          s"${Staged.buildLogSnapshot}")
+      assert(healed.columns.toSeq === Seq("doc_id", "n", "flag"))
+      assert(healed.count() === 30)
+      // and the healed stage delta-builds again on the NEXT append
+      writeDocs(dir, 30 until 35, append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(v2().count() === 35)
+      assert(modes("sd@rb") === Seq("delta"),
+        s"healed stage must be delta-capable: ${Staged.buildLogSnapshot}")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("schema drift on an appendable stage refuses the mixed-schema union and rebuilds cold (r16 review)") {
+    val dir = freshDir()
+    writeDocs(dir, 0 until 20, append = false)
+    Staged.evict(spark)
+    Staged.enablePersist(Files.createTempDirectory("inc_sd_ap").toString)
+    try {
+      Staged.appendable(spark, dir, "sd@ap", "documents", "doc_id")(
+        docs => docs.selectExpr("doc_id", "length(text) AS n")) {
+        spark.read.parquet(s"$dir/documents.parquet")
+          .selectExpr("doc_id", "length(text) AS n")
+      }.count()
+      // v2 renames the output column: a delta segment with a different
+      // shape must never join the prior segments' union manifest (the
+      // multi-segment scan would silently mis-read) — refuse, cold
+      writeDocs(dir, 20 until 30, append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val healed = Staged.appendable(spark, dir, "sd@ap", "documents",
+        "doc_id")(
+        docs => docs.selectExpr("doc_id", "length(text) AS chars")) {
+        spark.read.parquet(s"$dir/documents.parquet")
+          .selectExpr("doc_id", "length(text) AS chars")
+      }
+      assert(modes("sd@ap") === Seq("delta-refused", "cold"),
+        s"mixed-schema union must refuse: ${Staged.buildLogSnapshot}")
+      assert(healed.columns.toSeq === Seq("doc_id", "chars"))
+      assert(healed.count() === 30)
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("recordedCandidateMax: the dead-candidate set is bounded by a counted gate that re-founds past the cap (r16 review)") {
+    import spark.implicits._
+    import operators.{IvfConfig, SimilarityQueries}
+    val dir = freshDir()
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat / 6f)
+    def writeEmb(ids: Seq[Long], append: Boolean): Unit =
+      ids.map(i => (i, vec(i.toInt), (i % 5).toInt))
+        .toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    writeEmb((0L until 40L), append = false)
+    // cap 0: ANY rule-id candidate exceeds the recorded budget; the
+    // loose drift bound (1.0) guarantees only the cap can refuse
+    val cfg = IvfConfig(centroidEvery = 10, centroidKey = 7,
+      frozen = true, driftFractionMax = 1.0, recordedCandidateMax = 0L)
+    val stage = "ivf_centroids.v2@10:7:2:d1.0:c0"
+    def centIds(): Set[Long] =
+      SimilarityQueries.frozenCentroids(spark, dir, cfg)
+        .select("cid").collect().map(_.getLong(0)).toSet
+    Staged.evict(spark)
+    Staged.enablePersist(Files.createTempDirectory("inc_cap").toString)
+    try {
+      assert(centIds() === Set(7L, 17L, 27L, 37L))
+      // a candidate-free drop stays delta even at cap 0 (the gate
+      // counts recorded candidates, not appends)
+      writeEmb(Seq(40L, 41L, 42L), append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(centIds() === Set(7L, 17L, 27L, 37L))
+      assert(modes(stage) === Seq("delta"),
+        s"candidate-free appends must stay delta: " +
+          s"${Staged.buildLogSnapshot}")
+      // rule id 47 arrives: 1 recorded candidate > cap 0 — the counted
+      // gate refuses and the re-found (which a true re-train equals)
+      // absorbs the candidate as a LIVE centroid, resetting the dead set
+      writeEmb(Seq(45L, 46L, 47L), append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(centIds() === Set(7L, 17L, 27L, 37L, 47L),
+        "the re-found set runs the rule over the grown corpus")
+      assert(modes(stage) === Seq("delta-refused", "cold"),
+        s"past the cap the gate must re-found: ${Staged.buildLogSnapshot}")
     } finally {
       Staged.disablePersist()
       Staged.reset(spark)
