@@ -24,19 +24,22 @@ object StageBench {
     * oracle-checkable rule-over-current-corpus default and so rebuild
     * cold on any append by design. */
   private val FrozenIvf = operators.IvfConfig(frozen = true)
+  private val FrozenPq = operators.PqConfig(frozen = true)
   private val Extras: Map[String,
       (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
     "ann_topk_ivf_frozen" -> ((s, d) =>
       operators.SimilarityQueries.ivfTopKWith(s, d, FrozenIvf)),
     "dedup_semantic_frozen" -> ((s, d) =>
       operators.SimilarityQueries.semanticDedupWith(s, d,
-        operators.SemDedupConfig.Default, FrozenIvf)))
+        operators.SemDedupConfig.Default, FrozenIvf)),
+    "ann_topk_pq_frozen" -> ((s, d) =>
+      operators.SimilarityQueries.pqTopKWith(s, d, 5, FrozenPq)))
   private def lookup(q: String)
       : (SparkSession, String) => org.apache.spark.sql.DataFrame =
     Extras.getOrElse(q, SparkEntry.queries(q))
   private val Queries =
     Seq("dedup_simhash", "vocab_topk", "ann_topk_int8", "dedup_components",
-      "ann_topk_ivf_frozen", "dedup_semantic_frozen")
+      "ann_topk_ivf_frozen", "dedup_semantic_frozen", "ann_topk_pq_frozen")
 
   /** Appended docs are word-disjoint from every existing replica (each
     * token prefixed) with ids offset past every replica stride, so the

@@ -151,6 +151,56 @@ object IvfConfig {
   }
 }
 
+/** Product-quantization deployment knobs (r16) — [[IvfConfig]]'s
+  * discipline applied to the PQ codebook: the codeword rule, and the
+  * frozen-codebook append policy. Defaults pin the oracle-checked
+  * `ann_topk_pq` path (rule-over-current-corpus, rebuild on change);
+  * `frozen = true` is the production path — the codebook stages ONCE
+  * at the founding corpus and appended vectors encode against it
+  * map-only, so the codes table delta-builds instead of re-encoding
+  * the corpus on every drop (the same O(corpus)-on-append hole the
+  * frozen coarse quantizer closed for the IVF family).
+  *
+  * @param cwEvery,cwKey deterministic codebook rule
+  *   (vec_id % cwEvery == cwKey), the [[IvfConfig.centroidFilter]]
+  *   discipline — oracle-expressible, config-bounded codebook size
+  * @param driftFractionMax frozen-mode re-founding gate: fraction of
+  *   appended (vector, subspace) encodings that a re-trained codebook
+  *   would assign to a NON-frozen codeword (strictly smaller exact-L2;
+  *   ties stay frozen, matching the encode tie-break) above which the
+  *   delta refuses and the codebook re-founds over the grown corpus
+  * @param recordedCandidateMax cap on the recorded would-be-codeword
+  *   set the drift probe scores against (the counted-gate bound that
+  *   keeps the probe broadcast config-sized; past it the delta refuses
+  *   and the re-found resets the recorded set) */
+final case class PqConfig(
+    cwEvery: Long = 50L,
+    cwKey: Long = 11L,
+    frozen: Boolean = false,
+    driftFractionMax: Double = 0.1,
+    recordedCandidateMax: Long = 65536L) {
+  require(cwEvery > 0 && cwKey >= 0 && cwKey < cwEvery,
+    s"codeword rule needs 0 <= key < every: every=$cwEvery key=$cwKey")
+  require(driftFractionMax >= 0 && driftFractionMax <= 1,
+    s"driftFractionMax must be in [0, 1]: $driftFractionMax")
+  require(recordedCandidateMax >= 0,
+    s"recordedCandidateMax must be >= 0: $recordedCandidateMax")
+
+  /** The deterministic codeword-membership predicate — the ONE
+    * definition of the codebook set. */
+  def codewordFilter: Column =
+    pmod(col("vec_id"), lit(cwEvery)) === lit(cwKey)
+
+  /** Stable Staged-key suffix (subspace geometry is compile-time 8×8,
+    * named so a future knob cannot alias today's tables). */
+  private[operators] def stageKey: String = s"$cwEvery:$cwKey:8x8"
+}
+
+object PqConfig {
+  /** The oracle-pinned deployment `ann_topk_pq` runs under. */
+  val Default: PqConfig = PqConfig()
+}
+
 /** SemDeDup deployment knobs (r14 verdict asks #1 and #7) — like
   * [[IvfConfig]], the operator's contractual parameters as a value a
   * deployment constructs, with defaults pinned to the oracle-checked
@@ -1432,42 +1482,26 @@ object SimilarityQueries {
     * scan is the standard prefilter rung (rerank with [[quantized]] or
     * [[normed]] above it). */
   private[graft] def pqTopKWith(spark: SparkSession, dir: String,
-      k: Int, cwEvery: Long = 50L, cwKey: Long = 11L): DataFrame = {
+      k: Int, cwEvery: Long = 50L, cwKey: Long = 11L): DataFrame =
+    pqTopKWith(spark, dir, k,
+      PqConfig(cwEvery = cwEvery, cwKey = cwKey))
+
+  private[graft] def pqTopKWith(spark: SparkSession, dir: String,
+      k: Int, cfg: PqConfig): DataFrame = {
       graft.functions.VectorExprs.register(spark)
       val q8 = quantized(spark, dir)
-      val subs = 8
-      val width = 8
-      // codebook: rule-selected int8 vectors, one codeword set shared by
-      // every subspace (their per-subspace slices differ, of course)
-      val cw = q8.filter(pmod(col("vec_id"), lit(cwEvery)) === cwKey)
-        .select(col("vec_id").as("cw_id"), col("q8").as("cv"))
-      // staged encode: per (vector, subspace) the nearest codeword by
-      // exact integer L2 over the slice — the PQ index build
-      val codes = Staged(spark, dir, s"pq_codes@$cwEvery:$cwKey:8x8") {
-        val offs = spark.range(0, subs)
-          .select((col("id") * width + 1).as("off"))
-        val ew = Window.partitionBy(col("vec_id"), col("off"))
-          .orderBy(col("dist").asc, col("cw_id").asc)
-        q8.crossJoin(broadcast(cw))
-          .crossJoin(broadcast(offs))
-          .withColumn("qs", expr(s"slice(q8, CAST(off AS INT), $width)"))
-          .withColumn("cs", expr(s"slice(cv, CAST(off AS INT), $width)"))
-          .withColumn("dist", expr(
-            "vec_dot(qs, qs) + vec_dot(cs, cs) - 2 * vec_dot(qs, cs)"))
-          .withColumn("rn", row_number().over(ew))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("off"), col("cw_id").as("code"))
-      }
+      val cw = pqCodebookOf(spark, dir, cfg)
+      val codes = pqCodes(spark, dir, cfg)
       // ADC: the query-side distance table (queries × codewords ×
       // subspaces — broadcast-bounded), joined against the slim codes
       val qtab = q8.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("q8").as("qv"))
         .crossJoin(cw)
-        .crossJoin(spark.range(0, subs)
-          .select((col("id") * width + 1).as("off")))
+        .crossJoin(spark.range(0, PqSubs)
+          .select((col("id") * PqWidth + 1).as("off")))
         .withColumn("d", expr(
-          s"vec_dot(slice(qv, CAST(off AS INT), $width), " +
-            s"slice(cv, CAST(off AS INT), $width))"))
+          s"vec_dot(slice(qv, CAST(off AS INT), $PqWidth), " +
+            s"slice(cv, CAST(off AS INT), $PqWidth))"))
         .select(col("query_id"), col("off"), col("cw_id").as("code"),
           col("d"))
       rankTopK(codes
@@ -1477,6 +1511,172 @@ object SimilarityQueries {
         .agg(sum(col("d")).as("score"))
         .select(col("query_id"), col("neighbor_id"), col("score")),
         "score", k)
+  }
+
+  private val PqSubs = 8
+  private val PqWidth = 8
+
+  /** Per-(vector, subspace) nearest-codeword encode by exact integer L2
+    * over the slice (‖a−b‖² = a·a + b·b − 2·a·b) — the PQ index build.
+    * ROW-DISTRIBUTIVE over vectors (the window partitions by vec_id),
+    * which is what lets the frozen-codebook codes table delta-build. */
+  private def pqEncodeTransform(q8rows: DataFrame,
+      cw: DataFrame): DataFrame = {
+    val spark = q8rows.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    val offs = spark.range(0, PqSubs)
+      .select((col("id") * PqWidth + 1).as("off"))
+    val ew = Window.partitionBy(col("vec_id"), col("off"))
+      .orderBy(col("dist").asc, col("cw_id").asc)
+    q8rows.crossJoin(broadcast(cw))
+      .crossJoin(broadcast(offs))
+      .withColumn("qs", expr(s"slice(q8, CAST(off AS INT), $PqWidth)"))
+      .withColumn("cs", expr(s"slice(cv, CAST(off AS INT), $PqWidth)"))
+      .withColumn("dist", expr(
+        "vec_dot(qs, qs) + vec_dot(cs, cs) - 2 * vec_dot(qs, cs)"))
+      .withColumn("rn", row_number().over(ew))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("off"), col("cw_id").as("code"))
+  }
+
+  /** The (cw_id, cv) codebook under `cfg` — frozen mode reads the
+    * staged founding set, default mode derives it from the CURRENT
+    * corpus by the rule (one codeword set shared by every subspace;
+    * their per-subspace slices differ, of course). */
+  private def pqCodebookOf(spark: SparkSession, dir: String,
+      cfg: PqConfig): DataFrame =
+    if (cfg.frozen) frozenPqCodebook(spark, dir, cfg)
+    else quantized(spark, dir).filter(cfg.codewordFilter)
+      .select(col("vec_id").as("cw_id"), col("q8").as("cv"))
+
+  /** The staged PQ codes table. Default mode: the rule-derived codebook
+    * depends on the whole current corpus, so the stage rebuilds on any
+    * corpus change — the oracle-checked path, unchanged. Frozen mode:
+    * encoding against a frozen codebook is a per-vector transform, so
+    * the stage is APPENDABLE — a crawl drop encodes only its own
+    * vectors (O(|delta| · codewords · 8) instead of O(corpus·…)), the
+    * frozen-IVF cells discipline. The key carries the codebook id-set
+    * digest so a re-founding moves the codes to a fresh name in
+    * lockstep. */
+  private[graft] def pqCodes(spark: SparkSession, dir: String,
+      cfg: PqConfig): DataFrame =
+    if (!cfg.frozen)
+      Staged(spark, dir, s"pq_codes@${cfg.stageKey}") {
+        pqEncodeTransform(quantized(spark, dir),
+          pqCodebookOf(spark, dir, cfg))
+      }
+    else {
+      val cw = frozenPqCodebook(spark, dir, cfg)
+      val key =
+        s"pq_codes@${cfg.stageKey}+frz${pqDigest(spark, dir, cfg)}"
+      Staged.appendable(spark, dir, key, "embeddings", "vec_id")(
+        raw => pqEncodeTransform(quantTransform(normTransform(raw)), cw)) {
+        pqEncodeTransform(quantized(spark, dir), cw)
+      }
+    }
+
+  /** The frozen PQ codebook: [[frozenCentroidTable]]'s discipline
+    * applied to codewords — founding rows live, later rule ids RECORDED
+    * dead (a re-train would include them, so the drift probe scores
+    * against them until a re-founding), the same three re-founding
+    * triggers (config change via the stage key; the recorded set
+    * outgrowing `recordedCandidateMax`; measured drift). Drift here is
+    * PER (vector, subspace): the fraction of appended encodings a
+    * re-trained codebook would assign to a non-frozen codeword by
+    * strictly smaller exact-integer L2 — strict, because the encode
+    * tie-break is (dist asc, cw_id asc) and recorded candidates carry
+    * larger ids than founding ones, so a tied slice stays with the
+    * frozen codeword in a true re-train too. */
+  private[graft] def frozenPqCodebook(spark: SparkSession, dir: String,
+      cfg: PqConfig): DataFrame =
+    frozenPqCodebookTable(spark, dir, cfg).filter(col("live"))
+      .select(col("cw_id"), col("cv"))
+
+  private def frozenPqCodebookTable(spark: SparkSession, dir: String,
+      cfg: PqConfig): DataFrame = {
+    val dkey =
+      if (cfg.driftFractionMax == PqConfig.Default.driftFractionMax) ""
+      else s":d${cfg.driftFractionMax}"
+    val ckey =
+      if (cfg.recordedCandidateMax == PqConfig.Default.recordedCandidateMax)
+        ""
+      else s":c${cfg.recordedCandidateMax}"
+    Staged.rebuildable(spark, dir, s"pq_codebook@${cfg.stageKey}$dkey$ckey",
+      "embeddings", "vec_id")((prior, deltaRaw) => {
+      graft.functions.VectorExprs.register(spark)
+      val deltaQ8 = quantTransform(normTransform(deltaRaw))
+      val cand = deltaQ8.filter(cfg.codewordFilter)
+        .select(col("vec_id").as("cw_id"), col("q8").as("cv"))
+      val priorDead = prior.filter(!col("live"))
+        .select(col("cw_id"), col("cv"))
+      // counted gate — see frozenCentroidTable's note: the recorded set
+      // must be bounded in code, and the cap keys the lineage
+      val deadN = priorDead.count()
+      val candN = cand.count()
+      if (candN == 0L && deadN == 0L)
+        prior // no candidate anywhere: frozen == a re-train, zero drift
+      else if (deadN + candN > cfg.recordedCandidateMax)
+        throw new Staged.DeltaUnsupported(
+          s"recorded codeword candidates ${deadN + candN} > " +
+            s"${cfg.recordedCandidateMax}: re-founding the codebook " +
+            "over the grown corpus")
+      else {
+        // broadcast: BOUNDED BY CONFIG — the capped rule bounds the
+        // live set, the counted gate above bounds the recorded one
+        val tagged = broadcast(
+          prior.filter(col("live"))
+            .select(col("cw_id"), col("cv"))
+            .withColumn("is_new", lit(false))
+            .unionByName(priorDead.withColumn("is_new", lit(true)))
+            .unionByName(cand.withColumn("is_new", lit(true))))
+        val offs = spark.range(0, PqSubs)
+          .select((col("id") * PqWidth + 1).as("off"))
+        val best = deltaQ8.select(col("vec_id"), col("q8"))
+          .crossJoin(tagged)
+          .crossJoin(broadcast(offs))
+          .withColumn("qs",
+            expr(s"slice(q8, CAST(off AS INT), $PqWidth)"))
+          .withColumn("cs",
+            expr(s"slice(cv, CAST(off AS INT), $PqWidth)"))
+          .withColumn("dist", expr(
+            "vec_dot(qs, qs) + vec_dot(cs, cs) - 2 * vec_dot(qs, cs)"))
+          .groupBy(col("vec_id"), col("off"))
+          .agg(min(when(!col("is_new"), col("dist"))).as("bf"),
+            min(when(col("is_new"), col("dist"))).as("bn"))
+        val row = best.agg(count(lit(1)).as("n"),
+          count(when(col("bn") < col("bf"), 1)).as("moved")).head()
+        val n = row.getLong(0)
+        val drift = if (n == 0L) 0.0 else row.getLong(1).toDouble / n
+        val log = org.slf4j.LoggerFactory.getLogger(getClass)
+        if (drift > cfg.driftFractionMax)
+          throw new Staged.DeltaUnsupported(
+            f"codebook drift $drift%.3f > ${cfg.driftFractionMax}%.3f: " +
+              "re-training the frozen PQ codebook")
+        log.info(f"frozen PQ codebook kept: measured drift $drift%.3f " +
+          f"<= ${cfg.driftFractionMax}%.3f over $n encodings")
+        prior.unionByName(cand.withColumn("live", lit(false)))
+      }
+    }) {
+      quantized(spark, dir).filter(cfg.codewordFilter)
+        .select(col("vec_id").as("cw_id"), col("q8").as("cv"))
+        .withColumn("live", lit(true))
+    }
+  }
+
+  /** Digest of the frozen LIVE codeword id set — the content half of
+    * the frozen codes' stage key ([[frozenDigest]]'s memo and bound
+    * classification). */
+  private def pqDigest(spark: SparkSession, dir: String,
+      cfg: PqConfig): String = {
+    val staged = frozenPqCodebookTable(spark, dir, cfg)
+    val hit = digestMemo.get(staged)
+    if (hit != null) hit
+    else {
+      val d = idSetDigest(staged.filter(col("live")).select(col("cw_id"))
+        .collect().map(_.getLong(0)).toSeq)
+      digestMemo.put(staged, d)
+      d
+    }
   }
 
   /** `ann_topk_pq` — product-quantization ADC top-k (see [[pqTopKWith]]

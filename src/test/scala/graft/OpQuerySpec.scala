@@ -461,6 +461,23 @@ class OpQuerySpec extends AnyFunSuite {
       "zero-error PQ must reproduce the exhaustive int8 ranking")
   }
 
+  test("ann_topk_pq: a frozen codebook equals the rule-derived one on the founding corpus (r16)") {
+    // at founding, freeze == re-train by definition; the pin keeps the
+    // frozen wiring (codebook accessor, digest-keyed codes stage, ADC)
+    // from drifting off the oracle-checked default path
+    import spark.implicits._
+    operators.Staged.reset(spark)
+    def ranks(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.filter($"rank" <= 5).select($"query_id", $"neighbor_id", $"rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val frozen = ranks(operators.SimilarityQueries.pqTopKWith(spark, sf, 5,
+      operators.PqConfig(frozen = true)))
+    val dflt = ranks(operators.SimilarityQueries.pqTopKWith(spark, sf, 5,
+      operators.PqConfig()))
+    assert(frozen === dflt,
+      "frozen-at-founding PQ must reproduce the rule-derived ranking")
+  }
+
   test("semantic_keeper_resolve: every resolved keeper is itself KEPT (r16)") {
     import spark.implicits._
     operators.Staged.reset(spark)

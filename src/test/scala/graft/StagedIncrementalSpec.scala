@@ -913,6 +913,112 @@ class StagedIncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("frozen PQ codebook: codes delta-encode appends against the founding set; drift and cap re-found (r16)") {
+    import spark.implicits._
+    import operators.{PqConfig, SimilarityQueries}
+    val dir = freshDir()
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat / 6f)
+    def writeEmb(rows: Seq[(Long, Array[Float])], append: Boolean): Unit =
+      rows.map { case (id, e) => (id, e, (id % 5).toInt) }
+        .toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    writeEmb((0 until 40).map(i => (i.toLong, vec(i))), append = false)
+    val cfg = PqConfig(cwEvery = 10, cwKey = 7,
+      frozen = true, driftFractionMax = 1.0)
+    def cwIds(c: PqConfig): Set[Long] =
+      SimilarityQueries.frozenPqCodebook(spark, dir, c)
+        .select("cw_id").collect().map(_.getLong(0)).toSet
+    def codeRows(c: PqConfig): Set[(Long, Long, Long)] =
+      SimilarityQueries.pqCodes(spark, dir, c).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def codesModes: Seq[(String, String)] = Staged.buildLogSnapshot.collect {
+      case (s, m) if s.startsWith("pq_codes@10:7:8x8+frz") => (s, m)
+    }
+    Staged.evict(spark)
+    Staged.enablePersist(Files.createTempDirectory("inc_pq").toString)
+    try {
+      val founding = cwIds(cfg)
+      assert(founding === Set(7L, 17L, 27L, 37L),
+        s"founding codebook by the rule: $founding")
+      val baseCodes = codeRows(cfg)
+      assert(baseCodes.size === 40 * 8, "8 subspace codes per vector")
+      // low-drift drop INCLUDING rule id 47: the vec() family separates
+      // mod 13, so most appended slices stay nearest a frozen codeword —
+      // under the loose bound the delta is accepted, 47 recorded dead
+      writeEmb((40 until 55).map(i => (i.toLong, vec(i))), append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val grownCodes = codeRows(cfg)
+      assert(cwIds(cfg) === founding,
+        "the codebook is frozen: the appended rule id must NOT join it")
+      assert(modes("pq_codebook@10:7:8x8:d1.0") === Seq("delta"),
+        s"accepted drop keeps the prior codebook: " +
+          s"${Staged.buildLogSnapshot}")
+      assert(codesModes.map(_._2) === Seq("delta"),
+        s"codes must delta-encode the drop only: " +
+          s"${Staged.buildLogSnapshot}")
+      assert(baseCodes.subsetOf(grownCodes),
+        "an append must never re-encode an existing vector")
+      val newRows = grownCodes -- baseCodes
+      assert(newRows.nonEmpty && newRows.forall(_._1 >= 40L))
+      assert(newRows.forall(r => founding.contains(r._3)),
+        s"new vectors must encode against frozen codewords: " +
+          s"${newRows.take(5)}")
+      assert(newRows.size === 15 * 8)
+      // a zero-tolerance lineage founds its own codebook cold over the
+      // grown corpus, then an engineered drifted drop (every vector a
+      // copy of new rule id 107; slices separate mod 13, so each
+      // encodes at distance 0 to the candidate, > 0 to every frozen
+      // codeword) must refuse and re-found
+      val tight = cfg.copy(driftFractionMax = 0.0)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      cwIds(tight)
+      assert(modes("pq_codebook@10:7:8x8:d0.0") === Seq("cold"),
+        s"a fresh drift bound founds its own lineage: " +
+          s"${Staged.buildLogSnapshot}")
+      writeEmb((100 until 110).map(i => (i.toLong, vec(107))),
+        append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(cwIds(tight) === Set(7L, 17L, 27L, 37L, 47L, 107L),
+        "re-founding re-runs the rule over the grown corpus")
+      assert(modes("pq_codebook@10:7:8x8:d0.0") ===
+        Seq("delta-refused", "cold"),
+        s"measured encode drift must re-found: ${Staged.buildLogSnapshot}")
+      // the codes key carries the codebook digest: re-found -> fresh
+      // name -> cold rebuild in lockstep
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      codeRows(tight)
+      assert(codesModes.map(_._2) === Seq("cold"),
+        s"codes must cold-rebuild with the re-founded codebook: " +
+          s"$codesModes")
+      // counted cap: at recordedCandidateMax = 0 a rule-id candidate
+      // refuses even under the loose drift bound
+      val capped = cfg.copy(recordedCandidateMax = 0L)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(cwIds(capped) === Set(7L, 17L, 27L, 37L, 47L, 107L),
+        "the capped lineage founds over the grown corpus")
+      writeEmb(Seq((200L, vec(200)), (207L, vec(207))), append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(cwIds(capped) ===
+        Set(7L, 17L, 27L, 37L, 47L, 107L, 207L),
+        "past the cap the re-found absorbs the candidate as live")
+      assert(modes("pq_codebook@10:7:8x8:d1.0:c0") ===
+        Seq("delta-refused", "cold"),
+        s"the counted gate must refuse past the cap: " +
+          s"${Staged.buildLogSnapshot}")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
   test("schema drift on a rebuildable stage self-heals: delta refuses, cold rebuild writes the current schema (r16 review)") {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = freshDir()
