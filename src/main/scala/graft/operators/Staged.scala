@@ -704,11 +704,15 @@ object Staged {
         // under an unchanged stage name), appending the segment would
         // crash the compaction fold — or WORSE, silently mis-read on
         // the multi-segment scan. Refuse → cold rebuild under the
-        // current schema (names + types; nullability/metadata don't
-        // affect the union). Footer-metadata read, zero data IO.
+        // current schema. Footer-metadata read, zero data IO. Compare
+        // by the SQL type string, which drops nullability at EVERY
+        // nesting level: a parquet read-back is containsNull=true while
+        // a fresh non-null-lambda transform is containsNull=false (q8's
+        // exact shape), and DataType equality on that difference would
+        // refuse every legitimate delta of such a stage.
         val priorSchema = spark.read.parquet(old.segments: _*).schema
         def shape(s: org.apache.spark.sql.types.StructType) =
-          s.fields.toSeq.map(f => (f.name, f.dataType))
+          s.fields.toSeq.map(f => (f.name, f.dataType.sql))
         if (shape(df.schema) != shape(priorSchema))
           throw new DeltaUnsupported(
             s"delta segment schema ${df.schema.simpleString} differs " +

@@ -1180,6 +1180,12 @@ class StagedIncrementalSpec extends AnyFunSuite {
       val incremental = queries.map(q => q -> collectSorted(q)).toMap
       assert(modes("normed_embeddings").headOption.contains("delta"),
         s"normed stage must delta-build: ${Staged.buildLogSnapshot.take(12)}")
+      // q8's transform lambda emits containsNull=false arrays while the
+      // prior segments read back containsNull=true — the schema probe
+      // must compare nullability-free (r16: DataType equality here
+      // refused every legitimate q8 delta)
+      assert(modes("q8_embeddings").headOption.contains("delta"),
+        s"q8 stage must delta-build: ${Staged.buildLogSnapshot.take(12)}")
       Staged.disablePersist()
       Staged.reset(spark)
       val session = queries.map(q => q -> collectSorted(q)).toMap
