@@ -428,70 +428,101 @@ object SimilarityQueries {
     // output SCHEMA — a hit returns exactly the bytes the name promises,
     // so schema evolution under an unchanged name would crash every
     // consumer until the dir is hand-deleted)
-    Staged.rebuildable(spark, dir,
-      s"ivf_centroids.v2@${cfg.stageKey}$dkey$ckey",
-      "embeddings", "vec_id")((prior, deltaRaw) => {
-      graft.functions.VectorExprs.register(spark)
-      val delta = normTransform(deltaRaw)
-      val cand = delta.filter(cfg.centroidFilter)
+    frozenRuleTable(spark, dir,
+      s"ivf_centroids.v2@${cfg.stageKey}$dkey$ckey", "coarse quantizer",
+      cfg.driftFractionMax, cfg.recordedCandidateMax,
+      candOf = deltaRaw => normTransform(deltaRaw)
+        .filter(cfg.centroidFilter)
         .select(col("vec_id").as("cid"), col("emb").as("cemb"),
-          col("norm").as("cnorm"))
-      val priorDead = prior.filter(!col("live"))
-        .select(col("cid"), col("cemb"), col("cnorm"))
-      // counted gate (r16 self-review): the recorded-dead set grows by
-      // |delta|/centroidEvery per ACCEPTED drop and is never pruned
-      // until a re-founding, so a long-lived low-drift server would
-      // accrete it linearly with total appended corpus — and the probe
-      // broadcasts live ∪ dead ∪ cand. Bound it: past the config cap,
-      // refuse and re-found over the grown corpus (which resets the
-      // dead set to empty), keeping the broadcast config-bounded in
-      // CODE, not prose. The cap joins the stage key: two caps whose
-      // kept-vs-re-founded decisions differ must never alias a lineage.
-      val deadN = priorDead.count()
-      val candN = cand.count()
-      if (candN == 0L && deadN == 0L)
-        prior // no candidate anywhere: frozen == a re-train, zero drift
-      else if (deadN + candN > cfg.recordedCandidateMax)
-        throw new Staged.DeltaUnsupported(
-          s"recorded drift candidates ${deadN + candN} > " +
-            s"${cfg.recordedCandidateMax}: re-founding the quantizer " +
-            "over the grown corpus")
-      else {
-        // broadcast: BOUNDED BY CONFIG — nlist live rows (the capped
-        // rule) plus the recorded candidates (<= recordedCandidateMax,
-        // enforced by the counted gate above).
-        val tagged = broadcast(
-          prior.filter(col("live"))
-            .select(col("cid"), col("cemb"), col("cnorm"))
-            .withColumn("is_new", lit(false))
-            .unionByName(priorDead.withColumn("is_new", lit(true)))
-            .unionByName(cand.withColumn("is_new", lit(true))))
-        val best = delta.select(col("vec_id"), col("emb"), col("norm"))
+          col("norm").as("cnorm")),
+      driftOf = (deltaRaw, tagged) => {
+        // capture metric: best double cosine, frozen vs non-frozen.
+        // Strict > — in a true re-train the tie-break is (ccos desc,
+        // cid asc) and recorded candidates carry larger ids than
+        // founding ones, so a tied vector stays frozen there too.
+        val best = normTransform(deltaRaw)
+          .select(col("vec_id"), col("emb"), col("norm"))
           .crossJoin(tagged)
           .withColumn("ccos", expr("vec_dot(emb, cemb) / (norm * cnorm)"))
           .groupBy(col("vec_id"))
           .agg(max(when(!col("is_new"), col("ccos"))).as("bf"),
             max(when(col("is_new"), col("ccos"))).as("bn"))
+        // NULL bf = EMPTY founding live set (no id matched the rule at
+        // founding): a re-train would place the vector on a candidate,
+        // so it MUST count as moved — coalesce below cosine's -1 floor
+        // (r16 review: bn > NULL is NULL, which silently read as "not
+        // moved" and kept an empty index accepting every drop forever)
         val row = best.agg(count(lit(1)).as("n"),
-          count(when(col("bn") > col("bf"), 1)).as("moved")).head()
-        val n = row.getLong(0)
-        val drift = if (n == 0L) 0.0 else row.getLong(1).toDouble / n
-        val log = org.slf4j.LoggerFactory.getLogger(getClass)
-        if (drift > cfg.driftFractionMax)
-          throw new Staged.DeltaUnsupported(
-            f"quantizer drift $drift%.3f > ${cfg.driftFractionMax}%.3f: " +
-              "re-training the frozen coarse quantizer")
-        log.info(f"frozen quantizer kept: measured drift $drift%.3f <= " +
-          f"${cfg.driftFractionMax}%.3f over $n appended vectors")
-        prior.unionByName(cand.withColumn("live", lit(false)))
-      }
-    }) {
+          count(when(col("bn") > coalesce(col("bf"), lit(-2d)), 1))
+            .as("moved")).head()
+        (row.getLong(0), row.getLong(1))
+      }) {
       normed(spark, dir).filter(cfg.centroidFilter)
         .select(col("vec_id").as("cid"), col("emb").as("cemb"),
           col("norm").as("cnorm"))
-        .withColumn("live", lit(true))
     }
   }
+
+  /** Shared skeleton of the two frozen-rule stages
+    * ([[frozenCentroidTable]] / [[frozenPqCodebookTable]]): the
+    * live/dead recorded-candidate table, the counted candidate cap, the
+    * measured-drift refusal, and the accepted-delta record — ONE
+    * definition, so a gate or probe fix can never bisect the sites (the
+    * unpersistCheckpoint rationale). The counted gate: the recorded-dead
+    * set grows with every ACCEPTED drop and is never pruned until a
+    * re-founding, so a long-lived low-drift server would accrete it
+    * linearly with total appended corpus — and the probe broadcasts
+    * live ∪ dead ∪ cand. Past the cap, refuse and re-found over the
+    * grown corpus (which resets the dead set to empty), keeping the
+    * broadcast config-bounded in CODE, not prose. Both bounds join the
+    * caller's stage name: two bounds whose kept-vs-re-founded decisions
+    * differ must never alias a lineage.
+    *
+    * @param what log/refusal label ("coarse quantizer" / "PQ codebook")
+    * @param candOf delta rows → candidate rows (id + payload, no live)
+    * @param driftOf (delta rows, broadcast live∪dead∪cand tagged
+    *   `is_new`) → (units probed, units a re-train would move); a NULL
+    *   best-frozen score (empty founding live set) must count as moved
+    * @param founding the rule over the whole current corpus, sans live */
+  private def frozenRuleTable(spark: SparkSession, dir: String,
+      stage: String, what: String, driftMax: Double, candMax: Long,
+      candOf: DataFrame => DataFrame,
+      driftOf: (DataFrame, DataFrame) => (Long, Long))(
+      founding: => DataFrame): DataFrame =
+    Staged.rebuildable(spark, dir, stage, "embeddings", "vec_id")(
+      (prior, deltaRaw) => {
+      graft.functions.VectorExprs.register(spark)
+      val cand = candOf(deltaRaw)
+      val cols = cand.columns.toSeq.map(col)
+      val priorDead = prior.filter(!col("live")).select(cols: _*)
+      val deadN = priorDead.count()
+      val candN = cand.count()
+      if (candN == 0L && deadN == 0L)
+        prior // no candidate anywhere: frozen == a re-train, zero drift
+      else if (deadN + candN > candMax)
+        throw new Staged.DeltaUnsupported(
+          s"recorded drift candidates ${deadN + candN} > $candMax: " +
+            s"re-founding the $what over the grown corpus")
+      else {
+        // broadcast: BOUNDED BY CONFIG — the capped rule bounds the
+        // live set, the counted gate above bounds the recorded one
+        val tagged = broadcast(
+          prior.filter(col("live")).select(cols: _*)
+            .withColumn("is_new", lit(false))
+            .unionByName(priorDead.withColumn("is_new", lit(true)))
+            .unionByName(cand.withColumn("is_new", lit(true))))
+        val (n, moved) = driftOf(deltaRaw, tagged)
+        val drift = if (n == 0L) 0.0 else moved.toDouble / n
+        val log = org.slf4j.LoggerFactory.getLogger(getClass)
+        if (drift > driftMax)
+          throw new Staged.DeltaUnsupported(
+            f"$what%s drift $drift%.3f > $driftMax%.3f: " +
+              f"re-training the frozen $what%s")
+        log.info(f"frozen $what%s kept: measured drift $drift%.3f <= " +
+          f"$driftMax%.3f over $n appended units")
+        prior.unionByName(cand.withColumn("live", lit(false)))
+      }
+    }) { founding.withColumn("live", lit(true)) }
 
   // Digest memo keyed on the memoized stage frame's IDENTITY: Staged
   // returns one instance per (session, dir, stage) until reset, so the
@@ -508,12 +539,16 @@ object SimilarityQueries {
     * appends dead rows but leaves the live set — and so every dependent
     * stage name — unchanged. */
   private def frozenDigest(spark: SparkSession, dir: String,
-      cfg: IvfConfig): String = {
-    val staged = frozenCentroidTable(spark, dir, cfg)
+      cfg: IvfConfig): String =
+    digestOf(frozenCentroidTable(spark, dir, cfg), "cid")
+
+  /** Memoized live-id-set digest of a frozen-rule staged table — the
+    * ONE definition behind [[frozenDigest]] and [[pqDigest]]. */
+  private def digestOf(staged: DataFrame, idCol: String): String = {
     val hit = digestMemo.get(staged)
     if (hit != null) hit
     else {
-      val d = idSetDigest(staged.filter(col("live")).select(col("cid"))
+      val d = idSetDigest(staged.filter(col("live")).select(col(idCol))
         .collect().map(_.getLong(0)).toSeq)
       digestMemo.put(staged, d)
       d
@@ -1518,25 +1553,30 @@ object SimilarityQueries {
 
   /** Per-(vector, subspace) nearest-codeword encode by exact integer L2
     * over the slice (‖a−b‖² = a·a + b·b − 2·a·b) — the PQ index build.
-    * ROW-DISTRIBUTIVE over vectors (the window partitions by vec_id),
-    * which is what lets the frozen-codebook codes table delta-build. */
+    * ROW-DISTRIBUTIVE over vectors (the aggregate groups by vec_id),
+    * which is what lets the frozen-codebook codes table delta-build.
+    * The winner is `min(struct(dist, cw_id))` — lexicographic struct
+    * ordering IS the (dist asc, cw_id asc) tie-break — so the
+    * N·codewords·8 candidate rows fold through a partial aggregate
+    * (map-side combine) instead of a full window shuffle-sort: at ×25
+    * bench scale the encode is ~2.5 B rows, where the sort was the
+    * single most expensive cold stage in the suite. */
   private def pqEncodeTransform(q8rows: DataFrame,
       cw: DataFrame): DataFrame = {
     val spark = q8rows.sparkSession
     graft.functions.VectorExprs.register(spark)
     val offs = spark.range(0, PqSubs)
       .select((col("id") * PqWidth + 1).as("off"))
-    val ew = Window.partitionBy(col("vec_id"), col("off"))
-      .orderBy(col("dist").asc, col("cw_id").asc)
     q8rows.crossJoin(broadcast(cw))
       .crossJoin(broadcast(offs))
       .withColumn("qs", expr(s"slice(q8, CAST(off AS INT), $PqWidth)"))
       .withColumn("cs", expr(s"slice(cv, CAST(off AS INT), $PqWidth)"))
       .withColumn("dist", expr(
         "vec_dot(qs, qs) + vec_dot(cs, cs) - 2 * vec_dot(qs, cs)"))
-      .withColumn("rn", row_number().over(ew))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("off"), col("cw_id").as("code"))
+      .groupBy(col("vec_id"), col("off"))
+      .agg(min(struct(col("dist"), col("cw_id"))).as("best"))
+      .select(col("vec_id"), col("off"),
+        col("best.cw_id").as("code"))
   }
 
   /** The (cw_id, cv) codebook under `cfg` — frozen mode reads the
@@ -1601,37 +1641,21 @@ object SimilarityQueries {
       if (cfg.recordedCandidateMax == PqConfig.Default.recordedCandidateMax)
         ""
       else s":c${cfg.recordedCandidateMax}"
-    Staged.rebuildable(spark, dir, s"pq_codebook@${cfg.stageKey}$dkey$ckey",
-      "embeddings", "vec_id")((prior, deltaRaw) => {
-      graft.functions.VectorExprs.register(spark)
-      val deltaQ8 = quantTransform(normTransform(deltaRaw))
-      val cand = deltaQ8.filter(cfg.codewordFilter)
-        .select(col("vec_id").as("cw_id"), col("q8").as("cv"))
-      val priorDead = prior.filter(!col("live"))
-        .select(col("cw_id"), col("cv"))
-      // counted gate — see frozenCentroidTable's note: the recorded set
-      // must be bounded in code, and the cap keys the lineage
-      val deadN = priorDead.count()
-      val candN = cand.count()
-      if (candN == 0L && deadN == 0L)
-        prior // no candidate anywhere: frozen == a re-train, zero drift
-      else if (deadN + candN > cfg.recordedCandidateMax)
-        throw new Staged.DeltaUnsupported(
-          s"recorded codeword candidates ${deadN + candN} > " +
-            s"${cfg.recordedCandidateMax}: re-founding the codebook " +
-            "over the grown corpus")
-      else {
-        // broadcast: BOUNDED BY CONFIG — the capped rule bounds the
-        // live set, the counted gate above bounds the recorded one
-        val tagged = broadcast(
-          prior.filter(col("live"))
-            .select(col("cw_id"), col("cv"))
-            .withColumn("is_new", lit(false))
-            .unionByName(priorDead.withColumn("is_new", lit(true)))
-            .unionByName(cand.withColumn("is_new", lit(true))))
+    frozenRuleTable(spark, dir,
+      s"pq_codebook@${cfg.stageKey}$dkey$ckey", "PQ codebook",
+      cfg.driftFractionMax, cfg.recordedCandidateMax,
+      candOf = deltaRaw => quantTransform(normTransform(deltaRaw))
+        .filter(cfg.codewordFilter)
+        .select(col("vec_id").as("cw_id"), col("q8").as("cv")),
+      driftOf = (deltaRaw, tagged) => {
+        // capture metric: best exact-integer subspace L2, frozen vs
+        // non-frozen, per (vector, subspace). Strict < — the encode
+        // tie-break is (dist asc, cw_id asc) and recorded candidates
+        // carry larger ids, so a tied slice stays frozen in a re-train.
         val offs = spark.range(0, PqSubs)
           .select((col("id") * PqWidth + 1).as("off"))
-        val best = deltaQ8.select(col("vec_id"), col("q8"))
+        val best = quantTransform(normTransform(deltaRaw))
+          .select(col("vec_id"), col("q8"))
           .crossJoin(tagged)
           .crossJoin(broadcast(offs))
           .withColumn("qs",
@@ -1643,23 +1667,16 @@ object SimilarityQueries {
           .groupBy(col("vec_id"), col("off"))
           .agg(min(when(!col("is_new"), col("dist"))).as("bf"),
             min(when(col("is_new"), col("dist"))).as("bn"))
+        // NULL bf = empty founding codebook: counts as moved (coalesce
+        // above any reachable integer L2 — the r16 review's NULL-drift
+        // fix, shared rationale with the quantizer probe)
         val row = best.agg(count(lit(1)).as("n"),
-          count(when(col("bn") < col("bf"), 1)).as("moved")).head()
-        val n = row.getLong(0)
-        val drift = if (n == 0L) 0.0 else row.getLong(1).toDouble / n
-        val log = org.slf4j.LoggerFactory.getLogger(getClass)
-        if (drift > cfg.driftFractionMax)
-          throw new Staged.DeltaUnsupported(
-            f"codebook drift $drift%.3f > ${cfg.driftFractionMax}%.3f: " +
-              "re-training the frozen PQ codebook")
-        log.info(f"frozen PQ codebook kept: measured drift $drift%.3f " +
-          f"<= ${cfg.driftFractionMax}%.3f over $n encodings")
-        prior.unionByName(cand.withColumn("live", lit(false)))
-      }
-    }) {
+          count(when(col("bn") < coalesce(col("bf"),
+            lit(Double.MaxValue)), 1)).as("moved")).head()
+        (row.getLong(0), row.getLong(1))
+      }) {
       quantized(spark, dir).filter(cfg.codewordFilter)
         .select(col("vec_id").as("cw_id"), col("q8").as("cv"))
-        .withColumn("live", lit(true))
     }
   }
 
@@ -1667,17 +1684,8 @@ object SimilarityQueries {
     * the frozen codes' stage key ([[frozenDigest]]'s memo and bound
     * classification). */
   private def pqDigest(spark: SparkSession, dir: String,
-      cfg: PqConfig): String = {
-    val staged = frozenPqCodebookTable(spark, dir, cfg)
-    val hit = digestMemo.get(staged)
-    if (hit != null) hit
-    else {
-      val d = idSetDigest(staged.filter(col("live")).select(col("cw_id"))
-        .collect().map(_.getLong(0)).toSeq)
-      digestMemo.put(staged, d)
-      d
-    }
-  }
+      cfg: PqConfig): String =
+    digestOf(frozenPqCodebookTable(spark, dir, cfg), "cw_id")
 
   /** `ann_topk_pq` — product-quantization ADC top-k (see [[pqTopKWith]]
     * for the full operator description, exactness discipline, and the

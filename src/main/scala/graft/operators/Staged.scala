@@ -371,6 +371,26 @@ object Staged {
     * part-file listing the stage covers and the absolute segment dirs
     * whose union IS the stage table. Plain line format (no parser deps):
     * `v1` / `source\trel:size:mtime`* / `segment\tabsPath`*. */
+  /** Schema shape for the appendable drift net: (name, type) pairs with
+    * nullability erased RECURSIVELY — array containsNull, struct field
+    * nullable, and map valueContainsNull are all forced true, so a
+    * parquet read-back (all-nullable) compares equal to a fresh
+    * transform's tighter schema at any nesting depth. */
+  private def shapeOf(s: org.apache.spark.sql.types.StructType)
+      : Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    def norm(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(f.name, norm(f.dataType), nullable = true)))
+      case at: ArrayType => ArrayType(norm(at.elementType),
+        containsNull = true)
+      case mt: MapType => MapType(norm(mt.keyType), norm(mt.valueType),
+        valueContainsNull = true)
+      case other => other
+    }
+    s.fields.toSeq.map(f => (f.name, norm(f.dataType)))
+  }
+
   private val ManifestName = "_GRAFT_STAGE"
 
   private final case class Manifest(source: Seq[String], segments: Seq[String])
@@ -704,19 +724,18 @@ object Staged {
         // under an unchanged stage name), appending the segment would
         // crash the compaction fold — or WORSE, silently mis-read on
         // the multi-segment scan. Refuse → cold rebuild under the
-        // current schema. Footer-metadata read, zero data IO. Compare
-        // by the SQL type string, which drops nullability at EVERY
-        // nesting level: a parquet read-back is containsNull=true while
-        // a fresh non-null-lambda transform is containsNull=false (q8's
-        // exact shape), and DataType equality on that difference would
-        // refuse every legitimate delta of such a stage.
-        val priorSchema = spark.read.parquet(old.segments: _*).schema
-        def shape(s: org.apache.spark.sql.types.StructType) =
-          s.fields.toSeq.map(f => (f.name, f.dataType.sql))
-        if (shape(df.schema) != shape(priorSchema))
+        // current schema. Footer-metadata read, zero data IO. The
+        // compare must ignore nullability at EVERY nesting level: a
+        // parquet read-back is all-nullable while a fresh
+        // non-null-lambda transform is not (q8's exact shape, which a
+        // DataType-equality probe refused on every drop) — and
+        // StructField.sql embeds NOT NULL one level down, so the
+        // normalizer is explicit rather than string-based.
+        val prior = spark.read.parquet(old.segments: _*)
+        if (shapeOf(df.schema) != shapeOf(prior.schema))
           throw new DeltaUnsupported(
             s"delta segment schema ${df.schema.simpleString} differs " +
-              s"from the prior segments' ${priorSchema.simpleString} " +
+              s"from the prior segments' ${prior.schema.simpleString} " +
               "(stage schema evolved under an unchanged name)")
         if (old.segments.size + 1 > compactSegmentsAbove) {
           // fold: prior segments ∪ delta → ONE segment owned by this
@@ -726,7 +745,7 @@ object Staged {
           logBuild(stage, "delta-compact")
           log.info(s"stage compact: $stage folds ${old.segments.size} " +
             "prior segments + delta into one")
-          spark.read.parquet(old.segments: _*).unionByName(df)
+          prior.unionByName(df)
             .write.mode("overwrite").parquet(tmp.resolve(seg).toString)
           Seq(target.resolve(seg).toString)
         } else {

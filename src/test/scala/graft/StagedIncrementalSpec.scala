@@ -1019,6 +1019,59 @@ class StagedIncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("empty founding rule set: the first candidate drop reads drift 1.0 and re-founds, never silently staying empty (r16 review)") {
+    // NULL best-frozen score (no live rows) must count as MOVED: before
+    // the fix, bn-vs-NULL read as "not moved", drift 0.0, and an
+    // empty-founded index accepted every drop forever while returning
+    // nothing. Pinned for BOTH frozen-rule stages (shared probe fix).
+    import spark.implicits._
+    import operators.{IvfConfig, PqConfig, SimilarityQueries}
+    val dir = freshDir()
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat / 6f)
+    def writeEmb(ids: Seq[Long], append: Boolean): Unit =
+      ids.map(i => (i, vec(i.toInt), (i % 5).toInt))
+        .toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    // ids 0..6: NOTHING matches either %10==7 rule at founding
+    writeEmb((0L until 7L), append = false)
+    val ivf = IvfConfig(centroidEvery = 10, centroidKey = 7,
+      frozen = true, driftFractionMax = 0.5)
+    val pq = PqConfig(cwEvery = 10, cwKey = 7,
+      frozen = true, driftFractionMax = 0.5)
+    Staged.evict(spark)
+    Staged.enablePersist(Files.createTempDirectory("inc_empty").toString)
+    try {
+      def ivfIds(): Set[Long] =
+        SimilarityQueries.frozenCentroids(spark, dir, ivf)
+          .select("cid").collect().map(_.getLong(0)).toSet
+      def pqIds(): Set[Long] =
+        SimilarityQueries.frozenPqCodebook(spark, dir, pq)
+          .select("cw_id").collect().map(_.getLong(0)).toSet
+      assert(ivfIds() === Set.empty && pqIds() === Set.empty,
+        "founding over a rule-free corpus is legitimately empty")
+      // the first drop carrying rule ids: a re-train places EVERY
+      // appended unit on a candidate -> drift 1.0 > 0.5 -> re-found
+      writeEmb(Seq(7L, 8L, 17L), append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(ivfIds() === Set(7L, 17L),
+        "the quantizer must re-found, not stay empty")
+      assert(modes("ivf_centroids.v2@10:7:2:d0.5") ===
+        Seq("delta-refused", "cold"),
+        s"empty-founded quantizer must refuse: ${Staged.buildLogSnapshot}")
+      assert(pqIds() === Set(7L, 17L),
+        "the codebook must re-found, not stay empty")
+      assert(modes("pq_codebook@10:7:8x8:d0.5") ===
+        Seq("delta-refused", "cold"),
+        s"empty-founded codebook must refuse: ${Staged.buildLogSnapshot}")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
   test("schema drift on a rebuildable stage self-heals: delta refuses, cold rebuild writes the current schema (r16 review)") {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = freshDir()
