@@ -1558,21 +1558,32 @@ object SimilarityQueries {
     * The winner is `min(struct(dist, cw_id))` — lexicographic struct
     * ordering IS the (dist asc, cw_id asc) tie-break — so the
     * N·codewords·8 candidate rows fold through a partial aggregate
-    * (map-side combine) instead of a full window shuffle-sort: at ×25
-    * bench scale the encode is ~2.5 B rows, where the sort was the
-    * single most expensive cold stage in the suite. */
+    * (map-side combine) instead of a full window shuffle-sort. Slices
+    * and self-dots are computed BEFORE the join, once per
+    * (vector, subspace) on the streamed side and once per
+    * (codeword, subspace) in the broadcast relation, so each of the
+    * N·codewords·8 candidate rows evaluates ONE 8-element integer dot
+    * plus two adds — not two array slices and three dots (the ×25
+    * bench encode is ~2.5 B candidate rows; the naive per-row form made
+    * it the single most expensive cold stage in the suite, ~6 μs/row of
+    * slice allocation and re-dotting). */
   private def pqEncodeTransform(q8rows: DataFrame,
       cw: DataFrame): DataFrame = {
     val spark = q8rows.sparkSession
     graft.functions.VectorExprs.register(spark)
     val offs = spark.range(0, PqSubs)
       .select((col("id") * PqWidth + 1).as("off"))
-    q8rows.crossJoin(broadcast(cw))
-      .crossJoin(broadcast(offs))
+    val qSlices = q8rows.crossJoin(broadcast(offs))
       .withColumn("qs", expr(s"slice(q8, CAST(off AS INT), $PqWidth)"))
+      .withColumn("qq", expr("vec_dot(qs, qs)"))
+      .select(col("vec_id"), col("off"), col("qs"), col("qq"))
+    val cwSlices = cw.crossJoin(offs)
       .withColumn("cs", expr(s"slice(cv, CAST(off AS INT), $PqWidth)"))
-      .withColumn("dist", expr(
-        "vec_dot(qs, qs) + vec_dot(cs, cs) - 2 * vec_dot(qs, cs)"))
+      .withColumn("cc", expr("vec_dot(cs, cs)"))
+      .select(col("cw_id"), col("off"), col("cs"), col("cc"))
+    qSlices.join(broadcast(cwSlices), Seq("off"))
+      .withColumn("dist",
+        expr("qq + cc - 2 * vec_dot(qs, cs)"))
       .groupBy(col("vec_id"), col("off"))
       .agg(min(struct(col("dist"), col("cw_id"))).as("best"))
       .select(col("vec_id"), col("off"),
@@ -1652,18 +1663,24 @@ object SimilarityQueries {
         // non-frozen, per (vector, subspace). Strict < — the encode
         // tie-break is (dist asc, cw_id asc) and recorded candidates
         // carry larger ids, so a tied slice stays frozen in a re-train.
+        // Pre-sliced on both sides (pqEncodeTransform's shape): one
+        // 8-element dot per candidate row.
         val offs = spark.range(0, PqSubs)
           .select((col("id") * PqWidth + 1).as("off"))
-        val best = quantTransform(normTransform(deltaRaw))
+        val dq = quantTransform(normTransform(deltaRaw))
           .select(col("vec_id"), col("q8"))
-          .crossJoin(tagged)
           .crossJoin(broadcast(offs))
           .withColumn("qs",
             expr(s"slice(q8, CAST(off AS INT), $PqWidth)"))
+          .withColumn("qq", expr("vec_dot(qs, qs)"))
+          .select(col("vec_id"), col("off"), col("qs"), col("qq"))
+        val tS = tagged.crossJoin(offs)
           .withColumn("cs",
             expr(s"slice(cv, CAST(off AS INT), $PqWidth)"))
-          .withColumn("dist", expr(
-            "vec_dot(qs, qs) + vec_dot(cs, cs) - 2 * vec_dot(qs, cs)"))
+          .withColumn("cc", expr("vec_dot(cs, cs)"))
+          .select(col("off"), col("cs"), col("cc"), col("is_new"))
+        val best = dq.join(broadcast(tS), Seq("off"))
+          .withColumn("dist", expr("qq + cc - 2 * vec_dot(qs, cs)"))
           .groupBy(col("vec_id"), col("off"))
           .agg(min(when(!col("is_new"), col("dist"))).as("bf"),
             min(when(col("is_new"), col("dist"))).as("bn"))
