@@ -503,6 +503,16 @@ object SimilarityQueries {
         throw new Staged.DeltaUnsupported(
           s"recorded drift candidates ${deadN + candN} > $candMax: " +
             s"re-founding the $what over the grown corpus")
+      else if (prior.filter(col("live")).limit(1).count() == 0L)
+        // empty founding live set with candidates on record: refuse
+        // UNCONDITIONALLY, not through the drift fraction — at
+        // driftMax = 1.0 ("never drift-refound") a fraction test of
+        // 1.0 > 1.0 would keep the index empty forever, the exact
+        // silent-emptiness pathology the NULL-moved coalesce exists
+        // to prevent (r16 review boundary case)
+        throw new Staged.DeltaUnsupported(
+          s"founding $what live set is empty while candidates exist: " +
+            "re-founding over the grown corpus")
       else {
         // broadcast: BOUNDED BY CONFIG — the capped rule bounds the
         // live set, the counted gate above bounds the recorded one

@@ -367,10 +367,6 @@ object Staged {
     }
   }
 
-  /** Manifest file inside an appendable stage dir: records the source
-    * part-file listing the stage covers and the absolute segment dirs
-    * whose union IS the stage table. Plain line format (no parser deps):
-    * `v1` / `source\trel:size:mtime`* / `segment\tabsPath`*. */
   /** Schema shape for the appendable drift net: (name, type) pairs with
     * nullability erased RECURSIVELY — array containsNull, struct field
     * nullable, and map valueContainsNull are all forced true, so a
@@ -391,6 +387,10 @@ object Staged {
     s.fields.toSeq.map(f => (f.name, norm(f.dataType)))
   }
 
+  /** Manifest file inside an appendable stage dir: records the source
+    * part-file listing the stage covers and the absolute segment dirs
+    * whose union IS the stage table. Plain line format (no parser deps):
+    * `v1` / `source\trel:size:mtime`* / `segment\tabsPath`*. */
   private val ManifestName = "_GRAFT_STAGE"
 
   private final case class Manifest(source: Seq[String], segments: Seq[String])

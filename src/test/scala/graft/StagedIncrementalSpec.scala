@@ -1020,10 +1020,13 @@ class StagedIncrementalSpec extends AnyFunSuite {
   }
 
   test("empty founding rule set: the first candidate drop reads drift 1.0 and re-founds, never silently staying empty (r16 review)") {
-    // NULL best-frozen score (no live rows) must count as MOVED: before
-    // the fix, bn-vs-NULL read as "not moved", drift 0.0, and an
+    // An empty-founded index must never silently stay empty: before the
+    // fix, bn-vs-NULL read as "not moved", drift 0.0, and an
     // empty-founded index accepted every drop forever while returning
-    // nothing. Pinned for BOTH frozen-rule stages (shared probe fix).
+    // nothing. Pinned for BOTH frozen-rule stages (shared skeleton) AT
+    // driftFractionMax = 1.0 — the boundary where a fraction test alone
+    // (1.0 > 1.0 is false) would still keep the index empty, so the
+    // refusal must be the UNCONDITIONAL empty-live gate, not the probe.
     import spark.implicits._
     import operators.{IvfConfig, PqConfig, SimilarityQueries}
     val dir = freshDir()
@@ -1037,9 +1040,9 @@ class StagedIncrementalSpec extends AnyFunSuite {
     // ids 0..6: NOTHING matches either %10==7 rule at founding
     writeEmb((0L until 7L), append = false)
     val ivf = IvfConfig(centroidEvery = 10, centroidKey = 7,
-      frozen = true, driftFractionMax = 0.5)
+      frozen = true, driftFractionMax = 1.0)
     val pq = PqConfig(cwEvery = 10, cwKey = 7,
-      frozen = true, driftFractionMax = 0.5)
+      frozen = true, driftFractionMax = 1.0)
     Staged.evict(spark)
     Staged.enablePersist(Files.createTempDirectory("inc_empty").toString)
     try {
@@ -1051,19 +1054,19 @@ class StagedIncrementalSpec extends AnyFunSuite {
           .select("cw_id").collect().map(_.getLong(0)).toSet
       assert(ivfIds() === Set.empty && pqIds() === Set.empty,
         "founding over a rule-free corpus is legitimately empty")
-      // the first drop carrying rule ids: a re-train places EVERY
-      // appended unit on a candidate -> drift 1.0 > 0.5 -> re-found
+      // the first drop carrying rule ids: the empty-live gate refuses
+      // unconditionally (the drift fraction never even gets to decide)
       writeEmb(Seq(7L, 8L, 17L), append = true)
       Staged.reset(spark)
       Staged.clearBuildLog()
       assert(ivfIds() === Set(7L, 17L),
         "the quantizer must re-found, not stay empty")
-      assert(modes("ivf_centroids.v2@10:7:2:d0.5") ===
+      assert(modes("ivf_centroids.v2@10:7:2:d1.0") ===
         Seq("delta-refused", "cold"),
         s"empty-founded quantizer must refuse: ${Staged.buildLogSnapshot}")
       assert(pqIds() === Set(7L, 17L),
         "the codebook must re-found, not stay empty")
-      assert(modes("pq_codebook@10:7:8x8:d0.5") ===
+      assert(modes("pq_codebook@10:7:8x8:d1.0") ===
         Seq("delta-refused", "cold"),
         s"empty-founded codebook must refuse: ${Staged.buildLogSnapshot}")
     } finally {
