@@ -437,5 +437,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "ADC join must hash on (off, code):\n" + p)
     assert(!p.contains("CartesianProduct"),
       "no unbroadcast product anywhere:\n" + p)
+    // the encode winner is min(struct(dist, cw_id)) through a partial
+    // (map-side) aggregate — NEVER a row_number window over
+    // (vec_id, off), whose full shuffle-sort of the N·codewords·8
+    // candidate rows was the most expensive cold stage in the ×25
+    // StageBench before the rewrite. (rankTopK's per-query top-k window
+    // is a different, WindowGroupLimit-pruned shape and stays.)
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      "the PQ encode must aggregate, not window-sort:\n" + p)
   }
 }
