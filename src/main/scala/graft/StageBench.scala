@@ -22,9 +22,22 @@ object StageBench {
     * family delta-resolving, which requires the FROZEN quantizer —
     * the registered `ann_topk_ivf`/`dedup_semantic` stay on the
     * oracle-checkable rule-over-current-corpus default and so rebuild
-    * cold on any append by design. */
-  private val FrozenIvf = operators.IvfConfig(frozen = true)
-  private val FrozenPq = operators.PqConfig(frozen = true)
+    * cold on any append by design.
+    *
+    * r16 verdict asks #1/#7: the frozen configs are now CAPPED — the
+    * deployment shape. With `maxCentroids`/`maxCodewords` the index
+    * cardinality is a config constant at any founding size, so the COLD
+    * phase's frozen rows price FOUNDING as linear-in-N work (the
+    * uncapped ×25 PQ founding encoded 50k × 1000 codewords × 8
+    * subspaces ≈ 400M candidate rows — the 258 s r16 row; capped at 64
+    * it is 50k × 64 × 8 ≈ 26M, and every appended drop stays
+    * O(delta × 64 × 8)). 64 is a deployment-ish choice (≈√N at ×25 is
+    * 224; real PQ uses 256/subspace) that keeps the distance tables a
+    * few KB. */
+  private val FrozenIvf =
+    operators.IvfConfig(frozen = true, maxCentroids = Some(64L))
+  private val FrozenPq =
+    operators.PqConfig(frozen = true, maxCodewords = Some(64L))
   private val Extras: Map[String,
       (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
     "ann_topk_ivf_frozen" -> ((s, d) =>
@@ -33,13 +46,16 @@ object StageBench {
       operators.SimilarityQueries.semanticDedupWith(s, d,
         operators.SemDedupConfig.Default, FrozenIvf)),
     "ann_topk_pq_frozen" -> ((s, d) =>
-      operators.SimilarityQueries.pqTopKWith(s, d, 5, FrozenPq)))
+      operators.SimilarityQueries.pqTopKWith(s, d, 5, FrozenPq)),
+    "ann_topk_pq_rerank_frozen" -> ((s, d) =>
+      operators.SimilarityQueries.pqRerankTopKWith(s, d, 5, 100, FrozenPq)))
   private def lookup(q: String)
       : (SparkSession, String) => org.apache.spark.sql.DataFrame =
     Extras.getOrElse(q, SparkEntry.queries(q))
   private val Queries =
     Seq("dedup_simhash", "vocab_topk", "ann_topk_int8", "dedup_components",
-      "ann_topk_ivf_frozen", "dedup_semantic_frozen", "ann_topk_pq_frozen")
+      "ann_topk_ivf_frozen", "dedup_semantic_frozen", "ann_topk_pq_frozen",
+      "ann_topk_pq_rerank_frozen")
 
   /** Appended docs are word-disjoint from every existing replica (each
     * token prefixed) with ids offset past every replica stride, so the
@@ -51,6 +67,17 @@ object StageBench {
     * same path in one job, which only works while the file listing is
     * snapshotted at planning time and risks reading partially committed
     * output on a re-listing filesystem (r14 ADVICE). */
+  /** Per-drop token namespace, mutually prefix-free across ALL drop
+    * indices (r15 ADVICE / r16 verdict ask #3 iv): every index —
+    * including 0 — uses the fixed-width, terminator-delimited form
+    * (`zx00_`, `zx01_`, …), so no original-corpus token can make one
+    * drop's token alias another's (the old bare `zx` of idx=0 WAS a
+    * prefix of `zx01_`: an original token starting `01_…` aliased a
+    * drop-1 token). Uniformity costs the historical single-append row
+    * three extra chars per token — noted in BASELINE.md's round log.
+    * Spec-pinned prefix-free in StagedSpec. */
+  private[graft] def dropPrefix(idx: Int): String = f"zx$idx%02d_"
+
   private def appendSlice(spark: SparkSession, work: String, k: Int,
       idx: Int = 0): Unit = {
     // idx > 0 = the Nth drop of an append CHAIN: each drop slices the
@@ -63,16 +90,8 @@ object StageBench {
     // historical single-append stride exactly.
     val cut = 100000000L * (k + 1)
     val stride = cut * (idx + 1)
-    // chain drops (idx >= 1) use fixed-width, terminator-delimited
-    // prefixes that are mutually prefix-free AMONG THEMSELVES (zx01_,
-    // zx02_, …), so no two chain drops can alias a token pair the way
-    // "zx1"+"abc" vs "zx"+"1abc" could. The bare "zx" of idx=0 is NOT
-    // prefix-free against them ("zx" prefixes "zx01_", so an original
-    // token starting "01_…" would alias a drop-1 token) — which is why
-    // idx=0 is reserved for the historical SINGLE-append path, never
-    // mixed into a chain (chain mode starts at idx=1).
     require(idx >= 0, s"negative drop index: $idx")
-    val pfx = if (idx == 0) "zx" else f"zx$idx%02d_"
+    val pfx = dropPrefix(idx)
     def appendVia(table: String)(
         slice: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
         : Unit = {

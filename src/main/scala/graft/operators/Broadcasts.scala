@@ -23,12 +23,18 @@ import org.apache.spark.sql.functions.broadcast
   *    scan size, which is exactly the quantity that grows. Below the
   *    threshold the plan is identical to the forced-hint form; above
   *    it the hint is dropped and AQE sizes the join at runtime.
-  *  - BOUNDED BY CONFIG — IVF centroids keep a forced hint with a
-  *    contractual bound instead of a gate: nlist is a CHOSEN index
-  *    parameter (≤ ~64k centroids in practice, always broadcastable);
-  *    the testdata's `% 100` rule makes it ~N/100 only because the test
-  *    corpus is tiny, and the site comments require deployments to cap
-  *    nlist (SimilarityQueries.ivfCellsRaw / ivfTunedTopK).
+  *  - BOUNDED BY CONFIG — IVF centroids and the PQ codebook keep a
+  *    forced hint with a bound that is now CODE, not contract (r16
+  *    verdict ask #1): `IvfConfig.maxCentroids` / `PqConfig.maxCodewords`
+  *    cap the set at the smallest-K rule ids (`ORDER BY vec_id LIMIT K`,
+  *    oracle-expressible), so under a capped config the broadcast — and
+  *    the frozen-digest collect and the streaming gate's centroid array
+  *    that share the bound — is a config constant at ANY founding corpus
+  *    size. The UNCAPPED default (`None`) keeps the historical
+  *    rule-only semantics for the oracle-pinned queries, where the
+  *    `% 100` rule yields ~N/100 — tiny at test SF, and the site
+  *    comments require deployments to set the cap
+  *    (SimilarityQueries.ivfCellsRaw / ivfTunedTopK).
   *  - SF-GROWING, derived — an aggregate-derived table (vocabulary,
   *    candidate ids) whose plan-stats are useless (size-only visitors
   *    propagate the pre-aggregation size). These are gated on a counted

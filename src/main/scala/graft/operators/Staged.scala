@@ -266,7 +266,8 @@ object Staged {
   private val disjointMemo =
     scala.collection.mutable.HashMap.empty[(String, Seq[String], Seq[String]), Boolean]
 
-  private def assertDisjointAppend(spark: SparkSession, sourceKey: String,
+  // private[graft] for the StagedSpec memo-keying probe (r16 ask #3 iii)
+  private[graft] def assertDisjointAppend(spark: SparkSession, sourceKey: String,
       dir: String, source: String, oldEntries: Seq[String],
       newEntries: Seq[String]): Unit = {
     val memoKey = (sourceKey, oldEntries, newEntries)
@@ -456,6 +457,13 @@ object Staged {
     * re-check and the mid-build fallback close. Noop in production. */
   private[graft] var onDeltaBaseSelected: () => Unit = () => ()
 
+  /** Test seam (r16 verdict ask #3 i): invoked inside the publish
+    * move-failure path AFTER the first liveness miss and BEFORE the
+    * re-confirm that guards [[renameAside]] — lets a spec land a
+    * concurrent COMPLETED publish deterministically in the window the
+    * re-confirm closes. Noop in production. */
+  private[graft] var onFormatMigrationWindow: () => Unit = () => ()
+
   /** Spec instrumentation: (stage, mode) per persist-path resolution,
     * mode ∈ hit | cold | delta | delta-compact | delta-refused |
     * delta-swept | relink. Bounded: a long-lived persist-
@@ -554,18 +562,33 @@ object Staged {
         if (readManifest(target.resolve(ManifestName)).nonEmpty)
           deleteRecursively(tmp) // lost the race — the winner is live
         else if (java.nio.file.Files.isDirectory(target)) {
-          renameAside(target,
-            "pre-manifest-format stage dir (stage kind changed)")
-          try move()
-          catch {
-            case e2: java.nio.file.FileSystemException =>
-              deleteRecursively(tmp)
-              // a racing publisher can land between the rename and the
-              // retry — then its manifest is at target; a REAL move
-              // failure leaves nothing and must rethrow (swallowing it
-              // would hand consumers segment paths that died with tmp)
-              if (readManifest(target.resolve(ManifestName)).isEmpty)
-                throw e2
+          onFormatMigrationWindow()
+          // RE-CONFIRM the manifest is still absent immediately before
+          // the rename (r16 verdict ask #3 i): a concurrent publisher
+          // can itself rename the old-format dir aside and LAND between
+          // our first miss and here — renaming ITS freshly published
+          // table aside would break every segment path its
+          // already-returned DataFrame carries. Present now = we lost
+          // the race after all; honor the winner. The residual window
+          // is the two adjacent metadata ops below — a racer must
+          // complete its whole rename+move inside it, where the first
+          // miss-to-rename window used to span a manifest read.
+          if (readManifest(target.resolve(ManifestName)).nonEmpty)
+            deleteRecursively(tmp)
+          else {
+            renameAside(target,
+              "pre-manifest-format stage dir (stage kind changed)")
+            try move()
+            catch {
+              case e2: java.nio.file.FileSystemException =>
+                deleteRecursively(tmp)
+                // a racing publisher can land between the rename and the
+                // retry — then its manifest is at target; a REAL move
+                // failure leaves nothing and must rethrow (swallowing it
+                // would hand consumers segment paths that died with tmp)
+                if (readManifest(target.resolve(ManifestName)).isEmpty)
+                  throw e2
+            }
           }
         } else {
           // the blocking entry VANISHED between the failed move and this
@@ -881,15 +904,23 @@ object Staged {
           // (never delete: a delete raced concurrent publishes, r15
           // ADVICE) and retry once; losing the retry means a concurrent
           // publisher landed an equivalent table.
-          renameAside(target, "non-plain-format stage dir (stage kind changed)")
-          try move()
-          catch {
-            case e2: java.nio.file.FileSystemException =>
-              deleteRecursively(tmp)
-              // a GENUINE move failure (no winner at target) must
-              // rethrow: the scan below would otherwise read a path that
-              // never appeared
-              if (!plainTableAt(target)) throw e2
+          onFormatMigrationWindow()
+          // re-confirm liveness immediately before the rename (r16 ask
+          // #3 i, publishAtomic's rationale): a publisher landing in the
+          // window is the winner, not a stale-format dir
+          if (plainTableAt(target)) deleteRecursively(tmp)
+          else {
+            renameAside(target,
+              "non-plain-format stage dir (stage kind changed)")
+            try move()
+            catch {
+              case e2: java.nio.file.FileSystemException =>
+                deleteRecursively(tmp)
+                // a GENUINE move failure (no winner at target) must
+                // rethrow: the scan below would otherwise read a path
+                // that never appeared
+                if (!plainTableAt(target)) throw e2
+            }
           }
         } else {
           // the blocking entry VANISHED between the failed move and this
@@ -1073,7 +1104,9 @@ object Staged {
     * server needs no manual sweep scheduling: instead of reclaiming EVERY
     * stale fingerprint subtree, keep the newest `policy.keepStale` stale
     * generations that are also younger than `policy.maxAgeMs` (age = time
-    * since the subtree's last write), and reclaim the rest. Safety
+    * since the generation's last publish, read as the fingerprint dir's
+    * own mtime — O(generations) metadata per sweep, r16 ask #6), and
+    * reclaim the rest. Safety
     * invariants, identical to gc's and spec-pinned: a LIVE fingerprint is
     * never touched, and reference pinning is TRANSITIVE — a retained
     * stale generation's appendable manifests may reference segments in an
@@ -1092,15 +1125,17 @@ object Staged {
     val entries = try s.iterator().asScala.toList finally s.close()
     def isLeftover(n: String): Boolean =
       n.contains(".tmp-") || n.contains(".stale-")
-    def lastWriteMs(p: java.nio.file.Path): Long = {
-      val w = java.nio.file.Files.walk(p)
-      try w.iterator().asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .map(java.nio.file.Files.getLastModifiedTime(_).toMillis)
-        .foldLeft(java.nio.file.Files.getLastModifiedTime(p).toMillis)(
-          math.max)
-      finally w.close()
-    }
+    // Generation age = the fingerprint dir's OWN mtime — one metadata
+    // read per generation (r16 verdict ask #6: the old probe walked
+    // every file of every stale subtree per sweep, an object-store
+    // metadata storm at depth). Correct because every publish into a
+    // generation is an atomic rename INTO this dir (or into a stage dir
+    // directly under it, whose landing still updates this dir's mtime
+    // when the stage entry is created), so the dir mtime IS the last
+    // publish time; nothing writes into a STALE generation afterwards —
+    // publishes only target the current fingerprint.
+    def lastWriteMs(p: java.nio.file.Path): Long =
+      java.nio.file.Files.getLastModifiedTime(p).toMillis
     val fpDirs = entries.filter(p =>
       java.nio.file.Files.isDirectory(p) &&
         !isLeftover(p.getFileName.toString))
@@ -1190,6 +1225,14 @@ object Staged {
     fpMemo.synchronized(fpMemo.clear())
     disjointMemo.synchronized(disjointMemo.clear())
   }
+
+  /** Spec helper: the on-disk publish target of `stage` for `dir`'s
+    * CURRENT fingerprint (the format-migration race specs need to plant
+    * and inspect dirs at the exact target). */
+  private[graft] def stageTargetPath(root: String, dir: String,
+      stage: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root, fingerprintUncached(dir),
+      stageDirName(stage))
 
   /** Bench/spec helper: segment count of a persisted appendable stage's
     * manifest at `dir`'s CURRENT fingerprint. */

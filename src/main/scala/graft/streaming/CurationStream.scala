@@ -711,8 +711,9 @@ object CurationStream {
       kept: Boolean, dupOf: Long)
 
   /** A frozen-quantizer centroid shipped into the stream's closure —
-    * nlist rows by config, the same bound that makes the set
-    * broadcastable on the batch side. */
+    * nlist rows by config (a CONSTANT under `IvfConfig.maxCentroids`,
+    * r16 ask #1), the same bound that makes the set broadcastable on
+    * the batch side. */
   final case class CentroidLit(cid: Long, cemb: Array[Double],
       cnorm: Double)
 

@@ -446,4 +446,44 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition(vec_id"),
       "the PQ encode must aggregate, not window-sort:\n" + p)
   }
+
+  test("ann_topk_pq_rerank: one plan — codes-scan prefilter feeding an equi-join rescore, no product, no encode window (r16 #2)") {
+    operators.Staged.reset(spark)
+    val p = plan("ann_topk_pq_rerank")
+    // the rescore joins the bounded candidate ids back against the
+    // staged quantized table on neighbor_id — an equi hash join; the
+    // only NLJs are the codebook/offset broadcasts the ADC stage owns
+    assert(p.contains("BroadcastHashJoin"),
+      "rescore must equi-join the candidate ids:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "no unbroadcast product anywhere:\n" + p)
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      "the PQ encode must aggregate, not window-sort:\n" + p)
+  }
+
+  test("ann_topk_ivf_capped / ann_topk_pq_capped: the cap plans as a TakeOrdered over rule ids, no product (r16 #1)") {
+    operators.Staged.reset(spark)
+    // the smallest-K set definition itself — inside the staged index
+    // build, so asserted on the set plan directly (the consumer plan
+    // only sees the staged scan): a TakeOrderedAndProject per-partition
+    // heap over the rule-filtered scan, never a global sort
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .withColumn("emb", col("embedding"))
+    val cents = operators.IvfConfig(maxCentroids = Some(3L)).centroidSet(e)
+    assert(cents.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"),
+      "capped centroid set must plan as a per-partition heap:\n" +
+        cents.queryExecution.executedPlan)
+    val cws = operators.PqConfig(maxCodewords = Some(6L)).codewordSet(e)
+    assert(cws.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"),
+      "capped codeword set must plan as a per-partition heap:\n" +
+        cws.queryExecution.executedPlan)
+    for (q <- Seq("ann_topk_ivf_capped", "ann_topk_pq_capped")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: no unbroadcast product anywhere:\n" + p)
+    }
+  }
 }

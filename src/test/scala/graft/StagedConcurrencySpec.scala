@@ -184,4 +184,68 @@ class StagedConcurrencySpec extends AnyFunSuite {
       Staged.reset(spark)
     }
   }
+
+  test("format migration vs concurrent publish: a winner landing in the window is honored, never renamed aside (r16 verdict #3 i)") {
+    // the race the re-confirm closes: A's move fails on a PRE-MANIFEST-
+    // format dir, A reads the manifest (absent) — and between that miss
+    // and A's renameAside, racer B renames the old dir aside itself and
+    // LANDS a completed publish at the target. Without the re-confirm, A
+    // renames B's freshly published table aside, breaking every segment
+    // path B's already-returned DataFrame carries. With it, A honors B
+    // as the winner: B's manifest stays at the target, B's frame stays
+    // readable, and the ONLY .stale-* sibling is the genuine old-format
+    // dir B moved.
+    val root = Files.createTempDirectory("conc_root_fmt").toString
+    val dir = freshDir()
+    writeDocs(dir, 0 until 25, append = false)
+    Staged.evict(spark)
+    Staged.enablePersist(root)
+    val sB = spark.newSession()
+    def stage(s: org.apache.spark.sql.SparkSession) =
+      Staged.appendable(s, dir, "conc@fmt", "documents", "doc_id")(
+        docs => docs.selectExpr("doc_id", "length(text) AS n")) {
+        s.read.parquet(s"$dir/documents.parquet")
+          .selectExpr("doc_id", "length(text) AS n")
+      }
+    try {
+      // plant the stage-kind-changed relic: a manifest-less dir with a
+      // sentinel file at the exact publish target
+      val target = Staged.stageTargetPath(root, dir, "conc@fmt")
+      Files.createDirectories(target)
+      Files.writeString(target.resolve("old-format-relic"), "relic")
+      var bFrame: Option[org.apache.spark.sql.DataFrame] = None
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      Staged.onFormatMigrationWindow = () =>
+        if (fired.compareAndSet(false, true)) {
+          // racer B resolves the same stage INSIDE A's window; B's own
+          // publish hits the same relic, re-confirms (still absent —
+          // the seam only fires once), renames the relic aside, lands
+          bFrame = Some(stage(sB))
+          assert(bFrame.get.count() === 25L, "B must land a full publish")
+        }
+      val a = stage(spark)
+      assert(a.count() === 25L, "A must read the winner's table")
+      // B's manifest is live at the target — A did NOT rename it aside
+      assert(Files.exists(target.resolve("_GRAFT_STAGE")),
+        "the winner's manifest must survive at the target")
+      assert(bFrame.get.count() === 25L,
+        "B's already-returned frame must stay readable after A resolves")
+      import scala.jdk.CollectionConverters._
+      val listing = Files.list(target.getParent)
+      val siblings = try listing.iterator().asScala
+        .map(_.getFileName.toString).toList finally listing.close()
+      val stales = siblings.filter(_.contains(".stale-"))
+      assert(stales.size === 1,
+        s"exactly one .stale-* (the relic), not the winner: $siblings")
+      assert(Files.exists(target.getParent.resolve(stales.head)
+          .resolve("old-format-relic")),
+        "the renamed-aside dir must be the genuine old-format relic")
+      assertManifestsLive(root)
+    } finally {
+      Staged.onFormatMigrationWindow = () => ()
+      Staged.disablePersist()
+      Staged.evict(sB)
+      Staged.reset(spark)
+    }
+  }
 }

@@ -1019,6 +1019,164 @@ class StagedIncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("capped frozen quantizer: founding keeps the smallest-K rule ids; monotone drops record NOTHING; sub-threshold ids still probe (r16 verdict #1)") {
+    import spark.implicits._
+    import operators.{IvfConfig, SimilarityQueries}
+    val dir = freshDir()
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat / 6f)
+    def writeEmb(rows: Seq[(Long, Array[Float])], append: Boolean): Unit =
+      rows.map { case (id, e) => (id, e, (id % 5).toInt) }
+        .toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    writeEmb((0 until 40).map(i => (i.toLong, vec(i))), append = false)
+    val cfg = IvfConfig(centroidEvery = 10, centroidKey = 7,
+      frozen = true, maxCentroids = Some(2L))
+    val stage = "ivf_centroids.v2@10:7:2:k2"
+    def centIds(c: IvfConfig): Set[Long] =
+      SimilarityQueries.frozenCentroids(spark, dir, c)
+        .select("cid").collect().map(_.getLong(0)).toSet
+    Staged.evict(spark)
+    Staged.enablePersist(Files.createTempDirectory("inc_cap").toString)
+    try {
+      // founding: smallest-2 of the rule ids {7,17,27,37} — the capped
+      // set is {7,17}; 27/37 are neither live nor recorded (a capped
+      // re-train could never include them: ids only accrete, so the
+      // 2nd-smallest threshold only DECREASES below 17)
+      assert(centIds(cfg) === Set(7L, 17L),
+        "capped founding keeps the smallest-K rule ids")
+      // the normal crawl drop: monotone ids, INCLUDING rule id 47.
+      // 47 > threshold 17 → dropped before recording: the delta is
+      // accepted with the prior table unchanged, no drift probe at all
+      writeEmb((40 until 55).map(i => (i.toLong, vec(i))), append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(centIds(cfg) === Set(7L, 17L),
+        "a monotone drop can never touch the capped frozen set")
+      assert(modes(stage) === Seq("delta"), s"${Staged.buildLogSnapshot}")
+      // PROOF nothing was recorded: a cluster landing exactly ON vec(47)
+      // — the drop that re-founds the uncapped accumulate lineage —
+      // cannot drift a capped stage that never recorded 47 (the drop
+      // itself carries no sub-threshold rule id either). Even at
+      // driftFractionMax = 0 the delta is accepted.
+      val tight0 = cfg.copy(driftFractionMax = 0.0)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(centIds(tight0) === Set(7L, 17L)) // founds its own lineage
+      writeEmb((300 until 306).map(i => (i.toLong, vec(47))),
+        append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(centIds(tight0) === Set(7L, 17L))
+      assert(modes(s"$stage:d0.0") === Seq("delta"),
+        s"a never-recorded candidate must not drift the capped lineage: " +
+          s"${Staged.buildLogSnapshot}")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("capped frozen quantizer: an out-of-order id BELOW the threshold still records and probes (r16 verdict #1)") {
+    import spark.implicits._
+    import operators.{IvfConfig, SimilarityQueries}
+    val dir = freshDir()
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat / 6f)
+    def writeEmb(rows: Seq[(Long, Array[Float])], append: Boolean): Unit =
+      rows.map { case (id, e) => (id, e, (id % 5).toInt) }
+        .toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    // founding corpus MISSING the early rule ids: only {37,47} match the
+    // rule, so the capped live set is {37,47} and the smallest-2
+    // threshold is 47 — a later drop CAN deliver rule ids below it
+    writeEmb((30 until 50).map(i => (i.toLong, vec(i))), append = false)
+    val cfg = IvfConfig(centroidEvery = 10, centroidKey = 7,
+      frozen = true, maxCentroids = Some(2L), driftFractionMax = 0.0)
+    val stage = "ivf_centroids.v2@10:7:2:k2:d0.0"
+    def centIds(): Set[Long] =
+      SimilarityQueries.frozenCentroids(spark, dir, cfg)
+        .select("cid").collect().map(_.getLong(0)).toSet
+    Staged.evict(spark)
+    Staged.enablePersist(Files.createTempDirectory("inc_ooo").toString)
+    try {
+      assert(centIds() === Set(37L, 47L))
+      // the out-of-order drop: rule id 7 < threshold 47 — a capped
+      // re-train WOULD include it (smallest-2 of {7,37,47} = {7,37}),
+      // so it must be recorded and probed; vec(7)'s own capture is
+      // 1/|drop| > 0 drift → the zero-tolerance lineage re-founds over
+      // the grown corpus under the cap
+      writeEmb(Seq((7L, vec(7)), (8L, vec(8)), (9L, vec(9))),
+        append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(centIds() === Set(7L, 37L),
+        "the capped re-found keeps the smallest-K over the grown corpus")
+      assert(modes(stage) === Seq("delta-refused", "cold"),
+        s"a sub-threshold rule id must probe (and here re-found): " +
+          s"${Staged.buildLogSnapshot}")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("capped frozen PQ codebook: codes delta-encode under the cap; the distance table is config-sized (r16 verdict #1)") {
+    import spark.implicits._
+    import operators.{PqConfig, SimilarityQueries}
+    val dir = freshDir()
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat / 6f)
+    def writeEmb(rows: Seq[(Long, Array[Float])], append: Boolean): Unit =
+      rows.map { case (id, e) => (id, e, (id % 5).toInt) }
+        .toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    writeEmb((0 until 40).map(i => (i.toLong, vec(i))), append = false)
+    val cfg = PqConfig(cwEvery = 10, cwKey = 7,
+      frozen = true, maxCodewords = Some(2L))
+    def cwIds(): Set[Long] =
+      SimilarityQueries.frozenPqCodebook(spark, dir, cfg)
+        .select("cw_id").collect().map(_.getLong(0)).toSet
+    def codeRows(): Set[(Long, Long, Long)] =
+      SimilarityQueries.pqCodes(spark, dir, cfg).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def codesModes: Seq[(String, String)] = Staged.buildLogSnapshot.collect {
+      case (s, m) if s.startsWith("pq_codes@10:7:8x8:k2+frz") => (s, m)
+    }
+    Staged.evict(spark)
+    Staged.enablePersist(Files.createTempDirectory("inc_pqcap").toString)
+    try {
+      assert(cwIds() === Set(7L, 17L),
+        "capped founding keeps the smallest-K rule ids")
+      val baseCodes = codeRows()
+      assert(baseCodes.size === 40 * 8)
+      assert(baseCodes.forall(r => Set(7L, 17L).contains(r._3)))
+      // monotone drop with rule id 47: above the threshold — dropped
+      // before recording, codebook untouched, codes delta-encode the
+      // drop against exactly maxCodewords codewords
+      writeEmb((40 until 55).map(i => (i.toLong, vec(i))), append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val grown = codeRows()
+      assert(cwIds() === Set(7L, 17L))
+      assert(modes("pq_codebook@10:7:8x8:k2") === Seq("delta"),
+        s"${Staged.buildLogSnapshot}")
+      assert(codesModes.map(_._2) === Seq("delta"),
+        s"codes must delta-encode under the cap: ${Staged.buildLogSnapshot}")
+      assert(baseCodes.subsetOf(grown))
+      val newRows = grown -- baseCodes
+      assert(newRows.size === 15 * 8)
+      assert(newRows.forall(r => Set(7L, 17L).contains(r._3)),
+        s"new codes reference only the capped codebook: ${newRows.take(5)}")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
   test("empty founding rule set: the first candidate drop reads drift 1.0 and re-founds, never silently staying empty (r16 review)") {
     // An empty-founded index must never silently stay empty: before the
     // fix, bn-vs-NULL read as "not moved", drift 0.0, and an

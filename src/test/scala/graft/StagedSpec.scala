@@ -157,4 +157,70 @@ class StagedSpec extends AnyFunSuite {
     assert(before.exists(id => !after.contains(id)),
       s"evict freed no auto-pinned blocks: before=$before after=$after")
   }
+
+  test("disjointness memo keys on full name:size:mtime entries — an in-place rewrite re-probes, never reuses a cached verdict (r16 verdict #3 iii)") {
+    // the cross-function hazard the full-entry key removes: a path-only
+    // key made memo safety depend on findDeltaBase never admitting an
+    // in-place rewrite — probe the gate DIRECTLY with the same part-file
+    // NAMES but rewritten bytes and assert the second call re-probes
+    // (and refuses the now-overlapping keys) instead of serving the
+    // first call's cached `true`.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    Staged.evict(spark) // clear the memo
+    val dir = Files.createTempDirectory("memo_dir").toString
+    val srcRoot = Paths.get(dir, "src.parquet")
+    Files.createDirectories(srcRoot)
+    def write(name: String, ids: Seq[Long], mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("memo_part")
+      ids.toDF("doc_id").coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val s = Files.list(tmp)
+      val part = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+      } finally s.close()
+      Files.move(part, srcRoot.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(srcRoot.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      ()
+    }
+    def entry(name: String): String = {
+      val p = srcRoot.resolve(name)
+      s"$name:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    }
+    val t0 = 1700000000000L
+    write("old.parquet", 0L to 9L, t0)
+    write("new.parquet", 100L to 109L, t0 + 1000L)
+    val oldE = Seq(entry("old.parquet"))
+    // disjoint ids: the probe passes and caches `true` for THESE entries
+    Staged.assertDisjointAppend(spark, "doc_id", dir, "src",
+      oldE, Seq(entry("new.parquet")))
+    // in-place rewrite under the SAME name: overlapping ids, new mtime
+    write("new.parquet", 0L to 5L, t0 + 2000L)
+    intercept[Staged.DeltaUnsupported] {
+      Staged.assertDisjointAppend(spark, "doc_id", dir, "src",
+        oldE, Seq(entry("new.parquet")))
+    }
+    // and the same listing entries as the FIRST call still hit the memo
+    // contract: identical entries → identical verdict (no throw)
+    write("new.parquet", 100L to 109L, t0 + 1000L)
+    Staged.assertDisjointAppend(spark, "doc_id", dir, "src",
+      oldE, Seq(entry("new.parquet")))
+  }
+
+  test("StageBench drop-prefix family is mutually prefix-free across ALL indices, including 0 (r16 verdict #3 iv)") {
+    // the old bare `zx` of idx=0 WAS a prefix of `zx01_` — an original
+    // corpus token starting `01_…` aliased a drop-1 token, weakening the
+    // append-chain bench's word-disjointness. The fixed-width,
+    // terminator-delimited form holds for any index width (the `_`
+    // terminator can never equal a digit).
+    val pfx = (0 until 120).map(StageBench.dropPrefix)
+    assert(pfx.distinct.size === pfx.size)
+    for (i <- pfx.indices; j <- pfx.indices if i != j)
+      assert(!pfx(j).startsWith(pfx(i)),
+        s"${pfx(i)} (idx $i) prefixes ${pfx(j)} (idx $j)")
+  }
 }
