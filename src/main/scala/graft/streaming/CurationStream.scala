@@ -710,6 +710,37 @@ object CurationStream {
   final case class VecVerdict(vecId: Long, cid: Long, fetchTs: Timestamp,
       kept: Boolean, dupOf: Long)
 
+  /** [[VecVerdict]] plus the vector's PQ codes against a frozen codebook
+    * (r16 verdict ask #8, [[semDedupGateCoded]]): `codes(s)` is the
+    * winning codeword id of subspace `s` (8 subspaces × 8 dims — the
+    * batch `pq_codes` row set pivoted to one array), byte-identical to
+    * the batch encode by construction; empty for a mis-dimensioned
+    * vector (which the batch corpus never carries). */
+  final case class VecVerdictCoded(vecId: Long, cid: Long,
+      fetchTs: Timestamp, kept: Boolean, dupOf: Long, codes: Array[Long])
+
+  /** A frozen-codebook codeword shipped into the stream's closure —
+    * [[CentroidLit]]'s discipline for the PQ side (bounded by
+    * `PqConfig.maxCodewords` under a capped config). */
+  final case class CodewordLit(cwId: Long, cv: Array[Byte])
+
+  /** Load the staged frozen PQ codebook for [[semDedupGateCoded]]: one
+    * bounded driver-side collect. Requires a frozen [[graft.operators
+    * .PqConfig]] — under the rule-over-current-corpus default the
+    * codebook moves on every append, and codes emitted against a moving
+    * codebook could never join the staged `pq_codes` table. */
+  def frozenPqCodewordLits(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cfg: graft.operators.PqConfig): Seq[CodewordLit] = {
+    require(cfg.frozen, "semDedupGateCoded needs a FROZEN codebook: " +
+      "rule-derived codewords drift under growth, so streamed codes " +
+      "would not be index-ready rows of the staged codes table")
+    graft.operators.SimilarityQueries.frozenPqCodebook(spark, dir, cfg)
+      .collect()
+      .map(r => CodewordLit(r.getLong(0),
+        r.getSeq[Double](1).map(_.toByte).toArray))
+      .sortBy(_.cwId).toSeq
+  }
+
   /** A frozen-quantizer centroid shipped into the stream's closure —
     * nlist rows by config (a CONSTANT under `IvfConfig.maxCentroids`,
     * r16 ask #1), the same bound that makes the set broadcastable on
@@ -742,7 +773,8 @@ object CurationStream {
     * comparing against keepers that were assigned under different cells;
     * old entries evict via their event-time timers within a horizon. */
   private[streaming] final case class CellProbe(cellKey: String,
-      cid: Long, vecId: Long, q8: Array[Byte], fetchTs: Timestamp)
+      cid: Long, vecId: Long, q8: Array[Byte], fetchTs: Timestamp,
+      codes: Array[Long])
 
   /** A registered occupant of a cell: id, event time, quantized vector
     * (64 bytes at the test dims — state per cell is rate × horizon of
@@ -762,7 +794,7 @@ object CurationStream {
     * star-collapses degenerate cells; here the horizon is the bound). */
   private[streaming] class CellRegistryProcessor(horizonMs: Long,
       dotFloor: Long)
-      extends StatefulProcessor[String, CellProbe, VecVerdict] {
+      extends StatefulProcessor[String, CellProbe, VecVerdictCoded] {
     @transient private var reg
         : org.apache.spark.sql.streaming.ListState[CellKeeper] = _
 
@@ -785,7 +817,7 @@ object CurationStream {
       }
 
     override def handleInputRows(key: String, rows: Iterator[CellProbe],
-        timerValues: TimerValues): Iterator[VecVerdict] = {
+        timerValues: TimerValues): Iterator[VecVerdictCoded] = {
       // same-batch determinism: earliest (fetchTs, vecId) first, so one
       // micro-batch decides exactly like arrival over separate batches
       val sorted = rows.toSeq.sortBy(p => (p.fetchTs.getTime, p.vecId))
@@ -806,15 +838,15 @@ object CurationStream {
         keepers += reg0
         reg.appendValue(reg0)
         getHandle.registerTimer(ts + 2 * horizonMs)
-        VecVerdict(p.vecId, p.cid, p.fetchTs, kept,
-          if (kept) p.vecId else dupOf)
+        VecVerdictCoded(p.vecId, p.cid, p.fetchTs, kept,
+          if (kept) p.vecId else dupOf, p.codes)
       }
       out.iterator
     }
 
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
-        : Iterator[VecVerdict] = {
+        : Iterator[VecVerdictCoded] = {
       // a later registration arms a newer timer for the key; this firing
       // may only evict the entries it really covers
       val expiry = expiredTimerInfo.getExpiryTimeInMs()
@@ -842,6 +874,35 @@ object CurationStream {
       horizonMs: Long = 3600000L,
       dotFloor: Long = graft.operators.SemDedupConfig.Default.dotFloor)
       : Dataset[VecVerdict] = {
+    import vecs.sparkSession.implicits._
+    gateVerdicts(vecs, centroids, horizonMs, dotFloor, Array.empty)
+      .map(v => VecVerdict(v.vecId, v.cid, v.fetchTs, v.kept, v.dupOf))
+  }
+
+  /** [[semDedupGate]] emitting INDEX-READY rows (r16 verdict ask #8):
+    * each verdict carries the vector's PQ codes against the frozen
+    * codebook — the same per-row transform the batch `pq_codes` stage
+    * runs (exact integer L2 over pre-sliced subspaces, ties to the
+    * smaller codeword id), so a streaming intake can feed both the
+    * canonical sink and the ANN index without a second batch encode
+    * pass. Byte-identical to the batch codes, spec-pinned. */
+  def semDedupGateCoded(vecs: Dataset[VecIn],
+      centroids: Seq[CentroidLit], codebook: Seq[CodewordLit],
+      horizonMs: Long = 3600000L,
+      dotFloor: Long = graft.operators.SemDedupConfig.Default.dotFloor)
+      : Dataset[VecVerdictCoded] = {
+    require(codebook.nonEmpty, "semDedupGateCoded needs a non-empty " +
+      "frozen codebook (frozenPqCodewordLits)")
+    gateVerdicts(vecs, centroids, horizonMs, dotFloor,
+      codebook.sortBy(_.cwId).toArray)
+  }
+
+  /** The shared gate core: assign → quantize → (optionally) PQ-encode →
+    * per-cell keeper registry. `pq` empty = no encode (the plain gate's
+    * shape, codes ride empty). */
+  private def gateVerdicts(vecs: Dataset[VecIn],
+      centroids: Seq[CentroidLit], horizonMs: Long, dotFloor: Long,
+      pq: Array[CodewordLit]): Dataset[VecVerdictCoded] = {
     import vecs.sparkSession.implicits._
     require(horizonMs > 0, s"horizonMs must be positive: $horizonMs")
     require(dotFloor > 0, s"dotFloor must be positive: $dotFloor")
@@ -885,7 +946,36 @@ object CurationStream {
         i += 1
       }
       val cid = cents(best).cid
-      CellProbe(s"$prefix#$cid", cid, v.vecId, q8, v.fetchTs)
+      // PQ encode against the frozen codebook — the batch
+      // pqEncodeTransform's exact arithmetic per (vector, subspace):
+      // integer L2 via ||a-b||^2 = a.a + b.b - 2 a.b over the 8-dim
+      // slice, winner (dist asc, cw_id asc). Mis-dimensioned vectors
+      // emit NO codes (the batch corpus never carries them; an empty
+      // array is an honest "not encodable", never a prefix encode).
+      val codes: Array[Long] =
+        if (pq.isEmpty || q8.length != 64) Array.emptyLongArray
+        else Array.tabulate(8) { s =>
+          val off = s * 8
+          var bestDist = Long.MaxValue
+          var bestCw = Long.MaxValue
+          var w = 0
+          while (w < pq.length) {
+            val cv = pq(w).cv
+            var d2 = 0L
+            var j = 0
+            while (j < 8) {
+              val diff = q8(off + j).toLong - cv(off + j).toLong
+              d2 += diff * diff
+              j += 1
+            }
+            // strict <: ties keep the earlier (smaller) cwId — pq is
+            // sorted, matching the batch min(struct(dist, cw_id))
+            if (d2 < bestDist) { bestDist = d2; bestCw = pq(w).cwId }
+            w += 1
+          }
+          bestCw
+        }
+      CellProbe(s"$prefix#$cid", cid, v.vecId, q8, v.fetchTs, codes)
     }
     probes
       .withWatermark("fetchTs", s"$horizonMs milliseconds")

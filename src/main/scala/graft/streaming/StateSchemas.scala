@@ -60,7 +60,10 @@ object StateSchemas {
     * cell-mates only under the OLD cells; stale entries evict via their
     * event-time timers within a horizon. `horizonMs`/`dotFloor` stay out
     * of the key — they shift verdicts, not key identity (same reasoning
-    * as horizonMs above). */
+    * as horizonMs above). r17's `semDedupGateCoded` (streamed PQ codes)
+    * leaves the STATE schema — and this version — unchanged: codes ride
+    * the operator's input/output rows only, never the keeper registry,
+    * so existing checkpoints restore under either gate variant. */
   val SemGateCellKeyVersion: Int = 1
   /** Delegates to the ONE id-set digest the frozen-family stage keys
     * use — shared code, so the stream's keyspace cannot drift from the

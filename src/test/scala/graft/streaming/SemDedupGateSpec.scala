@@ -168,6 +168,215 @@ class SemDedupGateSpec extends AnyFunSuite {
     }
   }
 
+  test("composed re-founding lifecycle: a mid-stream re-found + checkpoint restart decides like a fresh replay, and old-prefix state evicts within a horizon (r16 verdict #4)") {
+    // The operational flow asserted END TO END (previously only
+    // piecewise): a gate runs against founding centroids; the corpus
+    // takes a drifted drop that REFUSES the frozen delta and re-founds
+    // the quantizer (staged delta-refused -> cold, digest moves); the
+    // STREAM restarts from its checkpoint with the new centroid set.
+    // Every post-restart decision must equal a fresh-start replay of the
+    // post-restart inputs (the digest-prefixed keyspace makes old-cell
+    // keepers unreachable — no decision is ever made against mixed cell
+    // definitions), and the old-prefix state must evict via its
+    // event-time timers within one horizon of the stream moving on.
+    val dir = freshCorpus()
+    Staged.evict(spark)
+    val stageRoot =
+      java.nio.file.Files.createTempDirectory("sg_refound_stage").toString
+    Staged.enablePersist(stageRoot)
+    val cfgF = IvfConfig(centroidEvery = 10, centroidKey = 7,
+      frozen = true, driftFractionMax = 0.0)
+    val centStage = "ivf_centroids.v2@10:7:2:d0.0"
+    def centModes: Seq[String] = Staged.buildLogSnapshot.collect {
+      case (s, m) if s == centStage => m }
+    try {
+      val cents1 = CurationStream.frozenCentroidLits(spark, dir, cfgF)
+      assert(cents1.map(_.cid).toSet === Set(7L, 17L, 27L, 37L))
+      withRocksDb {
+        val ckpt =
+          java.nio.file.Files.createTempDirectory("sg_rf_ckpt").toString
+        val outDir =
+          java.nio.file.Files.createTempDirectory("sg_rf_out").toString
+        def start(input: MemoryStream[CurationStream.VecIn],
+            cents: Seq[CurationStream.CentroidLit]) =
+          CurationStream.semDedupGate(input.toDS(), cents).writeStream
+            .outputMode("append").format("parquet")
+            .option("path", outDir).option("checkpointLocation", ckpt)
+            .start()
+        // phase 1: two keepers registered under the FOUNDING prefix
+        val batch1 = Seq(
+          CurationStream.VecIn(1L, vec(5), ts("2024-05-01 10:00:00")),
+          CurationStream.VecIn(2L, vec(12), ts("2024-05-01 10:00:01")))
+        val input1 = MemoryStream[CurationStream.VecIn]
+        val q1 = start(input1, cents1)
+        try {
+          input1.addData(batch1: _*)
+          q1.processAllAvailable()
+          assert(spark.read.parquet(outDir).count() === 2)
+        } finally q1.stop()
+        // the RE-FOUND, mid-stream: a drifted crawl drop (every vector a
+        // copy of new rule id 107's) refuses the zero-tolerance frozen
+        // delta and re-trains over the grown corpus
+        import spark.implicits._
+        (100 until 110).map(i => (i.toLong, vec(107), (i % 5).toInt))
+          .toDF("vec_id", "embedding", "label").repartition(2)
+          .write.mode("append").parquet(s"$dir/embeddings.parquet")
+        Staged.reset(spark)
+        Staged.clearBuildLog()
+        val cents2 = CurationStream.frozenCentroidLits(spark, dir, cfgF)
+        assert(centModes === Seq("delta-refused", "cold"),
+          s"the drop must refuse the frozen delta and re-found: " +
+            s"${Staged.buildLogSnapshot}")
+        assert(cents2.map(_.cid).toSet === Set(7L, 17L, 27L, 37L, 107L))
+        assert(StateSchemas.semGateCellPrefix(cents1.map(_.cid)) !==
+          StateSchemas.semGateCellPrefix(cents2.map(_.cid)),
+          "a re-founding must move the stream's state-key prefix")
+        // phase 2: restart FROM THE CHECKPOINT with the re-founded set.
+        // Post-restart inputs: a twin of phase-1 keeper 1 (id 10, still
+        // inside phase 1's horizon), an intra-batch near-dup pair
+        // (140/141), and an unrelated vector.
+        val post = Seq(
+          CurationStream.VecIn(10L, vec(5), ts("2024-05-01 10:20:00")),
+          CurationStream.VecIn(140L, vec(107), ts("2024-05-01 10:20:01")),
+          CurationStream.VecIn(141L, vec(107), ts("2024-05-01 10:20:02")),
+          CurationStream.VecIn(12L, vec(30), ts("2024-05-01 10:20:03")))
+        val input2 = MemoryStream[CurationStream.VecIn]
+        input2.addData(batch1: _*) // committed offsets — not reprocessed
+        val q2 = start(input2, cents2)
+        val (postRows, evictedRows) =
+          try {
+            input2.addData(post: _*)
+            q2.processAllAvailable()
+            val afterPost = q2.lastProgress.stateOperators
+              .map(_.numRowsTotal).sum
+            // drive the watermark one horizon past EVERYTHING above
+            // (14:00 - 1h = 13:00 > every ts + 2x1h horizon except its
+            // own), then one more batch so the fired timers' eviction is
+            // visible in the progress metrics
+            input2.addData(CurationStream.VecIn(900L, vec(9),
+              ts("2024-05-01 14:00:00")))
+            q2.processAllAvailable()
+            input2.addData(CurationStream.VecIn(901L, vec(21),
+              ts("2024-05-01 14:00:01")))
+            q2.processAllAvailable()
+            val afterEvict = q2.lastProgress.stateOperators
+              .map(_.numRowsTotal).sum
+            (afterPost, afterEvict)
+          } finally q2.stop()
+        // eviction: the restored old-prefix keepers (and the already-
+        // expired new-prefix ones) are gone within a horizon of the
+        // stream moving on — state is bounded by rate x horizon, never
+        // by history
+        assert(evictedRows < postRows,
+          s"old-prefix state must evict: $postRows -> $evictedRows")
+        assert(evictedRows <= 2L,
+          s"only the fresh keepers may remain: $evictedRows")
+        val restarted = spark.read.parquet(outDir)
+          .as[CurationStream.VecVerdict].collect()
+          .filter(v => post.map(_.vecId).contains(v.vecId))
+          .map(v => v.vecId -> (v.cid, v.kept, v.dupOf)).toMap
+        // fresh-start replay of ONLY the post-restart inputs under the
+        // re-founded set: decisions must be IDENTICAL — the restart
+        // carried no decision across the re-founding
+        val input3 = MemoryStream[CurationStream.VecIn]
+        val q3 = CurationStream.semDedupGate(input3.toDS(), cents2)
+          .writeStream.outputMode("append").format("memory")
+          .queryName("sg_rf_fresh").start()
+        val fresh =
+          try {
+            input3.addData(post: _*)
+            q3.processAllAvailable()
+            spark.table("sg_rf_fresh")
+              .as[CurationStream.VecVerdict].collect()
+              .map(v => v.vecId -> (v.cid, v.kept, v.dupOf)).toMap
+          } finally q3.stop()
+        assert(restarted === fresh,
+          s"post-restart decisions must equal a fresh replay\n" +
+            s"restarted: $restarted\nfresh: $fresh")
+        // and the pair decision is the meaningful one: 141 dropped
+        // against 140 inside the NEW cell 107; the phase-1 twin (10) is
+        // KEPT — the old keeper is unreachable by construction
+        assert(fresh(141L) === ((107L, false, 140L)))
+        assert(fresh(10L)._2 === true)
+      }
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("semDedupGateCoded: streamed PQ codes are byte-identical to the batch pq_codes rows; decisions unchanged (r16 verdict #8)") {
+    import graft.operators.PqConfig
+    val dir = freshCorpus()
+    Staged.reset(spark)
+    val pqCfg = PqConfig(cwEvery = 10, cwKey = 7, frozen = true)
+    val cents = CurationStream.frozenCentroidLits(spark, dir, cfg)
+    val cws = CurationStream.frozenPqCodewordLits(spark, dir, pqCfg)
+    assert(cws.map(_.cwId) === Seq(7L, 17L, 27L, 37L))
+    // the batch index rows the stream must reproduce: (vec_id, off, code)
+    val batch = SimilarityQueries.pqCodes(spark, dir, pqCfg).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    withRocksDb {
+      val input = MemoryStream[CurationStream.VecIn]
+      val q = CurationStream.semDedupGateCoded(input.toDS(), cents, cws)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sg_coded").start()
+      val coded =
+        try {
+          input.addData(all.zipWithIndex.map { case ((id, e), i) =>
+            CurationStream.VecIn(id, e,
+              ts(f"2024-05-01 10:00:${i % 60}%02d"))
+          }.toSeq: _*)
+          q.processAllAvailable()
+          spark.table("sg_coded")
+            .as[CurationStream.VecVerdictCoded].collect()
+        } finally q.stop()
+      assert(coded.length === all.length)
+      for (v <- coded) {
+        assert(v.codes.length === 8, s"vec ${v.vecId}: 8 subspace codes")
+        for (s <- 0 until 8)
+          assert(v.codes(s) === batch((v.vecId, s * 8 + 1L)),
+            s"vec ${v.vecId} subspace $s: streamed ${v.codes(s)} != " +
+              s"batch ${batch((v.vecId, s * 8 + 1L))}")
+      }
+      // codes are a pure add-on: the verdicts equal the plain gate's on
+      // the same replay
+      val input2 = MemoryStream[CurationStream.VecIn]
+      val q2 = CurationStream.semDedupGate(input2.toDS(), cents)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sg_plain").start()
+      val plain =
+        try {
+          input2.addData(all.zipWithIndex.map { case ((id, e), i) =>
+            CurationStream.VecIn(id, e,
+              ts(f"2024-05-01 10:00:${i % 60}%02d"))
+          }.toSeq: _*)
+          q2.processAllAvailable()
+          spark.table("sg_plain").as[CurationStream.VecVerdict].collect()
+            .map(v => v.vecId -> (v.cid, v.kept, v.dupOf)).toMap
+        } finally q2.stop()
+      assert(coded.map(v => v.vecId -> (v.cid, v.kept, v.dupOf)).toMap
+        === plain, "the coded gate must decide exactly like the plain one")
+      // a mis-dimensioned vector emits NO codes (never a prefix encode)
+      val input3 = MemoryStream[CurationStream.VecIn]
+      val q3 = CurationStream.semDedupGateCoded(input3.toDS(), cents, cws)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sg_dim").start()
+      try {
+        input3.addData(CurationStream.VecIn(999L, vec(5).take(32),
+          ts("2024-05-01 10:00:00")))
+        q3.processAllAvailable()
+        val v = spark.table("sg_dim")
+          .as[CurationStream.VecVerdictCoded].collect().head
+        assert(v.codes.isEmpty,
+          s"a 32-dim vector must not prefix-encode: ${v.codes.toSeq}")
+      } finally q3.stop()
+    }
+  }
+
   test("semantic gate: cell registry survives a checkpointed restart") {
     // a paraphrase re-crawl arriving AFTER a restart must still dot
     // against the keeper registered BEFORE it — RocksDB state restore
