@@ -128,10 +128,12 @@ object ScaleBench {
     // packing — wall should stay flat-ish as the corpus replicates
     "length_band" -> "length_band_filter")
 
-  /** The approximate ANN variants whose recall the scale rows report. */
+  /** The approximate ANN variants whose recall the scale rows report
+    * (r17 adds the capped-cardinality quantizer and the PQ rerank rung —
+    * the two deployment shapes the r16 verdict asked for). */
   private[graft] val AnnVariants =
     Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivf_tuned",
-      "ann_topk_ivf_int8")
+      "ann_topk_ivf_int8", "ann_topk_ivf_capped", "ann_topk_pq_rerank")
 
   /** Mean recall@5 of each approximate ANN variant against the brute-force
     * gold standard ON `dir` — at scale the quality knobs (nlist, nprobe,

@@ -792,9 +792,14 @@ object CurationStream {
     * — bounded by crawl rate, never corpus size (the accumulated-corpus
     * quadratic hazard lives in the BATCH layer, where the hot-cell guard
     * star-collapses degenerate cells; here the horizon is the bound). */
-  private[streaming] class CellRegistryProcessor(horizonMs: Long,
-      dotFloor: Long)
-      extends StatefulProcessor[String, CellProbe, VecVerdictCoded] {
+  /** Output-generic (r17): the plain gate emits [[VecVerdict]] rows and
+    * the coded gate [[VecVerdictCoded]] through ONE decision body — a
+    * single-output processor plus a post-operator projection would pay
+    * an extra serialize/deserialize pass per verdict on the hot path,
+    * and the two variants' decisions must be one definition anyway. */
+  private[streaming] class CellRegistryProcessor[O](horizonMs: Long,
+      dotFloor: Long, mk: (CellProbe, Boolean, Long) => O)
+      extends StatefulProcessor[String, CellProbe, O] {
     @transient private var reg
         : org.apache.spark.sql.streaming.ListState[CellKeeper] = _
 
@@ -817,7 +822,7 @@ object CurationStream {
       }
 
     override def handleInputRows(key: String, rows: Iterator[CellProbe],
-        timerValues: TimerValues): Iterator[VecVerdictCoded] = {
+        timerValues: TimerValues): Iterator[O] = {
       // same-batch determinism: earliest (fetchTs, vecId) first, so one
       // micro-batch decides exactly like arrival over separate batches
       val sorted = rows.toSeq.sortBy(p => (p.fetchTs.getTime, p.vecId))
@@ -838,15 +843,14 @@ object CurationStream {
         keepers += reg0
         reg.appendValue(reg0)
         getHandle.registerTimer(ts + 2 * horizonMs)
-        VecVerdictCoded(p.vecId, p.cid, p.fetchTs, kept,
-          if (kept) p.vecId else dupOf, p.codes)
+        mk(p, kept, if (kept) p.vecId else dupOf)
       }
       out.iterator
     }
 
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
-        : Iterator[VecVerdictCoded] = {
+        : Iterator[O] = {
       // a later registration arms a newer timer for the key; this firing
       // may only evict the entries it really covers
       val expiry = expiredTimerInfo.getExpiryTimeInMs()
@@ -875,8 +879,8 @@ object CurationStream {
       dotFloor: Long = graft.operators.SemDedupConfig.Default.dotFloor)
       : Dataset[VecVerdict] = {
     import vecs.sparkSession.implicits._
-    gateVerdicts(vecs, centroids, horizonMs, dotFloor, Array.empty)
-      .map(v => VecVerdict(v.vecId, v.cid, v.fetchTs, v.kept, v.dupOf))
+    gateRun[VecVerdict](vecs, centroids, horizonMs, dotFloor, Array.empty,
+      (p, kept, dup) => VecVerdict(p.vecId, p.cid, p.fetchTs, kept, dup))
   }
 
   /** [[semDedupGate]] emitting INDEX-READY rows (r16 verdict ask #8):
@@ -891,18 +895,25 @@ object CurationStream {
       horizonMs: Long = 3600000L,
       dotFloor: Long = graft.operators.SemDedupConfig.Default.dotFloor)
       : Dataset[VecVerdictCoded] = {
+    import vecs.sparkSession.implicits._
     require(codebook.nonEmpty, "semDedupGateCoded needs a non-empty " +
       "frozen codebook (frozenPqCodewordLits)")
-    gateVerdicts(vecs, centroids, horizonMs, dotFloor,
-      codebook.sortBy(_.cwId).toArray)
+    gateRun[VecVerdictCoded](vecs, centroids, horizonMs, dotFloor,
+      codebook.sortBy(_.cwId).toArray,
+      (p, kept, dup) =>
+        VecVerdictCoded(p.vecId, p.cid, p.fetchTs, kept, dup, p.codes))
   }
 
   /** The shared gate core: assign → quantize → (optionally) PQ-encode →
-    * per-cell keeper registry. `pq` empty = no encode (the plain gate's
-    * shape, codes ride empty). */
-  private def gateVerdicts(vecs: Dataset[VecIn],
+    * per-cell keeper registry, emitting the caller's output row DIRECTLY
+    * from the processor (no post-operator projection pass). `pq` empty =
+    * no encode (the plain gate's shape, codes ride the shared empty
+    * array). */
+  private def gateRun[O: org.apache.spark.sql.Encoder](
+      vecs: Dataset[VecIn],
       centroids: Seq[CentroidLit], horizonMs: Long, dotFloor: Long,
-      pq: Array[CodewordLit]): Dataset[VecVerdictCoded] = {
+      pq: Array[CodewordLit],
+      mk: (CellProbe, Boolean, Long) => O): Dataset[O] = {
     import vecs.sparkSession.implicits._
     require(horizonMs > 0, s"horizonMs must be positive: $horizonMs")
     require(dotFloor > 0, s"dotFloor must be positive: $dotFloor")
@@ -980,7 +991,8 @@ object CurationStream {
     probes
       .withWatermark("fetchTs", s"$horizonMs milliseconds")
       .groupByKey(_.cellKey)
-      .transformWithState(new CellRegistryProcessor(horizonMs, dotFloor),
+      .transformWithState(
+        new CellRegistryProcessor[O](horizonMs, dotFloor, mk),
         "fetchTs", OutputMode.Append())
   }
 }
