@@ -37,7 +37,12 @@ import org.apache.spark.sql.streaming.Trigger
   *    assignment (map-only), int8 dot against the per-cell keeper
   *    registry on `transformWithState`; the frozen centroid stage is
   *    built ONCE before the passes (a deployment's index cost, not a
-  *    per-batch cost).
+  *    per-batch cost);
+  *  - `semc` (r17, r16 verdict ask #8): the CODED semantic gate —
+  *    same stream, same decisions, plus the per-vector PQ encode
+  *    against a frozen CAPPED codebook (maxCodewords = 64) in the
+  *    probe map, so the row prices "emit index-ready rows" against
+  *    the plain `sem` row's verdict-only cost.
   * All run on the RocksDB state store (the 100 TB state path; the
   * stateful modes require it). Run: `sbt "runMain graft.CurationBench"`;
   * env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE_X (default 10),
@@ -124,11 +129,13 @@ object CurationBench {
     val vecs = spark.read.parquet(vecDir).count()
     val frozenCents = CurationStream.frozenCentroidLits(spark, rep,
       graft.operators.IvfConfig(frozen = true))
+    val frozenCw = CurationStream.frozenPqCodewordLits(spark, rep,
+      graft.operators.PqConfig(frozen = true, maxCodewords = Some(64L)))
 
     def run(mode: String, pass: Int): Double = {
       val srcDir = mode match {
         case "burst" => burstDir
-        case "sem" => vecDir
+        case "sem" | "semc" => vecDir
         case _ => crawlDir
       }
       def readAs[T <: Product : scala.reflect.runtime.universe.TypeTag]() =
@@ -139,12 +146,14 @@ object CurationBench {
           .as[T](Encoders.product[T])
       val t0 = System.nanoTime()
       val q = mode match {
-        case "exact" | "near" | "burst" | "sem" =>
+        case "exact" | "near" | "burst" | "sem" | "semc" =>
           val out = mode match {
             case "exact" => CurationStream.curate(readAs[DocIn]())
             case "near" | "burst" => CurationStream.nearDedup(readAs[DocIn]())
             case "sem" => CurationStream.semDedupGate(
               readAs[CurationStream.VecIn](), frozenCents)
+            case "semc" => CurationStream.semDedupGateCoded(
+              readAs[CurationStream.VecIn](), frozenCents, frozenCw)
           }
           out.writeStream.outputMode("append").format("parquet")
             .option("path", s"$work/out_${mode}_$pass")
@@ -162,7 +171,8 @@ object CurationBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val modes = Seq("exact", "near", "canon", "canonc", "burst", "sem")
+    val modes =
+      Seq("exact", "near", "canon", "canonc", "burst", "sem", "semc")
     val times: Map[String, Seq[Double]] = {
       val all = for { pass <- 1 to passes; m <- modes } yield m -> run(m, pass)
       all.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
@@ -180,9 +190,15 @@ object CurationBench {
         .count(),
       // sem emits a verdict per vector; "kept" is the gate's keep count
       "sem" -> spark.read.parquet(s"$work/out_sem_1")
-        .filter(col("kept")).count())
+        .filter(col("kept")).count(),
+      // semc: kept count plus an encode-completeness probe — every
+      // verdict must carry its 8 codes (the row is only "index-ready"
+      // if the codes actually rode through)
+      "semc" -> spark.read.parquet(s"$work/out_semc_1")
+        .filter(col("kept") && org.apache.spark.sql.functions.size(
+          col("codes")) === 8).count())
     val line =
-      f"""{"metric":"curation_docs_per_sec","docs":$docs,"x":$k,"sf":"$sfDir","passes":$passes,"files_per_trigger":$filesPerTrigger,"compact_every":$compactEvery,"calib_sec":$calibSec%.3f,"exact_sec":${med("exact")}%.3f,"near_sec":${med("near")}%.3f,"canon_sec":${med("canon")}%.3f,"canonc_sec":${med("canonc")}%.3f,"exact_dps":${docs / med("exact")}%.0f,"near_dps":${docs / med("near")}%.0f,"canon_dps":${docs / med("canon")}%.0f,"canonc_dps":${docs / med("canonc")}%.0f,"exact_kept":${kept("exact")},"near_kept":${kept("near")},"canon_clusters":${kept("canon")},"canonc_clusters":${kept("canonc")},"burst_docs":$burstDocs,"burst_sec":${med("burst")}%.3f,"burst_dps":${burstDocs / med("burst")}%.0f,"burst_kept":${kept("burst")},"sem_vecs":$vecs,"sem_sec":${med("sem")}%.3f,"sem_dps":${vecs / med("sem")}%.0f,"sem_kept":${kept("sem")}}"""
+      f"""{"metric":"curation_docs_per_sec","docs":$docs,"x":$k,"sf":"$sfDir","passes":$passes,"files_per_trigger":$filesPerTrigger,"compact_every":$compactEvery,"calib_sec":$calibSec%.3f,"exact_sec":${med("exact")}%.3f,"near_sec":${med("near")}%.3f,"canon_sec":${med("canon")}%.3f,"canonc_sec":${med("canonc")}%.3f,"exact_dps":${docs / med("exact")}%.0f,"near_dps":${docs / med("near")}%.0f,"canon_dps":${docs / med("canon")}%.0f,"canonc_dps":${docs / med("canonc")}%.0f,"exact_kept":${kept("exact")},"near_kept":${kept("near")},"canon_clusters":${kept("canon")},"canonc_clusters":${kept("canonc")},"burst_docs":$burstDocs,"burst_sec":${med("burst")}%.3f,"burst_dps":${burstDocs / med("burst")}%.0f,"burst_kept":${kept("burst")},"sem_vecs":$vecs,"sem_sec":${med("sem")}%.3f,"sem_dps":${vecs / med("sem")}%.0f,"sem_kept":${kept("sem")},"semc_sec":${med("semc")}%.3f,"semc_dps":${vecs / med("semc")}%.0f,"semc_kept_coded":${kept("semc")}}"""
     spark.stop()
     println(line)
     System.out.flush()
