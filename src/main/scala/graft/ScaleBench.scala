@@ -141,13 +141,15 @@ object ScaleBench {
     * scale table reports both: a variant that got fast by returning the
     * wrong neighbors fails the recall column, not just a spec at sf0.001.
     * Driver-side work is bounded by |queries|·k rows per variant. */
-  private def topSets(df: org.apache.spark.sql.DataFrame)
+  // private[graft]: ScaleSpec's recall gates reuse these — two
+  // definitions of recall@5 could drift apart (r17 review)
+  private[graft] def topSets(df: org.apache.spark.sql.DataFrame)
       : Map[Long, Set[Long]] =
     df.filter(col("rank") <= 5).collect()
       .groupBy(_.getAs[Long]("query_id"))
       .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
 
-  private def meanRecall(gold: Map[Long, Set[Long]],
+  private[graft] def meanRecall(gold: Map[Long, Set[Long]],
       got: Map[Long, Set[Long]]): Double =
     gold.keys.toSeq.map { q =>
       (gold(q) & got.getOrElse(q, Set.empty)).size.toDouble / gold(q).size

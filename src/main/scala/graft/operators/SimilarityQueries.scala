@@ -543,12 +543,20 @@ object SimilarityQueries {
     *   maxCodewords): a capped re-train keeps the SMALLEST `cap` rule
     *   ids of the grown corpus, and ids only accrete — so the cap-th-
     *   smallest threshold over (live ∪ dead ∪ cand) is non-increasing
-    *   across drops, and a candidate at or above today's threshold can
-    *   never enter ANY future re-trained set either: drop it before
-    *   recording. The normal monotone-id crawl drop (every new id above
-    *   the founding ids) therefore records NOTHING — zero drift, empty
-    *   dead set, O(delta) forever. Out-of-order ids below the threshold
-    *   still record and probe; a dead id that later falls OUT of the
+    *   across drops, and a candidate STRICTLY ABOVE today's threshold
+    *   can never enter ANY future re-trained set either: drop it before
+    *   recording (a candidate AT the threshold is the cap-th smallest —
+    *   it IS in the re-trained set and must record and probe). The
+    *   normal monotone-id crawl drop (every new id above the founding
+    *   ids) therefore records NOTHING — zero drift, empty dead set,
+    *   O(delta) forever. Out-of-order ids at or below the threshold
+    *   still record and probe, and — the eviction half (r17 review) —
+    *   a sub-threshold entrant DISPLACES the largest live id from the
+    *   capped re-trained set, so the probe tags evicted live rows
+    *   `is_new` alongside the entrants: an appended vector whose best
+    *   match is an about-to-be-evicted centroid counts as moved (a
+    *   re-train would reassign it), which an entrants-only probe would
+    *   silently miss. A dead id that later falls OUT of the
     *   smallest-cap set keeps probing until a re-founding, making
     *   measured drift an upper bound — refusals stay conservative,
     *   never unsound
@@ -568,20 +576,26 @@ object SimilarityQueries {
       (prior, deltaRaw) => {
       graft.functions.VectorExprs.register(spark)
       val candRuled = candOf(deltaRaw)
-      val cand = liveCap match {
+      // Capped mode: the cap-th smallest id over every rule id ever seen
+      // (live ∪ dead ∪ this delta's) is BOTH the candidate filter (drop
+      // entrants strictly above it — they can never enter any future
+      // re-trained set, the monotonicity argument in the scaladoc) AND
+      // the eviction boundary (live ids strictly above it would be
+      // DISPLACED by a capped re-train — the probe must tag them
+      // `is_new` so vectors anchored on them count as moved, r17
+      // review). One TakeOrdered over a bounded pool (live ≤ cap, dead
+      // counted, cand ≤ |delta|/every); None = pool under the cap —
+      // every candidate in, nothing evicted.
+      val evictThreshold: Option[Long] = liveCap.flatMap { cap =>
+        val pool = prior.select(col(idCol))
+          .unionByName(candRuled.select(col(idCol)))
+        val kth = pool.orderBy(col(idCol)).limit(cap.toInt)
+          .agg(max(col(idCol)).as("kth"), count(lit(1)).as("n")).head()
+        if (kth.getLong(1) < cap) None else Some(kth.getLong(0))
+      }
+      val cand = evictThreshold match {
         case None => candRuled
-        case Some(cap) =>
-          // the capped-membership threshold: the cap-th smallest id over
-          // every rule id ever seen (live ∪ dead ∪ this delta's). One
-          // TakeOrdered over a bounded pool (live ≤ cap, dead counted,
-          // cand ≤ |delta|/every) — cheap, and in the monotone case it
-          // empties the candidate set entirely.
-          val pool = prior.select(col(idCol))
-            .unionByName(candRuled.select(col(idCol)))
-          val kth = pool.orderBy(col(idCol)).limit(cap.toInt)
-            .agg(max(col(idCol)).as("kth"), count(lit(1)).as("n")).head()
-          if (kth.getLong(1) < cap) candRuled // pool under the cap: all in
-          else candRuled.filter(col(idCol) <= kth.getLong(0))
+        case Some(t) => candRuled.filter(col(idCol) <= t)
       }
       val cols = cand.columns.toSeq.map(col)
       val priorDead = prior.filter(!col("live")).select(cols: _*)
@@ -605,10 +619,20 @@ object SimilarityQueries {
             "re-founding over the grown corpus")
       else {
         // broadcast: BOUNDED BY CONFIG — the capped rule bounds the
-        // live set, the counted gate above bounds the recorded one
+        // live set, the counted gate above bounds the recorded one.
+        // Live rows ABOVE the eviction boundary are tagged `is_new`: a
+        // capped re-train displaces them, so a vector anchored on one
+        // reads bn >= its old score and counts as moved — and if EVERY
+        // live row is displaced, bf is NULL and the coalesce in driftOf
+        // counts the vector as moved, the same path that guards the
+        // empty-founding pathology.
+        val liveIsNew = evictThreshold match {
+          case Some(t) => col(idCol) > t
+          case None => lit(false)
+        }
         val tagged = broadcast(
           prior.filter(col("live")).select(cols: _*)
-            .withColumn("is_new", lit(false))
+            .withColumn("is_new", liveIsNew)
             .unionByName(priorDead.withColumn("is_new", lit(true)))
             .unionByName(cand.withColumn("is_new", lit(true))))
         val (n, moved) = driftOf(deltaRaw, tagged)
@@ -1701,8 +1725,11 @@ object SimilarityQueries {
         "score", k)
   }
 
-  private val PqSubs = 8
-  private val PqWidth = 8
+  // private[graft]: the streaming coded gate (CurationStream's probe-map
+  // encode) must share the ONE subspace geometry — a drifted copy would
+  // silently break the streamed-codes byte-identity contract (r17 review)
+  private[graft] val PqSubs = 8
+  private[graft] val PqWidth = 8
 
   /** Per-(vector, subspace) nearest-codeword encode by exact integer L2
     * over the slice (‖a−b‖² = a·a + b·b − 2·a·b) — the PQ index build.

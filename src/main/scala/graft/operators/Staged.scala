@@ -1113,8 +1113,11 @@ object Staged {
     * even older subtree (delta builds reuse parents in place), so every
     * subtree reachable through kept manifests is kept too, whatever the
     * policy says (a rollback target with missing segments would be
-    * retention theater). Leftover `.tmp-*`/`.stale-*` entries inside kept
-    * subtrees are swept as in gc. Returns the deleted top-level names. */
+    * retention theater). Leftover `.tmp-*`/`.stale-*` entries are swept
+    * only inside LIVE subtrees (r17 review): deleting inside a kept
+    * STALE generation would bump the dir mtime this sweep reads as its
+    * publish time — kept stale generations stay byte-for-byte untouched.
+    * Returns the deleted top-level names. */
   def retain(root: String, liveDirs: Seq[String], policy: RetentionPolicy,
       nowMs: Long = System.currentTimeMillis()): Seq[String] = {
     val rootPath = java.nio.file.Paths.get(root)
@@ -1159,7 +1162,14 @@ object Staged {
       val name = p.getFileName.toString
       val doomed = !keep.contains(name)
       if (doomed) deleteRecursively(p)
-      else if (java.nio.file.Files.isDirectory(p)) {
+      else if (live.contains(name) && java.nio.file.Files.isDirectory(p)) {
+        // leftover sweep ONLY inside LIVE generations (r17 review): a
+        // deletion inside a kept STALE generation would bump the dir
+        // mtime this very sweep reads as the generation's publish time,
+        // promoting an old generation over a newer one on the next
+        // sweep and re-arming its maxAge window. Stale-but-kept
+        // generations are rollback artifacts — leave them byte-for-byte
+        // untouched; their leftovers die with the generation.
         val inner = java.nio.file.Files.list(p)
         try inner.iterator().asScala
           .filter(q => isLeftover(q.getFileName.toString))

@@ -922,6 +922,8 @@ object CurationStream {
     val cents = centroids.sortBy(_.cid).toArray
     val prefix = StateSchemas.semGateCellPrefix(
       cents.map(_.cid).toSeq)
+    val subs = graft.operators.SimilarityQueries.PqSubs
+    val width = graft.operators.SimilarityQueries.PqWidth
     val probes = vecs.map { v =>
       // double-cast, left-to-right norm fold, (ccos desc, cid asc)
       // tie-break — each the batch path's exact arithmetic (vec_dot is
@@ -959,14 +961,17 @@ object CurationStream {
       val cid = cents(best).cid
       // PQ encode against the frozen codebook — the batch
       // pqEncodeTransform's exact arithmetic per (vector, subspace):
-      // integer L2 via ||a-b||^2 = a.a + b.b - 2 a.b over the 8-dim
-      // slice, winner (dist asc, cw_id asc). Mis-dimensioned vectors
+      // integer L2 via ||a-b||^2 = a.a + b.b - 2 a.b over the subspace
+      // slice, winner (dist asc, cw_id asc). Geometry comes from the
+      // ONE batch definition (SimilarityQueries.PqSubs/PqWidth — r17
+      // review: a literal copy here could drift and silently break the
+      // streamed-codes byte-identity contract). Mis-dimensioned vectors
       // emit NO codes (the batch corpus never carries them; an empty
       // array is an honest "not encodable", never a prefix encode).
       val codes: Array[Long] =
-        if (pq.isEmpty || q8.length != 64) Array.emptyLongArray
-        else Array.tabulate(8) { s =>
-          val off = s * 8
+        if (pq.isEmpty || q8.length != subs * width) Array.emptyLongArray
+        else Array.tabulate(subs) { s =>
+          val off = s * width
           var bestDist = Long.MaxValue
           var bestCw = Long.MaxValue
           var w = 0
@@ -974,7 +979,7 @@ object CurationStream {
             val cv = pq(w).cv
             var d2 = 0L
             var j = 0
-            while (j < 8) {
+            while (j < width) {
               val diff = q8(off + j).toLong - cv(off + j).toLong
               d2 += diff * diff
               j += 1

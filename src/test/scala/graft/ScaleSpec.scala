@@ -419,18 +419,13 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("capped index cardinality: recall holds under the cap, and the rerank rung converges to exhaustive int8 (r16 verdict #1/#2)") {
-    import org.apache.spark.sql.functions.col
     import operators.{PqConfig, SimilarityQueries, Staged}
+    // the ONE recall@5 definition — ScaleBench's own helpers, so this
+    // gate pins the same metric the published scale rows report
     def tops(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
-      df.filter(col("rank") <= 5).collect()
-        .groupBy(_.getAs[Long]("query_id"))
-        .map { case (q, rs) =>
-          q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+      ScaleBench.topSets(df)
     def recall(gold: Map[Long, Set[Long]],
-        got: Map[Long, Set[Long]]): Double =
-      gold.keys.toSeq.map { q =>
-        (gold(q) & got.getOrElse(q, Set.empty)).size.toDouble / gold(q).size
-      }.sum / gold.size
+        got: Map[Long, Set[Long]]): Double = ScaleBench.meanRecall(gold, got)
     for (dir <- Seq(sf, rep)) {
       Staged.reset(spark)
       val gold = tops(SparkEntry.queries("ann_topk_brute")(spark, dir))

@@ -1123,6 +1123,51 @@ class StagedIncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("capped frozen quantizer: eviction drift — vectors anchored on a live id a capped re-train would DISPLACE count as moved (r17 review)") {
+    import spark.implicits._
+    import operators.{IvfConfig, SimilarityQueries}
+    val dir = freshDir()
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat / 6f)
+    def writeEmb(rows: Seq[(Long, Array[Float])], append: Boolean): Unit =
+      rows.map { case (id, e) => (id, e, (id % 5).toInt) }
+        .toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    // founding misses the early rule ids: live (cap 2) = {37,47}
+    writeEmb((30 until 50).map(i => (i.toLong, vec(i))), append = false)
+    val cfg = IvfConfig(centroidEvery = 10, centroidKey = 7,
+      frozen = true, maxCentroids = Some(2L), driftFractionMax = 0.5)
+    val stage = "ivf_centroids.v2@10:7:2:k2:d0.5"
+    def centIds(): Set[Long] =
+      SimilarityQueries.frozenCentroids(spark, dir, cfg)
+        .select("cid").collect().map(_.getLong(0)).toSet
+    Staged.evict(spark)
+    Staged.enablePersist(Files.createTempDirectory("inc_evict").toString)
+    try {
+      assert(centIds() === Set(37L, 47L))
+      // the drop: sub-threshold entrant 7 DISPLACES 47 from the capped
+      // re-trained set (smallest-2 of {7,37,47} = {7,37}), and four
+      // appended vectors sit exactly ON centroid 47. An entrants-only
+      // probe reads their best frozen match as live 47 (cos 1.0, "not
+      // moved") → drift 1/5 = 0.2 <= 0.5 → silently accepts a delta a
+      // re-train would mostly reassign. The eviction-aware probe tags
+      // 47 `is_new` → all five vectors count moved → drift 1.0 → refuse
+      // and re-found over the grown corpus under the cap.
+      writeEmb(Seq((7L, vec(7)), (300L, vec(47)), (301L, vec(47)),
+        (302L, vec(47)), (303L, vec(47))), append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(centIds() === Set(7L, 37L),
+        "the capped re-found keeps the smallest-K over the grown corpus")
+      assert(modes(stage) === Seq("delta-refused", "cold"),
+        s"eviction drift must refuse the delta: ${Staged.buildLogSnapshot}")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
   test("capped frozen PQ codebook: codes delta-encode under the cap; the distance table is config-sized (r16 verdict #1)") {
     import spark.implicits._
     import operators.{PqConfig, SimilarityQueries}
