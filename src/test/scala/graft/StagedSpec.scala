@@ -211,6 +211,37 @@ class StagedSpec extends AnyFunSuite {
       oldE, Seq(entry("new.parquet")))
   }
 
+  test("property: the capped-set threshold is non-increasing under append — the argument the candidate filter's soundness rests on (r17)") {
+    // The capped frozen family drops a rule id STRICTLY ABOVE today's
+    // kth-smallest threshold before recording, on the claim that it can
+    // never enter ANY future re-trained set. That claim is exactly this
+    // property: for id sets A ⊆ B (ids only accrete) with |A| >= k, the
+    // kth smallest of B is <= the kth smallest of A — so an id above
+    // A's threshold is above B's too, forever. Pure math, pinned as
+    // code next to the filter that relies on it.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val idsGen = Gen.chooseNum(1, 40)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(0L, 1000L)))
+      .map(_.distinct)
+    val prop = Prop.forAll(idsGen, idsGen, Gen.chooseNum(1, 10)) {
+      (a0, extra, k) =>
+        val a = a0.sorted
+        val b = (a0 ++ extra).distinct.sorted
+        Prop(a.size >= k) ==> {
+          val tA = a(k - 1) // kth smallest of A
+          val tB = b(k - 1) // kth smallest of B ⊇ A
+          Prop(tB <= tA) :| s"threshold grew under append: A=$tA B=$tB" &&
+            // and every id strictly above A's threshold stays OUT of
+            // B's smallest-k — the filtered candidate never re-enters
+            Prop(b.take(k).forall(_ <= tA)) :|
+              s"smallest-$k of B escaped A's threshold"
+        }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("StageBench drop-prefix family is mutually prefix-free across ALL indices, including 0 (r16 verdict #3 iv)") {
     // the old bare `zx` of idx=0 WAS a prefix of `zx01_` — an original
     // corpus token starting `01_…` aliased a drop-1 token, weakening the
