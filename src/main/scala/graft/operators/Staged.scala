@@ -525,6 +525,30 @@ object Staged {
     catch { case _: java.nio.file.FileSystemException => () }
   }
 
+  /** Generation-level publish-time marker (r17 verdict ask #3): ONE
+    * file at `<root>/<fingerprint>/_GRAFT_PUBLISHED` holding the epoch
+    * millis of the last publish into that generation, overwritten by
+    * every publish (last-writer-wins IS the wanted semantics — [[retain]]
+    * ages a generation from its last publish). The dir-mtime probe this
+    * replaces is local-FS semantics: an object store has no directory
+    * mtime, and the r17 review already had to scope the leftover sweep
+    * around mtime side effects. [[retain]] prefers the marker and falls
+    * back to dir mtime for generations published by a pre-marker binary. */
+  private[graft] val PublishedMarker = "_GRAFT_PUBLISHED"
+
+  /** Best-effort marker write after a publish landed at `target` (ours or
+    * a racing winner's — either way the generation just received a
+    * publish). A write failure must never fail the publish itself:
+    * [[retain]] falls back to dir mtime when the marker is absent or
+    * unreadable. */
+  private def stampPublished(target: java.nio.file.Path): Unit =
+    try {
+      java.nio.file.Files.write(
+        target.getParent.resolve(PublishedMarker),
+        System.currentTimeMillis().toString.getBytes("UTF-8"))
+      ()
+    } catch { case _: java.io.IOException => () }
+
   /** Build into a temp sibling, write the manifest, atomic-rename into
     * place; a lost race deletes the temp and reads the winner's manifest
     * (stages are deterministic functions of (dir, config)). A build that
@@ -606,6 +630,7 @@ object Staged {
           }
         }
     }
+    stampPublished(target)
     readManifest(target.resolve(ManifestName)).getOrElse(manifest)
   }
 
@@ -936,6 +961,7 @@ object Staged {
           }
         }
     }
+    stampPublished(target)
     spark.read.parquet(target.toString)
   }
 
@@ -1104,8 +1130,10 @@ object Staged {
     * server needs no manual sweep scheduling: instead of reclaiming EVERY
     * stale fingerprint subtree, keep the newest `policy.keepStale` stale
     * generations that are also younger than `policy.maxAgeMs` (age = time
-    * since the generation's last publish, read as the fingerprint dir's
-    * own mtime — O(generations) metadata per sweep, r16 ask #6), and
+    * since the generation's last publish, read from the generation's
+    * [[PublishedMarker]] — portable to object stores, r17 ask #3 — with
+    * a dir-mtime fallback for pre-marker generations; O(generations)
+    * metadata per sweep either way, r16 ask #6), and
     * reclaim the rest. Safety
     * invariants, identical to gc's and spec-pinned: a LIVE fingerprint is
     * never touched, and reference pinning is TRANSITIVE — a retained
@@ -1128,17 +1156,27 @@ object Staged {
     val entries = try s.iterator().asScala.toList finally s.close()
     def isLeftover(n: String): Boolean =
       n.contains(".tmp-") || n.contains(".stale-")
-    // Generation age = the fingerprint dir's OWN mtime — one metadata
-    // read per generation (r16 verdict ask #6: the old probe walked
-    // every file of every stale subtree per sweep, an object-store
-    // metadata storm at depth). Correct because every publish into a
-    // generation is an atomic rename INTO this dir (or into a stage dir
-    // directly under it, whose landing still updates this dir's mtime
-    // when the stage entry is created), so the dir mtime IS the last
-    // publish time; nothing writes into a STALE generation afterwards —
-    // publishes only target the current fingerprint.
-    def lastWriteMs(p: java.nio.file.Path): Long =
-      java.nio.file.Files.getLastModifiedTime(p).toMillis
+    // Generation age = the [[PublishedMarker]] the publish paths stamp
+    // (r17 verdict ask #3: portable — an object store has no directory
+    // mtime), falling back to the fingerprint dir's OWN mtime for
+    // generations a pre-marker binary published. Either way ONE metadata
+    // read per generation (r16 verdict ask #6). The mtime fallback is
+    // correct on local FS because every publish into a generation is an
+    // atomic rename INTO this dir (or into a stage dir directly under
+    // it), so the dir mtime IS the last publish time; nothing writes
+    // into a STALE generation afterwards — publishes only target the
+    // current fingerprint.
+    def lastWriteMs(p: java.nio.file.Path): Long = {
+      val marker = p.resolve(PublishedMarker)
+      val stamped =
+        if (java.nio.file.Files.isRegularFile(marker))
+          try new String(java.nio.file.Files.readAllBytes(marker),
+            "UTF-8").trim.toLongOption
+          catch { case _: java.io.IOException => None }
+        else None
+      stamped.getOrElse(
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    }
     val fpDirs = entries.filter(p =>
       java.nio.file.Files.isDirectory(p) &&
         !isLeftover(p.getFileName.toString))
@@ -1165,9 +1203,11 @@ object Staged {
       else if (live.contains(name) && java.nio.file.Files.isDirectory(p)) {
         // leftover sweep ONLY inside LIVE generations (r17 review): a
         // deletion inside a kept STALE generation would bump the dir
-        // mtime this very sweep reads as the generation's publish time,
-        // promoting an old generation over a newer one on the next
-        // sweep and re-arming its maxAge window. Stale-but-kept
+        // mtime the marker-less FALLBACK path reads as the generation's
+        // publish time, promoting an old generation over a newer one on
+        // the next sweep and re-arming its maxAge window (the marker,
+        // when present, is immune — but the scope rule must hold for
+        // pre-marker generations too). Stale-but-kept
         // generations are rollback artifacts — leave them byte-for-byte
         // untouched; their leftovers die with the generation.
         val inner = java.nio.file.Files.list(p)

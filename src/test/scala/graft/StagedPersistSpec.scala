@@ -386,4 +386,77 @@ class StagedPersistSpec extends AnyFunSuite {
       Staged.reset(spark)
     }
   }
+
+  test("retention ages generations by the publish-time marker, dir mtime only as pre-marker fallback (r17 verdict #3)") {
+    import org.apache.spark.sql.functions.col
+    val stageRoot = Files.createTempDirectory("stage_root_marker").toString
+    val docs = Files.createTempDirectory("stage_docs_marker").toString
+    def writeDocs(ids: Range): Unit = {
+      import TestSpark.spark.implicits._
+      ids.map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$docs/documents.parquet")
+    }
+    def resolve(): Unit = {
+      Staged(spark, docs, "mark@k") {
+        spark.read.parquet(s"$docs/documents.parquet")
+          .select(col("doc_id"))
+      }.count()
+      ()
+    }
+    def fp(): String = { Staged.reset(spark); Staged.fingerprint(docs) }
+    def setMarker(f: String, ts: Long): Unit = {
+      Files.write(Paths.get(stageRoot, f, Staged.PublishedMarker),
+        ts.toString.getBytes("UTF-8"))
+      ()
+    }
+    def setDirMtime(f: String, ts: Long): Unit = {
+      Files.setLastModifiedTime(Paths.get(stageRoot, f),
+        FileTime.fromMillis(ts))
+      ()
+    }
+    Staged.evict(spark)
+    Staged.enablePersist(stageRoot)
+    try {
+      // three full-rewrite generations (no delta references): A, B stale,
+      // D live. Every publish must have stamped its generation's marker.
+      writeDocs(0 until 10); val fpA = fp(); resolve()
+      writeDocs(10 until 20); val fpB = fp(); resolve()
+      writeDocs(20 until 30); val fpD = fp(); resolve()
+      assert(Seq(fpA, fpB, fpD).distinct.size === 3)
+      Seq(fpA, fpB, fpD).foreach { f =>
+        assert(Files.isRegularFile(
+          Paths.get(stageRoot, f, Staged.PublishedMarker)),
+          s"publish must stamp $f's ${Staged.PublishedMarker}")
+      }
+      val now = System.currentTimeMillis()
+      // markers say A is the NEWER stale generation; dir mtimes say the
+      // opposite — keepStale=1 must follow the markers and reclaim B
+      setMarker(fpA, now); setMarker(fpB, now - 3600000L)
+      setDirMtime(fpA, now - 3600000L); setDirMtime(fpB, now)
+      val del1 = Staged.retain(stageRoot, Seq(docs),
+        Staged.RetentionPolicy(keepStale = 1), nowMs = now)
+      assert(del1 === Seq(fpB),
+        s"the marker, not dir mtime, ranks stale generations: $del1")
+      // maxAge reads the marker too: A's marker is `now`, so it survives
+      // a tight window that its (hour-old) dir mtime would fail
+      val del2 = Staged.retain(stageRoot, Seq(docs),
+        Staged.RetentionPolicy(keepStale = 1, maxAgeMs = 60000L),
+        nowMs = now)
+      assert(del2.isEmpty, s"A's marker is fresh — kept: $del2")
+      // pre-marker fallback: strip the markers (a generation published
+      // by an older binary) — retention then follows dir mtime
+      writeDocs(30 until 40); fp(); resolve() // D goes stale, E live
+      Files.delete(Paths.get(stageRoot, fpA, Staged.PublishedMarker))
+      Files.delete(Paths.get(stageRoot, fpD, Staged.PublishedMarker))
+      setDirMtime(fpA, now); setDirMtime(fpD, now - 3600000L)
+      val del3 = Staged.retain(stageRoot, Seq(docs),
+        Staged.RetentionPolicy(keepStale = 1), nowMs = now)
+      assert(del3 === Seq(fpD),
+        s"marker-less generations fall back to dir mtime: $del3")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
 }
