@@ -456,10 +456,12 @@ object SimilarityQueries {
     * vector against the live set and EVERY recorded candidate (dead ∪
     * this delta's), refusing via [[Staged.DeltaUnsupported]] — falling
     * back to a cold re-train — when more than `cfg.driftFractionMax`
-    * would be captured by a non-live centroid. Strict inequality on the
-    * capture test: in a true re-train the tie-break is (ccos desc, cid
-    * asc) and recorded candidates carry larger ids than founding ones,
-    * so a tied vector stays with the frozen centroid there too.
+    * would be captured by a non-live centroid. The capture test carries
+    * the FULL re-train order (ccos desc, cid asc) — an exact score tie
+    * resolves by id, so a recorded candidate with a smaller id than the
+    * tying live centroid counts as capture (the capped out-of-order
+    * path delivers such candidates; an id-blind strict-score test
+    * under-counted there, r17 ADVICE).
     * O(|delta| · (nlist + |candidates|)) work, all broadcast-sided —
     * nlist is bounded by the deployment's capped rule and |candidates|
     * by `recordedCandidateMax`'s counted gate, never by corpus (the
@@ -495,24 +497,31 @@ object SimilarityQueries {
         .select(col("vec_id").as("cid"), col("emb").as("cemb"),
           col("norm").as("cnorm")),
       driftOf = (deltaRaw, tagged) => {
-        // capture metric: best double cosine, frozen vs non-frozen.
-        // Strict > — in a true re-train the tie-break is (ccos desc,
-        // cid asc) and recorded candidates carry larger ids than
-        // founding ones, so a tied vector stays frozen there too.
+        // capture metric: each side's best under the FULL re-train
+        // order (ccos desc, cid asc), carried as a struct so an exact
+        // score tie resolves by id exactly as a true re-train would.
+        // The old strict-score-only test leaned on "recorded candidates
+        // carry larger ids than founding ones" — the capped
+        // out-of-order path broke that premise (a recorded candidate
+        // can carry a SMALLER id than every live one, and on a tie the
+        // re-train's id-asc tie-break reassigns the vector to it), so
+        // an id-blind probe under-counted drift (r17 ADVICE).
+        val ord = struct(col("ccos").as("s"), (-col("cid")).as("tb"))
         val best = normTransform(deltaRaw)
           .select(col("vec_id"), col("emb"), col("norm"))
           .crossJoin(tagged)
           .withColumn("ccos", expr("vec_dot(emb, cemb) / (norm * cnorm)"))
           .groupBy(col("vec_id"))
-          .agg(max(when(!col("is_new"), col("ccos"))).as("bf"),
-            max(when(col("is_new"), col("ccos"))).as("bn"))
+          .agg(max(when(!col("is_new"), ord)).as("bf"),
+            max(when(col("is_new"), ord)).as("bn"))
         // NULL bf = EMPTY founding live set (no id matched the rule at
         // founding): a re-train would place the vector on a candidate,
         // so it MUST count as moved — coalesce below cosine's -1 floor
         // (r16 review: bn > NULL is NULL, which silently read as "not
         // moved" and kept an empty index accepting every drop forever)
         val row = best.agg(count(lit(1)).as("n"),
-          count(when(col("bn") > coalesce(col("bf"), lit(-2d)), 1))
+          count(when(col("bn") > coalesce(col("bf"),
+            struct(lit(-2d).as("s"), lit(Long.MinValue).as("tb"))), 1))
             .as("moved")).head()
         (row.getLong(0), row.getLong(1))
       }) {
@@ -556,10 +565,12 @@ object SimilarityQueries {
     *   `is_new` alongside the entrants: an appended vector whose best
     *   match is an about-to-be-evicted centroid counts as moved (a
     *   re-train would reassign it), which an entrants-only probe would
-    *   silently miss. A dead id that later falls OUT of the
-    *   smallest-cap set keeps probing until a re-founding, making
-    *   measured drift an upper bound — refusals stay conservative,
-    *   never unsound
+    *   silently miss. A recorded dead id that later falls strictly
+    *   ABOVE the (non-increasing) threshold is PRUNED at delta time
+    *   (r17 ask #7) — it can never re-enter any re-trained set, so
+    *   keeping it would be write-only probe cost; sub-threshold dead
+    *   ids keep probing until a re-founding, keeping measured drift an
+    *   upper bound — refusals stay conservative, never unsound
     * @param candOf delta rows → candidate rows (id + payload, no live)
     * @param driftOf (delta rows, broadcast live∪dead∪cand tagged
     *   `is_new`) → (units probed, units a re-train would move); a NULL
@@ -598,11 +609,33 @@ object SimilarityQueries {
         case Some(t) => candRuled.filter(col(idCol) <= t)
       }
       val cols = cand.columns.toSeq.map(col)
-      val priorDead = prior.filter(!col("live")).select(cols: _*)
+      // Dead-set pruning (r17 verdict ask #7): a RECORDED dead id
+      // strictly above today's capped threshold can never re-enter any
+      // future re-trained set (the threshold is non-increasing — the
+      // pinned monotonicity property — and a re-trained set is exactly
+      // the cap smallest ids, all <= the threshold), so it stops
+      // probing AND leaves the staged table at this delta. Pruning
+      // cannot move the threshold itself: the pool before pruning holds
+      // >= cap ids at or below the threshold, every one of which is
+      // kept (live rows always; dead rows <= t), so the cap-th smallest
+      // of any future pool is unchanged by removing ids above it. On a
+      // long-lived monotone deployment this turns the recorded-dead set
+      // from write-only accretion into a set that SHRINKS as smaller
+      // rule ids arrive.
+      val keepDead = evictThreshold match {
+        case None => lit(true)
+        case Some(t) => col(idCol) <= t
+      }
+      val priorDead = prior.filter(!col("live") && keepDead)
+        .select(cols: _*)
+      // the prior table minus pruned dead rows — every return path below
+      // goes through this, so an accepted delta (or even a no-candidate
+      // pass under a lowered threshold) materializes the shrink
+      val priorKept = prior.filter(col("live") || keepDead)
       val deadN = priorDead.count()
       val candN = cand.count()
       if (candN == 0L && deadN == 0L)
-        prior // no candidate anywhere: frozen == a re-train, zero drift
+        priorKept // no candidate anywhere: frozen == a re-train, zero drift
       else if (deadN + candN > candMax)
         throw new Staged.DeltaUnsupported(
           s"recorded drift candidates ${deadN + candN} > $candMax: " +
@@ -644,7 +677,7 @@ object SimilarityQueries {
               f"re-training the frozen $what%s")
         log.info(f"frozen $what%s kept: measured drift $drift%.3f <= " +
           f"$driftMax%.3f over $n appended units")
-        prior.unionByName(cand.withColumn("live", lit(false)))
+        priorKept.unionByName(cand.withColumn("live", lit(false)))
       }
     }) { founding.withColumn("live", lit(true)) }
 
@@ -1249,12 +1282,25 @@ object SimilarityQueries {
       //      prior table's rows (drops AND implicit keeps) are immutable
       //      and only appended vectors need scoring. An out-of-order
       //      append refuses -> cold rebuild.
-      //  (b) hot-cell gate — the cold build's pairing star-collapses
-      //      cells past cfg.hotCellThreshold (guard semantics); exact
-      //      delta pairs would silently diverge from what a cold rebuild
-      //      of the grown corpus produces, so a grown corpus whose max
-      //      cell reaches the threshold refuses. Cells only grow under
-      //      append, so this also covers "prior was built anchored".
+      //  (b) hot-cell SURGERY (r17 verdict #1 — formerly a whole-table
+      //      refusal): the cold build's pairing star-collapses cells
+      //      past cfg.hotCellThreshold (guard semantics), so exact
+      //      delta pairs would diverge there — but the drops table is
+      //      PER-CELL decomposable (pairs never cross cells, and a
+      //      vector's frozen home cell never changes), so only the hot
+      //      cells need the guard treatment. Cold cells keep their
+      //      prior verdicts + exact O(delta) scoring; each hot cell is
+      //      re-paired whole through semanticDedupOn — the SAME
+      //      guardedPairs path the cold build runs, whose per-bucket
+      //      hot/cold decision depends only on that bucket's own size,
+      //      so the surgical result is bit-equal to a cold rebuild of
+      //      the grown corpus BY CONSTRUCTION (spec-pinned). Soundness
+      //      of keeping cold-cell priors: cells only grow under append,
+      //      so a cell cold NOW was cold at every earlier build — its
+      //      prior verdicts were always exact. The x25 chain run's
+      //      drop-18 cold rebuild (ONE cell crossing 4,096 re-pairing
+      //      the whole corpus) is what this kills: refresh stays
+      //      O(delta + Σ hot-cell stars) through organic growth.
       // Both gates read the slim ids-only cell table (already
       // delta-built), never the vectors — O(corpus) rows of three ints,
       // a rounding error next to the O(Σ|cell|²) scoring they replace.
@@ -1279,24 +1325,26 @@ object SimilarityQueries {
                 s"append is not id-ordered (a prior vec_id >= $dmin): a " +
                   "smaller-id arrival can re-anchor old verdicts — " +
                   "re-scoring the corpus")
-            val maxCell = cells.groupBy(col("cid")).count()
-              .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
             // same strict bound as guardedPairs (exact AT the threshold,
-            // star-collapse past it) so refusal tracks the guard exactly
-            if (maxCell > cfg.hotCellThreshold)
-              throw new Staged.DeltaUnsupported(
-                s"max cell $maxCell past the hot-cell threshold " +
-                  s"${cfg.hotCellThreshold}: cold pairing star-collapses " +
-                  "there, exact delta pairs would diverge")
-            // new drops: appended vector b vs every smaller-id cell-mate
-            // a (old or new — partners include the delta). Ids-only
-            // pairing, vectors joined back per side, exact integer dot,
-            // min-id anchor — semanticDedupOn's below-threshold rule
-            // verbatim.
+            // star-collapse past it) so the cell split tracks the guard
+            // exactly. Bounded: one count per cell, nlist rows — a
+            // config CONSTANT under a capped quantizer, never corpus
+            // (the assignment-broadcast classification).
+            val hotCids = cells.groupBy(col("cid"))
+              .agg(count(lit(1)).as("csz"))
+              .filter(col("csz") > cfg.hotCellThreshold)
+              .select(col("cid"))
+            val hotN = hotCids.count()
+            val q8 = quantized(spark, dir)
+            // exact new drops over COLD cells: appended vector b vs
+            // every smaller-id cell-mate a (old or new — partners
+            // include the delta). Ids-only pairing, vectors joined back
+            // per side, exact integer dot, min-id anchor —
+            // semanticDedupOn's below-threshold rule verbatim.
             val dcells = cells.join(deltaIds, Seq("vec_id"), "left_semi")
+              .join(broadcast(hotCids), Seq("cid"), "left_anti")
               .select(col("vec_id").as("b"), col("cid"))
             val partners = cells.select(col("vec_id").as("a"), col("cid"))
-            val q8 = quantized(spark, dir)
             val newDrops = dcells.join(partners, "cid")
               .filter(col("a") < col("b"))
               .join(q8.select(col("vec_id").as("a"), col("q8").as("aq8")),
@@ -1308,7 +1356,27 @@ object SimilarityQueries {
               .groupBy(col("b"), col("cid"))
               .agg(min(col("a")).as("dup_of"))
               .select(col("b").as("vec_id"), col("cid"), col("dup_of"))
-            prior.unionByName(newDrops)
+            if (hotN == 0L) prior.unionByName(newDrops)
+            else {
+              // Observable, not silent (the guard's own discipline):
+              // hot cells re-pair whole, trading exact enumeration for
+              // the star collapse a cold rebuild would apply anyway.
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"sem_drops delta: $hotN cell(s) past the hot-cell " +
+                  s"threshold ${cfg.hotCellThreshold} — re-pairing " +
+                  "those cells via the guard (star collapse); all " +
+                  "other cells keep O(delta) verdicts")
+              val priorCold =
+                prior.join(broadcast(hotCids), Seq("cid"), "left_anti")
+              val hotHome =
+                cells.join(broadcast(hotCids), Seq("cid"), "left_semi")
+              val hotDrops = semanticDedupOn(hotHome, q8, cfg)
+              // the cid-keyed anti-join moved cid first — restore the
+              // stage's canonical column order so every generation of
+              // the persisted table carries one schema
+              priorCold.unionByName(newDrops).unionByName(hotDrops)
+                .select(col("vec_id"), col("cid"), col("dup_of"))
+            }
           }
         }) {
         semanticDedupOn(home, quantized(spark, dir), cfg)
@@ -1813,11 +1881,11 @@ object SimilarityQueries {
     * triggers (config change via the stage key; the recorded set
     * outgrowing `recordedCandidateMax`; measured drift). Drift here is
     * PER (vector, subspace): the fraction of appended encodings a
-    * re-trained codebook would assign to a non-frozen codeword by
-    * strictly smaller exact-integer L2 — strict, because the encode
-    * tie-break is (dist asc, cw_id asc) and recorded candidates carry
-    * larger ids than founding ones, so a tied slice stays with the
-    * frozen codeword in a true re-train too. */
+    * re-trained codebook would assign to a non-frozen codeword under
+    * the FULL encode order (dist asc, cw_id asc) — an exact integer tie
+    * resolves by id, so a smaller-id recorded candidate that ties a
+    * frozen codeword counts as moved, exactly as the encode would
+    * assign it (r17 ADVICE). */
   private[graft] def frozenPqCodebook(spark: SparkSession, dir: String,
       cfg: PqConfig): DataFrame =
     frozenPqCodebookTable(spark, dir, cfg).filter(col("live"))
@@ -1840,12 +1908,16 @@ object SimilarityQueries {
         .filter(cfg.codewordFilter)
         .select(col("vec_id").as("cw_id"), col("q8").as("cv")),
       driftOf = (deltaRaw, tagged) => {
-        // capture metric: best exact-integer subspace L2, frozen vs
-        // non-frozen, per (vector, subspace). Strict < — the encode
-        // tie-break is (dist asc, cw_id asc) and recorded candidates
-        // carry larger ids, so a tied slice stays frozen in a re-train.
-        // Pre-sliced on both sides (pqEncodeTransform's shape): one
-        // 8-element dot per candidate row.
+        // capture metric: each side's best exact-integer subspace L2
+        // under the FULL encode order (dist asc, cw_id asc), carried as
+        // a struct so an exact integer tie resolves by id exactly as
+        // the encode would — PQ's small-integer subspace L2 ties for
+        // real, and the capped out-of-order path records candidates
+        // with ids SMALLER than live ones, where an id-blind strict-<
+        // probe under-counted drift (r17 ADVICE; the quantizer probe's
+        // shared rationale). Pre-sliced on both sides
+        // (pqEncodeTransform's shape): one 8-element dot per candidate
+        // row.
         val offs = spark.range(0, PqSubs)
           .select((col("id") * PqWidth + 1).as("off"))
         val dq = quantTransform(normTransform(deltaRaw))
@@ -1859,18 +1931,21 @@ object SimilarityQueries {
           .withColumn("cs",
             expr(s"slice(cv, CAST(off AS INT), $PqWidth)"))
           .withColumn("cc", expr("vec_dot(cs, cs)"))
-          .select(col("off"), col("cs"), col("cc"), col("is_new"))
+          .select(col("off"), col("cw_id"), col("cs"), col("cc"),
+            col("is_new"))
+        val ord = struct(col("dist").as("s"), col("cw_id").as("tb"))
         val best = dq.join(broadcast(tS), Seq("off"))
           .withColumn("dist", expr("qq + cc - 2 * vec_dot(qs, cs)"))
           .groupBy(col("vec_id"), col("off"))
-          .agg(min(when(!col("is_new"), col("dist"))).as("bf"),
-            min(when(col("is_new"), col("dist"))).as("bn"))
+          .agg(min(when(!col("is_new"), ord)).as("bf"),
+            min(when(col("is_new"), ord)).as("bn"))
         // NULL bf = empty founding codebook: counts as moved (coalesce
         // above any reachable integer L2 — the r16 review's NULL-drift
         // fix, shared rationale with the quantizer probe)
         val row = best.agg(count(lit(1)).as("n"),
           count(when(col("bn") < coalesce(col("bf"),
-            lit(Double.MaxValue)), 1)).as("moved")).head()
+            struct(lit(Long.MaxValue).as("s"),
+              lit(Long.MaxValue).as("tb"))), 1)).as("moved")).head()
         (row.getLong(0), row.getLong(1))
       }) {
       cfg.codewordSet(quantized(spark, dir))

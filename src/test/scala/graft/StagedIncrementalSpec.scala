@@ -656,7 +656,7 @@ class StagedIncrementalSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
-  test("frozen semantic drops: delta-scores only the append; refuses out-of-order ids and hot cells (r16)") {
+  test("frozen semantic drops: delta-scores only the append; refuses out-of-order ids; hot cells re-pair in-delta (r16, surgical since r18)") {
     import spark.implicits._
     import operators.{IvfConfig, SemDedupConfig, SimilarityQueries}
     val dir = freshDir()
@@ -742,20 +742,114 @@ class StagedIncrementalSpec extends AnyFunSuite {
       drops()
       assert(dropModes() === Seq("delta-refused", "cold"),
         s"out-of-order append must refuse: ${Staged.buildLogSnapshot}")
-      // HOT-CELL refusal: found a tiny-threshold stage, then append in
-      // order — the grown max cell exceeds the threshold, where the cold
-      // pairing star-collapses, so exact delta pairs must refuse
+      // HOT-CELL surgery (r17 verdict #1 — formerly a whole-table
+      // refusal): found a tiny-threshold stage, then append in order —
+      // the grown cells exceed the threshold, where the cold pairing
+      // star-collapses. The delta no longer refuses: hot cells re-pair
+      // through the guard IN the delta, and the result must equal a
+      // cold rebuild of the grown corpus bit for bit.
       val tiny = sem.copy(hotCellThreshold = 2L)
       drops(tiny) // founds the tiny-threshold stage at this fingerprint
       writeEmb(Seq((200L, vec(2))), append = true)
       Staged.reset(spark)
       Staged.clearBuildLog()
-      drops(tiny)
-      assert(dropModes(tiny) === Seq("delta-refused", "cold"),
-        s"hot cells must refuse the delta: ${Staged.buildLogSnapshot}")
+      val tinyDelta = drops(tiny)
+      assert(dropModes(tiny) === Seq("delta"),
+        s"hot cells re-pair surgically in-delta, no refusal: " +
+          s"${Staged.buildLogSnapshot}")
+      val rootC = Files.createTempDirectory("inc_sem_c").toString
+      Staged.enablePersist(rootC)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val tinyCold = drops(tiny)
+      assert(dropModes(tiny) === Seq("cold"), s"${Staged.buildLogSnapshot}")
+      assert(tinyDelta === tinyCold,
+        "the surgical delta must equal a cold rebuild of the grown corpus")
+      Staged.enablePersist(rootA)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
       drops()
       assert(dropModes() === Seq("delta"),
         "the default-threshold stage still delta-builds the same append")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("frozen semantic drops: ONE cell crossing the threshold re-pairs surgically — cold cells keep O(delta) verdicts, parity with a whole-table cold build (r17 verdict #1)") {
+    import spark.implicits._
+    import operators.{IvfConfig, SemDedupConfig, SimilarityQueries}
+    val dir = freshDir()
+    // Exact 1/64-unit vectors (lossless under floor(v*64)) with FULL
+    // control of cells and dots:
+    //   v7  = +100 on every dim            (centroid 7's vector)
+    //   v17 = -100 on every dim            (centroid 17's vector)
+    //   X   = +100 on dims 0..32, -100 on dims 33..63
+    // q8 integer dots: v7.v7 = X.X = 640,000; X.v7 = (33-31)*10,000 =
+    // 20,000 (below the 60,000 floor — X-copies and v7-copies share
+    // cell 7 but never match each other); X.v17 = -20,000 < X.v7, so X
+    // homes to cell 7 STRICTLY.
+    def constV(k: Int): Array[Float] = Array.fill(64)(k / 64f)
+    val vX: Array[Float] = Array.tabulate(64)(d =>
+      if (d <= 32) 100 / 64f else -100 / 64f)
+    def writeEmb(rows: Seq[(Long, Array[Float])], append: Boolean): Unit =
+      rows.map { case (id, e) => (id, e, (id % 5).toInt) }
+        .toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    // founding: cell 7 = {7, 20, 21} (v7 copies), cell 17 = {17, 30, 31}
+    // (v17 copies) — both AT or below threshold 4, exact pairing
+    writeEmb(Seq((7L, constV(100)), (17L, constV(-100)),
+      (20L, constV(100)), (21L, constV(100)),
+      (30L, constV(-100)), (31L, constV(-100))), append = false)
+    val ivfCfg = IvfConfig(centroidEvery = 10, centroidKey = 7,
+      frozen = true)
+    val sem = SemDedupConfig(dotFloor = 60000L, hotCellThreshold = 4L)
+    def drops(): Set[(Long, Long, Long)] =
+      SimilarityQueries.semanticDedupWith(spark, dir, sem, ivfCfg)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    def dropModes(): Seq[String] =
+      Staged.buildLogSnapshot.collect {
+        case (s, m) if s.startsWith(s"sem_drops@${sem.dotFloor}:" +
+          s"${sem.hotCellThreshold}:${sem.anchors}@") => m
+      }
+    val rootA = Files.createTempDirectory("inc_surg_a").toString
+    Staged.evict(spark)
+    Staged.enablePersist(rootA)
+    try {
+      val founding = drops()
+      assert(founding === Set((20L, 7L, 7L), (21L, 7L, 7L),
+        (30L, 17L, 17L), (31L, 17L, 17L)), s"founding drops: $founding")
+      // the drop: three X-copies grow cell 7 to 6 members (> 4, HOT);
+      // one v17-copy grows cell 17 to exactly 4 (= threshold, COLD).
+      // The star discriminates the paths: anchors of hot cell 7 are
+      // {min 7, max 42}, so the exact pair (40, 41) is NOT enumerated —
+      // 41 stays KEPT under the guard semantics (an exact delta would
+      // have dropped it to 40), while 42 drops to 40 via the max-anchor
+      // edge. Cold cell 17 scores only the appended 50 (O(delta)).
+      writeEmb(Seq((40L, vX), (41L, vX), (42L, vX),
+        (50L, constV(-100))), append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val grown = drops()
+      assert(dropModes() === Seq("delta"),
+        s"one hot cell must NOT refuse the delta: " +
+          s"${Staged.buildLogSnapshot}")
+      assert(grown === founding ++ Set((42L, 7L, 40L), (50L, 17L, 17L)),
+        s"hot cell takes the star path (41 kept, 42 -> 40), cold cell " +
+          s"the exact delta (50 -> 17): $grown")
+      // whole-table cold parity on a fresh root — the guard's own
+      // per-bucket decision over the grown corpus must land the same set
+      val rootB = Files.createTempDirectory("inc_surg_b").toString
+      Staged.enablePersist(rootB)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val cold = drops()
+      assert(dropModes() === Seq("cold"), s"${Staged.buildLogSnapshot}")
+      assert(cold === grown,
+        "the surgical delta must equal the whole-table cold build")
     } finally {
       Staged.disablePersist()
       Staged.reset(spark)
@@ -1162,6 +1256,120 @@ class StagedIncrementalSpec extends AnyFunSuite {
         "the capped re-found keeps the smallest-K over the grown corpus")
       assert(modes(stage) === Seq("delta-refused", "cold"),
         s"eviction drift must refuse the delta: ${Staged.buildLogSnapshot}")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("capped frozen quantizer: a recorded dead id above the lowered threshold is PRUNED at delta time (r17 verdict #7)") {
+    import spark.implicits._
+    import operators.{IvfConfig, SimilarityQueries}
+    val dir = freshDir()
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat / 6f)
+    def writeEmb(rows: Seq[(Long, Array[Float])], append: Boolean): Unit =
+      rows.map { case (id, e) => (id, e, (id % 5).toInt) }
+        .toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    // founding misses the early rule ids: live (cap 2) = {37,47},
+    // threshold 47. driftFractionMax = 1.0 — never drift-refound, so
+    // the counted gate (recordedCandidateMax = 2) is the only refusal
+    // in play, which is exactly what makes the prune OBSERVABLE: the
+    // second drop records two candidates, so a dead set that still
+    // carried the first drop's id would trip the gate (1 + 2 > 2) and
+    // rebuild cold, while the pruned set (the id sits above the lowered
+    // threshold — no re-train can ever include it) accepts the delta.
+    writeEmb((30 until 50).map(i => (i.toLong, vec(i))), append = false)
+    val cfg = IvfConfig(centroidEvery = 10, centroidKey = 7,
+      frozen = true, maxCentroids = Some(2L), driftFractionMax = 1.0,
+      recordedCandidateMax = 2L)
+    val stage = "ivf_centroids.v2@10:7:2:k2:d1.0:c2"
+    def centIds(): Set[Long] =
+      SimilarityQueries.frozenCentroids(spark, dir, cfg)
+        .select("cid").collect().map(_.getLong(0)).toSet
+    Staged.evict(spark)
+    Staged.enablePersist(Files.createTempDirectory("inc_prune").toString)
+    try {
+      assert(centIds() === Set(37L, 47L))
+      // drop 1: out-of-order rule id 27 < threshold 47 — recorded dead
+      writeEmb(Seq((27L, vec(27))), append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(centIds() === Set(37L, 47L))
+      assert(modes(stage) === Seq("delta"), s"${Staged.buildLogSnapshot}")
+      // drop 2: rule ids {7, 17} lower the capped threshold to 17 —
+      // dead 27 is now strictly above it and must leave the table
+      // BEFORE the counted gate reads deadN (a re-train over any future
+      // corpus keeps the smallest 2 of a pool containing {7, 17}, so 27
+      // can never re-enter; the threshold-monotonicity property is the
+      // soundness argument, pinned as a ScalaCheck property elsewhere)
+      writeEmb(Seq((7L, vec(7)), (17L, vec(17))), append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(centIds() === Set(37L, 47L),
+        "the frozen live set never moves on an accepted delta")
+      assert(modes(stage) === Seq("delta"),
+        s"the pruned dead set must pass the counted gate (an unpruned " +
+          s"one reads 1 + 2 > 2 and refuses): ${Staged.buildLogSnapshot}")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("capped frozen PQ codebook: an exact integer tie against a SMALLER-id recorded candidate counts as moved (r17 ADVICE)") {
+    import spark.implicits._
+    import operators.{PqConfig, SimilarityQueries}
+    val dir = freshDir()
+    // vectors in exact 1/64 units so floor(v * 64) quantizes losslessly:
+    // X (id 37) = +2 per dim, FAR (id 47) = +100 per dim, Y (id 7) = -2
+    // per dim, M (probes) = 0 per dim — per subspace (8 dims):
+    // dist(M, X) = 8 * 4 = 32 == dist(M, Y), an EXACT integer tie, and
+    // dist(M, FAR) = 8 * 100^2 keeps the evicted live row out of the
+    // race. A true encode breaks the tie (dist asc, cw_id asc) toward
+    // the SMALLER id 7 — a non-frozen candidate — so all 32 M-units are
+    // drift; an id-blind strict-< probe reads them as "not moved" and
+    // under-counts drift 0.2 where the encode's truth is 1.0.
+    def const(k: Int): Array[Float] = Array.fill(64)(k / 64f)
+    def writeEmb(rows: Seq[(Long, Array[Float])], append: Boolean): Unit =
+      rows.map { case (id, e) => (id, e, (id % 5).toInt) }
+        .toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    // founding misses the early rule ids: live (cap 2) = {37, 47}
+    writeEmb((30 until 50).map { i =>
+      (i.toLong, i match {
+        case 37 => const(2)
+        case 47 => const(100)
+        case _ => const(-40 - i) // non-rule filler, far from everything
+      })
+    }, append = false)
+    val cfg = PqConfig(cwEvery = 10, cwKey = 7,
+      frozen = true, maxCodewords = Some(2L), driftFractionMax = 0.5)
+    val stage = "pq_codebook@10:7:8x8:k2:d0.5"
+    def cwIds(): Set[Long] =
+      SimilarityQueries.frozenPqCodebook(spark, dir, cfg)
+        .select("cw_id").collect().map(_.getLong(0)).toSet
+    Staged.evict(spark)
+    Staged.enablePersist(Files.createTempDirectory("inc_tie").toString)
+    try {
+      assert(cwIds() === Set(37L, 47L))
+      // the drop: sub-threshold candidate 7 (= Y) plus four probe
+      // vectors at the exact midpoint M. Moved units: Y's own 8
+      // subspaces win strictly (dist 0 vs 32); M's 4 x 8 = 32 subspaces
+      // move ONLY via the id tie-break — drift 40/40 = 1.0 > 0.5, so
+      // the delta refuses and the re-found keeps smallest-2 {7, 37}.
+      writeEmb(Seq((7L, const(-2)), (300L, const(0)), (301L, const(0)),
+        (302L, const(0)), (303L, const(0))), append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      assert(cwIds() === Set(7L, 37L),
+        "the tie-aware probe must refuse and re-found over the grown corpus")
+      assert(modes(stage) === Seq("delta-refused", "cold"),
+        s"an exact tie against a smaller-id candidate is drift: " +
+          s"${Staged.buildLogSnapshot}")
     } finally {
       Staged.disablePersist()
       Staged.reset(spark)
