@@ -715,9 +715,16 @@ object CurationStream {
     * winning codeword id of subspace `s` (8 subspaces × 8 dims — the
     * batch `pq_codes` row set pivoted to one array), byte-identical to
     * the batch encode by construction; empty for a mis-dimensioned
-    * vector (which the batch corpus never carries). */
+    * vector (which the batch corpus never carries). `cbDigest` stamps
+    * WHICH codebook produced the codes (r17 verdict ask #2): the live
+    * codeword-id-set digest from the ONE `idSetDigest` definition the
+    * staged `pq_codes@…+frz<digest>` key carries, so a consumer folding
+    * streamed rows into an index can tell pre- from post-re-founding
+    * codes instead of silently mixing two codebooks' code spaces — and
+    * can route each row to the staged table whose key matches. */
   final case class VecVerdictCoded(vecId: Long, cid: Long,
-      fetchTs: Timestamp, kept: Boolean, dupOf: Long, codes: Array[Long])
+      fetchTs: Timestamp, kept: Boolean, dupOf: Long, codes: Array[Long],
+      cbDigest: String)
 
   /** A frozen-codebook codeword shipped into the stream's closure —
     * [[CentroidLit]]'s discipline for the PQ side (bounded by
@@ -898,10 +905,16 @@ object CurationStream {
     import vecs.sparkSession.implicits._
     require(codebook.nonEmpty, "semDedupGateCoded needs a non-empty " +
       "frozen codebook (frozenPqCodewordLits)")
+    // the codebook's identity, stamped on every verdict: same digest
+    // definition (and so the same VALUE) as the staged pq_codes key's
+    // +frz component — computed once on the driver, rides the closure
+    val cbDigest = graft.operators.SimilarityQueries.idSetDigest(
+      codebook.map(_.cwId))
     gateRun[VecVerdictCoded](vecs, centroids, horizonMs, dotFloor,
       codebook.sortBy(_.cwId).toArray,
       (p, kept, dup) =>
-        VecVerdictCoded(p.vecId, p.cid, p.fetchTs, kept, dup, p.codes))
+        VecVerdictCoded(p.vecId, p.cid, p.fetchTs, kept, dup, p.codes,
+          cbDigest))
   }
 
   /** The shared gate core: assign → quantize → (optionally) PQ-encode →

@@ -61,9 +61,13 @@ object StateSchemas {
     * event-time timers within a horizon. `horizonMs`/`dotFloor` stay out
     * of the key — they shift verdicts, not key identity (same reasoning
     * as horizonMs above). r17's `semDedupGateCoded` (streamed PQ codes)
-    * leaves the STATE schema — and this version — unchanged: codes ride
-    * the operator's input/output rows only, never the keeper registry,
-    * so existing checkpoints restore under either gate variant. */
+    * and r18's `cbDigest` verdict column leave the STATE schema — and
+    * this version — unchanged: codes and digest ride the operator's
+    * input/output rows only, never the keeper registry, so existing
+    * checkpoints restore under either gate variant — pinned by
+    * SemDedupGateSpec's cross-shape restore (a checkpoint written by a
+    * replica of the PRE-codes probe shape restores under today's gate,
+    * with the pre-restart keepers still deciding). */
   val SemGateCellKeyVersion: Int = 1
   /** Delegates to the ONE id-set digest the frozen-family stage keys
     * use — shared code, so the stream's keyspace cannot drift from the

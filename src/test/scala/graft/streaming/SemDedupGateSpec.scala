@@ -7,6 +7,87 @@ import graft.operators.{IvfConfig, SemDedupConfig, SimilarityQueries, Staged}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
+/** r16's probe row shape — NO codes field (what a pre-r17 binary
+  * shuffled into the gate's stateful operator): fixture for the
+  * cross-shape checkpoint-restore spec, which turns the StateSchemas
+  * claim "probe-row evolution never breaks SemGateCellKeyVersion 1
+  * checkpoints" from documentation into a pinned behavior. */
+private[streaming] final case class LegacyCellProbe(cellKey: String,
+    cid: Long, vecId: Long, q8: Array[Byte], fetchTs: Timestamp)
+
+/** A replica of the r16 gate's registry processor over the legacy probe
+  * shape — same state name ("keepers"), same [[CurationStream.CellKeeper]]
+  * encoder, same timers and decision rule, so the checkpoints it writes
+  * are exactly what a pre-codes binary left behind. */
+private[streaming] class LegacyCellRegistryProcessor(horizonMs: Long,
+    dotFloor: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, LegacyCellProbe, CurationStream.VecVerdict] {
+  @transient private var reg: org.apache.spark.sql.streaming.ListState[
+    CurationStream.CellKeeper] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    reg = getHandle.getListState[CurationStream.CellKeeper]("keepers",
+      org.apache.spark.sql.Encoders.product[CurationStream.CellKeeper],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  private def dot(a: Array[Byte], b: Array[Byte]): Long =
+    if (a.length != b.length) Long.MinValue
+    else {
+      var s = 0L
+      var i = 0
+      while (i < a.length) { s += a(i).toLong * b(i).toLong; i += 1 }
+      s
+    }
+
+  override def handleInputRows(key: String,
+      rows: Iterator[LegacyCellProbe],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[CurationStream.VecVerdict] = {
+    val sorted = rows.toSeq.sortBy(p => (p.fetchTs.getTime, p.vecId))
+    val keepers =
+      scala.collection.mutable.ArrayBuffer.empty[CurationStream.CellKeeper]
+    val it = reg.get()
+    while (it.hasNext) keepers += it.next()
+    val out = sorted.map { p =>
+      val ts = p.fetchTs.getTime
+      var dupOf = Long.MaxValue
+      keepers.foreach { k =>
+        if (math.abs(ts - k.tsMillis) <= horizonMs &&
+            k.vecId != p.vecId && k.vecId < dupOf &&
+            dot(p.q8, k.q8) >= dotFloor)
+          dupOf = k.vecId
+      }
+      val kept = dupOf == Long.MaxValue
+      val reg0 = CurationStream.CellKeeper(p.vecId, ts, p.q8)
+      keepers += reg0
+      reg.appendValue(reg0)
+      getHandle.registerTimer(ts + 2 * horizonMs)
+      CurationStream.VecVerdict(p.vecId, p.cid, p.fetchTs, kept,
+        if (kept) p.vecId else dupOf)
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(key: String,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[CurationStream.VecVerdict] = {
+    val expiry = expiredTimerInfo.getExpiryTimeInMs()
+    val live =
+      scala.collection.mutable.ArrayBuffer.empty[CurationStream.CellKeeper]
+    val it = reg.get()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k.tsMillis + 2 * horizonMs > expiry) live += k
+    }
+    if (live.isEmpty) reg.clear() else reg.put(live.toArray)
+    Iterator.empty
+  }
+}
+
 /** Streaming semantic gate (r15 verdict ask #7): the embedding-space
   * analogue of the near-dup band gate, pinned against the BATCH
   * `semanticDedupOn` decision on a replayed slice — same frozen cells,
@@ -374,6 +455,50 @@ class SemDedupGateSpec extends AnyFunSuite {
         assert(v.codes.isEmpty,
           s"a 32-dim vector must not prefix-encode: ${v.codes.toSeq}")
       } finally q3.stop()
+      // cbDigest (r17 verdict #2): every verdict stamps the codebook's
+      // live-id-set digest, and the VALUE is the staged pq_codes key's
+      // +frz component — pinned against the persisted stage NAME the
+      // build log records, not a re-derived digest
+      val digests = coded.map(_.cbDigest).toSet
+      assert(digests.size === 1, s"one codebook, one digest: $digests")
+      val root = java.nio.file.Files.createTempDirectory("sg_cbd").toString
+      Staged.enablePersist(root)
+      try {
+        Staged.reset(spark)
+        Staged.clearBuildLog()
+        SimilarityQueries.pqCodes(spark, dir, pqCfg).count()
+        val key = Staged.buildLogSnapshot.collect {
+          case (s, _) if s.startsWith("pq_codes@") => s
+        }.head
+        assert(key.endsWith("+frz" + digests.head),
+          s"verdict cbDigest must be the staged codes key's frz " +
+            s"component: $key vs ${digests.head}")
+      } finally {
+        Staged.disablePersist()
+        Staged.reset(spark)
+      }
+      // rows straddling a re-founding carry DISTINCT digests: the same
+      // corpus under a capped codebook is a different live set — a
+      // restarted intake stamps the new identity, so a consumer folding
+      // streamed rows into an index can never mix code spaces silently
+      val cws2 = CurationStream.frozenPqCodewordLits(spark, dir,
+        pqCfg.copy(maxCodewords = Some(2L)))
+      assert(cws2.map(_.cwId) === Seq(7L, 17L))
+      val input4 = MemoryStream[CurationStream.VecIn]
+      val q4 = CurationStream.semDedupGateCoded(input4.toDS(), cents, cws2)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sg_refound").start()
+      try {
+        input4.addData(CurationStream.VecIn(1000L, vec(5),
+          ts("2024-05-01 10:00:00")))
+        q4.processAllAvailable()
+        val v4 = spark.table("sg_refound")
+          .as[CurationStream.VecVerdictCoded].collect().head
+        assert(v4.cbDigest !== digests.head,
+          "a re-founded codebook must stamp a distinct digest")
+        assert(v4.cbDigest === SimilarityQueries.idSetDigest(
+          cws2.map(_.cwId)), "the digest is the live id-set digest")
+      } finally q4.stop()
     }
   }
 
@@ -416,6 +541,111 @@ class SemDedupGateSpec extends AnyFunSuite {
           .map(v => v.vecId -> (v.kept, v.dupOf)).toMap
         assert(out(10L) === ((false, 1L)),
           s"restored registry must drop the post-restart copy: $out")
+        assert(out(11L)._1 === true)
+      } finally q2.stop()
+    }
+  }
+
+  /** The r16 gate replicated end-to-end over [[LegacyCellProbe]] — the
+    * same assignment/quantization arithmetic as today's probe map, minus
+    * the codes field the r17 probe added. */
+  private def legacyGate(
+      ds: org.apache.spark.sql.Dataset[CurationStream.VecIn],
+      centroids: Seq[CurationStream.CentroidLit],
+      horizonMs: Long = 3600000L)
+      : org.apache.spark.sql.Dataset[CurationStream.VecVerdict] = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val cents = centroids.sortBy(_.cid).toArray
+    val prefix = StateSchemas.semGateCellPrefix(cents.map(_.cid).toSeq)
+    val probes = ds.map { v =>
+      val emb = new Array[Double](v.embedding.length)
+      var ss = 0.0
+      var i = 0
+      while (i < emb.length) {
+        emb(i) = v.embedding(i).toDouble
+        ss += emb(i) * emb(i)
+        i += 1
+      }
+      val norm = math.sqrt(ss)
+      var best = 0
+      var bestCos = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val ce = cents(c).cemb
+        val n = math.min(emb.length, ce.length)
+        var d = 0.0
+        var j = 0
+        while (j < n) { d += emb(j) * ce(j); j += 1 }
+        val cos = d / (norm * cents(c).cnorm)
+        if (cos > bestCos) { bestCos = cos; best = c }
+        c += 1
+      }
+      val q8 = new Array[Byte](emb.length)
+      i = 0
+      while (i < emb.length) {
+        val q = math.floor(emb(i) * 64.0)
+        q8(i) = math.max(-127.0, math.min(127.0, q)).toByte
+        i += 1
+      }
+      LegacyCellProbe(s"$prefix#${cents(best).cid}", cents(best).cid,
+        v.vecId, q8, v.fetchTs)
+    }
+    probes
+      .withWatermark("fetchTs", s"$horizonMs milliseconds")
+      .groupByKey(_.cellKey)
+      .transformWithState(
+        new LegacyCellRegistryProcessor(horizonMs,
+          SemDedupConfig.Default.dotFloor),
+        "fetchTs", org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  test("cross-shape restore: a checkpoint written by the PRE-codes probe shape restores under today's gate (r17 ADVICE)") {
+    // StateSchemas' claim in code: the r17 probe-row change (codes) and
+    // the r18 verdict change (cbDigest) ride input/output rows only —
+    // a checkpoint a pre-codes binary wrote (replicated verbatim by
+    // LegacyCellRegistryProcessor) restores under TODAY'S gate, and the
+    // pre-restart keepers still decide post-restart probes.
+    val dir = freshCorpus()
+    Staged.reset(spark)
+    val cents = CurationStream.frozenCentroidLits(spark, dir, cfg)
+    withRocksDb {
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("sg_xshape_ckpt").toString
+      val outDir =
+        java.nio.file.Files.createTempDirectory("sg_xshape_out").toString
+      val batch1 = Seq(
+        CurationStream.VecIn(1L, vec(5), ts("2024-05-01 10:00:00")),
+        CurationStream.VecIn(2L, vec(12), ts("2024-05-01 10:00:01")))
+      // leg 1: the LEGACY shape writes the checkpoint
+      val input1 = MemoryStream[CurationStream.VecIn]
+      val q1 = legacyGate(input1.toDS(), cents).writeStream
+        .outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+      try {
+        input1.addData(batch1: _*)
+        q1.processAllAvailable()
+        assert(spark.read.parquet(outDir).count() === 2)
+      } finally q1.stop()
+      // leg 2: TODAY'S gate (probe carries codes) restores the same
+      // checkpoint — the state/key schema is unchanged, so Spark must
+      // accept it, and the legacy-written keeper for vec 1 must still
+      // suppress its post-restart copy
+      val input2 = MemoryStream[CurationStream.VecIn]
+      input2.addData(batch1: _*) // restart replays the committed batch
+      val q2 = CurationStream.semDedupGate(input2.toDS(), cents)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+      try {
+        input2.addData(
+          CurationStream.VecIn(10L, vec(5), ts("2024-05-01 10:20:00")),
+          CurationStream.VecIn(11L, vec(30), ts("2024-05-01 10:20:01")))
+        q2.processAllAvailable()
+        val out = spark.read.parquet(outDir)
+          .as[CurationStream.VecVerdict].collect()
+          .map(v => v.vecId -> (v.kept, v.dupOf)).toMap
+        assert(out(10L) === ((false, 1L)),
+          s"the keeper a PRE-codes binary registered must survive the " +
+            s"shape change and drop the copy: $out")
         assert(out(11L)._1 === true)
       } finally q2.stop()
     }
