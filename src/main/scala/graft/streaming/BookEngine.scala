@@ -24,16 +24,25 @@ object BookEngine {
   import OrderBook._
 
   /** Process one key's batch of messages against its state. Pure function —
-    * unit-testable without Spark. Returns (newState, outputs). */
+    * unit-testable without Spark. Returns (newState, outputs).
+    *
+    * `depth` sizes the emitted inside book (top-`depth` per side). The
+    * reference hard-codes 15 (real_guac_async.py:94-95 — `range(15)`
+    * indexing, its 32-column DDL); 15 stays the default so every
+    * historical consumer and oracle is unchanged, but the constant is a
+    * knob since r18 (r17 verdict ask #8) — change-suppression compares
+    * the top-`depth` slice, so a shallower book emits strictly less. */
   def processKey(key: (String, String), state: ReplayState,
-      messages: Seq[MarketMessage]): (ReplayState, List[EngineOut]) = {
+      messages: Seq[MarketMessage],
+      depth: Int = 15): (ReplayState, List[EngineOut]) = {
+    require(depth >= 1, s"book depth must be >= 1: $depth")
     val (exchange, channel) = key
     var st = state
     var book = thaw(st)
     val out = List.newBuilder[EngineOut]
 
     def emitIfChanged(seq: Long, arrival: Long, product: String): Unit = {
-      val (tb, ta) = topK(book)
+      val (tb, ta) = topK(book, depth)
       if (!st.hasEmitted || tb != st.lastBids || ta != st.lastAsks) {
         out += EngineOut(Some(InsideBookUpdate(
           exchange, product, if (seq >= 0) seq else arrival, tb, ta)), None)
@@ -84,7 +93,8 @@ object BookEngine {
   /** Streaming operator: one flatMapGroupsWithState pass over the decoded
     * canonical stream. Works identically on a batch Dataset (Spark runs
     * the same function via the batch fallback path in tests). */
-  def run(messages: Dataset[MarketMessage]): Dataset[EngineOut] = {
+  def run(messages: Dataset[MarketMessage],
+      depth: Int = 15): Dataset[EngineOut] = {
     import messages.sparkSession.implicits._
     messages
       .groupByKey(m => (m.exchange, m.channel))
@@ -93,7 +103,7 @@ object BookEngine {
         (key: (String, String), it: Iterator[MarketMessage],
             gs: GroupState[ReplayState]) =>
           val state = gs.getOption.getOrElse(initialState)
-          val (next, outputs) = processKey(key, state, it.toSeq)
+          val (next, outputs) = processKey(key, state, it.toSeq, depth)
           gs.update(next)
           outputs.iterator
       }
@@ -116,7 +126,8 @@ object BookEngine {
     * changelog checkpointing + bounded executor memory for state at scale.
     * `flatMapGroupsWithState` above stays as the batch-compatible path
     * (transformWithState has no batch fallback). */
-  class BookStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
+  class BookStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE,
+      depth: Int = 15)
       extends StatefulProcessor[(String, String), MarketMessage, EngineOut] {
     @transient private var state: ValueState[ReplayState] = _
 
@@ -128,7 +139,7 @@ object BookEngine {
         rows: Iterator[MarketMessage],
         timerValues: TimerValues): Iterator[EngineOut] = {
       val st = if (state.exists()) state.get() else initialState
-      val (next, outputs) = processKey(key, st, rows.toSeq)
+      val (next, outputs) = processKey(key, st, rows.toSeq, depth)
       state.update(next)
       outputs.iterator
     }
@@ -138,13 +149,14 @@ object BookEngine {
     * delisted-product state eviction (see [[BookStatefulProcessor]]);
     * TTL requires the ProcessingTime time mode. */
   def runTws(messages: Dataset[MarketMessage],
-      idleTtl: Option[java.time.Duration] = None): Dataset[EngineOut] = {
+      idleTtl: Option[java.time.Duration] = None,
+      depth: Int = 15): Dataset[EngineOut] = {
     import messages.sparkSession.implicits._
     messages
       .groupByKey(m => (m.exchange, m.channel))
       .transformWithState(
         new BookStatefulProcessor(
-          idleTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)),
+          idleTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE), depth),
         if (idleTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append())
   }
