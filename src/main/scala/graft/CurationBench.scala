@@ -71,6 +71,34 @@ object CurationBench {
 
     val rep = ScaleData.ensureReplicated(spark, sfDir, k)
     val work = java.nio.file.Files.createTempDirectory("curation_bench").toString
+
+    // Deterministic replay (r17 verdict ask #5): the file stream source
+    // orders files by modification time, and one parquet write job
+    // leaves near-identical mtimes, so the maxFilesPerTrigger grouping —
+    // hence which replica of a duplicate registers first — varied run to
+    // run (the 317/280/296 kept-count wobble). Range partitioning
+    // already makes part-file NAME order the event order; stamping
+    // strictly increasing mtimes in name order makes listing order BE
+    // arrival order, so same-config runs replay identically and the
+    // kept column is a regression check. Bench-harness only — a
+    // production intake's arrival order belongs to the crawler.
+    def stampArrivalOrder(dirPath: String): Unit = {
+      val d = java.nio.file.Paths.get(dirPath)
+      val s = java.nio.file.Files.list(d)
+      val parts = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+      } finally s.close()
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1714521600000L + i * 1000L))
+        ()
+      }
+    }
+
     val crawlDir = s"$work/crawl"
     // fetchTs: 100 ms per original doc id — the whole crawl spans ~8 min of
     // event time, far inside the 1 h horizon, so no probe is watermark-late
@@ -81,6 +109,7 @@ object CurationBench {
           pmod(col("doc_id"), lit(100000000L)) * 100L).as("fetchTs"))
       .repartitionByRange(64, col("fetchTs"), col("docId"))
       .write.mode("overwrite").parquet(crawlDir)
+    stampArrivalOrder(crawlDir)
     val docs = spark.read.parquet(crawlDir).count()
     // machine-speed context: throughput rows are only comparable across
     // runs with calib attached. Same probe as Bench/EngineBench, and —
@@ -112,6 +141,7 @@ object CurationBench {
         timestamp_millis(lit(1714521600000L) + col("id") * 10L).as("fetchTs"))
       .repartitionByRange(16, col("fetchTs"), col("docId"))
       .write.mode("overwrite").parquet(burstDir)
+    stampArrivalOrder(burstDir)
 
     // Semantic-gate layout (r15 verdict ask #7's measured row): the
     // replicated embeddings as a VecIn-shaped file stream, plus the
@@ -126,6 +156,7 @@ object CurationBench {
           pmod(col("vec_id"), lit(100000000L)) * 100L).as("fetchTs"))
       .repartitionByRange(64, col("fetchTs"), col("vecId"))
       .write.mode("overwrite").parquet(vecDir)
+    stampArrivalOrder(vecDir)
     val vecs = spark.read.parquet(vecDir).count()
     val frozenCents = CurationStream.frozenCentroidLits(spark, rep,
       graft.operators.IvfConfig(frozen = true))

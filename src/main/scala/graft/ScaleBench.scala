@@ -90,6 +90,58 @@ object ScaleData {
     dir
   }
 
+  /** Deterministic CLUSTERED embedding fixture (r17 verdict ask #6):
+    * every historical recall row rode uniform-random embeddings, where
+    * PQ/IVF structurally underperform (each round's documented
+    * disclaimer). This corpus is the deployment-shaped counterpart —
+    * `clusters` well-separated integer seed vectors plus bounded integer
+    * jitter, ALL hash arithmetic (xxhash64), no RNG state — so recall
+    * rows reproduce bit-identically across runs and engines. Components
+    * are exact multiples of 1/64, so the int8 quantization
+    * (floor(v·64)) is lossless and every exact-integer dot matches an
+    * oracle's. Layout: seed(c, d) ∈ [-80, 80], jitter(v, d) ∈ [-4, 4],
+    * cluster = vec_id % clusters — the 10 query vectors (vec_id < 10)
+    * land in 10 distinct clusters of ~n/clusters members each.
+    *
+    * `clusters` must be coprime with the index families' id-rule strides
+    * (codewords at vec_id ≡ 11 mod 50, centroids at ≡ 7 mod 100): the
+    * default 31 makes the 40 rule codewords sweep EVERY cluster residue,
+    * so the sampled codebook covers every cluster the way a trained one
+    * would. (An even count is a trap: the all-odd codeword ids then
+    * cover only odd clusters and half the queries encode to garbage —
+    * measured recall 0.18 before this constraint.) Cached
+    * under /tmp like [[ensureReplicated]] (the content is a pure
+    * function of the parameters, so a marker suffices). Returns a dir
+    * holding ONLY embeddings.parquet — the ANN queries' sole input. */
+  def ensureClustered(spark: SparkSession, n: Long = 2000L,
+      clusters: Int = 31, dims: Int = 64): String = {
+    require(n > 0 && clusters >= 10 && dims > 0,
+      s"bad clustered-fixture shape: n=$n clusters=$clusters dims=$dims")
+    require(clusters % 2 == 1 && clusters % 5 != 0,
+      s"clusters must be coprime with the id-rule strides (50, 100): " +
+        s"$clusters")
+    val dir = s"/tmp/graft_clustered_n${n}_k${clusters}_d$dims"
+    val marker = new java.io.File(s"$dir/_CLUSTERED_OK")
+    if (!marker.exists()) {
+      val emb = expr(
+        s"""transform(sequence(0, ${dims - 1}), d -> CAST(
+           |  greatest(-127L, least(127L,
+           |    (pmod(xxhash64('seed', id % $clusters, d), 161) - 80) +
+           |    (pmod(xxhash64('jit', id, d), 9) - 4))) / 64.0
+           |  AS FLOAT))""".stripMargin)
+      spark.range(n)
+        .select(col("id").as("vec_id"), emb.as("embedding"),
+          (col("id") % 10).cast("int").as("label"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      marker.getParentFile.mkdirs()
+      java.nio.file.Files.write(marker.toPath,
+        "ok".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+    dir
+  }
+
   /** Cheap content fingerprint of a base corpus: row counts, id sums, and
     * VALUE hashes over both tables (one narrow agg each — milliseconds at
     * bench scale). The value terms matter: a corpus regenerated with a new
@@ -292,12 +344,42 @@ object ScaleBench {
         println(f"""IVF_SWEEP {"dir":"base","config":"$label","nlist":$nlist,"nprobe":$p,"probed_fraction":${p.toDouble / nlist}%.4f,"recall_at_5":$r%.3f}""")
       }
     }
+    // clustered-recall rows (r17 verdict ask #6): the deployment-shaped
+    // fixture — see ScaleData.ensureClustered. Measured LAST so its
+    // staged tables never pollute a timing pass; reset first for the
+    // same reason as the sweep. Gold split BY METRIC: each cluster
+    // holds ~64 near-duplicates, where cosine and exact dot genuinely
+    // disagree about which 5 near-ties rank first (norm spread), so the
+    // cosine-scored IVF variants report vs the cosine brute gold and
+    // the dot-scored PQ rows vs the exhaustive int8 scan they
+    // approximate — each family against its own exhaustive limit.
+    operators.Staged.reset(spark)
+    val clDir = ScaleData.ensureClustered(spark)
+    val clRecalls = {
+      def tops(name: String): Map[Long, Set[Long]] =
+        topSets(SparkEntry.queries(name)(spark, clDir))
+      val goldCos = tops("ann_topk_brute")
+      val goldInt8 = tops("ann_topk_int8")
+      require(goldCos.nonEmpty && goldInt8.nonEmpty)
+      (AnnVariants :+ "ann_topk_pq").sorted.map { v =>
+        val dotScored = v.startsWith("ann_topk_pq") ||
+          v == "ann_topk_ivf_int8"
+        val gold = if (dotScored) goldInt8 else goldCos
+        (v, if (dotScored) "int8" else "cosine",
+          meanRecall(gold, tops(v)))
+      }
+    }
+    clRecalls.foreach { case (variant, gold, r) =>
+      println(f"""RECALL_ROW {"dir":"clustered","query":"$variant","gold":"$gold","recall_at_5":$r%.3f}""")
+    }
     val summary = (results.map { case (dl, fam, _, med, _) =>
       f""""${dl}_$fam":$med%.3f"""
     } ++ recalls.flatMap { case (dl, byVariant) =>
       byVariant.toSeq.sortBy(_._1).map { case (v, r) =>
         f""""${dl}_recall5_${v.stripPrefix("ann_topk_")}":$r%.3f""" }
-    }).mkString(",")
+    } ++ clRecalls.map { case (v, _, r) =>
+      f""""clustered_recall5_${v.stripPrefix("ann_topk_")}":$r%.3f""" })
+      .mkString(",")
     spark.stop()
     println(f"""{"metric":"scale_bench","x":$k,"passes":$passes,"calib_sec":$calibSec%.3f,$summary}""")
     System.out.flush()

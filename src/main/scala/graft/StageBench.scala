@@ -258,8 +258,13 @@ object StageBench {
       var compacts = 0
       for (i <- 1 to chainN) {
         appendSlice(spark, workChain, k, i)
-        refreshTotal +=
+        val sec =
           timePhase(spark, s"chain_refresh_$i", workChain).map(_._3).sum
+        refreshTotal += sec
+        // per-drop series (r17 verdict #1): the row where a cell crosses
+        // the hot-cell threshold must NOT spike to the cold-rebuild
+        // regime now that the sem_drops delta re-pairs only that cell
+        println(f"""CHAIN_ROW {"drop":$i,"refresh_sec":$sec%.3f}""")
         compacts += operators.Staged.buildLogSnapshot
           .count(_._2 == "delta-compact")
       }
