@@ -2138,9 +2138,151 @@ object SimilarityQueries {
       WHERE rank <= 5
     """))
 
+  /** The FULL composed deployment retrieval shape — IVF × PQ × rerank
+    * (r18): probe the query's nprobe home cells (IVF prunes the
+    * candidate set to ~nprobe/nlist of the corpus), ADC-score ONLY those
+    * candidates' 8-small-int code rows (PQ prunes the bytes per
+    * surviving candidate), keep the ADC top-`pre`, then exact-int8
+    * rescore that bounded set — the standard IVFADC-with-rerank layout
+    * (Jégou et al. 2011 §V) as ONE declarative plan: ids-only cell join
+    * → codes join → broadcast distance table → partial-agg ADC sum →
+    * top-`pre` → rescore join. At 100 TB each rung cuts what the next
+    * one reads: cells cut ROWS, codes cut BYTES/row, the rescore reads
+    * full int8 vectors for only `pre` ids per query. Every rung reuses
+    * its staged table ([[ivfCells]], [[pqCodes]], [[quantized]]) — the
+    * composition adds no index build of its own. */
+  private[graft] def ivfPqRerankTopKWith(spark: SparkSession, dir: String,
+      k: Int, pre: Int, ivfCfg: IvfConfig = IvfConfig.Default,
+      pqCfg: PqConfig = PqConfig.Default): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val cells = ivfCells(spark, dir, ivfCfg)
+    val q8 = quantized(spark, dir)
+    val cw = pqCodebookOf(spark, dir, pqCfg)
+    val codes = pqCodes(spark, dir, pqCfg)
+    // IVF rung: ids-only candidates — the query's probed cells' rn=1
+    // members (ivfTopKWith's exact shape, no vectors shipped)
+    val qcells = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val members = cells.filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cid").as("ccid"))
+    val cand = qcells.join(members, col("cid") === col("ccid") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    // PQ rung: ADC over the candidates' code rows only. The distance
+    // table is queries × codewords × 8 — broadcast: BOUNDED BY CONFIG
+    // (the codebook rule / maxCodewords), the pqTopKWith classification.
+    val qtab = q8.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q8").as("qv"))
+      .crossJoin(cw)
+      .crossJoin(spark.range(0, PqSubs)
+        .select((col("id") * PqWidth + 1).as("off")))
+      .withColumn("d", expr(
+        s"vec_dot(slice(qv, CAST(off AS INT), $PqWidth), " +
+          s"slice(cv, CAST(off AS INT), $PqWidth))"))
+      .select(col("query_id"), col("off"), col("cw_id").as("code"),
+        col("d"))
+    val adcTop = rankTopK(
+      cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+          "neighbor_id")
+        .join(broadcast(qtab), Seq("query_id", "off", "code"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(sum(col("d")).as("score")),
+      "score", pre)
+      .select(col("query_id"), col("neighbor_id"))
+    // rerank rung: exact int8 rescore of the pre survivors
+    rankTopK(adcTop
+      // broadcast: BOUNDED — fixed 10-row literal query set.
+      .join(broadcast(q8.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q8").as("qv"))),
+        "query_id")
+      .join(q8.select(col("vec_id").as("neighbor_id"), col("q8").as("cv")),
+        "neighbor_id")
+      .withColumn("dot", expr("vec_dot(qv, cv)")), "dot", k)
+  }
+
+  val ivfPqRerankTopK = QueryDef(
+    "ann_topk_ivfpq_rerank",
+    (spark, dir) =>
+      ivfPqRerankTopKWith(spark, dir, 5, 100),
+    Some("""
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        WHERE vec_id % 100 = 7),
+      q8 AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 v -> greatest(least(floor(v * 64), 127), -127)) AS qv
+        FROM embeddings),
+      qranked AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.cemb AS DOUBLE[])) DESC,
+                   c.cid ASC) AS rn
+          FROM embeddings e, cents c WHERE e.vec_id < 10)
+        WHERE rn <= 2),
+      home AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.cemb AS DOUBLE[])) DESC,
+                   c.cid ASC) AS rn
+          FROM embeddings e, cents c)
+        WHERE rn = 1),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, h.vec_id AS neighbor_id
+        FROM qranked q
+        JOIN home h ON q.cid = h.cid AND q.vec_id <> h.vec_id),
+      cw AS (SELECT vec_id AS cw_id, qv AS cv FROM q8
+             WHERE vec_id % 50 = 11),
+      offs AS (SELECT unnest(range(8)) * 8 + 1 AS off),
+      enc AS (
+        SELECT vec_id, off, cw_id AS code FROM (
+          SELECT v.vec_id, o.off, c.cw_id,
+                 row_number() OVER (PARTITION BY v.vec_id, o.off ORDER BY
+                   (list_dot_product(v.qv[o.off:o.off+7],
+                                     v.qv[o.off:o.off+7]) +
+                    list_dot_product(c.cv[o.off:o.off+7],
+                                     c.cv[o.off:o.off+7]) -
+                    2 * list_dot_product(v.qv[o.off:o.off+7],
+                                         c.cv[o.off:o.off+7])) ASC,
+                   c.cw_id ASC) AS rn
+          FROM q8 v, cw c, offs o)
+        WHERE rn = 1),
+      qtab AS (
+        SELECT q.vec_id AS query_id, o.off, c.cw_id AS code,
+               list_dot_product(q.qv[o.off:o.off+7],
+                                c.cv[o.off:o.off+7]) AS d
+        FROM q8 q, cw c, offs o WHERE q.vec_id < 10),
+      adc AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id ASC) AS adc_rank
+          FROM (
+            SELECT c.query_id, c.neighbor_id, sum(t.d) AS score
+            FROM cand c
+            JOIN enc e ON e.vec_id = c.neighbor_id
+            JOIN qtab t ON t.query_id = c.query_id
+                       AND t.off = e.off AND t.code = e.code
+            GROUP BY c.query_id, c.neighbor_id))
+        WHERE adc_rank <= 100)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT a.query_id, a.neighbor_id,
+               row_number() OVER (PARTITION BY a.query_id
+                 ORDER BY list_dot_product(q.qv, n.qv) DESC,
+                          a.neighbor_id ASC) AS rank
+        FROM adc a
+        JOIN q8 q ON q.vec_id = a.query_id
+        JOIN q8 n ON n.vec_id = a.neighbor_id)
+      WHERE rank <= 5
+    """))
+
   val defs: Seq[QueryDef] =
     Seq(bruteTopK, lshTopK, ivfTopK, ivfCappedTopK, ivfTunedTopK,
       ivfInt8TopK, semanticDedup, labelCohesion, labelCohesionWide,
       ivfCellSkew, semanticRateByLabel, semanticKeeperResolve, pqTopK,
-      pqCappedTopK, pqRerankTopK)
+      pqCappedTopK, pqRerankTopK, ivfPqRerankTopK)
 }

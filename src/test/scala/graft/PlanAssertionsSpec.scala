@@ -486,4 +486,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
         s"$q: no unbroadcast product anywhere:\n" + p)
     }
   }
+
+  test("ann_topk_ivfpq_rerank: the composed rungs stay equi-joins — cells cut rows, codes cut bytes, rescore reads only survivors (r18)") {
+    operators.Staged.reset(spark)
+    val p = plan("ann_topk_ivfpq_rerank")
+    // cells→candidates is a cid equi-join; candidates→codes and the ADC
+    // distance-table join hash on ids/(query_id, off, code); the rescore
+    // equi-joins survivors back to the quantized table. The only NLJs
+    // are the config-bounded codebook/offset broadcasts.
+    assert(p.contains("BroadcastHashJoin"),
+      "the composed rungs must hash-join:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "no unbroadcast product anywhere:\n" + p)
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      "the PQ encode must aggregate, not window-sort:\n" + p)
+  }
 }

@@ -505,8 +505,14 @@ class ScaleSpec extends AnyFunSuite {
     val adc = ScaleBench.meanRecall(goldInt8, tops("ann_topk_pq"))
     val capped = ScaleBench.meanRecall(goldCos, tops("ann_topk_ivf_capped"))
     val ivf = ScaleBench.meanRecall(goldCos, tops("ann_topk_ivf"))
+    val ivfpq =
+      ScaleBench.meanRecall(goldInt8, tops("ann_topk_ivfpq_rerank"))
     info(f"clustered recall@5: rerank(vs int8)=$rerank%.3f " +
-      f"adc(vs int8)=$adc%.3f ivf_capped=$capped%.3f ivf=$ivf%.3f")
+      f"adc(vs int8)=$adc%.3f ivfpq(vs int8)=$ivfpq%.3f " +
+      f"ivf_capped=$capped%.3f ivf=$ivf%.3f")
+    assert(ivfpq >= 0.99,
+      f"the composed IVF-PQ-rerank shape must keep every cluster-mate " +
+        f"through both pruning rungs on clustered data: $ivfpq%.3f")
     assert(rerank >= adc - 1e-9,
       f"rerank $rerank%.3f must dominate standalone ADC $adc%.3f on " +
         "clustered data")
