@@ -48,14 +48,20 @@ object StageBench {
     "ann_topk_pq_frozen" -> ((s, d) =>
       operators.SimilarityQueries.pqTopKWith(s, d, 5, FrozenPq)),
     "ann_topk_pq_rerank_frozen" -> ((s, d) =>
-      operators.SimilarityQueries.pqRerankTopKWith(s, d, 5, 100, FrozenPq)))
+      operators.SimilarityQueries.pqRerankTopKWith(s, d, 5, 100, FrozenPq)),
+    // the composed IVF-PQ-rerank deployment shape (r18): every rung —
+    // frozen cells, frozen codes, quantized rescore table — is an
+    // appendable stage, so the full retrieval path delta-refreshes
+    "ann_topk_ivfpq_rerank_frozen" -> ((s, d) =>
+      operators.SimilarityQueries.ivfPqRerankTopKWith(s, d, 5, 100,
+        FrozenIvf, FrozenPq)))
   private def lookup(q: String)
       : (SparkSession, String) => org.apache.spark.sql.DataFrame =
     Extras.getOrElse(q, SparkEntry.queries(q))
   private val Queries =
     Seq("dedup_simhash", "vocab_topk", "ann_topk_int8", "dedup_components",
       "ann_topk_ivf_frozen", "dedup_semantic_frozen", "ann_topk_pq_frozen",
-      "ann_topk_pq_rerank_frozen")
+      "ann_topk_pq_rerank_frozen", "ann_topk_ivfpq_rerank_frozen")
 
   /** Appended docs are word-disjoint from every existing replica (each
     * token prefixed) with ids offset past every replica stride, so the
