@@ -1151,11 +1151,63 @@ object Staged {
     val rootPath = java.nio.file.Paths.get(root)
     if (!java.nio.file.Files.isDirectory(rootPath)) return Seq.empty
     val live = liveDirs.map(fingerprintUncached).toSet
+    val (entries, keep) = retainSelect(rootPath, live, policy, nowMs)
+    import scala.jdk.CollectionConverters._
+    val deleted = entries.filter { p =>
+      val name = p.getFileName.toString
+      val doomed = !keep.contains(name)
+      if (doomed) deleteRecursively(p)
+      else if (live.contains(name) && java.nio.file.Files.isDirectory(p)) {
+        // leftover sweep ONLY inside LIVE generations (r17 review): a
+        // deletion inside a kept STALE generation would bump the dir
+        // mtime the marker-less FALLBACK path reads as the generation's
+        // publish time, promoting an old generation over a newer one on
+        // the next sweep and re-arming its maxAge window (the marker,
+        // when present, is immune — but the scope rule must hold for
+        // pre-marker generations too). Stale-but-kept
+        // generations are rollback artifacts — leave them byte-for-byte
+        // untouched; their leftovers die with the generation.
+        val inner = java.nio.file.Files.list(p)
+        try inner.iterator().asScala
+          .filter(q => retainIsLeftover(q.getFileName.toString))
+          .foreach(deleteRecursively)
+        finally inner.close()
+      }
+      doomed
+    }
+    deleted.map(_.getFileName.toString)
+  }
+
+  /** Dry-run of [[retain]] (r18): the top-level names a sweep under this
+    * policy WOULD reclaim, computed by the SAME selection ([[PublishedMarker]]
+    * ranking, policy pick, transitive reference closure, live-untouchable)
+    * with ZERO filesystem writes — the preview an operator checks before
+    * tightening `keepStale`/`maxAgeMs` on a production root. Spec-pinned
+    * equal to what an immediately following [[retain]] actually deletes. */
+  def retainPlan(root: String, liveDirs: Seq[String],
+      policy: RetentionPolicy,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val rootPath = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(rootPath)) return Seq.empty
+    val live = liveDirs.map(fingerprintUncached).toSet
+    val (entries, keep) = retainSelect(rootPath, live, policy, nowMs)
+    entries.map(_.getFileName.toString).filterNot(keep.contains)
+  }
+
+  private def retainIsLeftover(n: String): Boolean =
+    n.contains(".tmp-") || n.contains(".stale-")
+
+  /** The retention sweep's SELECTION — root entries plus the transitive
+    * keep set — shared by [[retain]] (applies it) and [[retainPlan]]
+    * (previews it), so the preview can never drift from the sweep. Pure
+    * metadata reads. */
+  private def retainSelect(rootPath: java.nio.file.Path, live: Set[String],
+      policy: RetentionPolicy, nowMs: Long)
+      : (List[java.nio.file.Path], Set[String]) = {
     import scala.jdk.CollectionConverters._
     val s = java.nio.file.Files.list(rootPath)
     val entries = try s.iterator().asScala.toList finally s.close()
-    def isLeftover(n: String): Boolean =
-      n.contains(".tmp-") || n.contains(".stale-")
+    def isLeftover(n: String): Boolean = retainIsLeftover(n)
     // Generation age = the [[PublishedMarker]] the publish paths stamp
     // (r17 verdict ask #3: portable — an object store has no directory
     // mtime), falling back to the fingerprint dir's OWN mtime for
@@ -1196,29 +1248,7 @@ object Staged {
       grown = next.size > keep.size
       keep = next
     }
-    val deleted = entries.filter { p =>
-      val name = p.getFileName.toString
-      val doomed = !keep.contains(name)
-      if (doomed) deleteRecursively(p)
-      else if (live.contains(name) && java.nio.file.Files.isDirectory(p)) {
-        // leftover sweep ONLY inside LIVE generations (r17 review): a
-        // deletion inside a kept STALE generation would bump the dir
-        // mtime the marker-less FALLBACK path reads as the generation's
-        // publish time, promoting an old generation over a newer one on
-        // the next sweep and re-arming its maxAge window (the marker,
-        // when present, is immune — but the scope rule must hold for
-        // pre-marker generations too). Stale-but-kept
-        // generations are rollback artifacts — leave them byte-for-byte
-        // untouched; their leftovers die with the generation.
-        val inner = java.nio.file.Files.list(p)
-        try inner.iterator().asScala
-          .filter(q => isLeftover(q.getFileName.toString))
-          .foreach(deleteRecursively)
-        finally inner.close()
-      }
-      doomed
-    }
-    deleted.map(_.getFileName.toString)
+    (entries, keep)
   }
 
   /** Drop every staged entry belonging to `spark`, unpersisting any

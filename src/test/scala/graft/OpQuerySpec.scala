@@ -177,6 +177,31 @@ class OpQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("ann_range_cosine: exactly the pairs at or above the integer floor, golden-recomputed in memory (r18)") {
+    operators.Staged.reset(spark)
+    // the pinned quantization (floor(v*64) clamp ±127) and exact integer
+    // dot, recomputed independently of every Spark/DuckDB code path
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.max(-127.0,
+          math.min(127.0, math.floor(v * 64.0))).toLong).toArray)
+    val floor = operators.SimilarityQueries.RangeDotFloor
+    val expected = (for {
+      (q, qv) <- vecs if q < 10
+      (n, nv) <- vecs if n != q
+      dot = qv.zip(nv).map { case (a, b) => a * b }.sum
+      if dot >= floor
+    } yield (q, n, dot)).toSet
+    assert(expected.nonEmpty, "the fixture floor must keep some pairs")
+    val got = SparkEntry.queries("ann_range_cosine")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected,
+      s"range search must return exactly the at-or-above-floor pairs " +
+        s"(got ${got.size}, expected ${expected.size})")
+    operators.Staged.reset(spark)
+  }
+
   test("multimodal probeAll: typed mapPartitions path matches the SQL stub math") {
     import spark.implicits._
     val media = functions.Multimodal.documentsAsMedia(

@@ -459,4 +459,51 @@ class StagedPersistSpec extends AnyFunSuite {
       Staged.reset(spark)
     }
   }
+
+  test("retainPlan previews exactly what retain then deletes, touching nothing itself (r18)") {
+    import org.apache.spark.sql.functions.col
+    val stageRoot = Files.createTempDirectory("stage_root_plan").toString
+    val docs = Files.createTempDirectory("stage_docs_plan").toString
+    def writeDocs(ids: Range): Unit = {
+      import TestSpark.spark.implicits._
+      ids.map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$docs/documents.parquet")
+    }
+    def resolve(): Unit = {
+      Staged(spark, docs, "plan@k") {
+        spark.read.parquet(s"$docs/documents.parquet")
+          .select(col("doc_id"))
+      }.count()
+      ()
+    }
+    def fp(): String = { Staged.reset(spark); Staged.fingerprint(docs) }
+    def dirs(): Set[String] = Paths.get(stageRoot).toFile.list().toSet
+    Staged.evict(spark)
+    Staged.enablePersist(stageRoot)
+    try {
+      writeDocs(0 until 10); val fpA = fp(); resolve()
+      writeDocs(10 until 20); val fpB = fp(); resolve()
+      writeDocs(20 until 30); fp(); resolve() // live
+      val before = dirs()
+      val now = System.currentTimeMillis()
+      val policy = Staged.RetentionPolicy(keepStale = 1)
+      // ensure a deterministic newest-stale pick whatever the publish
+      // timing resolution: B is strictly newer than A by marker
+      Files.write(Paths.get(stageRoot, fpA, Staged.PublishedMarker),
+        (now - 60000L).toString.getBytes("UTF-8"))
+      Files.write(Paths.get(stageRoot, fpB, Staged.PublishedMarker),
+        now.toString.getBytes("UTF-8"))
+      val plan = Staged.retainPlan(stageRoot, Seq(docs), policy,
+        nowMs = now)
+      assert(plan === Seq(fpA), s"plan: $plan")
+      assert(dirs() === before, "the plan must not touch the root")
+      val del = Staged.retain(stageRoot, Seq(docs), policy, nowMs = now)
+      assert(del === plan,
+        s"the sweep must delete exactly the planned set: $del vs $plan")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
 }
