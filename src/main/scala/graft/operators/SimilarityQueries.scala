@@ -2326,9 +2326,154 @@ object SimilarityQueries {
         AND list_dot_product(q.qv, n.qv) >= $RangeDotFloor
     """))
 
+  /** The IVF centroids' int8 forms — (cid, cq8), exactly nlist rows,
+    * derived (never staged: one broadcast semi-join against the staged
+    * [[quantized]] table — centroids ARE corpus vectors, so their q8
+    * rows already exist; re-deriving risks a second quantization rule).
+    * Consumers broadcast it. */
+  private def ivfCentroidQ8(spark: SparkSession, dir: String,
+      cfg: IvfConfig): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    // broadcast: BOUNDED BY CONFIG — nlist centroid ids (the
+    // classification note at ivfCellsRaw).
+    val ids = centroidsOf(spark, dir, cfg).select(col("cid"))
+    quantized(spark, dir)
+      .join(broadcast(ids), col("vec_id") === col("cid"))
+      .select(col("cid"), col("q8").as("cq8"))
+  }
+
+  /** Per-cell PRUNING GEOMETRY for exact range search: (cid, rr) where
+    * rr = max over the cell's rn=1 members v of |v_q8 − c_q8|² — the
+    * squared int8-space radius of the cell. With it, Cauchy–Schwarz
+    * bounds any member's dot against a query q:
+    *   dot(q, v) = dot(q, c) + dot(q, v−c) ≤ dot(q, c) + √(qq·rr)
+    * so a whole cell is provably below a dot floor F when
+    * dot(q, c) < F and (F − dot(q, c))² > qq·rr — every term an exact
+    * integer (all products ≤ ~2^43 ≪ 2^53, so the comparison is
+    * bit-stable; no float epsilon anywhere). Staged next to the cell
+    * table it describes. Under a FROZEN config the stage delta-merges:
+    * assignments of old members never change (frozen centroids), a
+    * cell's radius is append-MONOTONE (max only grows), and max is
+    * order-insensitive — so the merge is exact under ANY append order,
+    * O(|delta| · nlist) assignment + an nlist-row max-merge, and the
+    * stage key's frozen digest re-founds it in lockstep with the cell
+    * table (the ivfCells discipline). Under the default corpus-derived
+    * config the centroid set itself moves with the corpus, so the
+    * stage rebuilds with the cells, same as `ivf_cells`. */
+  private[graft] def ivfCellBounds(spark: SparkSession, dir: String,
+      cfg: IvfConfig = IvfConfig.Default): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val cq8 = ivfCentroidQ8(spark, dir, cfg)
+    def radiiOf(members: DataFrame): DataFrame = members
+      .join(quantized(spark, dir), "vec_id")
+      .join(broadcast(cq8), "cid")
+      .withColumn("sq", expr(
+        "CAST(vec_dot(q8, q8) + vec_dot(cq8, cq8) " +
+          "- 2 * vec_dot(q8, cq8) AS BIGINT)"))
+      .groupBy(col("cid")).agg(max(col("sq")).as("rr"))
+    if (!cfg.frozen) {
+      val key =
+        if (cfg.stageKey == IvfConfig.Default.stageKey) "ivf_cell_rr"
+        else s"ivf_cell_rr@${cfg.stageKey}"
+      Staged(spark, dir, key) {
+        radiiOf(ivfCells(spark, dir, cfg).filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid")))
+      }
+    } else {
+      val key =
+        s"ivf_cell_rr@${cfg.stageKey}+frz${frozenDigest(spark, dir, cfg)}"
+      val cents = frozenCentroids(spark, dir, cfg)
+      Staged.rebuildable(spark, dir, key, "embeddings", "vec_id")(
+        (prior, deltaRaw) => {
+          // delta members' home cells under the FROZEN centroids (the
+          // one assignment rule), their radii, max-merged with prior —
+          // exact regardless of append order: max is order-insensitive
+          // and frozen assignments never move.
+          val deltaRadii = radiiOf(
+            assignCells(normTransform(deltaRaw), cents, 1)
+              .select(col("vec_id"), col("cid")))
+          prior.unionByName(deltaRadii)
+            .groupBy(col("cid")).agg(max(col("rr")).as("rr"))
+        }) {
+        radiiOf(ivfCells(spark, dir, cfg).filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid")))
+      }
+    }
+  }
+
+  /** The surviving (query_id, cid) pairs of the range query's cell
+    * prune under `cfg` — exposed so specs and benches can count what
+    * the bound eliminated (the guard-family discipline: a prune you
+    * can't observe is a prune you can't trust). Keep iff the cell's
+    * Cauchy–Schwarz ceiling reaches the floor:
+    *   dot(q, c) ≥ F, or (F − dot(q, c))² ≤ qq·rr. */
+  private[graft] def rangeLiveCells(spark: SparkSession, dir: String,
+      cfg: IvfConfig = IvfConfig.Default): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val f = lit(RangeDotFloor)
+    quantized(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q8").as("qv"))
+      .withColumn("qq", expr("CAST(vec_dot(qv, qv) AS BIGINT)"))
+      // broadcast: BOUNDED BY CONFIG — nlist (cid, rr) + (cid, cq8) rows.
+      .crossJoin(broadcast(ivfCellBounds(spark, dir, cfg)
+        .join(ivfCentroidQ8(spark, dir, cfg), "cid")))
+      .withColumn("dqc", expr("CAST(vec_dot(qv, cq8) AS BIGINT)"))
+      .filter(col("dqc") >= f ||
+        (f - col("dqc")) * (f - col("dqc")) <= col("qq") * col("rr"))
+      .select(col("query_id"), col("cid"))
+  }
+
+  /** `ann_range_cosine_cells` — the range query over the IVF geometry,
+    * still EXACT: prune whole cells whose Cauchy–Schwarz ceiling
+    * dot(q,c) + √(qq·rr) can't reach the floor ([[rangeLiveCells]]),
+    * then exact-int8-verify only the surviving cells' members. Unlike
+    * IVF range probing (FAISS-style nprobe, which MISSES matches in
+    * unprobed cells), the radius bound is sound — the result is
+    * bit-equal to [[rangeCosine]] by construction, same oracle SQL —
+    * and every comparison is exact integer arithmetic (products
+    * ≤ ~2^43). Shape: a 10×nlist broadcast prune, an ids-only cid
+    * equi-join against the rn=1 cell table, then the
+    * [[ivfPqRerankTopKWith]] rescore-join layout — at 100 TB the
+    * members and q8 joins co-locate under vec_id bucketing, and a
+    * pruned cell's members are never read. Honest bound: pruning power
+    * is data-shaped — it fires when cells are TIGHT relative to the
+    * floor (deduplicated/clustered corpora); on the uniform-random test
+    * embeddings rr ≈ 2·qq and nothing prunes (measured — the plan then
+    * degenerates gracefully to brute + an O(nlist) prefilter), which is
+    * the same disclaimer every recall row carries. The engineered
+    * tight-cluster spec pins both halves: cells ARE pruned there, and
+    * the result still equals the brute rung bit-for-bit. */
+  val rangeCosineCells = QueryDef(
+    "ann_range_cosine_cells",
+    (spark, dir) => {
+      graft.functions.VectorExprs.register(spark)
+      val q8 = quantized(spark, dir)
+      val cand = ivfCells(spark, dir, IvfConfig.Default)
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("cid"))
+        // broadcast: BOUNDED — 10 queries × nlist surviving cells.
+        .join(broadcast(rangeLiveCells(spark, dir, IvfConfig.Default)),
+          "cid")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"))
+      cand
+        .join(q8.select(col("vec_id").as("neighbor_id"),
+          col("q8").as("nv")), "neighbor_id")
+        // broadcast: BOUNDED — fixed 10-row literal query set.
+        .join(broadcast(q8.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("q8").as("qv"))),
+          "query_id")
+        .withColumn("dot", expr("CAST(vec_dot(qv, nv) AS BIGINT)"))
+        .filter(col("dot") >= RangeDotFloor)
+        .select(col("query_id"), col("neighbor_id"), col("dot"))
+    },
+    // bit-equal to the brute rung by construction — same oracle.
+    rangeCosine.oracle)
+
   val defs: Seq[QueryDef] =
     Seq(bruteTopK, lshTopK, ivfTopK, ivfCappedTopK, ivfTunedTopK,
       ivfInt8TopK, semanticDedup, labelCohesion, labelCohesionWide,
       ivfCellSkew, semanticRateByLabel, semanticKeeperResolve, pqTopK,
-      pqCappedTopK, pqRerankTopK, ivfPqRerankTopK, rangeCosine)
+      pqCappedTopK, pqRerankTopK, ivfPqRerankTopK, rangeCosine,
+      rangeCosineCells)
 }

@@ -501,4 +501,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition(vec_id"),
       "the PQ encode must aggregate, not window-sort:\n" + p)
   }
+
+  test("ann_range_cosine_cells: broadcast prune + cid/id equi-joins, no product — pruned cells' members are never read (r18)") {
+    operators.Staged.reset(spark)
+    val p = plan("ann_range_cosine_cells")
+    // the survivors join members on cid and the rescore equi-joins ids;
+    // the only NLJ is the 10×nlist bounds broadcast (config-bounded)
+    assert(p.contains("BroadcastHashJoin"),
+      "members must hash-join the broadcast survivor set:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "no unbroadcast product anywhere:\n" + p)
+  }
 }

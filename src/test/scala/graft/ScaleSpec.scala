@@ -676,4 +676,71 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.count() === 50, "10 queries x top-5 under the injected curve")
     operators.Staged.reset(spark)
   }
+
+  test("exact range search over cell bounds: tight cells prune, result bit-equal to brute (r18)") {
+    import org.apache.spark.sql.functions._
+    import operators.{IvfConfig, SimilarityQueries}
+    import spark.implicits._
+    // Engineered corpus where the Cauchy–Schwarz cell bound MUST fire:
+    // three tight clusters of 100 (ids 0-99 / 100-199 / 200-299), one
+    // rule centroid each under the DEFAULT config (ids 7, 107, 207 —
+    // vec_id % 100 == 7). Cluster bases in q8 space: A = +8 on dims
+    // 0-20, B = -8 on the same dims (anti-correlated), C = +8 on dims
+    // 43-63 (orthogonal); every member adds +1 on its own dim (id % 64)
+    // so cells are tight but not degenerate (rr = 2, not 0). Queries
+    // (ids 0-9, cluster A): dot vs centroid A ≈ +1344 ≥ 500 → survives;
+    // vs B ≈ -1344 and vs C ≈ 0, both with (500 - dqc)² ≫ qq·rr ≈ 2.8k
+    // → provably below the floor, PRUNED. The assertions pin both
+    // halves of the claim: the prune fires (1 surviving cell per
+    // query), and the pruned plan's result equals the brute rung
+    // bit-for-bit — a bound that ever cut a true match fails here.
+    val dir = java.nio.file.Files.createTempDirectory("range_cells").toString
+    def base(i: Int): Array[Float] = Array.tabulate(64) { d =>
+      val b = if (i < 100) { if (d <= 20) 8 else 0 }
+        else if (i < 200) { if (d <= 20) -8 else 0 }
+        else { if (d >= 43) 8 else 0 }
+      ((b + (if (d == i % 64) 1 else 0)) / 64.0).toFloat
+    }
+    (0 until 300).map(i => (i.toLong, base(i), (i % 5)))
+      .toDF("vec_id", "embedding", "label").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    operators.Staged.reset(spark)
+    val live = SimilarityQueries.rangeLiveCells(spark, dir,
+      IvfConfig.Default).collect()
+    assert(live.length === 10,
+      s"each of the 10 queries must keep exactly its own cluster's " +
+        s"cell (B anti-correlated, C orthogonal — both provably below " +
+        s"the floor): ${live.mkString(",")}")
+    assert(live.forall(_.getLong(1) === 7L),
+      s"the surviving cell must be cluster A's centroid: " +
+        live.mkString(","))
+    def rows(name: String): Set[(Long, Long, Long)] =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = rows("ann_range_cosine")
+    val pruned = rows("ann_range_cosine_cells")
+    assert(brute.nonEmpty, "fixture must produce in-radius pairs")
+    assert(pruned === brute,
+      s"cell-bounded range search must equal brute exactly " +
+        s"(pruned ${pruned.size} vs brute ${brute.size})")
+    // every match is intra-cluster-A here: 10 queries x 99 cluster-mates
+    assert(brute.size === 990, s"expected 10x99 intra-A pairs: ${brute.size}")
+
+    // The honest other half, same discipline as every recall row: on
+    // data WITHOUT tight structure the bound cannot prune (rr ≈ 2·qq),
+    // and the plan degenerates gracefully to brute + an O(nlist)
+    // prefilter. Measured on the sf corpus so the number is recorded,
+    // with equality still gated — soundness is data-independent.
+    operators.Staged.reset(spark)
+    val sfLive = SimilarityQueries.rangeLiveCells(spark, sf,
+      IvfConfig.Default).count()
+    val nlist = SimilarityQueries.ivfCellBounds(spark, sf,
+      IvfConfig.Default).count()
+    info(s"sf corpus: ${sfLive} surviving (query, cell) pairs of " +
+      s"${10 * nlist} — uniform-random embeddings, prune-neutral as " +
+      "documented")
+    assert(rows("ann_range_cosine_cells") === rows("ann_range_cosine"),
+      "equality must hold on the uniform corpus too")
+    operators.Staged.reset(spark)
+  }
 }

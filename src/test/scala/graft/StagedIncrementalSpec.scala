@@ -1664,4 +1664,97 @@ class StagedIncrementalSpec extends AnyFunSuite {
       Staged.reset(spark)
     }
   }
+
+  test("frozen cell-bounds stage: radii delta-merge on append, exact vs a cold rebuild, re-found with the centroids (r18)") {
+    import spark.implicits._
+    import operators.{IvfConfig, SimilarityQueries}
+    val dir = freshDir()
+    def writeEmb(ids: Seq[Long], append: Boolean): Unit = {
+      val rows = ids.map { i =>
+        (i, Array.tabulate(64)(d =>
+          (((i * 31 + d * 7) % 13) - 6).toFloat / 6f), (i % 5).toInt)
+      }
+      rows.toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    }
+    writeEmb(0L until 30L, append = false)
+    val cfg = IvfConfig(centroidEvery = 10, centroidKey = 7,
+      frozen = true, driftFractionMax = 1.0)
+    def bounds(): Map[Long, Long] = {
+      Staged.reset(spark)
+      SimilarityQueries.ivfCellBounds(spark, dir, cfg).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def boundModes(): Seq[String] = Staged.buildLogSnapshot.collect {
+      case (s, m) if s.startsWith("ivf_cell_rr@") => m
+    }
+    val root = Files.createTempDirectory("rr_root").toString
+    Staged.evict(spark)
+    Staged.enablePersist(root)
+    try {
+      Staged.clearBuildLog()
+      val founding = bounds()
+      assert(founding.keySet === Set(7L, 17L, 27L),
+        s"one radius per frozen centroid: $founding")
+      assert(boundModes() === Seq("cold"), Staged.buildLogSnapshot.toString)
+      assert(founding.values.forall(_ >= 0L))
+
+      // append #1 — a GOLDEN merge: the fixture formula is 13-periodic
+      // in vec_id, so every appended id 30-44 is an exact COPY of a
+      // founding vector (same cosines → same cell under the cid-asc
+      // tie-break, same sqdist). The delta must resolve, no new cells
+      // may appear under frozen centroids, and every radius must come
+      // back BIT-EQUAL to founding — a merge that mis-assigns the
+      // delta, re-derives centroids, or double-counts fails this.
+      writeEmb(30L until 45L, append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val grown = bounds()
+      assert(boundModes().contains("delta"),
+        s"append must delta-merge the radii: ${Staged.buildLogSnapshot}")
+      assert(grown === founding,
+        s"copies of founding vectors must leave every radius unchanged: " +
+          s"$founding vs $grown")
+
+      // append #2 — a genuinely NEW vector far from its home centroid:
+      // exactly one cell's radius must change, and it must GROW
+      // (radii are append-monotone; max-merge can never shrink one)
+      Seq((45L, Array.fill(64)(0.9f), 0))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("append").parquet(s"$dir/embeddings.parquet")
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val grown2 = bounds()
+      assert(boundModes().contains("delta"),
+        s"second append must also delta-merge: ${Staged.buildLogSnapshot}")
+      val changed = grown2.filter { case (c, rr) => grown(c) != rr }
+      assert(changed.size === 1,
+        s"one far vector lands in one home cell: $grown vs $grown2")
+      assert(changed.values.head > grown(changed.keys.head),
+        s"the touched radius must grow: $grown vs $grown2")
+
+      // warm reread hits
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      bounds()
+      assert(boundModes() === Seq("hit"), Staged.buildLogSnapshot.toString)
+
+      // and the stage key re-founds with the centroid digest: a config
+      // whose rule yields a different frozen set lands a DIFFERENT
+      // bounds lineage (cold), never a delta over the old one
+      val cfg2 = cfg.copy(centroidEvery = 15)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val other = SimilarityQueries.ivfCellBounds(spark, dir, cfg2)
+        .collect().map(_.getLong(0)).toSet
+      assert(other === Set(7L, 22L, 37L), s"rule ids under every=15: $other")
+      assert(boundModes() === Seq("cold"),
+        s"a different frozen lineage must cold-found its own bounds: " +
+          s"${Staged.buildLogSnapshot}")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
 }
