@@ -372,6 +372,27 @@ object ScaleBench {
     clRecalls.foreach { case (variant, gold, r) =>
       println(f"""RECALL_ROW {"dir":"clustered","query":"$variant","gold":"$gold","recall_at_5":$r%.3f}""")
     }
+    // range-prune rows (r18): how much of the corpus the exact range
+    // query's Cauchy–Schwarz cell bound eliminates, on both fixtures —
+    // survivors/total (query, cell) pairs plus the row-count identity
+    // with the brute rung (soundness is spec-gated; this is the
+    // measured-fraction evidence). The clustered fixture is the
+    // deployment shape; the uniform base corpus is the honest
+    // prune-neutral bound.
+    Seq(("clustered", clDir), ("base", base)).foreach { case (dl, d) =>
+      operators.Staged.reset(spark)
+      val cfg = operators.IvfConfig.Default
+      val live = operators.SimilarityQueries
+        .rangeLiveCells(spark, d, cfg).count()
+      val nlist = operators.SimilarityQueries
+        .ivfCellBounds(spark, d, cfg).count()
+      val pruned = SparkEntry.queries("ann_range_cosine_cells")(spark, d)
+        .count()
+      val brute = SparkEntry.queries("ann_range_cosine")(spark, d).count()
+      require(pruned == brute,
+        s"range cell bound broke exactness on $dl: $pruned vs $brute")
+      println(f"""RANGE_ROW {"dir":"$dl","surviving_cells":$live,"total_cells":${10 * nlist},"survivor_fraction":${live.toDouble / (10 * nlist)}%.3f,"matches":$brute}""")
+    }
     val summary = (results.map { case (dl, fam, _, med, _) =>
       f""""${dl}_$fam":$med%.3f"""
     } ++ recalls.flatMap { case (dl, byVariant) =>

@@ -2410,6 +2410,21 @@ object SimilarityQueries {
   private[graft] def rangeLiveCells(spark: SparkSession, dir: String,
       cfg: IvfConfig = IvfConfig.Default): DataFrame = {
     graft.functions.VectorExprs.register(spark)
+    // EXACTNESS GUARD (r18 review): the bit-equal-to-brute claim rests
+    // on every corpus vector having a home cell. A non-empty corpus
+    // whose id layout matches NO rule centroid has an empty cell table,
+    // and the pruned query would silently return empty where brute
+    // finds matches — refuse loudly instead. The approximate IVF
+    // variants tolerate that degenerate config (it is a recall-zero
+    // index, judged as such); an EXACT query must not. Two limit-1
+    // probes on staged tables — noise next to the scan they guard.
+    if (ivfCellBounds(spark, dir, cfg).isEmpty &&
+        !quantized(spark, dir).isEmpty)
+      throw new IllegalArgumentException(
+        s"range cell prune needs >= 1 centroid over a non-empty corpus " +
+          s"(rule: every=${cfg.centroidEvery} key=${cfg.centroidKey}) — " +
+          "an empty cell table cannot cover the corpus; use " +
+          "ann_range_cosine or fix the centroid rule")
     val f = lit(RangeDotFloor)
     quantized(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q8").as("qv"))

@@ -743,4 +743,27 @@ class ScaleSpec extends AnyFunSuite {
       "equality must hold on the uniform corpus too")
     operators.Staged.reset(spark)
   }
+
+  test("range cell prune refuses a centroid-free corpus instead of silently returning empty (r18 review)") {
+    import operators.{IvfConfig, SimilarityQueries}
+    import spark.implicits._
+    // 5 near-identical vectors, ids 0-4: none matches vec_id % 100 == 7,
+    // so the default rule yields ZERO centroids — the brute range query
+    // still finds their mutual matches, and a silent empty result from
+    // the pruned variant would break its exactness contract. It must
+    // throw instead.
+    val dir = java.nio.file.Files.createTempDirectory("range_nocent").toString
+    (0 until 5).map(i => (i.toLong,
+        Array.tabulate(64)(d => (8 + (if (d == i) 1 else 0)) / 64.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    operators.Staged.reset(spark)
+    val brute = SparkEntry.queries("ann_range_cosine")(spark, dir).count()
+    assert(brute > 0, "the fixture must have in-radius pairs")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("ann_range_cosine_cells")(spark, dir).count()
+    }
+    assert(e.getMessage.contains("centroid"), e.getMessage)
+    operators.Staged.reset(spark)
+  }
 }
