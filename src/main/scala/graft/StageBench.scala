@@ -54,14 +54,20 @@ object StageBench {
     // appendable stage, so the full retrieval path delta-refreshes
     "ann_topk_ivfpq_rerank_frozen" -> ((s, d) =>
       operators.SimilarityQueries.ivfPqRerankTopKWith(s, d, 5, 100,
-        FrozenIvf, FrozenPq)))
+        FrozenIvf, FrozenPq)),
+    // exact range search over the frozen geometry (r18): the cell table
+    // delta-assigns and the radius table delta-MERGES (append-monotone
+    // max), so the whole exact-range path refreshes O(delta)
+    "ann_range_cosine_cells_frozen" -> ((s, d) =>
+      operators.SimilarityQueries.rangeCosineCellsWith(s, d, FrozenIvf)))
   private def lookup(q: String)
       : (SparkSession, String) => org.apache.spark.sql.DataFrame =
     Extras.getOrElse(q, SparkEntry.queries(q))
   private val Queries =
     Seq("dedup_simhash", "vocab_topk", "ann_topk_int8", "dedup_components",
       "ann_topk_ivf_frozen", "dedup_semantic_frozen", "ann_topk_pq_frozen",
-      "ann_topk_pq_rerank_frozen", "ann_topk_ivfpq_rerank_frozen")
+      "ann_topk_pq_rerank_frozen", "ann_topk_ivfpq_rerank_frozen",
+      "ann_range_cosine_cells_frozen")
 
   /** Appended docs are word-disjoint from every existing replica (each
     * token prefixed) with ids offset past every replica stride, so the

@@ -2401,6 +2401,44 @@ object SimilarityQueries {
     }
   }
 
+  /** `ivf_cell_bounds` — the pruning-geometry AUDIT query: the staged
+    * per-cell squared radius itself, oracle-checked (the
+    * `ivf_cell_skew` discipline — every staged table an operator
+    * trusts gets its own correctness row; a radius that drifted from
+    * the true max would silently weaken [[rangeLiveCells]]'s ceiling,
+    * and an UNDER-stated one would break exactness). One slim read of
+    * the staged (cid, rr) table, nothing re-scores vectors. */
+  val ivfCellBoundsAudit = QueryDef(
+    "ivf_cell_bounds",
+    (spark, dir) => ivfCellBounds(spark, dir, IvfConfig.Default),
+    Some("""
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        WHERE vec_id % 100 = 7),
+      home AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.cemb AS DOUBLE[])) DESC,
+                   c.cid ASC) AS rn
+          FROM embeddings e, cents c)
+        WHERE rn = 1),
+      q8 AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 v -> greatest(least(floor(v * 64), 127), -127)) AS qv
+        FROM embeddings)
+      SELECT h.cid,
+             CAST(max(list_dot_product(v.qv, v.qv)
+                      + list_dot_product(c.qv, c.qv)
+                      - 2 * list_dot_product(v.qv, c.qv)) AS BIGINT) AS rr
+      FROM home h
+      JOIN q8 v ON v.vec_id = h.vec_id
+      JOIN q8 c ON c.vec_id = h.cid
+      GROUP BY h.cid
+    """))
+
   /** The surviving (query_id, cid) pairs of the range query's cell
     * prune under `cfg` — exposed so specs and benches can count what
     * the bound eliminated (the guard-family discipline: a prune you
@@ -2458,30 +2496,32 @@ object SimilarityQueries {
     * the same disclaimer every recall row carries. The engineered
     * tight-cluster spec pins both halves: cells ARE pruned there, and
     * the result still equals the brute rung bit-for-bit. */
+  private[graft] def rangeCosineCellsWith(spark: SparkSession,
+      dir: String, cfg: IvfConfig = IvfConfig.Default): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val q8 = quantized(spark, dir)
+    val cand = ivfCells(spark, dir, cfg)
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cid"))
+      // broadcast: BOUNDED — 10 queries × nlist surviving cells.
+      .join(broadcast(rangeLiveCells(spark, dir, cfg)), "cid")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    cand
+      .join(q8.select(col("vec_id").as("neighbor_id"),
+        col("q8").as("nv")), "neighbor_id")
+      // broadcast: BOUNDED — fixed 10-row literal query set.
+      .join(broadcast(q8.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q8").as("qv"))),
+        "query_id")
+      .withColumn("dot", expr("CAST(vec_dot(qv, nv) AS BIGINT)"))
+      .filter(col("dot") >= RangeDotFloor)
+      .select(col("query_id"), col("neighbor_id"), col("dot"))
+  }
+
   val rangeCosineCells = QueryDef(
     "ann_range_cosine_cells",
-    (spark, dir) => {
-      graft.functions.VectorExprs.register(spark)
-      val q8 = quantized(spark, dir)
-      val cand = ivfCells(spark, dir, IvfConfig.Default)
-        .filter(col("rn") === 1)
-        .select(col("vec_id").as("neighbor_id"), col("cid"))
-        // broadcast: BOUNDED — 10 queries × nlist surviving cells.
-        .join(broadcast(rangeLiveCells(spark, dir, IvfConfig.Default)),
-          "cid")
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"))
-      cand
-        .join(q8.select(col("vec_id").as("neighbor_id"),
-          col("q8").as("nv")), "neighbor_id")
-        // broadcast: BOUNDED — fixed 10-row literal query set.
-        .join(broadcast(q8.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("q8").as("qv"))),
-          "query_id")
-        .withColumn("dot", expr("CAST(vec_dot(qv, nv) AS BIGINT)"))
-        .filter(col("dot") >= RangeDotFloor)
-        .select(col("query_id"), col("neighbor_id"), col("dot"))
-    },
+    (spark, dir) => rangeCosineCellsWith(spark, dir),
     // bit-equal to the brute rung by construction — same oracle.
     rangeCosine.oracle)
 
@@ -2490,5 +2530,5 @@ object SimilarityQueries {
       ivfInt8TopK, semanticDedup, labelCohesion, labelCohesionWide,
       ivfCellSkew, semanticRateByLabel, semanticKeeperResolve, pqTopK,
       pqCappedTopK, pqRerankTopK, ivfPqRerankTopK, rangeCosine,
-      rangeCosineCells)
+      rangeCosineCells, ivfCellBoundsAudit)
 }
