@@ -2444,9 +2444,15 @@ object SimilarityQueries {
     * the bound eliminated (the guard-family discipline: a prune you
     * can't observe is a prune you can't trust). Keep iff the cell's
     * Cauchy–Schwarz ceiling reaches the floor:
-    *   dot(q, c) ≥ F, or (F − dot(q, c))² ≤ qq·rr. */
+    *   dot(q, c) ≥ F, or (F − dot(q, c))² ≤ qq·rr.
+    * `floorOf` is the PER-QUERY radius — an integer expression over
+    * `query_id` (real range consumers ask different radii per query:
+    * near-dup gates per doc type, recall jobs per label); the default
+    * is the fixed [[RangeDotFloor]]. The bound is per (query, cell)
+    * row, so a per-query floor changes nothing structural. */
   private[graft] def rangeLiveCells(spark: SparkSession, dir: String,
-      cfg: IvfConfig = IvfConfig.Default): DataFrame = {
+      cfg: IvfConfig = IvfConfig.Default,
+      floorOf: Column = lit(RangeDotFloor)): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     // EXACTNESS GUARD (r18 review): the bit-equal-to-brute claim rests
     // on every corpus vector having a home cell. A non-empty corpus
@@ -2463,16 +2469,17 @@ object SimilarityQueries {
           s"(rule: every=${cfg.centroidEvery} key=${cfg.centroidKey}) — " +
           "an empty cell table cannot cover the corpus; use " +
           "ann_range_cosine or fix the centroid rule")
-    val f = lit(RangeDotFloor)
     quantized(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q8").as("qv"))
       .withColumn("qq", expr("CAST(vec_dot(qv, qv) AS BIGINT)"))
+      .withColumn("f", floorOf)
       // broadcast: BOUNDED BY CONFIG — nlist (cid, rr) + (cid, cq8) rows.
       .crossJoin(broadcast(ivfCellBounds(spark, dir, cfg)
         .join(ivfCentroidQ8(spark, dir, cfg), "cid")))
       .withColumn("dqc", expr("CAST(vec_dot(qv, cq8) AS BIGINT)"))
-      .filter(col("dqc") >= f ||
-        (f - col("dqc")) * (f - col("dqc")) <= col("qq") * col("rr"))
+      .filter(col("dqc") >= col("f") ||
+        (col("f") - col("dqc")) * (col("f") - col("dqc")) <=
+          col("qq") * col("rr"))
       .select(col("query_id"), col("cid"))
   }
 
@@ -2497,14 +2504,15 @@ object SimilarityQueries {
     * tight-cluster spec pins both halves: cells ARE pruned there, and
     * the result still equals the brute rung bit-for-bit. */
   private[graft] def rangeCosineCellsWith(spark: SparkSession,
-      dir: String, cfg: IvfConfig = IvfConfig.Default): DataFrame = {
+      dir: String, cfg: IvfConfig = IvfConfig.Default,
+      floorOf: Column = lit(RangeDotFloor)): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val q8 = quantized(spark, dir)
     val cand = ivfCells(spark, dir, cfg)
       .filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cid"))
       // broadcast: BOUNDED — 10 queries × nlist surviving cells.
-      .join(broadcast(rangeLiveCells(spark, dir, cfg)), "cid")
+      .join(broadcast(rangeLiveCells(spark, dir, cfg, floorOf)), "cid")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
     cand
@@ -2512,10 +2520,11 @@ object SimilarityQueries {
         col("q8").as("nv")), "neighbor_id")
       // broadcast: BOUNDED — fixed 10-row literal query set.
       .join(broadcast(q8.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("q8").as("qv"))),
+        .select(col("vec_id").as("query_id"), col("q8").as("qv"))
+        .withColumn("f", floorOf)),
         "query_id")
       .withColumn("dot", expr("CAST(vec_dot(qv, nv) AS BIGINT)"))
-      .filter(col("dot") >= RangeDotFloor)
+      .filter(col("dot") >= col("f"))
       .select(col("query_id"), col("neighbor_id"), col("dot"))
   }
 
@@ -2525,10 +2534,46 @@ object SimilarityQueries {
     // bit-equal to the brute rung by construction — same oracle.
     rangeCosine.oracle)
 
+  /** The per-query radius the `_perq` variant pins: an integer floor
+    * derived from `query_id` — real range consumers ask different
+    * radii per query (near-dup gates per doc type, recall jobs per
+    * label), so the radius must be a per-row value, not an engine
+    * constant. 400..760 straddles [[RangeDotFloor]]'s measured dot
+    * distribution, so per-query selectivity genuinely varies (q0 is
+    * looser than the fixed floor, q9 much tighter — including
+    * legitimately-empty per-query results at small SF, which both
+    * engines must agree on). */
+  private[graft] def perQueryFloor: Column =
+    lit(400L) + lit(40L) * col("query_id")
+
+  /** `ann_range_cosine_perq` — range search with a PER-QUERY radius,
+    * over the same cell-bound pruning path ([[rangeCosineCellsWith]]
+    * with `floorOf` = [[perQueryFloor]]): the Cauchy–Schwarz refusal
+    * is evaluated per (query, cell) row, so a per-query floor changes
+    * nothing structural — tighter radii prune MORE cells for their
+    * query. Exactness is the same construction, and the oracle pins
+    * it end-to-end with the floor expression inlined in SQL. */
+  val rangeCosinePerQuery = QueryDef(
+    "ann_range_cosine_perq",
+    (spark, dir) => rangeCosineCellsWith(spark, dir,
+      IvfConfig.Default, perQueryFloor),
+    Some("""
+      WITH q8 AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 v -> greatest(least(floor(v * 64), 127), -127)) AS qv
+        FROM embeddings)
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             CAST(list_dot_product(q.qv, n.qv) AS BIGINT) AS dot
+      FROM q8 q JOIN q8 n ON n.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+        AND list_dot_product(q.qv, n.qv) >= 400 + 40 * q.vec_id
+    """))
+
   val defs: Seq[QueryDef] =
     Seq(bruteTopK, lshTopK, ivfTopK, ivfCappedTopK, ivfTunedTopK,
       ivfInt8TopK, semanticDedup, labelCohesion, labelCohesionWide,
       ivfCellSkew, semanticRateByLabel, semanticKeeperResolve, pqTopK,
       pqCappedTopK, pqRerankTopK, ivfPqRerankTopK, rangeCosine,
-      rangeCosineCells, ivfCellBoundsAudit)
+      rangeCosineCells, rangeCosinePerQuery, ivfCellBoundsAudit)
 }

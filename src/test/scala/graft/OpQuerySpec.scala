@@ -199,6 +199,24 @@ class OpQuerySpec extends AnyFunSuite {
     assert(got === expected,
       s"range search must return exactly the at-or-above-floor pairs " +
         s"(got ${got.size}, expected ${expected.size})")
+    // the per-query-radius variant (r18), same golden recompute with
+    // floor_q = 400 + 40*q — selectivity genuinely varies per query,
+    // and the cell-bound path underneath must not change a single pair
+    val expPerq = (for {
+      (q, qv) <- vecs if q < 10
+      (n, nv) <- vecs if n != q
+      dot = qv.zip(nv).map { case (a, b) => a * b }.sum
+      if dot >= 400L + 40L * q
+    } yield (q, n, dot)).toSet
+    assert(expPerq.nonEmpty, "the per-query floors must keep some pairs")
+    assert(expPerq !== expected,
+      "the per-query floors must actually change the result set " +
+        "or this pins nothing new")
+    val gotPerq = SparkEntry.queries("ann_range_cosine_perq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotPerq === expPerq,
+      s"per-query range search must return exactly its floors' pairs " +
+        s"(got ${gotPerq.size}, expected ${expPerq.size})")
     operators.Staged.reset(spark)
   }
 
