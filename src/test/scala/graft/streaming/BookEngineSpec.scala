@@ -137,4 +137,27 @@ class BookEngineSpec extends AnyFunSuite {
 
   private def isSorted(xs: Seq[BigDecimal]): Boolean =
     xs.zip(xs.drop(1)).forall { case (a, b) => a < b }
+
+  test("depth knob is decision-relevant at the engine level: a level-6 change is suppressed at depth 5, emitted at 15 (r18)") {
+    val deep = msg(1, "snapshot",
+      bids = (1 to 20).map(i => Seq(s"${300 - i}.00", "1.0")),
+      asks = (1 to 20).map(i => Seq(s"${400 + i}.00", "1.0")))
+    // level 6 on the bid side (294.00): outside the top-5 slice,
+    // inside the top-15 one — the knob decides the emission, not a
+    // post-filter (a post-filter of the depth-15 stream would emit an
+    // unchanged top-5 view here)
+    val level6 = msg(2, "l2update",
+      changes = Seq(Seq("buy", "294.00", "9.9")))
+    val (_, at5) = BookEngine.processKey(key, OrderBook.initialState,
+      Seq(deep, level6), depth = 5)
+    val (_, at15) = BookEngine.processKey(key, OrderBook.initialState,
+      Seq(deep, level6))
+    assert(at5.flatMap(_.book).length === 1,
+      "depth-5: snapshot only — the level-6 change must be suppressed")
+    assert(at5.flatMap(_.book).head.bids.length === 5,
+      "depth-5 book must carry exactly 5 bid levels")
+    assert(at15.flatMap(_.book).length === 2,
+      "depth-15: the level-6 change alters the visible slice and emits")
+    assert(at15.flatMap(_.book).last.bids(5) === Level("294.00", "9.9"))
+  }
 }
