@@ -2298,21 +2298,25 @@ object SimilarityQueries {
     * projection. Scale: this is the brute rung that PINS the semantics;
     * a selective radius composes with the IVF/PQ prefilter rungs
     * exactly as [[ivfPqRerankTopKWith]] does for top-k. */
+  private[graft] def rangeCosineWith(spark: SparkSession, dir: String,
+      floorOf: Column = lit(RangeDotFloor)): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val q8 = quantized(spark, dir)
+    q8
+      // broadcast: BOUNDED — fixed 10-row literal query set.
+      .join(broadcast(q8.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q8").as("qv"))
+        .withColumn("f", floorOf)),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("dot", expr("CAST(vec_dot(qv, q8) AS BIGINT)"))
+      .filter(col("dot") >= col("f"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("dot"))
+  }
+
   val rangeCosine = QueryDef(
     "ann_range_cosine",
-    (spark, dir) => {
-      graft.functions.VectorExprs.register(spark)
-      val q8 = quantized(spark, dir)
-      q8
-        // broadcast: BOUNDED — fixed 10-row literal query set.
-        .join(broadcast(q8.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("q8").as("qv"))),
-          col("vec_id") =!= col("query_id"))
-        .withColumn("dot", expr("CAST(vec_dot(qv, q8) AS BIGINT)"))
-        .filter(col("dot") >= RangeDotFloor)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("dot"))
-    },
+    (spark, dir) => rangeCosineWith(spark, dir),
     Some(s"""
       WITH q8 AS (
         SELECT vec_id,
