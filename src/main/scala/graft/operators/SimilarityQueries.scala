@@ -1816,6 +1816,20 @@ object SimilarityQueries {
     * it the single most expensive cold stage in the suite, ~6 μs/row of
     * slice allocation and re-dotting). */
   private def pqEncodeTransform(q8rows: DataFrame,
+      cw: DataFrame): DataFrame =
+    pqEncodeWithDist(q8rows, cw)
+      .select(col("vec_id"), col("off"), col("code"))
+
+  /** [[pqEncodeTransform]] plus the winner's exact integer L2 — the
+    * per-(vector, subspace) QUANTIZATION ERROR the encode already
+    * computes and previously discarded. Σ over subspaces is the squared
+    * residual norm |v − reconstruction(codes)|² (subspaces partition
+    * the dims), which [[pqResiduals]] stages for the sound PQ range
+    * prefilter. Same aggregate, same tie-break, one extra projected
+    * field — the codes consumers select it away, so the staged
+    * `pq_codes` schema (and the streamed-codes byte-parity contract)
+    * is untouched. */
+  private def pqEncodeWithDist(q8rows: DataFrame,
       cw: DataFrame): DataFrame = {
     val spark = q8rows.sparkSession
     graft.functions.VectorExprs.register(spark)
@@ -1835,7 +1849,40 @@ object SimilarityQueries {
       .groupBy(col("vec_id"), col("off"))
       .agg(min(struct(col("dist"), col("cw_id"))).as("best"))
       .select(col("vec_id"), col("off"),
-        col("best.cw_id").as("code"))
+        col("best.cw_id").as("code"),
+        col("best.dist").as("dist"))
+  }
+
+  /** Per-vector squared PQ residual norm (vec_id, rrv) — rrv =
+    * Σ subspaces |v_s − c_s|², the encode's winning dists summed, an
+    * exact integer. This is the per-VECTOR analog of the per-cell
+    * radius [[ivfCellBounds]] stages: dot(q, v) = ADCdot(q, v) +
+    * dot(q, v − recon) ≤ ADCdot + √(qq·rrv), so a vector whose ADC
+    * ceiling can't reach a floor is provably out of range — the BYTES
+    * rung of exact range search (the codes scan is 8 small ints + one
+    * int per vector; full vectors are read only for survivors).
+    * Staged next to the codes it describes: default mode rebuilds with
+    * the codes, frozen mode delta-appends per vector under the same
+    * codebook digest key. */
+  private[graft] def pqResiduals(spark: SparkSession, dir: String,
+      cfg: PqConfig): DataFrame = {
+    def residOf(q8rows: DataFrame, cw: DataFrame): DataFrame =
+      pqEncodeWithDist(q8rows, cw)
+        .groupBy(col("vec_id"))
+        .agg(expr("CAST(sum(dist) AS BIGINT)").as("rrv"))
+    if (!cfg.frozen)
+      Staged(spark, dir, s"pq_resid@${cfg.stageKey}") {
+        residOf(quantized(spark, dir), pqCodebookOf(spark, dir, cfg))
+      }
+    else {
+      val cw = frozenPqCodebook(spark, dir, cfg)
+      val key =
+        s"pq_resid@${cfg.stageKey}+frz${pqDigest(spark, dir, cfg)}"
+      Staged.appendable(spark, dir, key, "embeddings", "vec_id")(
+        raw => residOf(quantTransform(normTransform(raw)), cw)) {
+        residOf(quantized(spark, dir), cw)
+      }
+    }
   }
 
   /** The (cw_id, cv) codebook under `cfg` — frozen mode reads the
@@ -2538,6 +2585,99 @@ object SimilarityQueries {
     // bit-equal to the brute rung by construction — same oracle.
     rangeCosine.oracle)
 
+  /** `ann_range_cosine_pq` — the BYTES rung of exact range search:
+    * prefilter on the PQ codes scan with a SOUND per-vector ceiling,
+    * then exact-int8-rescore only the survivors. Soundness: subspaces
+    * partition the dims, so dot(q,v) = Σ_s dot(q_s, v_s) =
+    * ADCdot(q,v) + dot(q, v − recon) ≤ ADCdot + √(qq·rrv) by
+    * Cauchy–Schwarz on the residual, with rrv = |v − recon|² the
+    * encode's summed winning dists ([[pqResiduals]]) — every term an
+    * exact integer (products ≤ ~2^43), so a refused vector provably
+    * cannot clear the floor and the result is bit-equal to
+    * [[rangeCosine]] (same oracle). Unlike the lossy ADC top-k rung,
+    * the residual term makes the prefilter EXACT — the standard
+    * ADC-with-error-bound trick, here in integers. Where the CELLS
+    * rung cuts ROWS (pruned cells never read), this one cuts BYTES:
+    * the prefilter reads 8 small ints + one int per vector; the
+    * 64-int vectors are fetched only for survivors. The two compose
+    * the way [[ivfPqRerankTopKWith]]'s rungs do. Pruning power is
+    * data-shaped exactly like the cells rung: tight clusters → tiny
+    * residuals → wide refusal; uniform-random corpora → rrv ≈ qq →
+    * prune-neutral (documented, spec'd both ways). */
+  /** The prefilter's surviving (query_id, neighbor_id) pairs under the
+    * ADC + residual ceiling — exposed for the same reason as
+    * [[rangeLiveCells]]: a prune you can't observe is a prune you
+    * can't trust. Keep iff adc ≥ f, or (f − adc)² ≤ qq·rrv. */
+  private[graft] def rangePqSurvivors(spark: SparkSession, dir: String,
+      cfg: PqConfig = PqConfig.Default,
+      floorOf: Column = lit(RangeDotFloor)): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val q8 = quantized(spark, dir)
+    val cw = pqCodebookOf(spark, dir, cfg)
+    // EXACTNESS GUARD (the cells rung's contract): a non-empty corpus
+    // whose id layout matches no rule codeword has an empty codes
+    // table — the prefilter would silently return empty where brute
+    // finds matches. Refuse loudly.
+    if (cw.isEmpty && !q8.isEmpty)
+      throw new IllegalArgumentException(
+        "PQ range prefilter needs >= 1 codeword over a non-empty " +
+          "corpus — an empty codes table cannot cover it; use " +
+          "ann_range_cosine or fix the codeword rule")
+    // dot-ADC distance table: queries × codewords × subspaces —
+    // broadcast: BOUNDED BY CONFIG (the pqTopKWith classification).
+    val qtab = q8.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q8").as("qv"))
+      .crossJoin(cw)
+      .crossJoin(spark.range(0, PqSubs)
+        .select((col("id") * PqWidth + 1).as("off")))
+      .withColumn("d", expr(
+        s"vec_dot(slice(qv, CAST(off AS INT), $PqWidth), " +
+          s"slice(cv, CAST(off AS INT), $PqWidth))"))
+      .select(col("query_id"), col("off"), col("cw_id").as("code"),
+        col("d"))
+    pqCodes(spark, dir, cfg)
+      .join(broadcast(qtab), Seq("off", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(expr("CAST(sum(d) AS BIGINT)").as("adc"))
+      .join(pqResiduals(spark, dir, cfg), "vec_id")
+      // broadcast: BOUNDED — fixed 10-row literal query set.
+      .join(broadcast(q8.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          expr("CAST(vec_dot(q8, q8) AS BIGINT)").as("qq"))
+        .withColumn("f", floorOf)), "query_id")
+      // keep iff the ceiling reaches the floor:
+      //   adc ≥ f, or (f − adc)² ≤ qq·rrv
+      .filter(col("adc") >= col("f") ||
+        (col("f") - col("adc")) * (col("f") - col("adc")) <=
+          col("qq") * col("rrv"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+  }
+
+  private[graft] def rangeCosinePqWith(spark: SparkSession, dir: String,
+      cfg: PqConfig = PqConfig.Default,
+      floorOf: Column = lit(RangeDotFloor)): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val q8 = quantized(spark, dir)
+    // broadcast: BOUNDED — fixed 10-row literal query set.
+    val qmeta = broadcast(q8.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q8").as("qv"))
+      .withColumn("f", floorOf))
+    rangePqSurvivors(spark, dir, cfg, floorOf)
+      .join(q8.select(col("vec_id").as("neighbor_id"),
+        col("q8").as("nv")), "neighbor_id")
+      .join(qmeta, "query_id")
+      .withColumn("dot", expr("CAST(vec_dot(qv, nv) AS BIGINT)"))
+      .filter(col("dot") >= col("f"))
+      .select(col("query_id"), col("neighbor_id"), col("dot"))
+  }
+
+  val rangeCosinePq = QueryDef(
+    "ann_range_cosine_pq",
+    (spark, dir) => rangeCosinePqWith(spark, dir),
+    // bit-equal to the brute rung by construction — same oracle.
+    rangeCosine.oracle)
+
   /** The per-query radius the `_perq` variant pins: an integer floor
     * derived from `query_id` — real range consumers ask different
     * radii per query (near-dup gates per doc type, recall jobs per
@@ -2579,5 +2719,6 @@ object SimilarityQueries {
       ivfInt8TopK, semanticDedup, labelCohesion, labelCohesionWide,
       ivfCellSkew, semanticRateByLabel, semanticKeeperResolve, pqTopK,
       pqCappedTopK, pqRerankTopK, ivfPqRerankTopK, rangeCosine,
-      rangeCosineCells, rangeCosinePerQuery, ivfCellBoundsAudit)
+      rangeCosineCells, rangeCosinePerQuery, rangeCosinePq,
+      ivfCellBoundsAudit)
 }

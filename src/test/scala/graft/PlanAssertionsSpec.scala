@@ -512,4 +512,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       "no unbroadcast product anywhere:\n" + p)
   }
+
+  test("ann_range_cosine_pq: codes-scan prefilter with broadcast ADC table, id equi-joins, no product (r18)") {
+    operators.Staged.reset(spark)
+    val p = plan("ann_range_cosine_pq")
+    assert(p.contains("BroadcastHashJoin"),
+      "the codes scan must hash-join the broadcast distance table:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "no unbroadcast product anywhere:\n" + p)
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      "the prefilter must aggregate, not window-sort:\n" + p)
+  }
 }

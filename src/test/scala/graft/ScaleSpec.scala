@@ -726,6 +726,19 @@ class ScaleSpec extends AnyFunSuite {
     // every match is intra-cluster-A here: 10 queries x 99 cluster-mates
     assert(brute.size === 990, s"expected 10x99 intra-A pairs: ${brute.size}")
 
+    // the BYTES rung (r18): the PQ codes prefilter with the residual
+    // ceiling. Codewords (vec_id % 50 == 11) land two per cluster, so
+    // every member's reconstruction is jitter-close (rrv tiny) and the
+    // ADC + √(qq·rrv) ceiling provably excludes clusters B and C —
+    // the prefilter must keep EXACTLY the true matches here, and the
+    // result must equal brute bit-for-bit
+    val pqSurv = SimilarityQueries.rangePqSurvivors(spark, dir).count()
+    assert(pqSurv === 990L,
+      s"the residual ceiling must keep exactly cluster A's pairs " +
+        s"(B anti-correlated, C orthogonal, rrv jitter-sized): $pqSurv")
+    assert(rows("ann_range_cosine_pq") === brute,
+      "PQ-prefiltered range search must equal brute exactly")
+
     // The honest other half, same discipline as every recall row: on
     // data WITHOUT tight structure the bound cannot prune (rr ≈ 2·qq),
     // and the plan degenerates gracefully to brute + an O(nlist)
@@ -739,8 +752,11 @@ class ScaleSpec extends AnyFunSuite {
     info(s"sf corpus: ${sfLive} surviving (query, cell) pairs of " +
       s"${10 * nlist} — uniform-random embeddings, prune-neutral as " +
       "documented")
-    assert(rows("ann_range_cosine_cells") === rows("ann_range_cosine"),
+    val sfBrute = rows("ann_range_cosine")
+    assert(rows("ann_range_cosine_cells") === sfBrute,
       "equality must hold on the uniform corpus too")
+    assert(rows("ann_range_cosine_pq") === sfBrute,
+      "PQ-rung equality must hold on the uniform corpus too")
     operators.Staged.reset(spark)
   }
 
@@ -764,6 +780,12 @@ class ScaleSpec extends AnyFunSuite {
       SparkEntry.queries("ann_range_cosine_cells")(spark, dir).count()
     }
     assert(e.getMessage.contains("centroid"), e.getMessage)
+    // the PQ rung shares the contract: ids 0-4 match no codeword rule
+    // (vec_id % 50 == 11) either — it must refuse, not return empty
+    val e2 = intercept[IllegalArgumentException] {
+      SparkEntry.queries("ann_range_cosine_pq")(spark, dir).count()
+    }
+    assert(e2.getMessage.contains("codeword"), e2.getMessage)
     operators.Staged.reset(spark)
   }
 }

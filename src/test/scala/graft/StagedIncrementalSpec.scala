@@ -1757,4 +1757,68 @@ class StagedIncrementalSpec extends AnyFunSuite {
       Staged.reset(spark)
     }
   }
+
+  test("frozen PQ residual stage: per-vector rrv delta-appends, copies carry their originals' values (r18)") {
+    import spark.implicits._
+    import operators.{PqConfig, SimilarityQueries}
+    val dir = freshDir()
+    def writeEmb(ids: Seq[Long], append: Boolean): Unit = {
+      val rows = ids.map { i =>
+        (i, Array.tabulate(64)(d =>
+          (((i * 31 + d * 7) % 13) - 6).toFloat / 6f), (i % 5).toInt)
+      }
+      rows.toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    }
+    writeEmb(0L until 30L, append = false)
+    val cfg = PqConfig(cwEvery = 10, cwKey = 1, frozen = true,
+      driftFractionMax = 1.0)
+    def resid(): Map[Long, Long] = {
+      Staged.reset(spark)
+      SimilarityQueries.pqResiduals(spark, dir, cfg).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def residModes(): Seq[String] = Staged.buildLogSnapshot.collect {
+      case (s, m) if s.startsWith("pq_resid@") => m
+    }
+    val root = Files.createTempDirectory("resid_root").toString
+    Staged.evict(spark)
+    Staged.enablePersist(root)
+    try {
+      Staged.clearBuildLog()
+      val founding = resid()
+      assert(founding.keySet === (0L until 30L).toSet,
+        "one residual per vector")
+      assert(residModes() === Seq("cold"), Staged.buildLogSnapshot.toString)
+      // codewords themselves reconstruct exactly: rrv == 0
+      assert((1L until 30L by 10L).forall(founding(_) === 0L),
+        s"codeword vectors must have zero residual: $founding")
+
+      // the 13-periodic fixture makes appended ids 30-44 exact copies
+      // of founding vectors: the stage must delta-append, and each
+      // copy's rrv must equal its original's (same vector, same frozen
+      // codebook, same encode)
+      writeEmb(30L until 45L, append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val grown = resid()
+      assert(residModes().contains("delta"),
+        s"append must delta-build the residuals: ${Staged.buildLogSnapshot}")
+      assert(grown.keySet === (0L until 45L).toSet)
+      // every appended id i copies vec(i % 13), and all founding ids
+      // with the same residue carry the SAME rrv — so each copy must
+      // match its residue's value exactly
+      val byResidue = founding.groupBy { case (id, _) => id % 13L }
+        .map { case (r, m) => r -> m.values.toSet }
+      assert(byResidue.values.forall(_.size === 1),
+        s"fixture sanity: equal vectors must have equal residuals: $byResidue")
+      for (i <- 30L until 45L)
+        assert(grown(i) === byResidue(i % 13L).head,
+          s"copy $i drifted from its original's residual")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
 }
