@@ -2607,10 +2607,16 @@ object SimilarityQueries {
   /** The prefilter's surviving (query_id, neighbor_id) pairs under the
     * ADC + residual ceiling — exposed for the same reason as
     * [[rangeLiveCells]]: a prune you can't observe is a prune you
-    * can't trust. Keep iff adc ≥ f, or (f − adc)² ≤ qq·rrv. */
+    * can't trust. Keep iff adc ≥ f, or (f − adc)² ≤ qq·rrv.
+    * `restrictTo` (query_id, vec_id) scopes the ADC itself to an
+    * upstream rung's survivors — the composed shape runs the bytes
+    * ceiling only over the cells rung's members, so a pruned cell's
+    * codes are never ADC-scored (restriction BEFORE the aggregate,
+    * not a post-filter). */
   private[graft] def rangePqSurvivors(spark: SparkSession, dir: String,
       cfg: PqConfig = PqConfig.Default,
-      floorOf: Column = lit(RangeDotFloor)): DataFrame = {
+      floorOf: Column = lit(RangeDotFloor),
+      restrictTo: Option[DataFrame] = None): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val q8 = quantized(spark, dir)
     val cw = pqCodebookOf(spark, dir, cfg)
@@ -2635,9 +2641,12 @@ object SimilarityQueries {
           s"slice(cv, CAST(off AS INT), $PqWidth))"))
       .select(col("query_id"), col("off"), col("cw_id").as("code"),
         col("d"))
-    pqCodes(spark, dir, cfg)
+    val scored = pqCodes(spark, dir, cfg)
       .join(broadcast(qtab), Seq("off", "code"))
       .filter(col("vec_id") =!= col("query_id"))
+    restrictTo.fold(scored)(cand =>
+        scored.join(cand.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_semi"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(expr("CAST(sum(d) AS BIGINT)").as("adc"))
       .join(pqResiduals(spark, dir, cfg), "vec_id")
@@ -2675,6 +2684,52 @@ object SimilarityQueries {
   val rangeCosinePq = QueryDef(
     "ann_range_cosine_pq",
     (spark, dir) => rangeCosinePqWith(spark, dir),
+    // bit-equal to the brute rung by construction — same oracle.
+    rangeCosine.oracle)
+
+  /** The FULL composed exact range shape — the range analog of
+    * [[ivfPqRerankTopKWith]], with every rung SOUND instead of lossy:
+    * the cells rung refuses whole cells (rows — a pruned cell's
+    * members never enter the plan), the PQ residual ceiling then
+    * ADC-scores only the surviving members' 8-small-int codes (bytes —
+    * restriction BEFORE the aggregate), and the exact int8 rescore
+    * reads full vectors only for ceiling survivors. Every refusal is a
+    * Cauchy–Schwarz bound in exact integers, so the composition is
+    * bit-equal to brute by construction (same oracle) at ANY data
+    * shape — prune POWER is data-shaped (tight clusters → both rungs
+    * bite; uniform corpus → both neutral, measured), prune SOUNDNESS
+    * is not. */
+  private[graft] def rangeCosineComposedWith(spark: SparkSession,
+      dir: String, ivfCfg: IvfConfig = IvfConfig.Default,
+      pqCfg: PqConfig = PqConfig.Default,
+      floorOf: Column = lit(RangeDotFloor)): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val q8 = quantized(spark, dir)
+    // rows rung: the cells rung's member pairs
+    val cellCand = ivfCells(spark, dir, ivfCfg)
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+      // broadcast: BOUNDED — 10 queries × nlist surviving cells.
+      .join(broadcast(rangeLiveCells(spark, dir, ivfCfg, floorOf)),
+        "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    // bytes rung over ONLY those members, then the exact rescore
+    val qmeta = broadcast(q8.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q8").as("qv"))
+      .withColumn("f", floorOf))
+    rangePqSurvivors(spark, dir, pqCfg, floorOf, Some(cellCand))
+      .join(q8.select(col("vec_id").as("neighbor_id"),
+        col("q8").as("nv")), "neighbor_id")
+      .join(qmeta, "query_id")
+      .withColumn("dot", expr("CAST(vec_dot(qv, nv) AS BIGINT)"))
+      .filter(col("dot") >= col("f"))
+      .select(col("query_id"), col("neighbor_id"), col("dot"))
+  }
+
+  val rangeCosineComposed = QueryDef(
+    "ann_range_cosine_ivfpq",
+    (spark, dir) => rangeCosineComposedWith(spark, dir),
     // bit-equal to the brute rung by construction — same oracle.
     rangeCosine.oracle)
 
@@ -2720,5 +2775,5 @@ object SimilarityQueries {
       ivfCellSkew, semanticRateByLabel, semanticKeeperResolve, pqTopK,
       pqCappedTopK, pqRerankTopK, ivfPqRerankTopK, rangeCosine,
       rangeCosineCells, rangeCosinePerQuery, rangeCosinePq,
-      ivfCellBoundsAudit)
+      rangeCosineComposed, ivfCellBoundsAudit)
 }

@@ -738,6 +738,8 @@ class ScaleSpec extends AnyFunSuite {
         s"(B anti-correlated, C orthogonal, rrv jitter-sized): $pqSurv")
     assert(rows("ann_range_cosine_pq") === brute,
       "PQ-prefiltered range search must equal brute exactly")
+    assert(rows("ann_range_cosine_ivfpq") === brute,
+      "the composed rows x bytes range shape must equal brute exactly")
 
     // The honest other half, same discipline as every recall row: on
     // data WITHOUT tight structure the bound cannot prune (rr ≈ 2·qq),
@@ -757,6 +759,8 @@ class ScaleSpec extends AnyFunSuite {
       "equality must hold on the uniform corpus too")
     assert(rows("ann_range_cosine_pq") === sfBrute,
       "PQ-rung equality must hold on the uniform corpus too")
+    assert(rows("ann_range_cosine_ivfpq") === sfBrute,
+      "composed-shape equality must hold on the uniform corpus too")
     operators.Staged.reset(spark)
   }
 
