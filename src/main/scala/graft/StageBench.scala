@@ -59,7 +59,11 @@ object StageBench {
     // delta-assigns and the radius table delta-MERGES (append-monotone
     // max), so the whole exact-range path refreshes O(delta)
     "ann_range_cosine_cells_frozen" -> ((s, d) =>
-      operators.SimilarityQueries.rangeCosineCellsWith(s, d, FrozenIvf)))
+      operators.SimilarityQueries.rangeCosineCellsWith(s, d, FrozenIvf)),
+    // the bytes rung (r18): codes AND residuals delta-append per vector
+    // under the frozen codebook digest
+    "ann_range_cosine_pq_frozen" -> ((s, d) =>
+      operators.SimilarityQueries.rangeCosinePqWith(s, d, FrozenPq)))
   private def lookup(q: String)
       : (SparkSession, String) => org.apache.spark.sql.DataFrame =
     Extras.getOrElse(q, SparkEntry.queries(q))
@@ -67,7 +71,7 @@ object StageBench {
     Seq("dedup_simhash", "vocab_topk", "ann_topk_int8", "dedup_components",
       "ann_topk_ivf_frozen", "dedup_semantic_frozen", "ann_topk_pq_frozen",
       "ann_topk_pq_rerank_frozen", "ann_topk_ivfpq_rerank_frozen",
-      "ann_range_cosine_cells_frozen")
+      "ann_range_cosine_cells_frozen", "ann_range_cosine_pq_frozen")
 
   /** Appended docs are word-disjoint from every existing replica (each
     * token prefixed) with ids offset past every replica stride, so the

@@ -721,10 +721,15 @@ object CurationStream {
     * staged `pq_codes@…+frz<digest>` key carries, so a consumer folding
     * streamed rows into an index can tell pre- from post-re-founding
     * codes instead of silently mixing two codebooks' code spaces — and
-    * can route each row to the staged table whose key matches. */
+    * can route each row to the staged table whose key matches. `rrv`
+    * (r18) is the exact squared PQ residual |v − recon(codes)|² — the
+    * batch `pq_resid` row's value, computed in the same probe map from
+    * the encode's winning dists — so streamed rows are index-ready for
+    * the EXACT range prefilter (dot ≤ ADCdot + √(qq·rrv)) too; -1 when
+    * not encodable (codes empty), never a partial sum. */
   final case class VecVerdictCoded(vecId: Long, cid: Long,
       fetchTs: Timestamp, kept: Boolean, dupOf: Long, codes: Array[Long],
-      cbDigest: String)
+      cbDigest: String, rrv: Long)
 
   /** A frozen-codebook codeword shipped into the stream's closure —
     * [[CentroidLit]]'s discipline for the PQ side (bounded by
@@ -781,7 +786,7 @@ object CurationStream {
     * old entries evict via their event-time timers within a horizon. */
   private[streaming] final case class CellProbe(cellKey: String,
       cid: Long, vecId: Long, q8: Array[Byte], fetchTs: Timestamp,
-      codes: Array[Long])
+      codes: Array[Long], rrv: Long)
 
   /** A registered occupant of a cell: id, event time, quantized vector
     * (64 bytes at the test dims — state per cell is rate × horizon of
@@ -914,7 +919,7 @@ object CurationStream {
       codebook.sortBy(_.cwId).toArray,
       (p, kept, dup) =>
         VecVerdictCoded(p.vecId, p.cid, p.fetchTs, kept, dup, p.codes,
-          cbDigest))
+          cbDigest, p.rrv))
   }
 
   /** The shared gate core: assign → quantize → (optionally) PQ-encode →
@@ -981,30 +986,41 @@ object CurationStream {
       // streamed-codes byte-identity contract). Mis-dimensioned vectors
       // emit NO codes (the batch corpus never carries them; an empty
       // array is an honest "not encodable", never a prefix encode).
+      // rrv = Σ subspaces of the winning dist — the exact squared PQ
+      // residual norm, the same value the batch `pq_resid` stage
+      // aggregates (r18): a consumer folding streamed rows into an
+      // index that serves the EXACT range prefilter needs it next to
+      // the codes. -1 = not encodable (empty codes), never a partial
+      // sum.
+      var rrv = -1L
       val codes: Array[Long] =
         if (pq.isEmpty || q8.length != subs * width) Array.emptyLongArray
-        else Array.tabulate(subs) { s =>
-          val off = s * width
-          var bestDist = Long.MaxValue
-          var bestCw = Long.MaxValue
-          var w = 0
-          while (w < pq.length) {
-            val cv = pq(w).cv
-            var d2 = 0L
-            var j = 0
-            while (j < width) {
-              val diff = q8(off + j).toLong - cv(off + j).toLong
-              d2 += diff * diff
-              j += 1
+        else {
+          rrv = 0L
+          Array.tabulate(subs) { s =>
+            val off = s * width
+            var bestDist = Long.MaxValue
+            var bestCw = Long.MaxValue
+            var w = 0
+            while (w < pq.length) {
+              val cv = pq(w).cv
+              var d2 = 0L
+              var j = 0
+              while (j < width) {
+                val diff = q8(off + j).toLong - cv(off + j).toLong
+                d2 += diff * diff
+                j += 1
+              }
+              // strict <: ties keep the earlier (smaller) cwId — pq is
+              // sorted, matching the batch min(struct(dist, cw_id))
+              if (d2 < bestDist) { bestDist = d2; bestCw = pq(w).cwId }
+              w += 1
             }
-            // strict <: ties keep the earlier (smaller) cwId — pq is
-            // sorted, matching the batch min(struct(dist, cw_id))
-            if (d2 < bestDist) { bestDist = d2; bestCw = pq(w).cwId }
-            w += 1
+            rrv += bestDist
+            bestCw
           }
-          bestCw
         }
-      CellProbe(s"$prefix#$cid", cid, v.vecId, q8, v.fetchTs, codes)
+      CellProbe(s"$prefix#$cid", cid, v.vecId, q8, v.fetchTs, codes, rrv)
     }
     probes
       .withWatermark("fetchTs", s"$horizonMs milliseconds")

@@ -423,6 +423,16 @@ class SemDedupGateSpec extends AnyFunSuite {
             s"vec ${v.vecId} subspace $s: streamed ${v.codes(s)} != " +
               s"batch ${batch((v.vecId, s * 8 + 1L))}")
       }
+      // rrv (r18): every verdict carries the exact squared PQ residual
+      // — value-identical to the batch pq_resid stage's row, so
+      // streamed rows can feed an index serving the EXACT range
+      // prefilter without a second encode
+      val batchResid = SimilarityQueries.pqResiduals(spark, dir, pqCfg)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (v <- coded)
+        assert(v.rrv === batchResid(v.vecId),
+          s"vec ${v.vecId}: streamed rrv ${v.rrv} != batch " +
+            s"${batchResid(v.vecId)}")
       // codes are a pure add-on: the verdicts equal the plain gate's on
       // the same replay
       val input2 = MemoryStream[CurationStream.VecIn]
@@ -454,6 +464,9 @@ class SemDedupGateSpec extends AnyFunSuite {
           .as[CurationStream.VecVerdictCoded].collect().head
         assert(v.codes.isEmpty,
           s"a 32-dim vector must not prefix-encode: ${v.codes.toSeq}")
+        assert(v.rrv === -1L,
+          s"a non-encodable vector must carry rrv = -1, never a " +
+            s"partial sum: ${v.rrv}")
       } finally q3.stop()
       // cbDigest (r17 verdict #2): every verdict stamps the codebook's
       // live-id-set digest, and the VALUE is the staged pq_codes key's
