@@ -391,7 +391,19 @@ object ScaleBench {
       val brute = SparkEntry.queries("ann_range_cosine")(spark, d).count()
       require(pruned == brute,
         s"range cell bound broke exactness on $dl: $pruned vs $brute")
-      println(f"""RANGE_ROW {"dir":"$dl","surviving_cells":$live,"total_cells":${10 * nlist},"survivor_fraction":${live.toDouble / (10 * nlist)}%.3f,"matches":$brute}""")
+      // the bytes rung + the composed shape (r18): per-vector survivor
+      // counts of the residual ceiling, standalone and after the cells
+      // rung — both REQUIRED exact
+      val corpusN = Tables.embeddings(spark, d).count()
+      val pqSurv = operators.SimilarityQueries
+        .rangePqSurvivors(spark, d).count()
+      require(SparkEntry.queries("ann_range_cosine_pq")(spark, d)
+        .count() == brute,
+        s"range residual ceiling broke exactness on $dl")
+      require(SparkEntry.queries("ann_range_cosine_ivfpq")(spark, d)
+        .count() == brute,
+        s"composed range shape broke exactness on $dl")
+      println(f"""RANGE_ROW {"dir":"$dl","surviving_cells":$live,"total_cells":${10 * nlist},"survivor_fraction":${live.toDouble / (10 * nlist)}%.3f,"pq_survivors":$pqSurv,"pq_candidates":${10 * (corpusN - 1)},"pq_survivor_fraction":${pqSurv.toDouble / (10 * (corpusN - 1))}%.3f,"matches":$brute}""")
     }
     val summary = (results.map { case (dl, fam, _, med, _) =>
       f""""${dl}_$fam":$med%.3f"""

@@ -63,7 +63,11 @@ object StageBench {
     // the bytes rung (r18): codes AND residuals delta-append per vector
     // under the frozen codebook digest
     "ann_range_cosine_pq_frozen" -> ((s, d) =>
-      operators.SimilarityQueries.rangeCosinePqWith(s, d, FrozenPq)))
+      operators.SimilarityQueries.rangeCosinePqWith(s, d, FrozenPq)),
+    // the composed exact range shape over BOTH frozen families
+    "ann_range_cosine_ivfpq_frozen" -> ((s, d) =>
+      operators.SimilarityQueries.rangeCosineComposedWith(s, d,
+        FrozenIvf, FrozenPq)))
   private def lookup(q: String)
       : (SparkSession, String) => org.apache.spark.sql.DataFrame =
     Extras.getOrElse(q, SparkEntry.queries(q))
@@ -71,7 +75,8 @@ object StageBench {
     Seq("dedup_simhash", "vocab_topk", "ann_topk_int8", "dedup_components",
       "ann_topk_ivf_frozen", "dedup_semantic_frozen", "ann_topk_pq_frozen",
       "ann_topk_pq_rerank_frozen", "ann_topk_ivfpq_rerank_frozen",
-      "ann_range_cosine_cells_frozen", "ann_range_cosine_pq_frozen")
+      "ann_range_cosine_cells_frozen", "ann_range_cosine_pq_frozen",
+      "ann_range_cosine_ivfpq_frozen")
 
   /** Appended docs are word-disjoint from every existing replica (each
     * token prefixed) with ids offset past every replica stride, so the
