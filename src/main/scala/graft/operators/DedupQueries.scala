@@ -813,8 +813,82 @@ object DedupQueries {
       GROUP BY 1
     """))
 
+  /** Edit-distance threshold for [[editDistPairs]] — and the derivation
+    * of its blocking width. A pair within edit distance k differs in
+    * length by at most k, so with length-band width W > k every true
+    * pair lands in the SAME or ADJACENT n_chars/W band: the band
+    * equi-join is a complete cover, not an approximation, and the
+    * operator's semantics are exactly "ALL pairs with ed ≤ k" (unlike
+    * the LSH/SimHash families, whose banding is probabilistic and part
+    * of the contract). W = 4k keeps most of a band's partners in-band
+    * (one shifted probe row per doc, not three). */
+  private val EditK = 8
+  private val EditBandW = 32
+
+  /** Exact edit-distance near-dup pairs (§2.3 fuzzy dedup): every
+    * unordered pair of documents with Levenshtein distance ≤ 8, found
+    * WITHOUT an all-pairs cross join. Blocking is a length-band
+    * equi-join (band = n_chars div 32; each doc additionally probes the
+    * band BELOW it, so adjacent-band pairs meet exactly once) plus the
+    * sound |Δlen| ≤ k length filter — both refuse only pairs that
+    * provably cannot match, so the result equals brute force BY
+    * CONSTRUCTION (OpQuerySpec pins equality against the all-pairs
+    * reference on sf0.001). The verify step is Spark's banded
+    * `levenshtein(l, r, threshold)` — O(k·len) per pair with early
+    * exit, not O(len²).
+    *
+    * 100 TB note: the join key is the length band, so a length-skewed
+    * corpus (most docs ≈ same size) concentrates candidates in few
+    * bands and the within-band pairing is quadratic in band occupancy —
+    * the same shape as every blocked pairing here. The deployment lever
+    * is compounding a content key into the block (e.g. a rare-q-gram
+    * prefix à la Ed-Join, which preserves exact recall), or the
+    * hot-bucket guard if approximate refusal is acceptable; the length
+    * band alone is the honest exact baseline. */
+  val editDistPairs = QueryDef(
+    "dedup_editdist",
+    (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          expr(s"n_chars div $EditBandW").as("band"))
+      // Probe side: each doc under its own band key AND the band below,
+      // so a (band p, band p+1) pair meets exactly once — at key p, with
+      // the build side holding the lower-band doc. Same-band pairs meet
+      // under id-order; adjacent-band pairs are unique by construction.
+      val probes = d.select(col("doc_id").as("p_id"), col("text").as("p_text"),
+          col("n_chars").as("p_n"), col("band").as("p_band"),
+          col("band").as("key"))
+        .unionAll(d.select(col("doc_id").as("p_id"), col("text").as("p_text"),
+          col("n_chars").as("p_n"), col("band").as("p_band"),
+          (col("band") - 1).as("key")))
+      d.join(probes,
+          col("band") === col("key") &&
+            abs(col("n_chars") - col("p_n")) <= EditK &&
+            ((col("p_band") === col("band") && col("doc_id") < col("p_id")) ||
+              col("p_band") === col("band") + 1))
+        .withColumn("lev", levenshtein(col("text"), col("p_text"), EditK))
+        .filter(col("lev") >= 0) // threshold form returns -1 past k
+        .select(least(col("doc_id"), col("p_id")).as("doc_a"),
+          greatest(col("doc_id"), col("p_id")).as("doc_b"), col("lev"))
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, text, n_chars, n_chars // $EditBandW AS band
+                 FROM documents),
+      probes AS (SELECT doc_id AS p_id, text AS p_text, n_chars AS p_n,
+                        band AS p_band, band AS key FROM d
+                 UNION ALL
+                 SELECT doc_id, text, n_chars, band, band - 1 FROM d)
+      SELECT least(doc_id, p_id) AS doc_a, greatest(doc_id, p_id) AS doc_b,
+             levenshtein(text, p_text) AS lev
+      FROM d JOIN probes ON band = key
+        AND abs(n_chars - p_n) <= $EditK
+        AND ((p_band = band AND doc_id < p_id) OR p_band = band + 1)
+      WHERE levenshtein(text, p_text) <= $EditK
+    """))
+
   val defs: Seq[QueryDef] = Seq(
     exact, minhashLsh, jaccardVerify, simhash, simhashPairs,
     embeddingCosine, components, canonicalize, reconcile,
-    substringSpans, scrubSpans, minhashEstimate, rateBySource)
+    substringSpans, scrubSpans, minhashEstimate, rateBySource,
+    editDistPairs)
 }

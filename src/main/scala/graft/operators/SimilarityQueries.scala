@@ -1212,6 +1212,206 @@ object SimilarityQueries {
       WHERE rank <= 5
     """))
 
+  // ─────────────── Lloyd-refined coarse quantizer (r18) ───────────────
+  //
+  // Everything above places centroids by an ID RULE (every-100th vec_id,
+  // optionally capped) — deterministic and oracle-friendly, but blind to
+  // the data: a rule centroid sits wherever its id happens to land, so
+  // cells are as loose as the corpus is unlucky. Cell tightness is the
+  // ONE lever every accelerated family here keys on (IVF recall at fixed
+  // probed fraction, the range family's rr cell bounds, SemDeDup's
+  // intra-cell pair counts), so the refinement below makes the quantizer
+  // data-aware while keeping the repo's exactness discipline: k-means
+  // (Lloyd) sweeps run wholly in the int8 quantized domain, where every
+  // distance and every floored mean is exact integer arithmetic — the
+  // refined centroid table is bit-reproducible and ORACLE-CHECKED, which
+  // float k-means can never be (its means drift with summation order).
+
+  /** Lloyd sweeps for [[refinedCentroids]]. Two sweeps capture the SSE
+    * descent on every fixture measured (sweep 1 takes the sf0.1
+    * quantization SSE 12.50M → 7.64M, sweep 2 → 7.60M, sweep 3 < 0.4%
+    * further; sf0.01 reads 3.49M → 1.97M → 1.96M — SCALE.md r18); a
+    * deployment tunes this like any index-build knob — the stage key
+    * carries it, so two settings never alias. */
+  private val LloydIters = 2
+
+  /** One nearest-centroid sweep in int8 L2 space, rn ∈ 1..maxRn —
+    * the refined family's ONE scoring/tie-break rule. The ordering drops
+    * the ||v||² term: argmin over c of ||v−c||² = argmin of
+    * (c·c − 2·v·c) because v·v is constant per vector — one exact
+    * integer dot per (vector, centroid) instead of a zip-subtract pass,
+    * through the same codegen `vec_dot` every ANN variant uses.
+    * Tie-break (d2 asc, cid asc) — exact integer ties resolve by id
+    * identically in both engines. */
+  private def l2Assign(q8: DataFrame, cents: DataFrame,
+      maxRn: Int): DataFrame = {
+    graft.functions.VectorExprs.register(q8.sparkSession)
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    q8.select(col("vec_id"), col("q8"))
+      // broadcast: BOUNDED BY CONFIG — nlist centroid rows (capped
+      // configs make this a constant; see ivfCellsRaw's note).
+      .crossJoin(broadcast(cents.select(col("cid"), col("c8"),
+        expr("vec_dot(c8, c8)").as("cc"))))
+      .withColumn("d2", col("cc") - lit(2d) * expr("vec_dot(q8, c8)"))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") <= maxRn)
+      .select(col("vec_id"), col("cid"), col("rn"))
+  }
+
+  /** `iters` Lloyd sweeps from the rule/capped seed set over the staged
+    * int8 corpus: assign every vector to its nearest centroid (exact
+    * integer L2), move each centroid to its cell's FLOORED per-dimension
+    * mean, repeat. Floor (not round-nearest) keeps the mean an exact
+    * integer both engines compute identically — the floored mean is not
+    * the unconstrained L2 minimizer, so Lloyd's monotone-descent theorem
+    * is sacrificed for cross-engine exactness; OpQuerySpec pins descent
+    * empirically (it holds with wide margin on every fixture — the floor
+    * perturbs each coordinate < 1 against cell radii of hundreds). An
+    * empty cell keeps its previous centroid (LEFT join + coalesce), so
+    * centroid ids are stable and nlist never shrinks.
+    *
+    * Scale shape: each sweep is one broadcast-assign over the quantized
+    * corpus (map-side, no shuffle) + one (cid, dim) aggregation — at
+    * most nlist×64 groups, partial-aggregated map-side. Index-build
+    * cost, linear in N per sweep; the result is nlist rows. */
+  private[graft] def lloydRefinedRaw(spark: SparkSession, dir: String,
+      cfg: IvfConfig, iters: Int): DataFrame = {
+    val q8 = quantized(spark, dir)
+    var cents = cfg.centroidSet(q8)
+      .select(col("vec_id").as("cid"), col("q8").as("c8"))
+    for (_ <- 1 to iters) {
+      val home = l2Assign(q8, cents, maxRn = 1)
+        .select(col("vec_id"), col("cid"))
+      val means = home.join(q8, "vec_id")
+        .select(col("cid"), posexplode(col("q8")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(floor(sum(col("v")) / count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m)))," +
+          " x -> CAST(x.m AS DOUBLE))").as("m8"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("m8"), col("c8")).as("c8"))
+    }
+    cents
+  }
+
+  private def lloydKey(base: String, cfg: IvfConfig, iters: Int): String =
+    Staged.keyed(base, s"${cfg.stageKey}:L$iters",
+      s"${IvfConfig.Default.stageKey}:L$LloydIters")
+
+  /** The refined centroid table (cid, c8), staged per (config, sweeps):
+    * the index-training artifact a deployment founds once and serves
+    * from — both the long-format audit query and the refined cell
+    * assignment read it. */
+  private[graft] def refinedCentroids(spark: SparkSession, dir: String,
+      cfg: IvfConfig = IvfConfig.Default,
+      iters: Int = LloydIters): DataFrame =
+    Staged(spark, dir, lloydKey("ivf_refined_cents", cfg, iters)) {
+      lloydRefinedRaw(spark, dir, cfg, iters)
+    }
+
+  /** Refined-quantizer cell assignment (vec_id, cid, rn ≤ nprobe) —
+    * the refined family's [[ivfCells]] analogue, same ids-only staging
+    * discipline. */
+  private[graft] def refinedCells(spark: SparkSession, dir: String,
+      cfg: IvfConfig = IvfConfig.Default,
+      iters: Int = LloydIters): DataFrame =
+    Staged(spark, dir, lloydKey("ivf_refined_cells", cfg, iters)) {
+      l2Assign(quantized(spark, dir), refinedCentroids(spark, dir, cfg, iters),
+        maxRn = cfg.nprobe)
+    }
+
+  /** Shared oracle CTE: int8 quantization, rule seeds, `iters` Lloyd
+    * sweeps — mirrors [[lloydRefinedRaw]] stage for stage (same floored
+    * means, same (d2, cid) tie-break, same keep-on-empty rule). */
+  private def lloydCte(iters: Int): String = {
+    val sb = new StringBuilder(
+      """
+      WITH q8 AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               v -> greatest(least(floor(v * 64), 127), -127)) AS qv
+           FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, qv AS cv FROM q8 WHERE vec_id % 100 = 7),""")
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb.append(s"""
+      a$i AS (SELECT vec_id, cid FROM (
+          SELECT q.vec_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_dot_product(c.cv, c.cv)
+                     - 2 * list_dot_product(q.qv, c.cv) ASC, c.cid ASC) AS rn
+          FROM q8 q, c$p c) WHERE rn = 1),
+      m$i AS (SELECT cid, dim, floor(CAST(sum(v) AS DOUBLE) / count(*)) AS m
+              FROM (SELECT a.cid, d.dim, q.qv[d.dim + 1] AS v
+                    FROM a$i a JOIN q8 q USING (vec_id),
+                         (SELECT unnest(generate_series(0, 63)) AS dim) d)
+              GROUP BY 1, 2),
+      g$i AS (SELECT cid, list(m ORDER BY dim) AS mv FROM m$i GROUP BY 1),
+      c$i AS (SELECT p.cid, coalesce(g.mv, p.cv) AS cv
+              FROM c$p p LEFT JOIN g$i g USING (cid)),""")
+    }
+    sb.toString.stripSuffix(",")
+  }
+
+  /** The trained quantizer itself, long format (cid, dim, c8) — the
+    * auditable training artifact: what k-means moved each seed to.
+    * Long format (nlist×64 rows of scalars) keeps the oracle compare on
+    * plain integers. */
+  val ivfRefine = QueryDef(
+    "ivf_refine",
+    (spark, dir) =>
+      refinedCentroids(spark, dir)
+        .select(col("cid"), posexplode(col("c8")).as(Seq("dim", "v")))
+        .select(col("cid"), col("dim"), col("v").cast("long").as("c8")),
+    Some(s"""${lloydCte(LloydIters)}
+      SELECT cid, d.dim AS dim, CAST(cv[d.dim + 1] AS BIGINT) AS c8
+      FROM c$LloydIters, (SELECT unnest(generate_series(0, 63)) AS dim) d
+    """))
+
+  /** IVF top-5 over the LLOYD-REFINED quantizer — [[ivfInt8TopK]]'s plan
+    * shape (staged cells probe join, ids-only dedup, exact int8 dot
+    * rescore) with data-aware centroids: same nprobe, same scan bytes,
+    * better recall wherever the corpus has structure (SCALE.md r18
+    * measures the clustered fixture; ScaleSpec gates refined ≥ rule). */
+  val ivfRefinedTopK = QueryDef(
+    "ann_topk_ivf_refined",
+    (spark, dir) => {
+      val cells = refinedCells(spark, dir)
+      val q8 = quantized(spark, dir)
+      val q = cells.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("cid"))
+      val c = cells.filter(col("rn") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("cid").as("ccid"))
+      val cand = q.join(c, col("cid") === col("ccid") &&
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id")).distinct()
+      rankTopK(cand
+        // broadcast: BOUNDED — fixed 10-row literal query set.
+        .join(broadcast(q8.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("q8").as("qv"))),
+          "query_id")
+        .join(q8.select(col("vec_id").as("neighbor_id"), col("q8").as("cv")),
+          "neighbor_id")
+        .withColumn("dot", expr("vec_dot(qv, cv)")), "dot", 5)
+    },
+    Some(s"""${lloydCte(LloydIters)},
+      ranked AS (SELECT vec_id, cid, rn FROM (
+          SELECT q.vec_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_dot_product(c.cv, c.cv)
+                     - 2 * list_dot_product(q.qv, c.cv) ASC, c.cid ASC) AS rn
+          FROM q8 q, c$LloydIters c) WHERE rn <= 2),
+      cand AS (SELECT DISTINCT qa.vec_id AS query_id, ca.vec_id AS neighbor_id
+               FROM ranked qa JOIN ranked ca
+                 ON qa.cid = ca.cid AND qa.vec_id <> ca.vec_id
+               WHERE qa.vec_id < 10 AND ca.rn = 1)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+          ORDER BY list_dot_product(q.qv, c.qv) DESC, neighbor_id ASC) AS rank
+        FROM cand JOIN q8 q ON q.vec_id = query_id
+                  JOIN q8 c ON c.vec_id = neighbor_id)
+      WHERE rank <= 5
+    """))
+
   /** The SemDeDup decision over prepared (vec_id, cid) home cells and a
     * (vec_id, q8) quantized table — unit-testable/benchable seam shared
     * by the registered query, ScaleSpec's engineered degenerate cell, and
@@ -2775,5 +2975,5 @@ object SimilarityQueries {
       ivfCellSkew, semanticRateByLabel, semanticKeeperResolve, pqTopK,
       pqCappedTopK, pqRerankTopK, ivfPqRerankTopK, rangeCosine,
       rangeCosineCells, rangeCosinePerQuery, rangeCosinePq,
-      rangeCosineComposed, ivfCellBoundsAudit)
+      rangeCosineComposed, ivfCellBoundsAudit, ivfRefine, ivfRefinedTopK)
 }

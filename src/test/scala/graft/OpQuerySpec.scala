@@ -138,6 +138,56 @@ class OpQuerySpec extends AnyFunSuite {
     assert(comp.count() === Tables.documents(spark, sf).count())
   }
 
+  test("dedup_editdist: band-blocked result equals the all-pairs brute force") {
+    import spark.implicits._
+    // The operator's claim is exactness: the length-band blocking is a
+    // complete cover for ed <= 8 (band width 32 > k), so the blocked
+    // result must be SET-EQUAL to the O(n^2) cross-join reference —
+    // affordable at sf0.001's corpus size, which is the point of
+    // pinning it here rather than in the oracle (DuckDB mirrors the
+    // same blocking; this test is the independent brute-force leg).
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    val brute = docs.as("a")
+      .crossJoin(docs.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        levenshtein($"a.text", $"b.text").as("lev"))
+      .filter($"lev" <= 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val blocked = operators.DedupQueries.editDistPairs.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked === brute)
+    assert(brute.nonEmpty, "fixture should contain at least one near-dup pair")
+  }
+
+  test("ivf_refine: Lloyd sweeps descend the int8 quantization SSE, stay in range") {
+    import spark.implicits._
+    // The exactness claim is the oracle's; what needs a spec is the
+    // POINT of the operator — each sweep tightens the cells. Floored
+    // means void the textbook monotone-descent theorem, so descent is
+    // pinned empirically here (and it holds with wide margin: the floor
+    // perturbs coordinates < 1 against cell radii of hundreds).
+    val q8 = Tables.embeddings(spark, sf).select($"vec_id",
+      expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+        "v -> greatest(least(floor(v * 64D), 127D), -127D))").as("q8"))
+    def sseOf(cents: org.apache.spark.sql.DataFrame): Double =
+      q8.crossJoin(broadcast(cents.select($"cid", $"c8")))
+        .withColumn("d", expr(
+          "vec_dot(q8, q8) + vec_dot(c8, c8) - 2 * vec_dot(q8, c8)"))
+        .groupBy($"vec_id").agg(min($"d").as("dmin"))
+        .agg(sum($"dmin")).head().getDouble(0)
+    val cfg = operators.IvfConfig.Default
+    val s0 = sseOf(operators.SimilarityQueries.lloydRefinedRaw(spark, sf, cfg, 0))
+    val s1 = sseOf(operators.SimilarityQueries.lloydRefinedRaw(spark, sf, cfg, 1))
+    val s2 = sseOf(operators.SimilarityQueries.lloydRefinedRaw(spark, sf, cfg, 2))
+    assert(s1 < s0, s"sweep 1 must descend: $s1 vs $s0")
+    assert(s2 <= s1, s"sweep 2 must not ascend: $s2 vs $s1")
+    val outOfRange = operators.SimilarityQueries.ivfRefine.fn(spark, sf)
+      .filter($"c8" > 127 || $"c8" < -127).count()
+    assert(outOfRange === 0, "refined centroids must stay in int8 range")
+  }
+
   test("ann_topk_brute: 10 ranked neighbors per query, none self") {
     import spark.implicits._
     val r = operators.SimilarityQueries.bruteTopK.fn(spark, sf)

@@ -507,9 +507,24 @@ class ScaleSpec extends AnyFunSuite {
     val ivf = ScaleBench.meanRecall(goldCos, tops("ann_topk_ivf"))
     val ivfpq =
       ScaleBench.meanRecall(goldInt8, tops("ann_topk_ivfpq_rerank"))
+    // r18: the Lloyd-refined quantizer vs its rule-seeded sibling at the
+    // SAME nprobe and the same exact-int8-dot rescore — data-aware
+    // centroid placement must never read worse than the id-rule it
+    // refines, and on clustered data (where placement is the whole
+    // game) it must hold the deployment floor.
+    val refined =
+      ScaleBench.meanRecall(goldInt8, tops("ann_topk_ivf_refined"))
+    val ruleInt8 =
+      ScaleBench.meanRecall(goldInt8, tops("ann_topk_ivf_int8"))
     info(f"clustered recall@5: rerank(vs int8)=$rerank%.3f " +
       f"adc(vs int8)=$adc%.3f ivfpq(vs int8)=$ivfpq%.3f " +
-      f"ivf_capped=$capped%.3f ivf=$ivf%.3f")
+      f"ivf_capped=$capped%.3f ivf=$ivf%.3f refined=$refined%.3f " +
+      f"rule_int8=$ruleInt8%.3f")
+    assert(refined >= ruleInt8 - 1e-9,
+      f"Lloyd-refined IVF recall $refined%.3f must not read worse than " +
+        f"the rule-seeded sibling $ruleInt8%.3f on clustered data")
+    assert(refined >= 0.9,
+      f"Lloyd-refined IVF recall@5 on clustered data = $refined%.3f")
     assert(ivfpq >= 0.99,
       f"the composed IVF-PQ-rerank shape must keep every cluster-mate " +
         f"through both pruning rungs on clustered data: $ivfpq%.3f")
