@@ -404,7 +404,16 @@ object ScaleBench {
       require(SparkEntry.queries("ann_range_cosine_ivfpq")(spark, d)
         .count() == brute,
         s"composed range shape broke exactness on $dl")
-      println(f"""RANGE_ROW {"dir":"$dl","surviving_cells":$live,"total_cells":${10 * nlist},"survivor_fraction":${live.toDouble / (10 * nlist)}%.3f,"pq_survivors":$pqSurv,"pq_candidates":${10 * (corpusN - 1)},"pq_survivor_fraction":${pqSurv.toDouble / (10 * (corpusN - 1))}%.3f,"matches":$brute}""")
+      // the TRAINED quantizer's prune (r18): same bound, Lloyd-refined
+      // geometry — rr is the quantity Lloyd descends, so the refined
+      // survivor column is the measured payoff of ivf_refine beyond
+      // recall. Exactness REQUIRED like every rung.
+      val liveRefined = operators.SimilarityQueries
+        .rangeLiveCellsRefined(spark, d, cfg).count()
+      require(SparkEntry.queries("ann_range_cosine_cells_refined")(spark, d)
+        .count() == brute,
+        s"refined range cell bound broke exactness on $dl")
+      println(f"""RANGE_ROW {"dir":"$dl","surviving_cells":$live,"total_cells":${10 * nlist},"survivor_fraction":${live.toDouble / (10 * nlist)}%.3f,"refined_surviving_cells":$liveRefined,"refined_survivor_fraction":${liveRefined.toDouble / (10 * nlist)}%.3f,"pq_survivors":$pqSurv,"pq_candidates":${10 * (corpusN - 1)},"pq_survivor_fraction":${pqSurv.toDouble / (10 * (corpusN - 1))}%.3f,"matches":$brute}""")
     }
     val summary = (results.map { case (dl, fam, _, med, _) =>
       f""""${dl}_$fam":$med%.3f"""

@@ -2785,6 +2785,135 @@ object SimilarityQueries {
     // bit-equal to the brute rung by construction — same oracle.
     rangeCosine.oracle)
 
+  // ───────── the cells rung over the TRAINED quantizer (r18) ─────────
+  //
+  // The Cauchy–Schwarz ceiling dot(q,c) + √(qq·rr) is pure algebra — it
+  // holds for ANY anchor point c, rule id or floored mean — so the
+  // Lloyd-refined centroids drop in with zero change to the soundness
+  // argument. What changes is the POWER: rr is the max squared
+  // member-to-centroid distance, and Σ‖v−c‖² is exactly the objective
+  // Lloyd descends, so a trained quantizer shrinks the very slack the
+  // refusal tests. This is the measured payoff of ivf_refine beyond
+  // recall: on the clustered fixture the rule centroids straddle the
+  // natural clusters (179/200 (query, cell) pairs survive — SCALE.md),
+  // while the refined ones sit inside them.
+
+  /** Per-cell squared radius under the REFINED quantizer — the
+    * [[ivfCellBounds]] analogue over [[refinedCells]]/[[refinedCentroids]],
+    * staged per (config, sweeps). Same exact-integer arithmetic
+    * (products ≤ ~2^43); refined centroid components stay in int8 range
+    * (floored means of clamped values — OpQuerySpec pins it). */
+  private[graft] def refinedCellBounds(spark: SparkSession, dir: String,
+      cfg: IvfConfig = IvfConfig.Default,
+      iters: Int = LloydIters): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    Staged(spark, dir, lloydKey("ivf_refined_rr", cfg, iters)) {
+      refinedCells(spark, dir, cfg, iters).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+        .join(quantized(spark, dir), "vec_id")
+        // broadcast: BOUNDED BY CONFIG — nlist refined-centroid rows.
+        .join(broadcast(refinedCentroids(spark, dir, cfg, iters)), "cid")
+        .withColumn("sq", expr(
+          "CAST(vec_dot(q8, q8) + vec_dot(c8, c8) " +
+            "- 2 * vec_dot(q8, c8) AS BIGINT)"))
+        .groupBy(col("cid")).agg(max(col("sq")).as("rr"))
+    }
+  }
+
+  /** `ivf_cell_bounds_refined` — the refined radius table's own
+    * correctness row (the audit discipline: every staged table an
+    * exact operator trusts gets oracle-checked; an under-stated radius
+    * here would break the refined rung's exactness silently). */
+  val refinedCellBoundsAudit = QueryDef(
+    "ivf_cell_bounds_refined",
+    (spark, dir) => refinedCellBounds(spark, dir),
+    Some(s"""${lloydCte(LloydIters)},
+      home AS (SELECT vec_id, cid FROM (
+          SELECT q.vec_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_dot_product(c.cv, c.cv)
+                     - 2 * list_dot_product(q.qv, c.cv) ASC, c.cid ASC) AS rn
+          FROM q8 q, c$LloydIters c) WHERE rn = 1)
+      SELECT h.cid,
+             CAST(max(list_dot_product(v.qv, v.qv)
+                      + list_dot_product(c.cv, c.cv)
+                      - 2 * list_dot_product(v.qv, c.cv)) AS BIGINT) AS rr
+      FROM home h
+      JOIN q8 v ON v.vec_id = h.vec_id
+      JOIN c$LloydIters c ON c.cid = h.cid
+      GROUP BY h.cid
+    """))
+
+  /** [[rangeLiveCells]] under the refined quantizer — same refusal
+    * test, same exactness guard, trained geometry. */
+  private[graft] def rangeLiveCellsRefined(spark: SparkSession,
+      dir: String, cfg: IvfConfig = IvfConfig.Default,
+      iters: Int = LloydIters,
+      floorOf: Column = lit(RangeDotFloor)): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    // Same loud-refusal contract as the rule rung: an empty refined
+    // centroid set (no rule-matching seed ids) cannot cover a
+    // non-empty corpus, and an exact query must not silently return
+    // empty there.
+    if (refinedCellBounds(spark, dir, cfg, iters).isEmpty &&
+        !quantized(spark, dir).isEmpty)
+      throw new IllegalArgumentException(
+        s"refined range cell prune needs >= 1 centroid over a non-empty " +
+          s"corpus (seed rule: every=${cfg.centroidEvery} " +
+          s"key=${cfg.centroidKey}) — use ann_range_cosine or fix the rule")
+    quantized(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q8").as("qv"))
+      .withColumn("qq", expr("CAST(vec_dot(qv, qv) AS BIGINT)"))
+      .withColumn("f", floorOf)
+      // broadcast: BOUNDED BY CONFIG — nlist (cid, rr, c8) rows.
+      .crossJoin(broadcast(refinedCellBounds(spark, dir, cfg, iters)
+        .join(refinedCentroids(spark, dir, cfg, iters), "cid")))
+      .withColumn("dqc", expr("CAST(vec_dot(qv, c8) AS BIGINT)"))
+      .filter(col("dqc") >= col("f") ||
+        (col("f") - col("dqc")) * (col("f") - col("dqc")) <=
+          col("qq") * col("rr"))
+      .select(col("query_id"), col("cid"))
+  }
+
+  /** `ann_range_cosine_cells_refined` — the exact range query over the
+    * TRAINED quantizer's geometry: [[rangeCosineCellsWith]]'s plan with
+    * [[refinedCells]] homes and the refined radius prune. Bit-equal to
+    * brute by construction (same oracle); what the training buys is
+    * measured, not assumed — ScaleBench's RANGE_ROW carries refined
+    * survivor counts next to the rule rung's, and ScaleSpec pins
+    * refined-prune ≥ rule-prune on the clustered fixture. */
+  private[graft] def rangeCosineCellsRefinedWith(spark: SparkSession,
+      dir: String, cfg: IvfConfig = IvfConfig.Default,
+      iters: Int = LloydIters,
+      floorOf: Column = lit(RangeDotFloor)): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val q8 = quantized(spark, dir)
+    val cand = refinedCells(spark, dir, cfg, iters)
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cid"))
+      // broadcast: BOUNDED — 10 queries × nlist surviving cells.
+      .join(broadcast(
+        rangeLiveCellsRefined(spark, dir, cfg, iters, floorOf)), "cid")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    cand
+      .join(q8.select(col("vec_id").as("neighbor_id"),
+        col("q8").as("nv")), "neighbor_id")
+      // broadcast: BOUNDED — fixed 10-row literal query set.
+      .join(broadcast(q8.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q8").as("qv"))
+        .withColumn("f", floorOf)),
+        "query_id")
+      .withColumn("dot", expr("CAST(vec_dot(qv, nv) AS BIGINT)"))
+      .filter(col("dot") >= col("f"))
+      .select(col("query_id"), col("neighbor_id"), col("dot"))
+  }
+
+  val rangeCosineCellsRefined = QueryDef(
+    "ann_range_cosine_cells_refined",
+    (spark, dir) => rangeCosineCellsRefinedWith(spark, dir),
+    // bit-equal to the brute rung by construction — same oracle.
+    rangeCosine.oracle)
+
   /** `ann_range_cosine_pq` — the BYTES rung of exact range search:
     * prefilter on the PQ codes scan with a SOUND per-vector ceiling,
     * then exact-int8-rescore only the survivors. Soundness: subspaces
@@ -2975,5 +3104,6 @@ object SimilarityQueries {
       ivfCellSkew, semanticRateByLabel, semanticKeeperResolve, pqTopK,
       pqCappedTopK, pqRerankTopK, ivfPqRerankTopK, rangeCosine,
       rangeCosineCells, rangeCosinePerQuery, rangeCosinePq,
-      rangeCosineComposed, ivfCellBoundsAudit, ivfRefine, ivfRefinedTopK)
+      rangeCosineComposed, ivfCellBoundsAudit, ivfRefine, ivfRefinedTopK,
+      refinedCellBoundsAudit, rangeCosineCellsRefined)
 }

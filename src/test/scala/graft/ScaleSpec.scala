@@ -756,6 +756,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows("ann_range_cosine_ivfpq") === brute,
       "the composed rows x bytes range shape must equal brute exactly")
 
+    // the TRAINED-quantizer rung (r18): Lloyd moves each seed to its
+    // cluster's floored mean, so the refined prune must fire exactly as
+    // hard here (one surviving cell per query), and — the rung's actual
+    // contract — the result must equal brute bit-for-bit.
+    val liveRefined =
+      SimilarityQueries.rangeLiveCellsRefined(spark, dir).collect()
+    assert(liveRefined.length === 10,
+      s"refined prune must keep one cell per query: " +
+        liveRefined.mkString(","))
+    assert(rows("ann_range_cosine_cells_refined") === brute,
+      "refined-quantizer range search must equal brute exactly")
+
     // The honest other half, same discipline as every recall row: on
     // data WITHOUT tight structure the bound cannot prune (rr ≈ 2·qq),
     // and the plan degenerates gracefully to brute + an O(nlist)
@@ -769,13 +781,45 @@ class ScaleSpec extends AnyFunSuite {
     info(s"sf corpus: ${sfLive} surviving (query, cell) pairs of " +
       s"${10 * nlist} — uniform-random embeddings, prune-neutral as " +
       "documented")
-    val sfBrute = rows("ann_range_cosine")
-    assert(rows("ann_range_cosine_cells") === sfBrute,
+    // (r18 fix: these equality legs previously re-read the engineered
+    // corpus through the dir-bound `rows` helper while claiming to
+    // check sf — bind to sf explicitly.)
+    def sfRows(name: String): Set[(Long, Long, Long)] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sfBrute = sfRows("ann_range_cosine")
+    assert(sfRows("ann_range_cosine_cells") === sfBrute,
       "equality must hold on the uniform corpus too")
-    assert(rows("ann_range_cosine_pq") === sfBrute,
+    assert(sfRows("ann_range_cosine_pq") === sfBrute,
       "PQ-rung equality must hold on the uniform corpus too")
-    assert(rows("ann_range_cosine_ivfpq") === sfBrute,
+    assert(sfRows("ann_range_cosine_ivfpq") === sfBrute,
       "composed-shape equality must hold on the uniform corpus too")
+    assert(sfRows("ann_range_cosine_cells_refined") === sfBrute,
+      "refined-rung equality must hold on the uniform corpus too")
+    operators.Staged.reset(spark)
+  }
+
+  test("trained quantizer tightens the range prune on clustered data (r18)") {
+    import operators.{IvfConfig, SimilarityQueries}
+    // The refined rung's measured payoff: rr is the quantity Lloyd
+    // descends, so on data with structure the trained centroids must
+    // refuse at least as many (query, cell) pairs as the id-rule seeds
+    // they started from — while exactness stays bit-equal (the bound is
+    // algebra, independent of where the centroid sits).
+    operators.Staged.reset(spark)
+    val dir = ScaleData.ensureClustered(spark)
+    val rule =
+      SimilarityQueries.rangeLiveCells(spark, dir, IvfConfig.Default).count()
+    val refined = SimilarityQueries.rangeLiveCellsRefined(spark, dir).count()
+    info(s"clustered fixture: rule prune keeps $rule (query, cell) " +
+      s"pairs, refined keeps $refined")
+    assert(refined <= rule,
+      s"the trained quantizer must not weaken the prune: refined " +
+        s"$refined vs rule $rule surviving pairs")
+    val brute = SparkEntry.queries("ann_range_cosine")(spark, dir).count()
+    assert(SparkEntry.queries("ann_range_cosine_cells_refined")(spark, dir)
+      .count() === brute,
+      "refined-rung exactness must hold on the clustered fixture")
     operators.Staged.reset(spark)
   }
 
