@@ -422,7 +422,120 @@ object VocabQueries {
       WHERE rank <= 50
     """))
 
+  /** BM25 ranked retrieval (r18 — Robertson/Spärck Jones with Lucene's
+    * +1 idf smoothing, k1 = 1.2, b = 0.75): five deterministic 3-term
+    * queries (vocabulary ranks 3q+1..3q+3 by corpus tf, ties by token —
+    * derived from the corpus so the construction is SF-independent),
+    * top-10 docs per query by (score desc, doc_id). The retrieval scan
+    * shape a search-backed curation pass uses: the 15 query terms
+    * BROADCAST against the staged tf table, so only the query terms'
+    * postings are read — never the corpus; df/doclen join slim.
+    *
+    * Float discipline (the ANN convention): the score involves ln, so
+    * it NEVER crosses the oracle — output is (query_id, doc_id, rank)
+    * only. Two non-determinism traps are closed structurally:
+    * (a) SUMMATION ORDER — each query has exactly 3 term slots
+    * (idx = (rank−1) mod 3), each doc contributes at most one posting
+    * per slot, so per-slot conditional sums are single-element-exact
+    * and the final score is the FIXED left-assoc s0 + s1 + s2 in both
+    * engines, immune to partition order; (b) DECIMAL CONTAGION — every
+    * constant is cast to DOUBLE on both sides (a bare 0.5 is DECIMAL
+    * in both SQL dialects and silently switches the arithmetic).
+    * Residual risk is ≤1-ulp libm ln differences, which can only flip
+    * a rank across engines when two distinct docs' scores agree to
+    * ~1e-15 relative — far below every observed adjacent-rank gap;
+    * exact mathematical ties produce identical doubles in both engines
+    * and break by doc_id. */
+  val bm25TopK = QueryDef(
+    "bm25_topk",
+    (spark, dir) => {
+      val tf = termFreq(spark, dir)
+      val df = docFreq(spark, dir)
+      val len = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val stats = tf.agg(sum(col("tf")).cast("double").as("tot"))
+        .crossJoin(Tables.documents(spark, dir)
+          .agg(count(lit(1)).cast("double").as("n_docs")))
+        .select(col("n_docs"), (col("tot") / col("n_docs")).as("avgdl"))
+      val qt = tf.groupBy(col("tok")).agg(sum(col("tf")).as("ctf"))
+        .orderBy(col("ctf").desc, col("tok")).limit(15)
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("ctf").desc, col("tok"))))
+        .select(col("tok"), expr("CAST((r - 1) div 3 AS BIGINT)").as("query_id"),
+          expr("CAST((r - 1) % 3 AS BIGINT)").as("idx"))
+      val s = "log(1.0D + (n_docs - CAST(df AS DOUBLE) + 0.5D) / " +
+        "(CAST(df AS DOUBLE) + 0.5D)) * (CAST(tf AS DOUBLE) * 2.2D) / " +
+        "(CAST(tf AS DOUBLE) + 1.2D * " +
+        "(0.25D + 0.75D * CAST(dl AS DOUBLE) / avgdl))"
+      val scored = tf
+        // broadcast: BOUNDED — 15 query-term rows by construction.
+        .join(broadcast(qt), "tok")
+        .join(df, "tok")
+        .join(len, "doc_id")
+        // broadcast: BOUNDED — single-row global stats.
+        .crossJoin(broadcast(stats))
+        .withColumn("s", expr(s))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(
+          sum(when(col("idx") === 0, col("s")).otherwise(lit(0d))).as("s0"),
+          sum(when(col("idx") === 1, col("s")).otherwise(lit(0d))).as("s1"),
+          sum(when(col("idx") === 2, col("s")).otherwise(lit(0d))).as("s2"))
+        .withColumn("score", col("s0") + col("s1") + col("s2"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      len AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                         AS n_docs,
+                       CAST((SELECT sum(tf) FROM tf) AS DOUBLE) /
+                       CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                         AS avgdl),
+      qt AS (SELECT tok, (r - 1) // 3 AS query_id, (r - 1) % 3 AS idx
+             FROM (SELECT tok, row_number()
+                            OVER (ORDER BY ctf DESC, tok) AS r
+                   FROM (SELECT tok, sum(tf) AS ctf FROM tf GROUP BY 1))
+             WHERE r <= 15),
+      posting AS (
+          SELECT q.query_id, q.idx, t.doc_id,
+                 ln(CAST(1 AS DOUBLE) +
+                    (st.n_docs - CAST(d.df AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE)) /
+                    (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) *
+                 (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+                 (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                  (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+                   CAST(l.dl AS DOUBLE) / st.avgdl)) AS s
+          FROM qt q
+          JOIN tf t USING (tok)
+          JOIN df d USING (tok)
+          JOIN len l ON l.doc_id = t.doc_id
+          CROSS JOIN stats st),
+      scored AS (
+        SELECT query_id, doc_id,
+               sum(CASE WHEN idx = 0 THEN s ELSE CAST(0 AS DOUBLE) END)
+                 AS s0,
+               sum(CASE WHEN idx = 1 THEN s ELSE CAST(0 AS DOUBLE) END)
+                 AS s1,
+               sum(CASE WHEN idx = 2 THEN s ELSE CAST(0 AS DOUBLE) END)
+                 AS s2
+        FROM posting GROUP BY 1, 2)
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY s0 + s1 + s2 DESC, doc_id) AS rank
+        FROM scored)
+      WHERE rank <= 10
+    """))
+
   val defs: Seq[QueryDef] = Seq(
     vocabTopK, bigramTopK, tfidfTopTerms, containment, cmsTopK, decontaminate,
-    lmSurprise)
+    lmSurprise, bm25TopK)
 }

@@ -188,6 +188,19 @@ class OpQuerySpec extends AnyFunSuite {
     assert(outOfRange === 0, "refined centroids must stay in int8 range")
   }
 
+  test("bm25_topk: 5 queries x 10 contiguous ranks, hits carry query terms by construction") {
+    val r = operators.VocabQueries.bm25TopK.fn(spark, sf)
+    val perQ = r.groupBy("query_id").agg(count(lit(1)).as("n"),
+      min("rank").as("mn"), max("rank").as("mx"))
+    assert(perQ.count() === 5, "15 query terms in 3-slot groups = 5 queries")
+    assert(perQ.filter(col("n") =!= 10 || col("mn") =!= 1 ||
+      col("mx") =!= 10).count() === 0,
+      "each query must return exactly ranks 1..10")
+    // hits contain >= 1 query term structurally (the posting join only
+    // emits docs that share a term); what needs checking is that no
+    // query starved below the limit — covered by the 10-rank gate above.
+  }
+
   test("ann_topk_brute: 10 ranked neighbors per query, none self") {
     import spark.implicits._
     val r = operators.SimilarityQueries.bruteTopK.fn(spark, sf)
