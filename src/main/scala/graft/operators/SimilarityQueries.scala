@@ -1303,23 +1303,142 @@ object SimilarityQueries {
   /** The refined centroid table (cid, c8), staged per (config, sweeps):
     * the index-training artifact a deployment founds once and serves
     * from — both the long-format audit query and the refined cell
-    * assignment read it. */
+    * assignment read it. Under `cfg.frozen` this is the live view of
+    * [[frozenRefinedTable]] — trained ONCE at the founding corpus. */
   private[graft] def refinedCentroids(spark: SparkSession, dir: String,
       cfg: IvfConfig = IvfConfig.Default,
       iters: Int = LloydIters): DataFrame =
-    Staged(spark, dir, lloydKey("ivf_refined_cents", cfg, iters)) {
-      lloydRefinedRaw(spark, dir, cfg, iters)
+    if (cfg.frozen)
+      frozenRefinedTable(spark, dir, cfg, iters).select(col("cid"), col("c8"))
+    else
+      Staged(spark, dir, lloydKey("ivf_refined_cents", cfg, iters)) {
+        lloydRefinedRaw(spark, dir, cfg, iters)
+      }
+
+  /** The FROZEN trained quantizer (r18): Lloyd runs ONCE over the
+    * founding corpus; the staged table (cid, c8, rr0) keeps the trained
+    * centroids VERBATIM across appends, plus each cell's FOUNDING
+    * squared radius rr0 — the self-contained yardstick the drift probe
+    * measures arrivals against. The rule family's frozen discipline
+    * probes candidate-SET drift (new rule ids capturing vectors); a
+    * trained quantizer has no id candidacy — a re-train moves centroid
+    * VALUES — so the honest O(delta) probe here is COVERAGE: an
+    * appended vector whose nearest frozen centroid is farther than that
+    * cell's founding radius (d2 > rr0) lands outside the founding
+    * geometry, and when more than `cfg.driftFractionMax` of a drop does,
+    * the distribution has moved and the stage refuses the delta
+    * ([[Staged.DeltaUnsupported]] → cold re-train over the grown
+    * corpus). Coverage is exactly what the refined family sells (tight
+    * cells for recall, small rr for the range refusal), so the probe
+    * gates on the quantity the consumers depend on. An empty founding
+    * cell carries rr0 = 0 — any arrival homing there counts as drift,
+    * conservative by construction. All exact integer arithmetic,
+    * O(|delta| · nlist), broadcast-sided. */
+  private[graft] def frozenRefinedTable(spark: SparkSession, dir: String,
+      cfg: IvfConfig, iters: Int = LloydIters): DataFrame = {
+    val dkey =
+      if (cfg.driftFractionMax == IvfConfig.Default.driftFractionMax) ""
+      else s":d${cfg.driftFractionMax}"
+    val key = lloydKey("ivf_refined_cents", cfg, iters) + s"$dkey+frz"
+    Staged.rebuildable(spark, dir, key, "embeddings", "vec_id")(
+      (prior, deltaRaw) => {
+        graft.functions.VectorExprs.register(spark)
+        val q8d = quantTransform(normTransform(deltaRaw))
+        // nearest frozen centroid per appended vector, with its cell's
+        // founding radius — the (d2 asc, cid asc) rule via min on a
+        // struct, so ties resolve identically to l2Assign
+        val best = q8d
+          // broadcast: BOUNDED BY CONFIG — nlist trained-centroid rows.
+          .crossJoin(broadcast(prior.select(col("cid"), col("c8"),
+            col("rr0"), expr("vec_dot(c8, c8)").as("cc"))))
+          .withColumn("d2", expr(
+            "CAST(vec_dot(q8, q8) + cc - 2 * vec_dot(q8, c8) AS BIGINT)"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("d2"), col("cid"), col("rr0"))).as("b"))
+        val row = best.agg(count(lit(1)).as("n"),
+          count(when(col("b.d2") > col("b.rr0"), 1)).as("moved")).head()
+        val (n, moved) = (row.getLong(0), row.getLong(1))
+        if (n > 0 && moved.toDouble / n > cfg.driftFractionMax)
+          throw new Staged.DeltaUnsupported(
+            s"refined-quantizer coverage drift: $moved of $n appended " +
+              s"vectors land outside their founding cell radius " +
+              s"(> ${cfg.driftFractionMax}) — re-founding (re-training) " +
+              "over the grown corpus")
+        prior.select(col("cid"), col("c8"), col("rr0"))
+      }) {
+      // founding: train, then record each cell's founding radius.
+      // Pin the trained table once (Materialized) — the Lloyd loop
+      // must not re-drive for the radius pass and the final join.
+      val cents = graft.functions.Materialized(
+        lloydRefinedRaw(spark, dir, cfg, iters)).df
+      val rr0 = l2Assign(quantized(spark, dir), cents, maxRn = 1)
+        .select(col("vec_id"), col("cid"))
+        .join(quantized(spark, dir), "vec_id")
+        // broadcast: BOUNDED BY CONFIG — nlist trained-centroid rows.
+        .join(broadcast(cents), "cid")
+        .withColumn("sq", expr(
+          "CAST(vec_dot(q8, q8) + vec_dot(c8, c8) " +
+            "- 2 * vec_dot(q8, c8) AS BIGINT)"))
+        .groupBy(col("cid")).agg(max(col("sq")).as("rr0"))
+      cents.join(rr0, Seq("cid"), "left")
+        .select(col("cid"), col("c8"),
+          coalesce(col("rr0"), lit(0L)).as("rr0"))
     }
+  }
+
+  /** Content digest of the trained centroid table — cid AND component
+    * values (a re-training keeps the seed ids but MOVES the values, so
+    * an id-set digest would silently alias two trainings; the rule
+    * family's id digest is sound there because frozen rule centroids
+    * ARE their ids' embeddings). Collect is nlist rows — bounded by
+    * config under caps, the ivfCellsRaw classification. Memoized like
+    * [[digestOf]]. */
+  private def refinedValueDigest(cents: DataFrame): String = {
+    val hit = digestMemo.get(cents)
+    if (hit != null) hit
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buf = java.nio.ByteBuffer.allocate(8)
+      def put(l: Long): Unit = {
+        buf.clear(); buf.putLong(l); md.update(buf.array())
+      }
+      cents.select(col("cid"), col("c8")).collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Double](1).map(_.toLong)))
+        .sortBy(_._1)
+        .foreach { case (cid, c8) => put(cid); c8.foreach(put) }
+      val d = md.digest().map("%02x".format(_)).mkString.take(8)
+      digestMemo.put(cents, d)
+      d
+    }
+  }
 
   /** Refined-quantizer cell assignment (vec_id, cid, rn ≤ nprobe) —
     * the refined family's [[ivfCells]] analogue, same ids-only staging
-    * discipline. */
+    * discipline. Under `cfg.frozen` the stage is APPENDABLE: a crawl
+    * drop map-only assigns its own vectors against the frozen trained
+    * set, and the key carries the trained table's VALUE digest so a
+    * re-training (coverage-drift refusal) moves the cells to a fresh
+    * stage in lockstep — the ivfCells discipline, value-keyed because
+    * trained centroids change values without changing ids. */
   private[graft] def refinedCells(spark: SparkSession, dir: String,
       cfg: IvfConfig = IvfConfig.Default,
       iters: Int = LloydIters): DataFrame =
-    Staged(spark, dir, lloydKey("ivf_refined_cells", cfg, iters)) {
-      l2Assign(quantized(spark, dir), refinedCentroids(spark, dir, cfg, iters),
-        maxRn = cfg.nprobe)
+    if (!cfg.frozen)
+      Staged(spark, dir, lloydKey("ivf_refined_cells", cfg, iters)) {
+        l2Assign(quantized(spark, dir),
+          refinedCentroids(spark, dir, cfg, iters), maxRn = cfg.nprobe)
+      }
+    else {
+      val cents = graft.functions.Materialized(
+        refinedCentroids(spark, dir, cfg, iters)).df
+      val key = lloydKey("ivf_refined_cells", cfg, iters) +
+        s"+frz${refinedValueDigest(cents)}"
+      Staged.appendable(spark, dir, key, "embeddings", "vec_id")(
+        raw => l2Assign(quantTransform(normTransform(raw)), cents,
+          cfg.nprobe)) {
+        l2Assign(quantized(spark, dir), cents, cfg.nprobe)
+      }
     }
 
   /** Shared oracle CTE: int8 quantization, rule seeds, `iters` Lloyd
@@ -2807,16 +2926,41 @@ object SimilarityQueries {
       cfg: IvfConfig = IvfConfig.Default,
       iters: Int = LloydIters): DataFrame = {
     graft.functions.VectorExprs.register(spark)
-    Staged(spark, dir, lloydKey("ivf_refined_rr", cfg, iters)) {
-      refinedCells(spark, dir, cfg, iters).filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"))
-        .join(quantized(spark, dir), "vec_id")
-        // broadcast: BOUNDED BY CONFIG — nlist refined-centroid rows.
-        .join(broadcast(refinedCentroids(spark, dir, cfg, iters)), "cid")
-        .withColumn("sq", expr(
-          "CAST(vec_dot(q8, q8) + vec_dot(c8, c8) " +
-            "- 2 * vec_dot(q8, c8) AS BIGINT)"))
-        .groupBy(col("cid")).agg(max(col("sq")).as("rr"))
+    def radiiOf(members: DataFrame, cents: DataFrame): DataFrame = members
+      .join(quantized(spark, dir), "vec_id")
+      // broadcast: BOUNDED BY CONFIG — nlist refined-centroid rows.
+      .join(broadcast(cents.select(col("cid"), col("c8"))), "cid")
+      .withColumn("sq", expr(
+        "CAST(vec_dot(q8, q8) + vec_dot(c8, c8) " +
+          "- 2 * vec_dot(q8, c8) AS BIGINT)"))
+      .groupBy(col("cid")).agg(max(col("sq")).as("rr"))
+    if (!cfg.frozen)
+      Staged(spark, dir, lloydKey("ivf_refined_rr", cfg, iters)) {
+        radiiOf(refinedCells(spark, dir, cfg, iters)
+            .filter(col("rn") === 1).select(col("vec_id"), col("cid")),
+          refinedCentroids(spark, dir, cfg, iters))
+      }
+    else {
+      // frozen: delta max-merge keyed on the trained table's VALUE
+      // digest — the ivf_cell_rr discipline (max is append-monotone and
+      // order-insensitive, frozen assignments never move), value-keyed
+      // because a re-training moves centroid values under stable ids.
+      val cents = graft.functions.Materialized(
+        refinedCentroids(spark, dir, cfg, iters)).df
+      val key = lloydKey("ivf_refined_rr", cfg, iters) +
+        s"+frz${refinedValueDigest(cents)}"
+      Staged.rebuildable(spark, dir, key, "embeddings", "vec_id")(
+        (prior, deltaRaw) => {
+          val deltaRadii = radiiOf(
+            l2Assign(quantTransform(normTransform(deltaRaw)), cents, 1)
+              .select(col("vec_id"), col("cid")), cents)
+          prior.unionByName(deltaRadii)
+            .groupBy(col("cid")).agg(max(col("rr")).as("rr"))
+        }) {
+        radiiOf(refinedCells(spark, dir, cfg, iters)
+            .filter(col("rn") === 1).select(col("vec_id"), col("cid")),
+          cents)
+      }
     }
   }
 

@@ -954,6 +954,129 @@ class StagedIncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("frozen TRAINED quantizer: Lloyd founds once, cells delta-assign, coverage drift re-trains (r18)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import operators.{IvfConfig, SimilarityQueries}
+    val dir = freshDir()
+    // Three tight id-contiguous clusters (A: 0-9 on dims 0-20, B: 10-19
+    // anti-correlated, C: 20-29 on dims 43-63), one rule seed each
+    // (every=10, key=7 → ids 7/17/27); ±1 jitter on the member's own
+    // dim keeps founding radii small (rr0 ≈ single digits) so coverage
+    // is a sharp yardstick.
+    def vec(i: Int): Array[Float] = Array.tabulate(64) { d =>
+      val b = if (i % 100 < 10) { if (d <= 20) 8 else 0 }
+        else if (i % 100 < 20) { if (d <= 20) -8 else 0 }
+        else if (i % 100 < 30) { if (d >= 43) 8 else 0 }
+        else { if (d >= 30 && d <= 40) 8 else 0 } // cluster D: drop-2 drift
+      ((b + (if (d == i % 64) 1 else 0)) / 64.0).toFloat
+    }
+    def writeEmb(ids: Range, append: Boolean): Unit =
+      ids.map(i => (i.toLong, vec(i), i % 5))
+        .toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    writeEmb(0 until 30, append = false)
+    val cfg = IvfConfig(centroidEvery = 10, centroidKey = 7,
+      frozen = true, driftFractionMax = 0.3)
+    def cents(): Map[Long, Seq[Long]] =
+      SimilarityQueries.refinedCentroids(spark, dir, cfg).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).map(_.toLong)).toMap
+    def cells(): Set[(Long, Long, Int)] =
+      SimilarityQueries.refinedCells(spark, dir, cfg).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val centsStage = "ivf_refined_cents@10:7:2:L2:d0.3+frz"
+    def cellModes: Seq[String] = Staged.buildLogSnapshot.collect {
+      case (s, m) if s.startsWith("ivf_refined_cells@10:7:2:L2+frz") => m
+    }
+    def rrModes: Seq[String] = Staged.buildLogSnapshot.collect {
+      case (s, m) if s.startsWith("ivf_refined_rr@10:7:2:L2+frz") => m
+    }
+    def radii(): Map[Long, Long] =
+      SimilarityQueries.refinedCellBounds(spark, dir, cfg).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Staged.evict(spark)
+    Staged.enablePersist(Files.createTempDirectory("inc_frz_ref").toString)
+    try {
+      val founding = cents()
+      val baseCells = cells()
+      assert(founding.keySet === Set(7L, 17L, 27L),
+        s"trained centroids keep their seed ids: ${founding.keySet}")
+      // Lloyd moved each seed to (floored) cluster means: cluster A's
+      // centroid reads 8 on dim 0 (floor of the 8.1 jittered mean) —
+      // the cluster's base, not seed 7's own jittered vector
+      assert(founding(7L).head === 8L,
+        s"trained A-centroid dim0 must be the cluster mean: " +
+          s"${founding(7L).take(3)}")
+      // parity: frozen founding values == an unfrozen training over the
+      // same (founding) corpus
+      val unfrozen = SimilarityQueries
+        .refinedCentroids(spark, dir, cfg.copy(frozen = false)).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).map(_.toLong)).toMap
+      assert(unfrozen === founding,
+        "frozen founding must equal the unfrozen training bit for bit")
+      // the engineered jitter makes every founding radius exactly 1
+      // (one ±1 on the member's own dim against the floored-mean
+      // centroid) — the frozen range-geometry stage founds on it
+      assert(radii() === Map(7L -> 1L, 17L -> 1L, 27L -> 1L),
+        s"founding radii must be the jitter: ${radii()}")
+
+      // drop 1: IN-COVERAGE append — replicas of founding cluster
+      // members (d2 to the trained centroid ≤ that cell's rr0 by
+      // construction). The quantizer must keep its values verbatim and
+      // the cells must map-only delta-assign.
+      writeEmb(200 until 230, append = true) // i % 100 = 0..29 → A/B/C
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val grownCells = cells()
+      val keptCents = cents()
+      assert(modes(centsStage) === Seq("delta"),
+        s"in-coverage drop must keep the trained table: " +
+          s"${Staged.buildLogSnapshot}")
+      assert(cellModes === Seq("delta"),
+        s"cells must delta-assign: ${Staged.buildLogSnapshot}")
+      assert(keptCents === founding,
+        "the trained values must ride appends verbatim")
+      assert(baseCells.subsetOf(grownCells),
+        "an append must never move an existing assignment")
+      assert((grownCells -- baseCells).forall(_._1 >= 200L))
+      // the frozen radius stage max-merges the drop (replicas land at
+      // d2 = 1, so every radius is unchanged) — and must read DELTA
+      assert(radii() === Map(7L -> 1L, 17L -> 1L, 27L -> 1L),
+        s"replica drop must not grow any radius: ${radii()}")
+      assert(rrModes === Seq("delta"),
+        s"frozen radii must delta-merge: ${Staged.buildLogSnapshot}")
+
+      // drop 2: OUT-OF-COVERAGE append — cluster D sits on dims 30-40,
+      // far outside every founding radius, so the coverage probe reads
+      // drift 1.0 > 0.3 and the stage must refuse and RE-TRAIN; the
+      // value-digest keys the cells to the new training (cold, fresh
+      // stage name).
+      writeEmb(1030 until 1040, append = true) // i % 100 = 30..39 → D
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val refoundCells = cells()
+      val retrained = cents()
+      assert(modes(centsStage) === Seq("delta-refused", "cold"),
+        s"coverage drift must re-train: ${Staged.buildLogSnapshot}")
+      assert(cellModes === Seq("cold"),
+        s"cells must re-key to the re-trained digest: " +
+          s"${Staged.buildLogSnapshot}")
+      assert(retrained !== founding,
+        "re-training over the grown corpus must move centroid values")
+      assert(retrained.keySet ===
+        Set(7L, 17L, 27L, 207L, 217L, 227L, 1037L),
+        s"re-founding re-seeds from the GROWN corpus's rule ids — " +
+          s"including cluster D's 1037: ${retrained.keySet}")
+      assert(refoundCells.map(_._1) === ((0 until 30) ++ (200 until 230) ++
+        (1030 until 1040)).map(_.toLong).toSet,
+        "re-founded cells must cover the whole grown corpus")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
   test("frozen quantizer drift accumulates: a rule id discarded by an EARLIER drop still counts as drift (r16 self-review)") {
     import spark.implicits._
     import operators.{IvfConfig, SimilarityQueries}
