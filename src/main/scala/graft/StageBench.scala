@@ -67,7 +67,17 @@ object StageBench {
     // the composed exact range shape over BOTH frozen families
     "ann_range_cosine_ivfpq_frozen" -> ((s, d) =>
       operators.SimilarityQueries.rangeCosineComposedWith(s, d,
-        FrozenIvf, FrozenPq)))
+        FrozenIvf, FrozenPq)),
+    // the frozen TRAINED quantizer (late r18): Lloyd founds once (the
+    // COLD column prices training — 2 extra linear sweeps over the
+    // capped seed set), the coverage probe accepts replica drops, and
+    // cells/radii delta under the value digest — so the trained top-k
+    // and the trained exact-range rung both refresh O(delta)
+    "ann_topk_ivf_refined_frozen" -> ((s, d) =>
+      operators.SimilarityQueries.ivfRefinedTopKWith(s, d, FrozenIvf)),
+    "ann_range_cosine_cells_refined_frozen" -> ((s, d) =>
+      operators.SimilarityQueries.rangeCosineCellsRefinedWith(s, d,
+        FrozenIvf)))
   private def lookup(q: String)
       : (SparkSession, String) => org.apache.spark.sql.DataFrame =
     Extras.getOrElse(q, SparkEntry.queries(q))
@@ -76,7 +86,8 @@ object StageBench {
       "ann_topk_ivf_frozen", "dedup_semantic_frozen", "ann_topk_pq_frozen",
       "ann_topk_pq_rerank_frozen", "ann_topk_ivfpq_rerank_frozen",
       "ann_range_cosine_cells_frozen", "ann_range_cosine_pq_frozen",
-      "ann_range_cosine_ivfpq_frozen")
+      "ann_range_cosine_ivfpq_frozen", "ann_topk_ivf_refined_frozen",
+      "ann_range_cosine_cells_refined_frozen")
 
   /** Appended docs are word-disjoint from every existing replica (each
     * token prefixed) with ids offset past every replica stride, so the

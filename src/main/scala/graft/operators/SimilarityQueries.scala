@@ -1492,27 +1492,33 @@ object SimilarityQueries {
     * rescore) with data-aware centroids: same nprobe, same scan bytes,
     * better recall wherever the corpus has structure (SCALE.md r18
     * measures the clustered fixture; ScaleSpec gates refined ≥ rule). */
+  /** [[ivfRefinedTopK]] under an explicit config — the `*With` seam
+    * StageBench's frozen rung and specs drive. */
+  private[graft] def ivfRefinedTopKWith(spark: SparkSession, dir: String,
+      cfg: IvfConfig = IvfConfig.Default,
+      iters: Int = LloydIters): DataFrame = {
+    val cells = refinedCells(spark, dir, cfg, iters)
+    val q8 = quantized(spark, dir)
+    val q = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val c = cells.filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cid").as("ccid"))
+    val cand = q.join(c, col("cid") === col("ccid") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    rankTopK(cand
+      // broadcast: BOUNDED — fixed 10-row literal query set.
+      .join(broadcast(q8.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q8").as("qv"))),
+        "query_id")
+      .join(q8.select(col("vec_id").as("neighbor_id"), col("q8").as("cv")),
+        "neighbor_id")
+      .withColumn("dot", expr("vec_dot(qv, cv)")), "dot", 5)
+  }
+
   val ivfRefinedTopK = QueryDef(
     "ann_topk_ivf_refined",
-    (spark, dir) => {
-      val cells = refinedCells(spark, dir)
-      val q8 = quantized(spark, dir)
-      val q = cells.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("cid"))
-      val c = cells.filter(col("rn") === 1)
-        .select(col("vec_id").as("neighbor_id"), col("cid").as("ccid"))
-      val cand = q.join(c, col("cid") === col("ccid") &&
-          col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id")).distinct()
-      rankTopK(cand
-        // broadcast: BOUNDED — fixed 10-row literal query set.
-        .join(broadcast(q8.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("q8").as("qv"))),
-          "query_id")
-        .join(q8.select(col("vec_id").as("neighbor_id"), col("q8").as("cv")),
-          "neighbor_id")
-        .withColumn("dot", expr("vec_dot(qv, cv)")), "dot", 5)
-    },
+    (spark, dir) => ivfRefinedTopKWith(spark, dir),
     Some(s"""${lloydCte(LloydIters)},
       ranked AS (SELECT vec_id, cid, rn FROM (
           SELECT q.vec_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
@@ -1741,6 +1747,43 @@ object SimilarityQueries {
                list_transform(CAST(embedding AS DOUBLE[]),
                  v -> greatest(least(floor(v * 64), 127), -127)) AS qv
         FROM embeddings)
+      SELECT a.vec_id, a.cid, min(b.vec_id) AS dup_of
+      FROM home a
+      JOIN home b ON a.cid = b.cid AND b.vec_id < a.vec_id
+      JOIN q8 qa ON qa.vec_id = a.vec_id
+      JOIN q8 qb ON qb.vec_id = b.vec_id
+      WHERE list_dot_product(qa.qv, qb.qv) >= ${SemDedupConfig.Default.dotFloor}
+      GROUP BY a.vec_id, a.cid
+    """))
+
+  /** SemDeDup over the TRAINED quantizer's cells (r18) — the same
+    * drop-to-smallest-keeper decision, [[refinedCells]] geometry. The
+    * point is RECALL of the dedup itself: SemDeDup only compares
+    * cell-mates, so a rule centroid straddling two natural clusters
+    * splits a duplicate pair across cells and silently misses it;
+    * Lloyd pulls cluster-mates into one cell, so the same dotFloor
+    * catches strictly more true semantic duplicates (measured on the
+    * clustered fixture — SCALE.md r18; same guard, same staging
+    * discipline, one more consumer of the trained geometry). */
+  val semanticDedupRefined = QueryDef(
+    "dedup_semantic_refined",
+    (spark, dir) => {
+      val cfg = SemDedupConfig.Default
+      Staged(spark, dir,
+        s"sem_drops_refined@${cfg.stageKey}@${IvfConfig.Default.stageKey}" +
+          s":L$LloydIters") {
+        semanticDedupOn(
+          refinedCells(spark, dir).filter(col("rn") === 1)
+            .select(col("vec_id"), col("cid")),
+          quantized(spark, dir), cfg)
+      }
+    },
+    Some(s"""${lloydCte(LloydIters)},
+      home AS (SELECT vec_id, cid FROM (
+          SELECT q.vec_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_dot_product(c.cv, c.cv)
+                     - 2 * list_dot_product(q.qv, c.cv) ASC, c.cid ASC) AS rn
+          FROM q8 q, c$LloydIters c) WHERE rn = 1)
       SELECT a.vec_id, a.cid, min(b.vec_id) AS dup_of
       FROM home a
       JOIN home b ON a.cid = b.cid AND b.vec_id < a.vec_id
@@ -3249,5 +3292,5 @@ object SimilarityQueries {
       pqCappedTopK, pqRerankTopK, ivfPqRerankTopK, rangeCosine,
       rangeCosineCells, rangeCosinePerQuery, rangeCosinePq,
       rangeCosineComposed, ivfCellBoundsAudit, ivfRefine, ivfRefinedTopK,
-      refinedCellBoundsAudit, rangeCosineCellsRefined)
+      refinedCellBoundsAudit, rangeCosineCellsRefined, semanticDedupRefined)
 }

@@ -820,6 +820,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(SparkEntry.queries("ann_range_cosine_cells_refined")(spark, dir)
       .count() === brute,
       "refined-rung exactness must hold on the clustered fixture")
+    // SemDeDup recall over the same trained geometry: the decision only
+    // compares CELL-MATES, so a rule centroid straddling two natural
+    // clusters splits duplicate pairs across cells and misses them —
+    // the trained cells must catch at least as many true semantic
+    // duplicates at the same dotFloor.
+    val ruleDrops = SimilarityQueries
+      .semanticDedupWith(spark, dir, operators.SemDedupConfig.Default)
+      .count()
+    val refinedDrops =
+      SparkEntry.queries("dedup_semantic_refined")(spark, dir).count()
+    info(s"clustered fixture: rule SemDeDup drops $ruleDrops, " +
+      s"trained-cell drops $refinedDrops")
+    assert(refinedDrops >= ruleDrops,
+      s"trained cells must not lose semantic duplicates: refined " +
+        s"$refinedDrops vs rule $ruleDrops")
     operators.Staged.reset(spark)
   }
 
