@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.TextHashing
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents`/`embeddings` corpus
@@ -886,9 +887,92 @@ object DedupQueries {
       WHERE levenshtein(text, p_text) <= $EditK
     """))
 
+  /** Ed-Join-style candidate generation for the edit-distance join
+    * (Xiao/Wang/Lin, VLDB 2008 — prefix filtering over q-grams): the
+    * SCALE path [[editDistPairs]]' scaladoc prescribes for length-skewed
+    * corpora, exposed separately so specs and benches can count what the
+    * filter refused (the prune-observability discipline).
+    *
+    * Soundness (exact recall, no approximation): an edit destroys at
+    * most q grams, so ed(A,B) ≤ k ⇒ the occurrence-tagged gram SETS
+    * overlap in ≥ max(|G_A|,|G_B|) − q·k tokens (tagging the i-th copy
+    * of a gram `g#i` makes set intersection equal multiset
+    * intersection). By the prefix-filter theorem, any such pair shares
+    * a token among each side's FIRST q·k + 1 grams in a fixed global
+    * order — rarest-first by corpus frequency, which is what makes the
+    * candidates sparse: a prefix prefers the tokens fewest other docs
+    * carry. Pairs where BOTH sides have ≤ q·k grams (len ≤ 17) can't be
+    * refused by the count filter at all and are enumerated directly —
+    * a bounded bucket of near-empty docs. The length filter and the
+    * banded levenshtein verify are shared with the band path, so the
+    * two variants can only differ in WORK, never in result
+    * (spec-pinned equal on the sf corpus AND on an engineered
+    * same-length corpus where the band blocking degenerates to
+    * all-pairs while the prefix join stays sparse). */
+  private[graft] def editDistPrefixCandidates(spark: SparkSession,
+      dir: String): DataFrame = {
+    graft.functions.NgramExprs.register(spark)
+    val q = 2
+    val prefLen = q * EditK + 1 // 17
+    val shortLen = q * EditK + q - 1 // grams = len−1 ≤ q·k ⇔ len ≤ 17
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val grams = d
+      .select(col("doc_id"),
+        posexplode(expr(s"char_ngrams(text, $q)")).as(Seq("pos", "g")))
+      .withColumn("occ", row_number().over(
+        Window.partitionBy(col("doc_id"), col("g")).orderBy(col("pos"))))
+      .select(col("doc_id"), concat_ws("#", col("g"), col("occ")).as("tok"))
+    val freq = grams.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val prefix = grams.join(freq, "tok")
+      .withColumn("r", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").asc, col("tok").asc)))
+      .filter(col("r") <= prefLen)
+      .select(col("doc_id"), col("tok"))
+    val candLong = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val shorts = d.filter(col("n_chars") <= shortLen).select(col("doc_id"))
+    val candShort = shorts.as("a").join(shorts.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    candLong.unionByName(candShort).distinct()
+  }
+
+  /** The shared verify tail of both edit-distance variants: length
+    * filter + banded thresholded levenshtein over (doc_a, doc_b)
+    * candidates. */
+  private def editDistVerify(spark: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
+    val meta = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    cand
+      .join(meta.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+        col("n_chars").as("na")), "doc_a")
+      .join(meta.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+        col("n_chars").as("nb")), "doc_b")
+      .filter(abs(col("na") - col("nb")) <= EditK)
+      .withColumn("lev", levenshtein(col("ta"), col("tb"), EditK))
+      .filter(col("lev") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("lev"))
+  }
+
+  /** The prefix-filtered edit-distance join as a registered query —
+    * same exact semantics as [[editDistPairs]] (ALL pairs with ed ≤ 8),
+    * same oracle (the equality is the filter's theorem, the same way
+    * the range family's accelerated rungs reuse brute's oracle). Where
+    * the band variant's join key is the doc LENGTH — quadratic in band
+    * occupancy on a length-skewed corpus — this one's is a RARE GRAM:
+    * candidates track content collisions, not length collisions. */
+  val editDistPrefix = QueryDef(
+    "dedup_editdist_prefix",
+    (spark, dir) =>
+      editDistVerify(spark, dir, editDistPrefixCandidates(spark, dir)),
+    editDistPairs.oracle)
+
   val defs: Seq[QueryDef] = Seq(
     exact, minhashLsh, jaccardVerify, simhash, simhashPairs,
     embeddingCosine, components, canonicalize, reconcile,
     substringSpans, scrubSpans, minhashEstimate, rateBySource,
-    editDistPairs)
+    editDistPairs, editDistPrefix)
 }

@@ -799,6 +799,56 @@ class ScaleSpec extends AnyFunSuite {
     operators.Staged.reset(spark)
   }
 
+  test("edit-distance prefix filter: sparse candidates where length banding degenerates, result equal (r18)") {
+    import spark.implicits._
+    import operators.DedupQueries
+    // The band path's worst case BY CONSTRUCTION: every doc the same
+    // length, so one band holds the whole corpus and the band join
+    // enumerates all n(n-1)/2 pairs. The Ed-Join prefix filter keys on
+    // RARE GRAMS instead — candidates track content collisions. 400
+    // deterministic 64-char docs, 5 planted near-dup pairs (2
+    // substitutions each).
+    val dir = java.nio.file.Files.createTempDirectory("editdist_skew")
+      .toString
+    // 62-char alphabet + hash mixing: the realistic content regime —
+    // most bigrams are globally rare, so each doc's rarest-17 prefix is
+    // nearly unique (a 26-letter congruential pattern would make every
+    // bigram common and the filter weak — that regime is what the
+    // MinHash family is for; edit-distance joins target diverse text).
+    val AB = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).toArray
+    def ch(i: Int, p: Int): Char = AB(math.floorMod(
+      scala.util.hashing.MurmurHash3.productHash((i, p)), AB.length))
+    def text(i: Int): String =
+      if (i % 2 == 1 && i < 10) { // docs 1,3,5,7,9 near-dup their i-1
+        val b = Array.tabulate(64)(p => ch(i - 1, p))
+        b(10) = 'z'; b(40) = 'z'
+        new String(b)
+      } else new String(Array.tabulate(64)(p => ch(i, p)))
+    (0 until 400).map { i =>
+      val t = text(i)
+      (i.toLong, t, "en", s"src${i % 3}", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    operators.Staged.reset(spark)
+    val allPairs = 400L * 399 / 2
+    val prefixCands =
+      DedupQueries.editDistPrefixCandidates(spark, dir).count()
+    val band = DedupQueries.editDistPairs.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val prefixed = DedupQueries.editDistPrefix.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    info(s"length-uniform corpus: band candidates = $allPairs (all " +
+      s"pairs), prefix candidates = $prefixCands " +
+      f"(${prefixCands * 100.0 / allPairs}%.1f%%)")
+    assert(prefixed === band,
+      "the prefix filter must be exact-recall: results equal the band path")
+    assert(band.size >= 5, s"planted near-dups must be found: ${band.size}")
+    assert(prefixCands < allPairs / 5,
+      s"the prefix filter must refuse the bulk of the degenerate " +
+        s"band's pairs: $prefixCands of $allPairs")
+    operators.Staged.reset(spark)
+  }
+
   test("trained quantizer tightens the range prune on clustered data (r18)") {
     import operators.{IvfConfig, SimilarityQueries}
     // The refined rung's measured payoff: rr is the quantity Lloyd
