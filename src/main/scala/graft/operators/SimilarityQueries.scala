@@ -1397,20 +1397,25 @@ object SimilarityQueries {
     val hit = digestMemo.get(cents)
     if (hit != null) hit
     else {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val buf = java.nio.ByteBuffer.allocate(8)
-      def put(l: Long): Unit = {
-        buf.clear(); buf.putLong(l); md.update(buf.array())
-      }
-      cents.select(col("cid"), col("c8")).collect()
-        .map(r => (r.getLong(0),
-          r.getSeq[Double](1).map(_.toLong)))
-        .sortBy(_._1)
-        .foreach { case (cid, c8) => put(cid); c8.foreach(put) }
-      val d = md.digest().map("%02x".format(_)).mkString.take(8)
+      val d = valueDigestOf(cents.select(col("cid"), col("c8")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).map(_.toLong))).toSeq)
       digestMemo.put(cents, d)
       d
     }
+  }
+
+  /** The ONE (cid, components) value digest — shared by the trained
+    * family's stage keys and the streaming trained gate's state-key
+    * prefix (the idSetDigest precedent), so a re-training moves the
+    * staged tables AND the stream keyspace in lockstep. */
+  private[graft] def valueDigestOf(rows: Seq[(Long, Seq[Long])]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    def put(l: Long): Unit = {
+      buf.clear(); buf.putLong(l); md.update(buf.array())
+    }
+    rows.sortBy(_._1).foreach { case (cid, c8) => put(cid); c8.foreach(put) }
+    md.digest().map("%02x".format(_)).mkString.take(8)
   }
 
   /** Refined-quantizer cell assignment (vec_id, cid, rn ≤ nprobe) —

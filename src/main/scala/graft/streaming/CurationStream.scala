@@ -760,6 +760,36 @@ object CurationStream {
   final case class CentroidLit(cid: Long, cemb: Array[Double],
       cnorm: Double)
 
+  /** A TRAINED (Lloyd-refined) frozen centroid shipped into the
+    * stream's closure — int8-domain values + the precomputed self-dot
+    * the d2 = cc − 2·v·c assignment reads; nlist rows by config, same
+    * bound class as [[CentroidLit]]. */
+  final case class TrainedCentroidLit(cid: Long, c8: Array[Long], cc: Long)
+
+  /** Load the staged frozen TRAINED quantizer for [[semDedupGateTrained]]
+    * plus its VALUE digest (the state-keyspace component): one bounded
+    * driver-side collect. Requires a frozen config for the same reason
+    * as the rule loader — and doubly so here: a re-TRAINING keeps the
+    * seed ids but moves the values, which is why the digest covers the
+    * components (one definition with the trained family's stage keys,
+    * [[graft.operators.SimilarityQueries.valueDigestOf]]). */
+  def frozenTrainedCentroidLits(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cfg: graft.operators.IvfConfig)
+      : (Seq[TrainedCentroidLit], String) = {
+    require(cfg.frozen, "semDedupGateTrained needs a FROZEN trained " +
+      "quantizer: unfrozen trainings move with every append, so keeper " +
+      "state keyed on them is meaningless across drops")
+    val rows = graft.operators.SimilarityQueries
+      .frozenRefinedTable(spark, dir, cfg)
+      .select("cid", "c8").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).map(_.toLong)))
+      .sortBy(_._1).toSeq
+    val digest = graft.operators.SimilarityQueries.valueDigestOf(rows)
+    (rows.map { case (cid, c8) =>
+      TrainedCentroidLit(cid, c8.toArray, c8.map(x => x * x).sum)
+    }, digest)
+  }
+
   /** Load the staged frozen coarse quantizer for [[semDedupGate]]: one
     * bounded driver-side collect (nlist rows by config). Requires a
     * frozen [[graft.operators.IvfConfig]] — under the default
@@ -922,6 +952,35 @@ object CurationStream {
           cbDigest, p.rrv))
   }
 
+  /** [[semDedupGate]] over the TRAINED quantizer (r18): cells come from
+    * the frozen Lloyd-refined centroid table — the same exact-integer
+    * d2 = c·c − 2·v·c assignment (tie to the smaller cid) the batch
+    * [[graft.operators.SimilarityQueries.refinedCells]] runs, so the
+    * streamed home cell can never differ from the staged one. The
+    * keeper-registry semantics, horizon, and dot floor are the shared
+    * gate core's, unchanged; what moves is the GEOMETRY — and the batch
+    * side measured why that matters (+5% true semantic duplicates
+    * caught at the same floor on the uniform sf corpus: SemDeDup only
+    * compares cell-mates, and trained cells stop splitting duplicate
+    * pairs across a straddling rule centroid). State keys carry the
+    * trained table's VALUE digest, so a re-training moves the stream's
+    * keyspace in lockstep with the staged family. */
+  def semDedupGateTrained(vecs: Dataset[VecIn],
+      trained: Seq[TrainedCentroidLit], trainedDigest: String,
+      horizonMs: Long = 3600000L,
+      dotFloor: Long = graft.operators.SemDedupConfig.Default.dotFloor)
+      : Dataset[VecVerdict] = {
+    import vecs.sparkSession.implicits._
+    require(trained.nonEmpty, "semDedupGateTrained needs a non-empty " +
+      "frozen trained centroid set (frozenTrainedCentroidLits)")
+    require(trainedDigest.nonEmpty, "semDedupGateTrained needs the " +
+      "trained table's value digest (frozenTrainedCentroidLits returns it)")
+    gateRun[VecVerdict](vecs, Seq.empty, horizonMs, dotFloor, Array.empty,
+      (p, kept, dup) => VecVerdict(p.vecId, p.cid, p.fetchTs, kept, dup),
+      trained = trained.sortBy(_.cid).toArray,
+      trainedDigest = trainedDigest)
+  }
+
   /** The shared gate core: assign → quantize → (optionally) PQ-encode →
     * per-cell keeper registry, emitting the caller's output row DIRECTLY
     * from the processor (no post-operator projection pass). `pq` empty =
@@ -931,15 +990,20 @@ object CurationStream {
       vecs: Dataset[VecIn],
       centroids: Seq[CentroidLit], horizonMs: Long, dotFloor: Long,
       pq: Array[CodewordLit],
-      mk: (CellProbe, Boolean, Long) => O): Dataset[O] = {
+      mk: (CellProbe, Boolean, Long) => O,
+      trained: Array[TrainedCentroidLit] = Array.empty,
+      trainedDigest: String = ""): Dataset[O] = {
     import vecs.sparkSession.implicits._
     require(horizonMs > 0, s"horizonMs must be positive: $horizonMs")
     require(dotFloor > 0, s"dotFloor must be positive: $dotFloor")
-    require(centroids.nonEmpty, "semDedupGate needs a non-empty frozen " +
-      "centroid set (frozenCentroidLits)")
+    require(centroids.nonEmpty || trained.nonEmpty,
+      "semDedupGate needs a non-empty frozen centroid set " +
+        "(frozenCentroidLits / frozenTrainedCentroidLits)")
     val cents = centroids.sortBy(_.cid).toArray
-    val prefix = StateSchemas.semGateCellPrefix(
-      cents.map(_.cid).toSeq)
+    val prefix =
+      if (trained.nonEmpty)
+        StateSchemas.semGateTrainedCellPrefix(trainedDigest)
+      else StateSchemas.semGateCellPrefix(cents.map(_.cid).toSeq)
     val subs = graft.operators.SimilarityQueries.PqSubs
     val width = graft.operators.SimilarityQueries.PqWidth
     val probes = vecs.map { v =>
@@ -955,20 +1019,6 @@ object CurationStream {
         i += 1
       }
       val norm = math.sqrt(ss)
-      var best = 0
-      var bestCos = Double.NegativeInfinity
-      var c = 0
-      while (c < cents.length) {
-        val ce = cents(c).cemb
-        val n = math.min(emb.length, ce.length)
-        var d = 0.0
-        var j = 0
-        while (j < n) { d += emb(j) * ce(j); j += 1 }
-        val cos = d / (norm * cents(c).cnorm)
-        // strict >: ties keep the earlier (smaller) cid — cents is sorted
-        if (cos > bestCos) { bestCos = cos; best = c }
-        c += 1
-      }
       val q8 = new Array[Byte](emb.length)
       i = 0
       while (i < emb.length) {
@@ -976,7 +1026,45 @@ object CurationStream {
         q8(i) = math.max(-127.0, math.min(127.0, q)).toByte
         i += 1
       }
-      val cid = cents(best).cid
+      val cid =
+        if (trained.nonEmpty) {
+          // the TRAINED assignment — the batch l2Assign's exact integer
+          // rule: argmin of d2 = c·c − 2·v·c over the int8 domain,
+          // strict <: ties keep the earlier (smaller) cid, matching the
+          // batch (d2 asc, cid asc) window order. Long arithmetic over
+          // the same integral values vec_dot folds in doubles —
+          // products ≤ ~2^43, both exact, identical results.
+          var bi = 0
+          var bd = Long.MaxValue
+          var c = 0
+          while (c < trained.length) {
+            val cv = trained(c).c8
+            val n = math.min(q8.length, cv.length)
+            var dot = 0L
+            var j = 0
+            while (j < n) { dot += q8(j).toLong * cv(j); j += 1 }
+            val d2 = trained(c).cc - 2L * dot
+            if (d2 < bd) { bd = d2; bi = c }
+            c += 1
+          }
+          trained(bi).cid
+        } else {
+          var best = 0
+          var bestCos = Double.NegativeInfinity
+          var c = 0
+          while (c < cents.length) {
+            val ce = cents(c).cemb
+            val n = math.min(emb.length, ce.length)
+            var d = 0.0
+            var j = 0
+            while (j < n) { d += emb(j) * ce(j); j += 1 }
+            val cos = d / (norm * cents(c).cnorm)
+            // strict >: ties keep the earlier (smaller) cid — sorted
+            if (cos > bestCos) { bestCos = cos; best = c }
+            c += 1
+          }
+          cents(best).cid
+        }
       // PQ encode against the frozen codebook — the batch
       // pqEncodeTransform's exact arithmetic per (vector, subspace):
       // integer L2 via ||a-b||^2 = a.a + b.b - 2 a.b over the subspace

@@ -74,4 +74,13 @@ object StateSchemas {
     * staged family's names on a re-founding. */
   def semGateCellPrefix(centroidIds: Seq[Long]): String =
     graft.operators.SimilarityQueries.idSetDigest(centroidIds)
+
+  /** Keyspace prefix for the TRAINED gate (r18): the trained table's
+    * VALUE digest, 't'-tagged so it can never collide with a rule
+    * lineage's id digest of the same hex — a re-TRAINING keeps the seed
+    * ids but moves the values, so an id digest would silently leave two
+    * trainings' keepers comparable. Same digest definition (and VALUE)
+    * as the trained family's `+frz` stage-key component. */
+  def semGateTrainedCellPrefix(valueDigest: String): String =
+    "t" + valueDigest
 }

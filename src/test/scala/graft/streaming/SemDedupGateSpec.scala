@@ -180,6 +180,62 @@ class SemDedupGateSpec extends AnyFunSuite {
     }
   }
 
+  test("trained gate: streamed verdicts equal the batch decision over the TRAINED cells; keys carry the value digest (r18)") {
+    import org.apache.spark.sql.functions.col
+    val dir = freshCorpus()
+    Staged.reset(spark)
+    // batch decision over the frozen TRAINED cells — the same
+    // semanticDedupOn core the rule parity test pins, refined geometry
+    val q8t = spark.read.parquet(s"$dir/embeddings.parquet").selectExpr(
+      "vec_id",
+      "transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+        "v -> greatest(least(floor(v * 64D), 127D), -127D)) AS q8")
+    val home = SimilarityQueries.refinedCells(spark, dir, cfg)
+      .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    val batch = SimilarityQueries
+      .semanticDedupOn(home, q8t, SemDedupConfig.Default)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val homeMap = home.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (lits, digest) =
+      CurationStream.frozenTrainedCentroidLits(spark, dir, cfg)
+    assert(digest.length === 8, s"value digest must be 8 hex chars: $digest")
+    withRocksDb {
+    val input = MemoryStream[CurationStream.VecIn]
+    val q = CurationStream.semDedupGateTrained(input.toDS(), lits, digest)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("semgate_trained").start()
+    try {
+      val all = spark.read.parquet(s"$dir/embeddings.parquet")
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val (first, second) = all.splitAt(30)
+      input.addData(first.zipWithIndex.map { case ((id, e), i) =>
+        CurationStream.VecIn(id, e, ts(f"2024-05-01 10:00:${i % 60}%02d"))
+      }.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(second.zipWithIndex.map { case ((id, e), i) =>
+        CurationStream.VecIn(id, e, ts(f"2024-05-01 10:01:${i % 60}%02d"))
+      }.toSeq: _*)
+      q.processAllAvailable()
+      val verdicts = spark.table("semgate_trained")
+        .as[CurationStream.VecVerdict].collect()
+      assert(verdicts.length === all.length,
+        "one verdict per in-gate vector")
+      // per-vector home-cell parity: the streamed exact-integer d2
+      // assignment must reproduce the staged refinedCells rows
+      assert(verdicts.map(v => v.vecId -> v.cid).toMap === homeMap,
+        "streamed trained cells must equal the staged assignment")
+      val dropped = verdicts.filterNot(_.kept)
+        .map(v => v.vecId -> (v.cid, v.dupOf)).toMap
+      assert(dropped === batch,
+        s"streamed trained-gate drops must equal the batch decision\n" +
+          s"stream: $dropped\nbatch:  $batch")
+      assert(verdicts.filter(_.kept).forall(v => v.dupOf == v.vecId))
+    } finally q.stop()
+    }
+  }
+
   test("semantic gate horizon: a paraphrase re-crawl AFTER the horizon re-registers and is kept") {
     val dir = freshCorpus()
     Staged.reset(spark)
