@@ -42,7 +42,12 @@ import org.apache.spark.sql.streaming.Trigger
   *    same stream, same decisions, plus the per-vector PQ encode
   *    against a frozen CAPPED codebook (maxCodewords = 64) in the
   *    probe map, so the row prices "emit index-ready rows" against
-  *    the plain `sem` row's verdict-only cost.
+  *    the plain `sem` row's verdict-only cost;
+  *  - `semt` (r18): the TRAINED gate — same stream, same keeper
+  *    registry, Lloyd-refined centroids with the exact-integer d2
+  *    assignment in the probe map; next to `sem` the row prices what
+  *    the trained geometry costs at crawl rate (the assignment is one
+  *    integer dot per centroid either way — expect parity).
   * All run on the RocksDB state store (the 100 TB state path; the
   * stateful modes require it). Run: `sbt "runMain graft.CurationBench"`;
   * env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE_X (default 10),
@@ -162,11 +167,18 @@ object CurationBench {
       graft.operators.IvfConfig(frozen = true))
     val frozenCw = CurationStream.frozenPqCodewordLits(spark, rep,
       graft.operators.PqConfig(frozen = true, maxCodewords = Some(64L)))
+    // the TRAINED gate's literals (r18): same frozen config as `sem` so
+    // the two rows differ only in GEOMETRY — Lloyd founding is priced
+    // into the setup, not the per-batch walls (a deployment's index
+    // cost, the frozenCents precedent)
+    val (trainedCents, trainedDigest) =
+      CurationStream.frozenTrainedCentroidLits(spark, rep,
+        graft.operators.IvfConfig(frozen = true))
 
     def run(mode: String, pass: Int): Double = {
       val srcDir = mode match {
         case "burst" => burstDir
-        case "sem" | "semc" => vecDir
+        case "sem" | "semc" | "semt" => vecDir
         case _ => crawlDir
       }
       def readAs[T <: Product : scala.reflect.runtime.universe.TypeTag]() =
@@ -177,7 +189,7 @@ object CurationBench {
           .as[T](Encoders.product[T])
       val t0 = System.nanoTime()
       val q = mode match {
-        case "exact" | "near" | "burst" | "sem" | "semc" =>
+        case "exact" | "near" | "burst" | "sem" | "semc" | "semt" =>
           val out = mode match {
             case "exact" => CurationStream.curate(readAs[DocIn]())
             case "near" | "burst" => CurationStream.nearDedup(readAs[DocIn]())
@@ -185,6 +197,8 @@ object CurationBench {
               readAs[CurationStream.VecIn](), frozenCents)
             case "semc" => CurationStream.semDedupGateCoded(
               readAs[CurationStream.VecIn](), frozenCents, frozenCw)
+            case "semt" => CurationStream.semDedupGateTrained(
+              readAs[CurationStream.VecIn](), trainedCents, trainedDigest)
           }
           out.writeStream.outputMode("append").format("parquet")
             .option("path", s"$work/out_${mode}_$pass")
@@ -203,7 +217,8 @@ object CurationBench {
     }
 
     val modes =
-      Seq("exact", "near", "canon", "canonc", "burst", "sem", "semc")
+      Seq("exact", "near", "canon", "canonc", "burst", "sem", "semc",
+        "semt")
     val times: Map[String, Seq[Double]] = {
       val all = for { pass <- 1 to passes; m <- modes } yield m -> run(m, pass)
       all.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
@@ -227,9 +242,13 @@ object CurationBench {
       // if the codes actually rode through)
       "semc" -> spark.read.parquet(s"$work/out_semc_1")
         .filter(col("kept") && org.apache.spark.sql.functions.size(
-          col("codes")) === 8).count())
+          col("codes")) === 8).count(),
+      // semt: the trained gate's keep count — comparable to sem's only
+      // in regime (different geometry legitimately drops more)
+      "semt" -> spark.read.parquet(s"$work/out_semt_1")
+        .filter(col("kept")).count())
     val line =
-      f"""{"metric":"curation_docs_per_sec","docs":$docs,"x":$k,"sf":"$sfDir","passes":$passes,"files_per_trigger":$filesPerTrigger,"compact_every":$compactEvery,"calib_sec":$calibSec%.3f,"exact_sec":${med("exact")}%.3f,"near_sec":${med("near")}%.3f,"canon_sec":${med("canon")}%.3f,"canonc_sec":${med("canonc")}%.3f,"exact_dps":${docs / med("exact")}%.0f,"near_dps":${docs / med("near")}%.0f,"canon_dps":${docs / med("canon")}%.0f,"canonc_dps":${docs / med("canonc")}%.0f,"exact_kept":${kept("exact")},"near_kept":${kept("near")},"canon_clusters":${kept("canon")},"canonc_clusters":${kept("canonc")},"burst_docs":$burstDocs,"burst_sec":${med("burst")}%.3f,"burst_dps":${burstDocs / med("burst")}%.0f,"burst_kept":${kept("burst")},"sem_vecs":$vecs,"sem_sec":${med("sem")}%.3f,"sem_dps":${vecs / med("sem")}%.0f,"sem_kept":${kept("sem")},"semc_sec":${med("semc")}%.3f,"semc_dps":${vecs / med("semc")}%.0f,"semc_kept_coded":${kept("semc")}}"""
+      f"""{"metric":"curation_docs_per_sec","docs":$docs,"x":$k,"sf":"$sfDir","passes":$passes,"files_per_trigger":$filesPerTrigger,"compact_every":$compactEvery,"calib_sec":$calibSec%.3f,"exact_sec":${med("exact")}%.3f,"near_sec":${med("near")}%.3f,"canon_sec":${med("canon")}%.3f,"canonc_sec":${med("canonc")}%.3f,"exact_dps":${docs / med("exact")}%.0f,"near_dps":${docs / med("near")}%.0f,"canon_dps":${docs / med("canon")}%.0f,"canonc_dps":${docs / med("canonc")}%.0f,"exact_kept":${kept("exact")},"near_kept":${kept("near")},"canon_clusters":${kept("canon")},"canonc_clusters":${kept("canonc")},"burst_docs":$burstDocs,"burst_sec":${med("burst")}%.3f,"burst_dps":${burstDocs / med("burst")}%.0f,"burst_kept":${kept("burst")},"sem_vecs":$vecs,"sem_sec":${med("sem")}%.3f,"sem_dps":${vecs / med("sem")}%.0f,"sem_kept":${kept("sem")},"semc_sec":${med("semc")}%.3f,"semc_dps":${vecs / med("semc")}%.0f,"semc_kept_coded":${kept("semc")},"semt_sec":${med("semt")}%.3f,"semt_dps":${vecs / med("semt")}%.0f,"semt_kept":${kept("semt")}}"""
     spark.stop()
     println(line)
     System.out.flush()

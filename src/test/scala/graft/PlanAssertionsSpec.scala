@@ -523,4 +523,49 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition(vec_id"),
       "the prefilter must aggregate, not window-sort:\n" + p)
   }
+
+  test("dedup_editdist: the band blocking plans as an EQUI-join — length keys hash, never a nested loop (r18)") {
+    val p = plan("dedup_editdist")
+    // the whole point of the band key: candidates come from a hash/merge
+    // join on band = key, with the |Δlen| and id-order conditions as
+    // residual filters — a planner that degenerated this to NLJ would be
+    // the O(n²) scan the blocking exists to avoid
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"),
+      "band blocking must plan an equi-join:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "band blocking degenerated to a product/NLJ:\n" + p)
+  }
+
+  test("dedup_editdist_prefix: candidates equi-join on prefix tokens, verify equi-joins ids, no product (r18)") {
+    val p = plan("dedup_editdist_prefix")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"),
+      "prefix-token candidates must plan an equi-join:\n" + p)
+    // the only permitted product is the SHORTS bucket's bounded
+    // self-join (empty on this corpus — min doc length far exceeds the
+    // 17-char shorts ceiling); the gram path must never product
+    assert(!p.contains("CartesianProduct"),
+      "no unbroadcast product anywhere:\n" + p)
+  }
+
+  test("bm25_topk: query terms broadcast against the tf postings — only query-term postings are read (r18)") {
+    operators.Staged.reset(spark)
+    val p = plan("bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 15-term query set must broadcast against tf:\n" + p)
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastExchange"),
+      "no unbroadcast product:\n" + p)
+  }
+
+  test("ann_topk_ivf_refined: staged trained cells feed the ivf_int8 plan shape — equi-joins, no product (r18)") {
+    operators.Staged.reset(spark)
+    val p = plan("ann_topk_ivf_refined")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded query side must broadcast into the rescore:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "no unbroadcast product anywhere:\n" + p)
+  }
 }
