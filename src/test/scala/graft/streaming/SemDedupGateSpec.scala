@@ -442,6 +442,148 @@ class SemDedupGateSpec extends AnyFunSuite {
     }
   }
 
+  test("trained gate re-founding lifecycle: coverage refusal re-trains, the VALUE digest moves the keyspace, restart decides like a fresh replay (r18)") {
+    // The rule gate's composed lifecycle (r16 verdict #4), for the
+    // TRAINED quantizer — with the one difference that matters: a
+    // re-training keeps the seed ids and moves the VALUES, so the
+    // keyspace must move on the value digest (an id digest would leave
+    // pre- and post-training keepers silently comparable).
+    // Corpus: the frozen-trained staging spec's tight clusters (A/B/C on
+    // ids 0-29, one rule seed each, founding radii exactly 1), so the
+    // coverage probe is a sharp deterministic yardstick.
+    import spark.implicits._
+    def cvec(i: Int): Array[Float] = Array.tabulate(64) { d =>
+      val b = if (i % 100 < 10) { if (d <= 20) 8 else 0 }
+        else if (i % 100 < 20) { if (d <= 20) -8 else 0 }
+        else if (i % 100 < 30) { if (d >= 43) 8 else 0 }
+        // cluster D (the drift drop): amplitude 16 so two D twins clear
+        // the default dot floor (16²·11 dims = 2816 ≥ 1000; at 8 the
+        // self-dot 705 would sit below it and the pair decision leg
+        // would be vacuous)
+        else { if (d >= 30 && d <= 40) 16 else 0 }
+      ((b + (if (d == i % 64) 1 else 0)) / 64.0).toFloat
+    }
+    val dir = java.nio.file.Files.createTempDirectory("sgt_refound").toString
+    (0 until 30).map(i => (i.toLong, cvec(i), i % 5))
+      .toDF("vec_id", "embedding", "label").repartition(2)
+      .write.parquet(s"$dir/embeddings.parquet")
+    Staged.evict(spark)
+    val stageRoot =
+      java.nio.file.Files.createTempDirectory("sgt_rf_stage").toString
+    Staged.enablePersist(stageRoot)
+    val cfgF = IvfConfig(centroidEvery = 10, centroidKey = 7,
+      frozen = true, driftFractionMax = 0.0)
+    val centsStage = "ivf_refined_cents@10:7:2:L2:d0.0+frz"
+    def centModes: Seq[String] = Staged.buildLogSnapshot.collect {
+      case (s, m) if s == centsStage => m }
+    try {
+      val (lits1, dig1) =
+        CurationStream.frozenTrainedCentroidLits(spark, dir, cfgF)
+      assert(lits1.map(_.cid).toSet === Set(7L, 17L, 27L))
+      withRocksDb {
+        val ckpt =
+          java.nio.file.Files.createTempDirectory("sgt_rf_ckpt").toString
+        val outDir =
+          java.nio.file.Files.createTempDirectory("sgt_rf_out").toString
+        def start(input: MemoryStream[CurationStream.VecIn],
+            lits: Seq[CurationStream.TrainedCentroidLit], dig: String) =
+          CurationStream.semDedupGateTrained(input.toDS(), lits, dig)
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", outDir).option("checkpointLocation", ckpt)
+            .start()
+        // phase 1: an A keeper and a B keeper under the founding digest
+        val batch1 = Seq(
+          CurationStream.VecIn(1L, cvec(3), ts("2024-05-01 10:00:00")),
+          CurationStream.VecIn(2L, cvec(13), ts("2024-05-01 10:00:01")))
+        val input1 = MemoryStream[CurationStream.VecIn]
+        val q1 = start(input1, lits1, dig1)
+        try {
+          input1.addData(batch1: _*)
+          q1.processAllAvailable()
+          assert(spark.read.parquet(outDir).count() === 2)
+        } finally q1.stop()
+        // the re-train, mid-stream: cluster D lands (far outside every
+        // rr0 = 1 founding radius) — coverage drift 1.0 > 0.0 refuses
+        // and re-trains over the grown corpus; D's rule id 1037 joins
+        // the seed set and every centroid VALUE moves
+        (1030 until 1040).map(i => (i.toLong, cvec(i), i % 5))
+          .toDF("vec_id", "embedding", "label").repartition(2)
+          .write.mode("append").parquet(s"$dir/embeddings.parquet")
+        Staged.reset(spark)
+        Staged.clearBuildLog()
+        val (lits2, dig2) =
+          CurationStream.frozenTrainedCentroidLits(spark, dir, cfgF)
+        assert(centModes === Seq("delta-refused", "cold"),
+          s"cluster D must refuse the coverage probe and re-train: " +
+            s"${Staged.buildLogSnapshot}")
+        assert(lits2.map(_.cid).toSet === Set(7L, 17L, 27L, 1037L))
+        assert(dig1 !== dig2,
+          "a re-training must move the VALUE digest (ids alone would not)")
+        assert(StateSchemas.semGateTrainedCellPrefix(dig1) !==
+          StateSchemas.semGateTrainedCellPrefix(dig2))
+        // phase 2: restart from the checkpoint with the re-trained set;
+        // post-restart decisions must equal a fresh replay — the old-
+        // digest keepers are unreachable by construction
+        val post = Seq(
+          CurationStream.VecIn(10L, cvec(3), ts("2024-05-01 10:20:00")),
+          CurationStream.VecIn(140L, cvec(1035), ts("2024-05-01 10:20:01")),
+          CurationStream.VecIn(141L, cvec(1035), ts("2024-05-01 10:20:02")),
+          CurationStream.VecIn(12L, cvec(23), ts("2024-05-01 10:20:03")))
+        val input2 = MemoryStream[CurationStream.VecIn]
+        input2.addData(batch1: _*) // committed offsets — not reprocessed
+        val q2 = start(input2, lits2, dig2)
+        val (postRows, evictedRows) =
+          try {
+            input2.addData(post: _*)
+            q2.processAllAvailable()
+            val afterPost = q2.lastProgress.stateOperators
+              .map(_.numRowsTotal).sum
+            input2.addData(CurationStream.VecIn(900L, cvec(9),
+              ts("2024-05-01 14:00:00")))
+            q2.processAllAvailable()
+            input2.addData(CurationStream.VecIn(901L, cvec(21),
+              ts("2024-05-01 14:00:01")))
+            q2.processAllAvailable()
+            val afterEvict = q2.lastProgress.stateOperators
+              .map(_.numRowsTotal).sum
+            (afterPost, afterEvict)
+          } finally q2.stop()
+        assert(evictedRows < postRows,
+          s"old-digest state must evict: $postRows -> $evictedRows")
+        assert(evictedRows <= 2L,
+          s"only the fresh keepers may remain: $evictedRows")
+        val restarted = spark.read.parquet(outDir)
+          .as[CurationStream.VecVerdict].collect()
+          .filter(v => post.map(_.vecId).contains(v.vecId))
+          .map(v => v.vecId -> (v.cid, v.kept, v.dupOf)).toMap
+        val input3 = MemoryStream[CurationStream.VecIn]
+        val q3 = CurationStream.semDedupGateTrained(input3.toDS(),
+            lits2, dig2)
+          .writeStream.outputMode("append").format("memory")
+          .queryName("sgt_rf_fresh").start()
+        val fresh =
+          try {
+            input3.addData(post: _*)
+            q3.processAllAvailable()
+            spark.table("sgt_rf_fresh")
+              .as[CurationStream.VecVerdict].collect()
+              .map(v => v.vecId -> (v.cid, v.kept, v.dupOf)).toMap
+          } finally q3.stop()
+        assert(restarted === fresh,
+          s"post-restart decisions must equal a fresh replay\n" +
+            s"restarted: $restarted\nfresh: $fresh")
+        // the meaningful decisions: 141 drops against 140 inside the
+        // NEW cluster-D cell (seed 1037), and the phase-1 twin (10) is
+        // kept — its pre-re-training keeper lives under the old digest
+        assert(fresh(141L) === ((1037L, false, 140L)))
+        assert(fresh(10L)._2 === true)
+      }
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
   test("semDedupGateCoded: streamed PQ codes are byte-identical to the batch pq_codes rows; decisions unchanged (r16 verdict #8)") {
     import graft.operators.PqConfig
     val dir = freshCorpus()
