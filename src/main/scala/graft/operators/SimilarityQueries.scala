@@ -2472,6 +2472,175 @@ object SimilarityQueries {
       WHERE rank <= 5
     """))
 
+  // ───────────── residual PQ: the true IVFADC encode (r18) ─────────────
+
+  /** Per-vector int8 RESIDUAL against its home centroid (vec_id, rv):
+    * rv = q8(v) − q8(centroid(home(v))), exact integers in ±254. This is
+    * what Jégou et al. 2011 §V actually encodes — PQ over residuals, not
+    * raw vectors — because residuals are SMALLER than vectors (the coarse
+    * quantizer explains most of the magnitude), so the same codebook
+    * budget covers them with less error. Staged per ivf config: an index
+    * artifact next to the cells it derives from. */
+  private[graft] def ivfResiduals(spark: SparkSession, dir: String,
+      ivfCfg: IvfConfig = IvfConfig.Default): DataFrame =
+    Staged(spark, dir, Staged.keyed("ivfadc_res", ivfCfg.stageKey,
+      IvfConfig.Default.stageKey)) {
+      val q8 = quantized(spark, dir)
+      ivfCells(spark, dir, ivfCfg).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+        .join(q8, "vec_id")
+        // broadcast: BOUNDED BY CONFIG — nlist centroid-q8 rows.
+        .join(broadcast(q8.select(col("vec_id").as("cid"),
+          col("q8").as("cq"))), "cid")
+        .select(col("vec_id"),
+          expr("zip_with(q8, cq, (a, b) -> a - b)").as("rv"))
+    }
+
+  /** `ann_topk_ivfadc` — IVFADC proper: coarse cells prune candidates
+    * (nprobe probe join, the ivf_int8 shape), and each candidate is
+    * scored from its home-centroid dot plus the ADC sum over RESIDUAL
+    * codes: score(q, v) = q·c(v) + Σ_s q_s · rcw(code_s)_s ≈ q·v, since
+    * v = c(v) + residual and the codes reconstruct the residual. The
+    * residual codebook is the rule codewords' own residuals
+    * ([[PqConfig.codewordSet]] over [[ivfResiduals]]) — deterministic
+    * and oracle-expressible where k-means codebooks are not; the encode
+    * reuses [[pqEncodeWithDist]] verbatim (residuals ride the `q8`
+    * column), so the winner rule, partial-aggregate shape, and tie-break
+    * are the ONE definition. Scan bytes per candidate: 8 small ints +
+    * the nlist-bounded centroid-dot join — the raw-vector copy is never
+    * read. Why this rung exists next to `ann_topk_pq`: the raw-vector
+    * ADC wastes codebook budget re-describing the centroid each vector
+    * already names via its cell; on clustered data the residual encode
+    * is strictly finer at equal bytes (ScaleSpec gates ivfadc ≥ raw ADC
+    * on the clustered fixture; ScaleBench carries the recall rows). */
+  private[graft] def ivfAdcTopKWith(spark: SparkSession, dir: String,
+      k: Int, ivfCfg: IvfConfig = IvfConfig.Default,
+      pqCfg: PqConfig = PqConfig.Default): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val q8 = quantized(spark, dir)
+    val res = ivfResiduals(spark, dir, ivfCfg)
+    val rcw = pqCfg.codewordSet(res)
+      .select(col("vec_id").as("cw_id"), col("rv").as("cv"))
+    val enc = Staged(spark, dir, Staged.keyed("ivfadc_codes",
+      s"${ivfCfg.stageKey}@${pqCfg.stageKey}",
+      s"${IvfConfig.Default.stageKey}@${PqConfig.Default.stageKey}")) {
+      pqEncodeTransform(res.withColumnRenamed("rv", "q8"), rcw)
+    }
+    val cells = ivfCells(spark, dir, ivfCfg)
+    val home = cells.filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cid"))
+    val qdocs = q8.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q8").as("qv"))
+    // ids-only candidates from the probe join (the ivf_int8 shape)
+    val cand = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cid"))
+      .join(home, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    // ADC table over residual codewords — queries × codewords × 8,
+    // broadcast: BOUNDED BY CONFIG (the pqTopKWith classification)
+    val qtab = qdocs
+      .crossJoin(rcw)
+      .crossJoin(spark.range(0, PqSubs)
+        .select((col("id") * PqWidth + 1).as("off")))
+      .withColumn("d", expr(
+        s"vec_dot(slice(qv, CAST(off AS INT), $PqWidth), " +
+          s"slice(cv, CAST(off AS INT), $PqWidth))"))
+      .select(col("query_id"), col("off"), col("cw_id").as("code"),
+        col("d"))
+    // centroid-dot table — queries × nlist, broadcast: BOUNDED BY CONFIG
+    val qcent = qdocs
+      .crossJoin(broadcast(ivfCentroidQ8(spark, dir, ivfCfg)))
+      .withColumn("dc", expr("vec_dot(qv, cq8)"))
+      .select(col("query_id"), col("cid"), col("dc"))
+    val sumd = cand
+      .join(enc.select(col("vec_id").as("neighbor_id"), col("off"),
+        col("code")), "neighbor_id")
+      .join(broadcast(qtab), Seq("query_id", "off", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("sd"))
+    rankTopK(sumd
+      .join(home, "neighbor_id")
+      .join(broadcast(qcent), Seq("query_id", "cid"))
+      .withColumn("score", col("dc") + col("sd")),
+      "score", k)
+  }
+
+  val ivfAdcTopK = QueryDef(
+    "ann_topk_ivfadc",
+    (spark, dir) => ivfAdcTopKWith(spark, dir, 5),
+    Some("""
+      WITH q8 AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 v -> greatest(least(floor(v * 64), 127), -127)) AS qv
+        FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        WHERE vec_id % 100 = 7),
+      ranked AS (
+        SELECT vec_id, cid, rn FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.cemb AS DOUBLE[])) DESC,
+                   c.cid ASC) AS rn
+          FROM embeddings e, cents c)
+        WHERE rn <= 2),
+      home AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+      res AS (
+        SELECT v.vec_id,
+               list_transform(range(64), i -> v.qv[i + 1] - cq.qv[i + 1])
+                 AS rv
+        FROM q8 v JOIN home h USING (vec_id)
+        JOIN q8 cq ON cq.vec_id = h.cid),
+      rcw AS (SELECT vec_id AS cw_id, rv AS cv FROM res
+              WHERE vec_id % 50 = 11),
+      offs AS (SELECT unnest(range(8)) * 8 + 1 AS off),
+      enc AS (
+        SELECT vec_id, off, cw_id AS code FROM (
+          SELECT v.vec_id, o.off, c.cw_id,
+                 row_number() OVER (PARTITION BY v.vec_id, o.off ORDER BY
+                   (list_dot_product(v.rv[o.off:o.off+7],
+                                     v.rv[o.off:o.off+7]) +
+                    list_dot_product(c.cv[o.off:o.off+7],
+                                     c.cv[o.off:o.off+7]) -
+                    2 * list_dot_product(v.rv[o.off:o.off+7],
+                                         c.cv[o.off:o.off+7])) ASC,
+                   c.cw_id ASC) AS rn
+          FROM res v, rcw c, offs o)
+        WHERE rn = 1),
+      qtab AS (
+        SELECT q.vec_id AS query_id, o.off, c.cw_id AS code,
+               list_dot_product(q.qv[o.off:o.off+7],
+                                c.cv[o.off:o.off+7]) AS d
+        FROM q8 q, rcw c, offs o WHERE q.vec_id < 10),
+      qcent AS (
+        SELECT q.vec_id AS query_id, c.cid,
+               list_dot_product(q.qv, cq.qv) AS dc
+        FROM q8 q, cents c JOIN q8 cq ON cq.vec_id = c.cid
+        WHERE q.vec_id < 10),
+      cand AS (SELECT DISTINCT qa.vec_id AS query_id, h.vec_id AS neighbor_id
+               FROM ranked qa JOIN home h ON qa.cid = h.cid
+                 AND qa.vec_id <> h.vec_id
+               WHERE qa.vec_id < 10),
+      sumd AS (
+        SELECT cand.query_id, e.vec_id AS neighbor_id, sum(t.d) AS sd
+        FROM cand
+        JOIN enc e ON e.vec_id = cand.neighbor_id
+        JOIN qtab t ON t.query_id = cand.query_id
+          AND t.off = e.off AND t.code = e.code
+        GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT s.query_id, s.neighbor_id,
+               row_number() OVER (PARTITION BY s.query_id
+                 ORDER BY qc.dc + s.sd DESC, s.neighbor_id ASC) AS rank
+        FROM sumd s
+        JOIN home h ON h.vec_id = s.neighbor_id
+        JOIN qcent qc ON qc.query_id = s.query_id AND qc.cid = h.cid)
+      WHERE rank <= 5
+    """))
+
   /** The PQ DEPLOYMENT retrieval shape (r16 verdict ask #2): ADC top-`pre`
     * prefilter over the 8-small-ints-per-vector codes scan, then an exact
     * int8 rescore of only those candidates — one plan: slim codes scan →
@@ -3297,5 +3466,6 @@ object SimilarityQueries {
       pqCappedTopK, pqRerankTopK, ivfPqRerankTopK, rangeCosine,
       rangeCosineCells, rangeCosinePerQuery, rangeCosinePq,
       rangeCosineComposed, ivfCellBoundsAudit, ivfRefine, ivfRefinedTopK,
-      refinedCellBoundsAudit, rangeCosineCellsRefined, semanticDedupRefined)
+      refinedCellBoundsAudit, rangeCosineCellsRefined, semanticDedupRefined,
+      ivfAdcTopK)
 }

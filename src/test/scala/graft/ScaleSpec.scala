@@ -538,6 +538,16 @@ class ScaleSpec extends AnyFunSuite {
     assert(capped >= 0.9,
       f"capped IVF recall@5 on clustered data = $capped%.3f")
     assert(ivf >= 0.9, f"IVF recall@5 on clustered data = $ivf%.3f")
+    // r18: residual PQ (IVFADC proper). The raw-vector ADC wastes its
+    // codebook re-describing each vector's centroid; the residual
+    // encode spends the same 8 bytes on the within-cell offset — on
+    // clustered data it must dominate the raw rung.
+    val ivfadc = ScaleBench.meanRecall(goldInt8, tops("ann_topk_ivfadc"))
+    info(f"clustered recall@5: ivfadc(vs int8)=$ivfadc%.3f vs raw " +
+      f"adc=$adc%.3f")
+    assert(ivfadc >= adc - 1e-9,
+      f"residual codes must not read worse than raw-vector ADC on " +
+        f"clustered data: $ivfadc%.3f vs $adc%.3f")
     operators.Staged.reset(spark)
   }
 
