@@ -846,32 +846,46 @@ object DedupQueries {
     * prefix à la Ed-Join, which preserves exact recall), or the
     * hot-bucket guard if approximate refusal is acceptable; the length
     * band alone is the honest exact baseline. */
+  /** The band-blocked exact pairing over an arbitrary (doc_id, text,
+    * n_chars) frame — the seam [[editDistPairs]] runs over the full
+    * corpus and [[editDistCollapsed]] runs over content-hash
+    * representatives (r18 verdict ask #5). */
+  /** The band join's CANDIDATE pairs (post length filter, pre
+    * levenshtein) — exposed `private[graft]` so the collapse spec can
+    * measure what the representative pre-collapse refused (the
+    * prune-observability discipline). */
+  private[graft] def bandCandidatesOn(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"), col("n_chars"),
+      expr(s"n_chars div $EditBandW").as("band"))
+    // Probe side: each doc under its own band key AND the band below,
+    // so a (band p, band p+1) pair meets exactly once — at key p, with
+    // the build side holding the lower-band doc. Same-band pairs meet
+    // under id-order; adjacent-band pairs are unique by construction.
+    val probes = d.select(col("doc_id").as("p_id"), col("text").as("p_text"),
+        col("n_chars").as("p_n"), col("band").as("p_band"),
+        col("band").as("key"))
+      .unionAll(d.select(col("doc_id").as("p_id"), col("text").as("p_text"),
+        col("n_chars").as("p_n"), col("band").as("p_band"),
+        (col("band") - 1).as("key")))
+    d.join(probes,
+        col("band") === col("key") &&
+          abs(col("n_chars") - col("p_n")) <= EditK &&
+          ((col("p_band") === col("band") && col("doc_id") < col("p_id")) ||
+            col("p_band") === col("band") + 1))
+      .select(col("doc_id"), col("p_id"), col("text"), col("p_text"))
+  }
+
+  private def bandPairsOn(docs: DataFrame): DataFrame =
+    bandCandidatesOn(docs)
+      .withColumn("lev", levenshtein(col("text"), col("p_text"), EditK))
+      .filter(col("lev") >= 0) // threshold form returns -1 past k
+      .select(least(col("doc_id"), col("p_id")).as("doc_a"),
+        greatest(col("doc_id"), col("p_id")).as("doc_b"), col("lev"))
+
   val editDistPairs = QueryDef(
     "dedup_editdist",
-    (spark, dir) => {
-      val d = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text"), col("n_chars"),
-          expr(s"n_chars div $EditBandW").as("band"))
-      // Probe side: each doc under its own band key AND the band below,
-      // so a (band p, band p+1) pair meets exactly once — at key p, with
-      // the build side holding the lower-band doc. Same-band pairs meet
-      // under id-order; adjacent-band pairs are unique by construction.
-      val probes = d.select(col("doc_id").as("p_id"), col("text").as("p_text"),
-          col("n_chars").as("p_n"), col("band").as("p_band"),
-          col("band").as("key"))
-        .unionAll(d.select(col("doc_id").as("p_id"), col("text").as("p_text"),
-          col("n_chars").as("p_n"), col("band").as("p_band"),
-          (col("band") - 1).as("key")))
-      d.join(probes,
-          col("band") === col("key") &&
-            abs(col("n_chars") - col("p_n")) <= EditK &&
-            ((col("p_band") === col("band") && col("doc_id") < col("p_id")) ||
-              col("p_band") === col("band") + 1))
-        .withColumn("lev", levenshtein(col("text"), col("p_text"), EditK))
-        .filter(col("lev") >= 0) // threshold form returns -1 past k
-        .select(least(col("doc_id"), col("p_id")).as("doc_a"),
-          greatest(col("doc_id"), col("p_id")).as("doc_b"), col("lev"))
-    },
+    (spark, dir) => bandPairsOn(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))),
     Some(s"""
       WITH d AS (SELECT doc_id, text, n_chars, n_chars // $EditBandW AS band
                  FROM documents),
@@ -909,40 +923,135 @@ object DedupQueries {
     * (spec-pinned equal on the sf corpus AND on an engineered
     * same-length corpus where the band blocking degenerates to
     * all-pairs while the prefix join stays sparse). */
-  private[graft] def editDistPrefixCandidates(spark: SparkSession,
-      dir: String): DataFrame = {
-    graft.functions.NgramExprs.register(spark)
-    val q = 2
-    val prefLen = q * EditK + 1 // 17
-    val shortLen = q * EditK + q - 1 // grams = len−1 ≤ q·k ⇔ len ≤ 17
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("n_chars"))
-    val grams = d
+  private val EditQ = 2
+  private val EditPrefLen = EditQ * EditK + 1 // 17
+  // grams = len−1 ≤ q·k ⇔ len ≤ 17
+  private val EditShortLen = EditQ * EditK + EditQ - 1
+
+  /** One occurrence-tagged q-gram rule (doc_id, tok) — shared by the
+    * cold full build and the append-delta build so the two cannot
+    * drift (the `tokenize` discipline). */
+  private def editGramsOf(docs: DataFrame): DataFrame = {
+    graft.functions.NgramExprs.register(docs.sparkSession)
+    docs
       .select(col("doc_id"),
-        posexplode(expr(s"char_ngrams(text, $q)")).as(Seq("pos", "g")))
+        posexplode(expr(s"char_ngrams(text, $EditQ)")).as(Seq("pos", "g")))
       .withColumn("occ", row_number().over(
         Window.partitionBy(col("doc_id"), col("g")).orderBy(col("pos"))))
       .select(col("doc_id"), concat_ws("#", col("g"), col("occ")).as("tok"))
-    val freq = grams.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-    val prefix = grams.join(freq, "tok")
+  }
+
+  /** STAGED occurrence-tagged gram table (r18 verdict ask #4 — the one
+    * heavy Ed-Join artifact that rebuilt per run): per-doc transform →
+    * APPENDABLE, a crawl drop shingles only its own docs. */
+  private[graft] def editGrams(spark: SparkSession, dir: String): DataFrame =
+    Staged.appendable(spark, dir, "edit_grams", "documents", "doc_id")(
+      editGramsOf) {
+      editGramsOf(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")))
+    }
+
+  /** STAGED corpus gram frequencies (tok, tf) — delta-maintained by
+    * additive merge (tf is additive across disjoint doc sets and the
+    * key-disjointness gate guarantees exactly that), the `df`
+    * discipline at VocabQueries.docFreq. */
+  private[graft] def editGramFreq(spark: SparkSession,
+      dir: String): DataFrame =
+    Staged.rebuildable(spark, dir, "edit_gram_freq", "documents", "doc_id")(
+      (prior, deltaDocs) => {
+        val d = editGramsOf(deltaDocs)
+          .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        prior.unionByName(d)
+          .groupBy(col("tok")).agg(sum(col("tf")).as("tf"))
+      }) {
+      editGrams(spark, dir).groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    }
+
+  /** Per-doc rarest-first prefix under an EXPLICIT global order (tok →
+    * tf; lower = rarer = earlier): the first q·k + 1 tagged grams by
+    * (tf asc, tok asc). A tok ABSENT from the order table ranks
+    * rarest (tf 0) — under the current-corpus order that branch never
+    * fires (every gram is counted); under a FROZEN founding order it
+    * is exactly how unseen grams of appended docs slot in, and ANY
+    * such completion keeps the order total — which is all the theorem
+    * needs. Exposed `private[graft]` with [[prefixCandidatesOf]] so
+    * the stale-order spec can drive a deliberately wrong order. */
+  private[graft] def prefixOf(grams: DataFrame,
+      order: DataFrame): DataFrame =
+    grams.join(order, Seq("tok"), "left")
+      .withColumn("tf", coalesce(col("tf"), lit(0L)))
       .withColumn("r", row_number().over(Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").asc, col("tok").asc)))
-      .filter(col("r") <= prefLen)
+      .filter(col("r") <= EditPrefLen)
       .select(col("doc_id"), col("tok"))
+
+  /** STAGED per-doc prefix under the CURRENT-corpus order — the
+    * oracle-checked default (`dedup_editdist_prefix` reads it):
+    * byte-identical to the historical inline build, but staged so the
+    * registered query stops re-deriving grams + freq + prefix per
+    * run. Rebuilds on any corpus change (the order moves with the
+    * corpus — the same classification as IVF cells). */
+  private[graft] def editPrefix(spark: SparkSession, dir: String): DataFrame =
+    Staged(spark, dir, "edit_prefix") {
+      prefixOf(editGrams(spark, dir), editGramFreq(spark, dir))
+    }
+
+  /** The FROZEN founding-corpus gram order (r18 verdict ask #4's key
+    * insight, now code): the prefix-filter theorem holds for ANY fixed
+    * global token order — rarest-first only tunes candidate SPARSITY —
+    * so the founding frequency order is kept VERBATIM across appends
+    * (`(prior, _) => prior`) and the prefix stage below becomes
+    * APPENDABLE. No drift probe and no digest key, deliberately: a
+    * stale order can only GROW candidates, never lose a pair
+    * (StagedIncrementalSpec pins result equality under a deliberately
+    * stale order), so re-founding is a performance-tuning action, not
+    * a correctness one; and on any non-append corpus change both
+    * stages cold-rebuild together under the moved fingerprint, so the
+    * pair cannot desynchronize. */
+  private[graft] def editFrozenOrder(spark: SparkSession,
+      dir: String): DataFrame =
+    Staged.rebuildable(spark, dir, "edit_gram_order+frz", "documents",
+      "doc_id")((prior, _) => prior) {
+      editGrams(spark, dir).groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    }
+
+  /** The frozen-order prefix stage — APPENDABLE: a crawl drop prefixes
+    * only its own docs against the frozen founding order (unseen grams
+    * rank rarest — see [[prefixOf]]). */
+  private[graft] def editPrefixFrozen(spark: SparkSession,
+      dir: String): DataFrame = {
+    val order = editFrozenOrder(spark, dir)
+    Staged.appendable(spark, dir, "edit_prefix+frz", "documents", "doc_id")(
+      deltaDocs => prefixOf(editGramsOf(deltaDocs), order)) {
+      prefixOf(editGrams(spark, dir), order)
+    }
+  }
+
+  /** Candidate pairs from a prefix table: pairs sharing a prefix token,
+    * plus the directly-enumerated short-doc bucket (len ≤ 17 — the
+    * count filter cannot refuse those at all). */
+  private[graft] def prefixCandidatesOf(spark: SparkSession, dir: String,
+      prefix: DataFrame): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
     val candLong = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val shorts = d.filter(col("n_chars") <= shortLen).select(col("doc_id"))
+    val shorts = d.filter(col("n_chars") <= EditShortLen)
+      .select(col("doc_id"))
     val candShort = shorts.as("a").join(shorts.as("b"),
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     candLong.unionByName(candShort).distinct()
   }
 
+  private[graft] def editDistPrefixCandidates(spark: SparkSession,
+      dir: String): DataFrame =
+    prefixCandidatesOf(spark, dir, editPrefix(spark, dir))
+
   /** The shared verify tail of both edit-distance variants: length
     * filter + banded thresholded levenshtein over (doc_a, doc_b)
     * candidates. */
-  private def editDistVerify(spark: SparkSession, dir: String,
+  private[graft] def editDistVerify(spark: SparkSession, dir: String,
       cand: DataFrame): DataFrame = {
     val meta = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("n_chars"))
@@ -970,9 +1079,59 @@ object DedupQueries {
       editDistVerify(spark, dir, editDistPrefixCandidates(spark, dir)),
     editDistPairs.oracle)
 
+  /** The (doc_id, rep) content-hash duplicate classes — rep = the class
+    * minimum doc_id, the [[canonicalize]] keeper rule. Seam for
+    * [[editDistCollapsed]] and its spec. */
+  private[graft] def contentClasses(docs: DataFrame): DataFrame =
+    docs.withColumn("rep",
+      min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+
+  /** `dedup_editdist_collapsed` (r18 verdict ask #5) — the edit-distance
+    * join with EXACT-DUPLICATE PRE-COLLAPSE: both earlier variants
+    * levenshtein-verify every pair among N byte-identical replicas —
+    * O(N²) calls for pairs `dedup_exact` already knows are distance 0.
+    * Collapse first to one representative per content-hash class (the
+    * class-minimum doc_id), band-pair ONLY representatives, then expand
+    * verdicts back over the classes. The pair set is UNCHANGED by
+    * construction: within-class pairs are ed = 0 by definition of
+    * byte-identity; a cross-class pair (a, b) has text(a) = text(rep_a)
+    * and text(b) = text(rep_b), so ed(a, b) = ed(rep_a, rep_b) — every
+    * member pair of a surviving representative pair inherits its lev,
+    * and no other cross-class pair can be ≤ k (its representatives'
+    * pair would have survived). Same oracle as `dedup_editdist`.
+    *
+    * 100 TB note: replica-heavy corpora are the NORM in crawl data
+    * (boilerplate, mirrored pages); the collapse turns K² verify calls
+    * per K-replica class into 1, and the within-class expansion is pure
+    * output enumeration (no levenshtein). The md5 groupBy shuffles slim
+    * (hash, doc_id) rows — `dedup_exact`'s own shape. */
+  val editDistCollapsed = QueryDef(
+    "dedup_editdist_collapsed",
+    (spark, dir) => {
+      val classes = contentClasses(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("n_chars")))
+      val reps = classes.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val members = classes.select(col("doc_id"), col("rep"))
+      val cross = bandPairsOn(reps)
+        .join(members.select(col("rep").as("doc_a"),
+          col("doc_id").as("ma")), "doc_a")
+        .join(members.select(col("rep").as("doc_b"),
+          col("doc_id").as("mb")), "doc_b")
+        .select(least(col("ma"), col("mb")).as("doc_a"),
+          greatest(col("ma"), col("mb")).as("doc_b"), col("lev"))
+      val within = members.as("x").join(members.as("y"),
+          col("x.rep") === col("y.rep") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          lit(0).as("lev"))
+      cross.unionByName(within)
+    },
+    editDistPairs.oracle)
+
   val defs: Seq[QueryDef] = Seq(
     exact, minhashLsh, jaccardVerify, simhash, simhashPairs,
     embeddingCosine, components, canonicalize, reconcile,
     substringSpans, scrubSpans, minhashEstimate, rateBySource,
-    editDistPairs, editDistPrefix)
+    editDistPairs, editDistPrefix, editDistCollapsed)
 }

@@ -373,7 +373,7 @@ object SimilarityQueries {
         "transform(emb, v -> greatest(least(floor(v * 64D), 127D), -127D))"))
       .select(col("vec_id"), col("q8"))
 
-  private[operators] def quantized(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     Staged.appendable(spark, dir, "q8_embeddings", "embeddings", "vec_id")(
       raw => quantTransform(normTransform(raw))) {
       quantTransform(normed(spark, dir))
@@ -1242,21 +1242,34 @@ object SimilarityQueries {
     * integer dot per (vector, centroid) instead of a zip-subtract pass,
     * through the same codegen `vec_dot` every ANN variant uses.
     * Tie-break (d2 asc, cid asc) — exact integer ties resolve by id
-    * identically in both engines. */
+    * identically in both engines. rn=1 callers (every Lloyd sweep, all
+    * home-cell assignments) take the PARTIAL-AGGREGATABLE shape —
+    * `min(struct(d2, cid))`, whose lexicographic struct order IS the
+    * (d2 asc, cid asc) rule — so the N×nlist candidate rows fold
+    * map-side instead of shuffling through a row_number window sort
+    * (r18 ADVICE: the window form shuffled the full cross-join output
+    * every sweep, contradicting the "map-side" scale claim). Only
+    * probe assignments (maxRn = nprobe > 1) pay the window. */
   private def l2Assign(q8: DataFrame, cents: DataFrame,
       maxRn: Int): DataFrame = {
     graft.functions.VectorExprs.register(q8.sparkSession)
-    val aw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc, col("cid").asc)
-    q8.select(col("vec_id"), col("q8"))
+    val scored = q8.select(col("vec_id"), col("q8"))
       // broadcast: BOUNDED BY CONFIG — nlist centroid rows (capped
       // configs make this a constant; see ivfCellsRaw's note).
       .crossJoin(broadcast(cents.select(col("cid"), col("c8"),
         expr("vec_dot(c8, c8)").as("cc"))))
       .withColumn("d2", col("cc") - lit(2d) * expr("vec_dot(q8, c8)"))
-      .withColumn("rn", row_number().over(aw))
-      .filter(col("rn") <= maxRn)
-      .select(col("vec_id"), col("cid"), col("rn"))
+    if (maxRn == 1)
+      scored.groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("b"))
+        .select(col("vec_id"), col("b.cid").as("cid"), lit(1).as("rn"))
+    else {
+      val aw = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("cid").asc)
+      scored.withColumn("rn", row_number().over(aw))
+        .filter(col("rn") <= maxRn)
+        .select(col("vec_id"), col("cid"), col("rn"))
+    }
   }
 
   /** `iters` Lloyd sweeps from the rule/capped seed set over the staged
@@ -1272,8 +1285,11 @@ object SimilarityQueries {
     * centroid ids are stable and nlist never shrinks.
     *
     * Scale shape: each sweep is one broadcast-assign over the quantized
-    * corpus (map-side, no shuffle) + one (cid, dim) aggregation — at
-    * most nlist×64 groups, partial-aggregated map-side. Index-build
+    * corpus — N×nlist candidate rows folded MAP-SIDE by the partial
+    * aggregate into N slim (vec_id, cid) rows, so the only shuffle is
+    * those N rows (r18 ADVICE: the earlier row_number window shuffled
+    * and sorted the full N×nlist cross-join output every sweep) — plus
+    * one (cid, dim) aggregation of at most nlist×64 groups. Index-build
     * cost, linear in N per sweep; the result is nlist rows. */
   private[graft] def lloydRefinedRaw(spark: SparkSession, dir: String,
       cfg: IvfConfig, iters: Int): DataFrame = {
@@ -1392,7 +1408,11 @@ object SimilarityQueries {
     * family's id digest is sound there because frozen rule centroids
     * ARE their ids' embeddings). Collect is nlist rows — bounded by
     * config under caps, the ivfCellsRaw classification. Memoized like
-    * [[digestOf]]. */
+    * [[digestOf]] — which only works when callers pass the
+    * STAGED-MEMOIZED [[frozenRefinedTable]] instance itself (r18
+    * ADVICE: digesting a fresh `.select()` wrapper keyed the WeakHashMap
+    * on a throwaway frame, so every query construction re-collected the
+    * table AND pinned a duplicate Materialized copy). */
   private def refinedValueDigest(cents: DataFrame): String = {
     val hit = digestMemo.get(cents)
     if (hit != null) hit
@@ -1435,10 +1455,14 @@ object SimilarityQueries {
           refinedCentroids(spark, dir, cfg, iters), maxRn = cfg.nprobe)
       }
     else {
-      val cents = graft.functions.Materialized(
-        refinedCentroids(spark, dir, cfg, iters)).df
+      // the staged table instance itself: already materialized by the
+      // stage layer (re-pinning a Materialized copy per construction
+      // duplicated checkpoints until evict — r18 ADVICE), and the one
+      // stable identity the digest memo can hit on.
+      val tbl = frozenRefinedTable(spark, dir, cfg, iters)
+      val cents = tbl.select(col("cid"), col("c8"))
       val key = lloydKey("ivf_refined_cells", cfg, iters) +
-        s"+frz${refinedValueDigest(cents)}"
+        s"+frz${refinedValueDigest(tbl)}"
       Staged.appendable(spark, dir, key, "embeddings", "vec_id")(
         raw => l2Assign(quantTransform(normTransform(raw)), cents,
           cfg.nprobe)) {
@@ -2489,9 +2513,12 @@ object SimilarityQueries {
       ivfCells(spark, dir, ivfCfg).filter(col("rn") === 1)
         .select(col("vec_id"), col("cid"))
         .join(q8, "vec_id")
-        // broadcast: BOUNDED BY CONFIG — nlist centroid-q8 rows.
-        .join(broadcast(q8.select(col("vec_id").as("cid"),
-          col("q8").as("cq"))), "cid")
+        // broadcast: BOUNDED BY CONFIG — nlist centroid-q8 rows
+        // (ivfCentroidQ8 semi-joins quantized down to the centroid ids
+        // BEFORE the hint; r18 ADVICE — broadcasting the full q8 table
+        // renamed to cid was O(N) and would OOM at deployment scale).
+        .join(broadcast(ivfCentroidQ8(spark, dir, ivfCfg)
+          .withColumnRenamed("cq8", "cq")), "cid")
         .select(col("vec_id"),
           expr("zip_with(q8, cq, (a, b) -> a - b)").as("rv"))
     }
@@ -2631,6 +2658,566 @@ object SimilarityQueries {
         JOIN qtab t ON t.query_id = cand.query_id
           AND t.off = e.off AND t.code = e.code
         GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT s.query_id, s.neighbor_id,
+               row_number() OVER (PARTITION BY s.query_id
+                 ORDER BY qc.dc + s.sd DESC, s.neighbor_id ASC) AS rank
+        FROM sumd s
+        JOIN home h ON h.vec_id = s.neighbor_id
+        JOIN qcent qc ON qc.query_id = s.query_id AND qc.cid = h.cid)
+      WHERE rank <= 5
+    """))
+
+  // ───── trained PQ codebooks (r19): per-subspace integer Lloyd ─────
+  //
+  // r18 trained the COARSE quantizer and measured the payoff (SSE −39%,
+  // range refusals 2.1×, SemDeDup +5%); the PQ codebooks stayed
+  // rule-derived — which is why the 8-byte ADC rungs read 0.10–0.16
+  // recall@5 while rerank leaned on the exact rescore. Jégou et al.
+  // 2011 §II train per-subspace k-means; the discipline below is the
+  // coarse quantizer's applied per subspace: Lloyd sweeps wholly in the
+  // int8 slice domain (exact integer distances, FLOORED per-dim means),
+  // so the trained codebook is bit-reproducible and ORACLE-CHECKED —
+  // float per-subspace k-means never is.
+
+  /** Lloyd sweeps for the trained PQ codebooks — the [[LloydIters]]
+    * choice re-measured per subspace (sf0.01 raw-slice SSE descends
+    * ~26% in sweep 1, < 4% in sweep 2; SCALE.md r19). The stage key
+    * carries it, so two settings never alias. */
+  private val PqLloydIters = 2
+
+  /** (vec_id, off, s) slices of an int8 table carrying `q8` — the ONE
+    * slicing rule shared by training, encoding, and the query-side
+    * distance tables (off is the 1-based slice start, the historical
+    * [[pqEncodeWithDist]] geometry). */
+  private def pqSlices(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    rows.crossJoin(broadcast(spark.range(0, PqSubs)
+        .select((col("id") * PqWidth + 1).as("off"))))
+      .withColumn("s", expr(s"slice(q8, CAST(off AS INT), $PqWidth)"))
+      .select(col("vec_id"), col("off"), col("s"))
+  }
+
+  /** Seed codebook slices (off, cw_id, cs) — the deterministic rule
+    * codewords' own slices, per subspace: the trained family REFINES
+    * the rule set (stable ids, moved values), the coarse quantizer's
+    * seed discipline verbatim. */
+  private def pqSeedSlices(rows: DataFrame, cfg: PqConfig): DataFrame =
+    pqSlices(cfg.codewordSet(rows))
+      .select(col("off"), col("vec_id").as("cw_id"), col("s").as("cs"))
+
+  /** Per-(vector, subspace) nearest-codeword assignment against an
+    * explicit (off, cw_id, cs) codebook, with the winner's exact
+    * integer L2 — the trained family's ONE assign/encode rule (Lloyd
+    * sweeps, the staged codes, the frozen founding radii and the
+    * coverage probe all run through it). Partial-aggregatable shape:
+    * `min(struct(dist, cw_id))` IS the (dist asc, cw_id asc) tie-break,
+    * so the N·codewords·8 candidate rows fold map-side (the l2Assign
+    * discipline per subspace). Self-dots are computed once per side
+    * BEFORE the join — one 8-element integer dot per candidate row. */
+  private def pqAssignFull(slices: DataFrame, cb: DataFrame): DataFrame =
+    slices
+      .withColumn("ss", expr("vec_dot(s, s)"))
+      // broadcast: BOUNDED BY CONFIG — codewords×8 codebook rows (the
+      // pqTopKWith classification; capped configs make it a constant).
+      .join(broadcast(cb.select(col("off"), col("cw_id"), col("cs"),
+        expr("vec_dot(cs, cs)").as("cc"))), Seq("off"))
+      .withColumn("dist",
+        expr("CAST(ss + cc - 2 * vec_dot(s, cs) AS BIGINT)"))
+      .groupBy(col("vec_id"), col("off"))
+      .agg(min(struct(col("dist"), col("cw_id"))).as("b"))
+      .select(col("vec_id"), col("off"), col("b.cw_id").as("code"),
+        col("b.dist").as("dist"))
+
+  /** `iters` per-subspace Lloyd sweeps from the rule seed slices:
+    * assign every (vector, subspace) slice to its nearest codeword
+    * (exact integer L2 via [[pqAssignFull]] — ss is constant per slice,
+    * so the full-dist winner IS the c·c − 2·v·c winner), move each
+    * codeword to its cell's FLOORED per-dimension mean, repeat. Floor
+    * (not round-nearest) keeps the mean an exact integer both engines
+    * compute identically — the coarse [[lloydRefinedRaw]] trade
+    * (monotone-descent theorem sacrificed for cross-engine exactness;
+    * OpQuerySpec pins descent empirically). An empty cell keeps its
+    * previous codeword (LEFT join + coalesce), so cw_ids are stable
+    * and the codebook never shrinks.
+    *
+    * Scale shape: each sweep is one broadcast-assign over the sliced
+    * corpus (N·8 rows folded map-side to N·8 slim assignments) + one
+    * (off, cw_id, dim) aggregation — at most codewords·8·8 groups.
+    * Index-build cost, linear in N per sweep. */
+  private[graft] def pqLloydRaw(slices: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    var cb = seeds
+    for (_ <- 1 to iters) {
+      val assign = pqAssignFull(slices, cb)
+        .select(col("vec_id"), col("off"), col("code"))
+      val means = assign.join(slices, Seq("vec_id", "off"))
+        .select(col("off"), col("code").as("cw_id"),
+          posexplode(col("s")).as(Seq("dim", "v")))
+        .groupBy(col("off"), col("cw_id"), col("dim"))
+        .agg(floor(sum(col("v")) / count(lit(1))).as("m"))
+        .groupBy(col("off"), col("cw_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m)))," +
+          " x -> CAST(x.m AS DOUBLE))").as("mv"))
+      cb = cb.join(means, Seq("off", "cw_id"), "left")
+        .select(col("off"), col("cw_id"),
+          coalesce(col("mv"), col("cs")).as("cs"))
+    }
+    cb
+  }
+
+  private def pqLloydKey(base: String, cfg: PqConfig, iters: Int): String =
+    Staged.keyed(base, s"${cfg.stageKey}:L$iters",
+      s"${PqConfig.Default.stageKey}:L$PqLloydIters")
+
+  /** The trained raw-vector PQ codebook (off, cw_id, cs), staged per
+    * (config, sweeps) — the index-training artifact the trained ADC
+    * rung and the trained codes table read. Under `cfg.frozen` this is
+    * the live view of [[frozenPqRefinedTable]] — trained ONCE at the
+    * founding corpus. */
+  private[graft] def pqRefinedCodebook(spark: SparkSession, dir: String,
+      cfg: PqConfig = PqConfig.Default,
+      iters: Int = PqLloydIters): DataFrame =
+    if (cfg.frozen)
+      frozenPqRefinedTable(spark, dir, cfg, iters)
+        .select(col("off"), col("cw_id"), col("cs"))
+    else
+      Staged(spark, dir, pqLloydKey("pq_refined_cb", cfg, iters)) {
+        val q8 = quantized(spark, dir)
+        pqLloydRaw(pqSlices(q8), pqSeedSlices(q8, cfg), iters)
+      }
+
+  /** The FROZEN trained PQ codebook — [[frozenRefinedTable]]'s whole
+    * lifecycle discipline applied per subspace: train ONCE at the
+    * founding corpus, record each (off, cw_id) cell's FOUNDING max
+    * encode distance rr0, and gate appends with the O(|delta|·codewords)
+    * COVERAGE probe — an appended (vector, subspace) slice whose best
+    * frozen-codeword distance exceeds that cell's founding radius lands
+    * outside the founding geometry; past `cfg.driftFractionMax` of a
+    * drop the stage refuses the delta ([[Staged.DeltaUnsupported]] →
+    * cold re-train over the grown corpus). Coverage is exactly what the
+    * trained codebook sells (small residuals for ADC quality and the
+    * range rung's rrv ceiling), so the probe gates on the quantity
+    * consumers rely on. An empty founding cell carries rr0 = 0 —
+    * conservative by construction. */
+  private[graft] def frozenPqRefinedTable(spark: SparkSession, dir: String,
+      cfg: PqConfig, iters: Int = PqLloydIters): DataFrame = {
+    val dkey =
+      if (cfg.driftFractionMax == PqConfig.Default.driftFractionMax) ""
+      else s":d${cfg.driftFractionMax}"
+    val key = pqLloydKey("pq_refined_cb", cfg, iters) + s"$dkey+frz"
+    Staged.rebuildable(spark, dir, key, "embeddings", "vec_id")(
+      (prior, deltaRaw) => {
+        graft.functions.VectorExprs.register(spark)
+        val best = pqSlices(quantTransform(normTransform(deltaRaw)))
+          .withColumn("ss", expr("vec_dot(s, s)"))
+          // broadcast: BOUNDED BY CONFIG — codewords×8 trained rows.
+          .join(broadcast(prior.select(col("off"), col("cw_id"),
+            col("cs"), col("rr0"),
+            expr("vec_dot(cs, cs)").as("cc"))), Seq("off"))
+          .withColumn("dist",
+            expr("CAST(ss + cc - 2 * vec_dot(s, cs) AS BIGINT)"))
+          .groupBy(col("vec_id"), col("off"))
+          .agg(min(struct(col("dist"), col("cw_id"), col("rr0"))).as("b"))
+        val row = best.agg(count(lit(1)).as("n"),
+          count(when(col("b.dist") > col("b.rr0"), 1)).as("moved")).head()
+        val (n, moved) = (row.getLong(0), row.getLong(1))
+        if (n > 0 && moved.toDouble / n > cfg.driftFractionMax)
+          throw new Staged.DeltaUnsupported(
+            s"trained-PQ coverage drift: $moved of $n appended " +
+              s"(vector, subspace) encodings land outside their founding " +
+              s"codeword radius (> ${cfg.driftFractionMax}) — re-founding " +
+              "(re-training) over the grown corpus")
+        prior.select(col("off"), col("cw_id"), col("cs"), col("rr0"))
+      }) {
+      // founding: train, then record each cell's founding radius. Pin
+      // the trained codebook once — the Lloyd loop must not re-drive
+      // for the radius pass and the final join.
+      val q8 = quantized(spark, dir)
+      val cb = graft.functions.Materialized(
+        pqLloydRaw(pqSlices(q8), pqSeedSlices(q8, cfg), iters)).df
+      val rr0 = pqAssignFull(pqSlices(q8), cb)
+        .groupBy(col("off"), col("code").as("cw_id"))
+        .agg(max(col("dist")).as("rr0"))
+      cb.join(rr0, Seq("off", "cw_id"), "left")
+        .select(col("off"), col("cw_id"), col("cs"),
+          coalesce(col("rr0"), lit(0L)).as("rr0"))
+    }
+  }
+
+  /** The ONE (off, cw_id, components) value digest for the trained PQ
+    * family — [[valueDigestOf]]'s rationale per subspace (a re-training
+    * keeps the seed cw_ids but MOVES the slice values, so an id digest
+    * would alias two trainings). Shared with the streaming trained-codes
+    * gate's cbDigest, so a re-training moves the staged codes AND the
+    * stream keyspace in lockstep. */
+  private[graft] def pqValueDigestOf(
+      rows: Seq[(Long, Long, Seq[Long])]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    def put(l: Long): Unit = {
+      buf.clear(); buf.putLong(l); md.update(buf.array())
+    }
+    rows.sortBy(r => (r._1, r._2)).foreach { case (off, cw, cs) =>
+      put(off); put(cw); cs.foreach(put)
+    }
+    md.digest().map("%02x".format(_)).mkString.take(8)
+  }
+
+  /** Memoized value digest of the frozen trained codebook — digested
+    * from the STAGED-memoized instance (the refinedValueDigest
+    * discipline: a fresh wrapper frame would miss the WeakHashMap memo
+    * every call). Collect is codewords×8 rows — bounded by config under
+    * caps. */
+  private def pqRefinedDigest(spark: SparkSession, dir: String,
+      cfg: PqConfig, iters: Int): String = {
+    val tbl = frozenPqRefinedTable(spark, dir, cfg, iters)
+    val hit = digestMemo.get(tbl)
+    if (hit != null) hit
+    else {
+      val d = pqValueDigestOf(
+        tbl.select(col("off"), col("cw_id"), col("cs")).collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            r.getSeq[Double](2).map(_.toLong))).toSeq)
+      digestMemo.put(tbl, d)
+      d
+    }
+  }
+
+  /** The trained codes table (vec_id, off, code). Default mode: the
+    * trained codebook derives from the whole current corpus → rebuild
+    * on change (the oracle-checked path). Frozen mode: encoding against
+    * a frozen trained codebook is a per-vector transform → APPENDABLE,
+    * keyed on the codebook's VALUE digest so a re-training moves the
+    * codes to a fresh stage in lockstep. */
+  private[graft] def pqRefinedCodes(spark: SparkSession, dir: String,
+      cfg: PqConfig = PqConfig.Default,
+      iters: Int = PqLloydIters): DataFrame =
+    if (!cfg.frozen)
+      Staged(spark, dir, pqLloydKey("pq_refined_codes", cfg, iters)) {
+        pqAssignFull(pqSlices(quantized(spark, dir)),
+          pqRefinedCodebook(spark, dir, cfg, iters))
+          .select(col("vec_id"), col("off"), col("code"))
+      }
+    else {
+      val cb = pqRefinedCodebook(spark, dir, cfg, iters)
+      val key = pqLloydKey("pq_refined_codes", cfg, iters) +
+        s"+frz${pqRefinedDigest(spark, dir, cfg, iters)}"
+      Staged.appendable(spark, dir, key, "embeddings", "vec_id")(
+        raw => pqAssignFull(pqSlices(quantTransform(normTransform(raw))),
+          cb).select(col("vec_id"), col("off"), col("code"))) {
+        pqAssignFull(pqSlices(quantized(spark, dir)), cb)
+          .select(col("vec_id"), col("off"), col("code"))
+      }
+    }
+
+  /** Shared oracle fragment: the per-subspace Lloyd chain
+    * `{p}0 .. {p}{iters}` over slice CTE `src` (vec_id, off, s) —
+    * mirrors [[pqLloydRaw]] stage for stage (same rel-distance
+    * ordering, same (dist, cw_id) tie-break, same floored means, same
+    * keep-on-empty rule). Caller supplies the WITH head and trailing
+    * SELECT; the fragment ends with a comma. */
+  private def pqLloydChain(iters: Int, src: String, seedRule: String,
+      p: String): String = {
+    val sb = new StringBuilder(s"""
+      ${p}0 AS (SELECT off, vec_id AS cw_id, s AS cs FROM $src
+                WHERE $seedRule),""")
+    for (i <- 1 to iters) {
+      val q = i - 1
+      sb.append(s"""
+      ${p}a$i AS (SELECT vec_id, off, cw_id FROM (
+          SELECT v.vec_id, v.off, c.cw_id, row_number() OVER (
+            PARTITION BY v.vec_id, v.off
+            ORDER BY list_dot_product(c.cs, c.cs)
+                     - 2 * list_dot_product(v.s, c.cs) ASC, c.cw_id ASC) AS rn
+          FROM $src v JOIN $p$q c ON c.off = v.off) WHERE rn = 1),
+      ${p}m$i AS (SELECT a.off, a.cw_id, d.dim,
+                    floor(CAST(sum(v.s[d.dim + 1]) AS DOUBLE) / count(*)) AS m
+                  FROM ${p}a$i a
+                  JOIN $src v ON v.vec_id = a.vec_id AND v.off = a.off,
+                       (SELECT unnest(generate_series(0, 7)) AS dim) d
+                  GROUP BY 1, 2, 3),
+      ${p}g$i AS (SELECT off, cw_id, list(m ORDER BY dim) AS mv
+                  FROM ${p}m$i GROUP BY 1, 2),
+      $p$i AS (SELECT b.off, b.cw_id, coalesce(g.mv, b.cs) AS cs
+               FROM $p$q b LEFT JOIN ${p}g$i g
+                 ON g.off = b.off AND g.cw_id = b.cw_id),""")
+    }
+    sb.toString
+  }
+
+  /** Shared oracle head: int8 quantization + the slice table `vs`. */
+  private val pqVsHead: String = """
+      WITH q8 AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               v -> greatest(least(floor(v * 64), 127), -127)) AS qv
+           FROM embeddings),
+      offs AS (SELECT unnest(range(8)) * 8 + 1 AS off),
+      vs AS (SELECT vec_id, off, qv[off:off+7] AS s FROM q8, offs),"""
+
+  /** The trained PQ codebook itself, long format (off, cw_id, dim, c8)
+    * — the auditable training artifact (the `ivf_refine` discipline per
+    * subspace): what per-subspace k-means moved each rule seed slice
+    * to. Long format keeps the oracle compare on plain integers. */
+  val pqRefine = QueryDef(
+    "pq_refine",
+    (spark, dir) =>
+      pqRefinedCodebook(spark, dir)
+        .select(col("off"), col("cw_id"),
+          posexplode(col("cs")).as(Seq("dim", "v")))
+        .select(col("off"), col("cw_id"), col("dim"),
+          col("v").cast("long").as("c8")),
+    Some(s"""${pqVsHead}${pqLloydChain(PqLloydIters, "vs",
+        "vec_id % 50 = 11", "pc").stripSuffix(",")}
+      SELECT off, cw_id, d.dim AS dim, CAST(cs[d.dim + 1] AS BIGINT) AS c8
+      FROM pc$PqLloydIters, (SELECT unnest(generate_series(0, 7)) AS dim) d
+    """))
+
+  /** `ann_topk_pq_refined` — the 8-byte ADC rung over the TRAINED
+    * codebook: [[pqTopK]]'s exact plan shape (staged codes scan,
+    * broadcast query distance table, partial-agg ADC sum) with
+    * data-aware codewords — same scan bytes, better recall wherever the
+    * corpus has structure (ScaleSpec gates trained ≥ rule on the
+    * clustered fixture; SCALE.md r19 carries the measured rows). */
+  private[graft] def pqRefinedTopKWith(spark: SparkSession, dir: String,
+      k: Int, cfg: PqConfig = PqConfig.Default,
+      iters: Int = PqLloydIters): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val cb = pqRefinedCodebook(spark, dir, cfg, iters)
+    val codes = pqRefinedCodes(spark, dir, cfg, iters)
+    // ADC distance table: queries × codewords × 8 — broadcast: BOUNDED
+    // BY CONFIG (the pqTopKWith classification).
+    val qtab = pqSlices(quantized(spark, dir).filter(col("vec_id") < 10))
+      .withColumnRenamed("vec_id", "query_id")
+      .join(cb, Seq("off"))
+      .withColumn("d", expr("vec_dot(s, cs)"))
+      .select(col("query_id"), col("off"), col("cw_id").as("code"),
+        col("d"))
+    rankTopK(codes
+      .join(broadcast(qtab), Seq("off", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d")).as("score"))
+      .select(col("query_id"), col("neighbor_id"), col("score")),
+      "score", k)
+  }
+
+  val pqRefinedTopK = QueryDef(
+    "ann_topk_pq_refined",
+    (spark, dir) => pqRefinedTopKWith(spark, dir, 5),
+    Some(s"""${pqVsHead}${pqLloydChain(PqLloydIters, "vs",
+        "vec_id % 50 = 11", "pc")}
+      enc AS (SELECT vec_id, off, cw_id AS code FROM (
+          SELECT v.vec_id, v.off, c.cw_id, row_number() OVER (
+            PARTITION BY v.vec_id, v.off
+            ORDER BY list_dot_product(c.cs, c.cs)
+                     - 2 * list_dot_product(v.s, c.cs) ASC, c.cw_id ASC) AS rn
+          FROM vs v JOIN pc$PqLloydIters c ON c.off = v.off) WHERE rn = 1),
+      qtab AS (SELECT q.vec_id AS query_id, c.off, c.cw_id AS code,
+                 list_dot_product(q.s, c.cs) AS d
+               FROM vs q JOIN pc$PqLloydIters c ON c.off = q.off
+               WHERE q.vec_id < 10)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM (SELECT t.query_id, e.vec_id AS neighbor_id, sum(t.d) AS score
+              FROM enc e JOIN qtab t ON t.off = e.off AND t.code = e.code
+              WHERE e.vec_id <> t.query_id
+              GROUP BY 1, 2))
+      WHERE rank <= 5
+    """))
+
+  // ── the composed trained rung: IVFADC over the TRAINED geometry ──
+
+  /** Per-vector int8 residual against its TRAINED home centroid
+    * (vec_id, rv) — [[ivfResiduals]]' analogue over
+    * [[refinedCells]]/[[refinedCentroids]]: residual-PQ quality is
+    * governed by residual norms, and Σ‖v−c‖² is EXACTLY the objective
+    * the coarse Lloyd descends (r18 verdict ask #2), so trained homes
+    * shrink the very thing the residual codebook must describe.
+    * Staged per (ivf config, sweeps). */
+  private[graft] def refinedResiduals(spark: SparkSession, dir: String,
+      ivfCfg: IvfConfig = IvfConfig.Default,
+      iters: Int = LloydIters): DataFrame =
+    Staged(spark, dir, lloydKey("ivfadc_refined_res", ivfCfg, iters)) {
+      val q8 = quantized(spark, dir)
+      refinedCells(spark, dir, ivfCfg, iters).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+        .join(q8, "vec_id")
+        // broadcast: BOUNDED BY CONFIG — nlist trained-centroid rows.
+        .join(broadcast(refinedCentroids(spark, dir, ivfCfg, iters)
+          .withColumnRenamed("c8", "cq")), "cid")
+        .select(col("vec_id"),
+          expr("zip_with(q8, cq, (a, b) -> a - b)").as("rv"))
+    }
+
+  private def composedLloydKey(base: String, ivfCfg: IvfConfig,
+      iters: Int, pqCfg: PqConfig, pqIters: Int): String =
+    Staged.keyed(base,
+      s"${ivfCfg.stageKey}:L$iters@${pqCfg.stageKey}:L$pqIters",
+      s"${IvfConfig.Default.stageKey}:L$LloydIters@" +
+        s"${PqConfig.Default.stageKey}:L$PqLloydIters")
+
+  /** The TRAINED residual codebook — per-subspace Lloyd over residuals
+    * under trained homes, seeded by the rule codewords' own residuals:
+    * both halves of Jégou §V's IVFADC encode now train on the data
+    * (coarse cells from r18's integer Lloyd, residual codewords from
+    * this). Residual components sit in ±254, so slice dots stay ≪ 2^53
+    * — the arithmetic-exactness envelope is unchanged. */
+  private[graft] def pqResidRefinedCodebook(spark: SparkSession,
+      dir: String, ivfCfg: IvfConfig = IvfConfig.Default,
+      pqCfg: PqConfig = PqConfig.Default, iters: Int = LloydIters,
+      pqIters: Int = PqLloydIters): DataFrame =
+    Staged(spark, dir,
+      composedLloydKey("pq_refined_rescb", ivfCfg, iters, pqCfg, pqIters)) {
+      val res = refinedResiduals(spark, dir, ivfCfg, iters)
+        .withColumnRenamed("rv", "q8")
+      pqLloydRaw(pqSlices(res), pqSeedSlices(res, pqCfg), pqIters)
+    }
+
+  /** The trained residual codebook's own audit row (the `ivf_refine` /
+    * `pq_refine` discipline: every trained artifact an operator trusts
+    * is itself oracle-checked — integer Lloyd makes that possible where
+    * float k-means could never be compared). */
+  val pqResidRefine = QueryDef(
+    "pq_refine_resid",
+    (spark, dir) =>
+      pqResidRefinedCodebook(spark, dir)
+        .select(col("off"), col("cw_id"),
+          posexplode(col("cs")).as(Seq("dim", "v")))
+        .select(col("off"), col("cw_id"), col("dim"),
+          col("v").cast("long").as("c8")),
+    Some(s"""${lloydCte(LloydIters)},
+      offs AS (SELECT unnest(range(8)) * 8 + 1 AS off),
+      home AS (SELECT vec_id, cid FROM (
+          SELECT q.vec_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_dot_product(c.cv, c.cv)
+                     - 2 * list_dot_product(q.qv, c.cv) ASC, c.cid ASC) AS rn
+          FROM q8 q, c$LloydIters c) WHERE rn = 1),
+      res AS (SELECT v.vec_id,
+                 list_transform(range(64), i -> v.qv[i + 1] - c.cv[i + 1])
+                   AS rv
+              FROM q8 v JOIN home h USING (vec_id)
+              JOIN c$LloydIters c ON c.cid = h.cid),
+      rs AS (SELECT vec_id, off, rv[off:off+7] AS s FROM res, offs),
+      ${pqLloydChain(PqLloydIters, "rs", "vec_id % 50 = 11", "rc")
+        .stripPrefix("\n").stripSuffix(",")}
+      SELECT off, cw_id, d.dim AS dim, CAST(cs[d.dim + 1] AS BIGINT) AS c8
+      FROM rc$PqLloydIters, (SELECT unnest(generate_series(0, 7)) AS dim) d
+    """))
+
+  /** The trained-residual codes table (vec_id, off, code), staged per
+    * composed config — the 8-small-ints-per-vector copy the refined
+    * IVFADC rung scans. */
+  private[graft] def ivfAdcRefinedCodes(spark: SparkSession, dir: String,
+      ivfCfg: IvfConfig = IvfConfig.Default,
+      pqCfg: PqConfig = PqConfig.Default, iters: Int = LloydIters,
+      pqIters: Int = PqLloydIters): DataFrame =
+    Staged(spark, dir, composedLloydKey("ivfadc_refined_codes", ivfCfg,
+      iters, pqCfg, pqIters)) {
+      pqAssignFull(
+        pqSlices(refinedResiduals(spark, dir, ivfCfg, iters)
+          .withColumnRenamed("rv", "q8")),
+        pqResidRefinedCodebook(spark, dir, ivfCfg, pqCfg, iters, pqIters))
+        .select(col("vec_id"), col("off"), col("code"))
+    }
+
+  /** `ann_topk_ivfadc_refined` — IVFADC with BOTH halves trained
+    * (r18 verdict ask #2): trained coarse cells prune candidates,
+    * trained residual codes ADC-score them, score = q·c(v) + Σ_s
+    * q_s·rcw(code_s)_s. Plan shape is [[ivfAdcTopKWith]]'s verbatim —
+    * ids-only probe join, broadcast distance + centroid-dot tables,
+    * partial-agg ADC sum — only the staged tables change. */
+  private[graft] def ivfAdcRefinedTopKWith(spark: SparkSession,
+      dir: String, k: Int, ivfCfg: IvfConfig = IvfConfig.Default,
+      pqCfg: PqConfig = PqConfig.Default, iters: Int = LloydIters,
+      pqIters: Int = PqLloydIters): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val q8 = quantized(spark, dir)
+    val cells = refinedCells(spark, dir, ivfCfg, iters)
+    val rcw = pqResidRefinedCodebook(spark, dir, ivfCfg, pqCfg, iters,
+      pqIters)
+    val enc = ivfAdcRefinedCodes(spark, dir, ivfCfg, pqCfg, iters, pqIters)
+    val home = cells.filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cid"))
+    val qdocs = q8.filter(col("vec_id") < 10)
+    val cand = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cid"))
+      .join(home, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    // ADC table over trained residual codewords — queries × codewords
+    // × 8, broadcast: BOUNDED BY CONFIG (the pqTopKWith classification)
+    val qtab = pqSlices(qdocs)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(rcw, Seq("off"))
+      .withColumn("d", expr("vec_dot(s, cs)"))
+      .select(col("query_id"), col("off"), col("cw_id").as("code"),
+        col("d"))
+    // centroid-dot table — queries × nlist, broadcast: BOUNDED BY CONFIG
+    val qcent = qdocs
+      .select(col("vec_id").as("query_id"), col("q8").as("qv"))
+      .crossJoin(broadcast(refinedCentroids(spark, dir, ivfCfg, iters)))
+      .withColumn("dc", expr("vec_dot(qv, c8)"))
+      .select(col("query_id"), col("cid"), col("dc"))
+    val sumd = cand
+      .join(enc.select(col("vec_id").as("neighbor_id"), col("off"),
+        col("code")), "neighbor_id")
+      .join(broadcast(qtab), Seq("query_id", "off", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("sd"))
+    rankTopK(sumd
+      .join(home, "neighbor_id")
+      .join(broadcast(qcent), Seq("query_id", "cid"))
+      .withColumn("score", col("dc") + col("sd")),
+      "score", k)
+  }
+
+  val ivfAdcRefinedTopK = QueryDef(
+    "ann_topk_ivfadc_refined",
+    (spark, dir) => ivfAdcRefinedTopKWith(spark, dir, 5),
+    Some(s"""${lloydCte(LloydIters)},
+      offs AS (SELECT unnest(range(8)) * 8 + 1 AS off),
+      vs AS (SELECT vec_id, off, qv[off:off+7] AS s FROM q8, offs),
+      ranked AS (SELECT vec_id, cid, rn FROM (
+          SELECT q.vec_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_dot_product(c.cv, c.cv)
+                     - 2 * list_dot_product(q.qv, c.cv) ASC, c.cid ASC) AS rn
+          FROM q8 q, c$LloydIters c) WHERE rn <= 2),
+      home AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+      res AS (SELECT v.vec_id,
+                 list_transform(range(64), i -> v.qv[i + 1] - c.cv[i + 1])
+                   AS rv
+              FROM q8 v JOIN home h USING (vec_id)
+              JOIN c$LloydIters c ON c.cid = h.cid),
+      rs AS (SELECT vec_id, off, rv[off:off+7] AS s FROM res, offs),
+      ${pqLloydChain(PqLloydIters, "rs", "vec_id % 50 = 11", "rc")
+        .stripPrefix("\n")}
+      enc AS (SELECT vec_id, off, cw_id AS code FROM (
+          SELECT v.vec_id, v.off, c.cw_id, row_number() OVER (
+            PARTITION BY v.vec_id, v.off
+            ORDER BY list_dot_product(c.cs, c.cs)
+                     - 2 * list_dot_product(v.s, c.cs) ASC, c.cw_id ASC) AS rn
+          FROM rs v JOIN rc$PqLloydIters c ON c.off = v.off) WHERE rn = 1),
+      qtab AS (SELECT q.vec_id AS query_id, c.off, c.cw_id AS code,
+                 list_dot_product(q.s, c.cs) AS d
+               FROM vs q JOIN rc$PqLloydIters c ON c.off = q.off
+               WHERE q.vec_id < 10),
+      qcent AS (SELECT q.vec_id AS query_id, c.cid,
+                 list_dot_product(q.qv, c.cv) AS dc
+               FROM q8 q, c$LloydIters c WHERE q.vec_id < 10),
+      cand AS (SELECT DISTINCT qa.vec_id AS query_id, h.vec_id AS neighbor_id
+               FROM ranked qa JOIN home h ON qa.cid = h.cid
+                 AND qa.vec_id <> h.vec_id
+               WHERE qa.vec_id < 10),
+      sumd AS (SELECT cand.query_id, e.vec_id AS neighbor_id, sum(t.d) AS sd
+               FROM cand
+               JOIN enc e ON e.vec_id = cand.neighbor_id
+               JOIN qtab t ON t.query_id = cand.query_id
+                 AND t.off = e.off AND t.code = e.code
+               GROUP BY 1, 2)
       SELECT query_id, neighbor_id, rank FROM (
         SELECT s.query_id, s.neighbor_id,
                row_number() OVER (PARTITION BY s.query_id
@@ -3070,6 +3657,78 @@ object SimilarityQueries {
       .select(col("query_id"), col("cid"))
   }
 
+  /** The cell-keyed int8 corpus LAYOUT (r18 verdict ask #3, promoting
+    * RangeBench's hand-written `partitionBy(cid)` copy to a first-class
+    * staged table): (cid, vec_id, q8) for every rn=1 member, staged
+    * PARTITIONED BY cid under persist mode — so the range family's
+    * surviving-cell join becomes PARTITION PRUNING at the scan and a
+    * refused cell's FILES are never read (RangeBench: 6.3× over brute
+    * at 20M vectors under this layout, where the unpartitioned scan
+    * paid a corpus-wide shuffle — SCALE.md). Under a frozen config the
+    * stage is APPENDABLE: a crawl drop assigns its own vectors and
+    * their rows land in their cid partitions; compaction folds per
+    * partition. In-session (oracle-path) mode it is a plain
+    * checkpoint of the same rows — layout is a property of the
+    * persisted staging table, content is identical. The trailing
+    * select re-pins column order and the cid type (partition
+    * inference appends the layout column last, narrowed to int). */
+  private def cellLayoutOf(spark: SparkSession, dir: String,
+      stage: java.lang.String, cells: => DataFrame,
+      frozenOf: Option[(DataFrame, DataFrame => DataFrame)]): DataFrame = {
+    def buildOf(c: DataFrame) = c.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+      .join(quantized(spark, dir), "vec_id")
+      .select(col("cid"), col("vec_id"), col("q8"))
+    val out = frozenOf match {
+      case None =>
+        Staged(spark, dir, stage, Seq("cid")) { buildOf(cells) }
+      case Some((_, deltaAssign)) =>
+        Staged.appendable(spark, dir, stage, "embeddings", "vec_id",
+          Seq("cid"))(raw => {
+          val q8d = quantTransform(normTransform(raw))
+          deltaAssign(raw).select(col("vec_id"), col("cid"))
+            .join(q8d, "vec_id")
+            .select(col("cid"), col("vec_id"), col("q8"))
+        }) { buildOf(cells) }
+    }
+    out.select(col("cid").cast("long").as("cid"), col("vec_id"),
+      col("q8"))
+  }
+
+  private[graft] def q8ByCid(spark: SparkSession, dir: String,
+      cfg: IvfConfig = IvfConfig.Default): DataFrame =
+    if (!cfg.frozen)
+      cellLayoutOf(spark, dir,
+        Staged.keyed("q8_by_cid", cfg.stageKey, IvfConfig.Default.stageKey),
+        ivfCells(spark, dir, cfg), None)
+    else {
+      val cents = frozenCentroids(spark, dir, cfg)
+      cellLayoutOf(spark, dir,
+        s"q8_by_cid@${cfg.stageKey}+frz${frozenDigest(spark, dir, cfg)}",
+        ivfCells(spark, dir, cfg),
+        Some((cents, raw => assignCells(normTransform(raw), cents, 1))))
+    }
+
+  /** [[q8ByCid]] under the TRAINED quantizer — serves the refined cells
+    * range rung; frozen mode keys on the trained table's VALUE digest
+    * (the refinedCells discipline). */
+  private[graft] def q8ByCidRefined(spark: SparkSession, dir: String,
+      cfg: IvfConfig = IvfConfig.Default,
+      iters: Int = LloydIters): DataFrame =
+    if (!cfg.frozen)
+      cellLayoutOf(spark, dir, lloydKey("q8_by_cid_refined", cfg, iters),
+        refinedCells(spark, dir, cfg, iters), None)
+    else {
+      val tbl = frozenRefinedTable(spark, dir, cfg, iters)
+      val cents = tbl.select(col("cid"), col("c8"))
+      cellLayoutOf(spark, dir,
+        lloydKey("q8_by_cid_refined", cfg, iters) +
+          s"+frz${refinedValueDigest(tbl)}",
+        refinedCells(spark, dir, cfg, iters),
+        Some((cents,
+          raw => l2Assign(quantTransform(normTransform(raw)), cents, 1))))
+    }
+
   /** `ann_range_cosine_cells` — the range query over the IVF geometry,
     * still EXACT: prune whole cells whose Cauchy–Schwarz ceiling
     * dot(q,c) + √(qq·rr) can't reach the floor ([[rangeLiveCells]]),
@@ -3095,24 +3754,26 @@ object SimilarityQueries {
       floorOf: Column = lit(RangeDotFloor)): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val q8 = quantized(spark, dir)
-    val cand = ivfCells(spark, dir, cfg)
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("cid"))
+    // serve from the cid-partitioned layout (r18 ask #3): the broadcast
+    // join against the surviving cells becomes DYNAMIC PARTITION
+    // PRUNING at the layout scan under persist mode — a refused cell's
+    // files are never read (PlanAssertionsSpec pins the partition
+    // filter; in-session mode the same join runs over the checkpointed
+    // rows, content-identical). Vectors ride WITH their cid rows, so
+    // the historical per-id rescore join against q8 is gone too.
+    q8ByCid(spark, dir, cfg)
       // broadcast: BOUNDED — 10 queries × nlist surviving cells.
       .join(broadcast(rangeLiveCells(spark, dir, cfg, floorOf)), "cid")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"))
-    cand
-      .join(q8.select(col("vec_id").as("neighbor_id"),
-        col("q8").as("nv")), "neighbor_id")
+      .filter(col("vec_id") =!= col("query_id"))
       // broadcast: BOUNDED — fixed 10-row literal query set.
       .join(broadcast(q8.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("q8").as("qv"))
         .withColumn("f", floorOf)),
         "query_id")
-      .withColumn("dot", expr("CAST(vec_dot(qv, nv) AS BIGINT)"))
+      .withColumn("dot", expr("CAST(vec_dot(qv, q8) AS BIGINT)"))
       .filter(col("dot") >= col("f"))
-      .select(col("query_id"), col("neighbor_id"), col("dot"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("dot"))
   }
 
   val rangeCosineCells = QueryDef(
@@ -3162,10 +3823,12 @@ object SimilarityQueries {
       // digest — the ivf_cell_rr discipline (max is append-monotone and
       // order-insensitive, frozen assignments never move), value-keyed
       // because a re-training moves centroid values under stable ids.
-      val cents = graft.functions.Materialized(
-        refinedCentroids(spark, dir, cfg, iters)).df
+      // Digest/select the staged instance directly (r18 ADVICE — see
+      // refinedCells' note).
+      val tbl = frozenRefinedTable(spark, dir, cfg, iters)
+      val cents = tbl.select(col("cid"), col("c8"))
       val key = lloydKey("ivf_refined_rr", cfg, iters) +
-        s"+frz${refinedValueDigest(cents)}"
+        s"+frz${refinedValueDigest(tbl)}"
       Staged.rebuildable(spark, dir, key, "embeddings", "vec_id")(
         (prior, deltaRaw) => {
           val deltaRadii = radiiOf(
@@ -3248,25 +3911,21 @@ object SimilarityQueries {
       floorOf: Column = lit(RangeDotFloor)): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val q8 = quantized(spark, dir)
-    val cand = refinedCells(spark, dir, cfg, iters)
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("cid"))
+    // the refined layout table — see rangeCosineCellsWith's note.
+    q8ByCidRefined(spark, dir, cfg, iters)
       // broadcast: BOUNDED — 10 queries × nlist surviving cells.
       .join(broadcast(
         rangeLiveCellsRefined(spark, dir, cfg, iters, floorOf)), "cid")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"))
-    cand
-      .join(q8.select(col("vec_id").as("neighbor_id"),
-        col("q8").as("nv")), "neighbor_id")
+      .filter(col("vec_id") =!= col("query_id"))
       // broadcast: BOUNDED — fixed 10-row literal query set.
       .join(broadcast(q8.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("q8").as("qv"))
         .withColumn("f", floorOf)),
         "query_id")
-      .withColumn("dot", expr("CAST(vec_dot(qv, nv) AS BIGINT)"))
+      .withColumn("dot", expr("CAST(vec_dot(qv, q8) AS BIGINT)"))
       .filter(col("dot") >= col("f"))
-      .select(col("query_id"), col("neighbor_id"), col("dot"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("dot"))
   }
 
   val rangeCosineCellsRefined = QueryDef(
@@ -3459,6 +4118,31 @@ object SimilarityQueries {
         AND list_dot_product(q.qv, n.qv) >= 400 + 40 * q.vec_id
     """))
 
+  /** `ann_range_cosine_pq_perq` (r18 verdict ask #6) — the BYTES rung
+    * under the per-query radius: [[rangeCosinePqWith]] with `floorOf` =
+    * [[perQueryFloor]]. The residual ceiling adc + √(qq·rrv) is
+    * evaluated per (query, vector) row, so threading the per-row floor
+    * through it changes nothing structural — a tighter per-query radius
+    * refuses MORE code rows for that query. Bit-equal to the perq brute
+    * semantics by the same construction as the fixed-floor rung (same
+    * oracle as `ann_range_cosine_perq`). */
+  val rangeCosinePqPerQuery = QueryDef(
+    "ann_range_cosine_pq_perq",
+    (spark, dir) => rangeCosinePqWith(spark, dir,
+      PqConfig.Default, perQueryFloor),
+    rangeCosinePerQuery.oracle)
+
+  /** `ann_range_cosine_ivfpq_perq` (r18 verdict ask #6) — the FULL
+    * composed exact range shape under the per-query radius: cells
+    * refuse rows per (query, cell), the residual ceiling refuses bytes
+    * per (query, vector), both against that query's own floor. Same
+    * oracle as the perq cells rung — exactness is floor-independent. */
+  val rangeCosineComposedPerQuery = QueryDef(
+    "ann_range_cosine_ivfpq_perq",
+    (spark, dir) => rangeCosineComposedWith(spark, dir,
+      IvfConfig.Default, PqConfig.Default, perQueryFloor),
+    rangeCosinePerQuery.oracle)
+
   val defs: Seq[QueryDef] =
     Seq(bruteTopK, lshTopK, ivfTopK, ivfCappedTopK, ivfTunedTopK,
       ivfInt8TopK, semanticDedup, labelCohesion, labelCohesionWide,
@@ -3467,5 +4151,6 @@ object SimilarityQueries {
       rangeCosineCells, rangeCosinePerQuery, rangeCosinePq,
       rangeCosineComposed, ivfCellBoundsAudit, ivfRefine, ivfRefinedTopK,
       refinedCellBoundsAudit, rangeCosineCellsRefined, semanticDedupRefined,
-      ivfAdcTopK)
+      ivfAdcTopK, rangeCosinePqPerQuery, rangeCosineComposedPerQuery,
+      pqRefine, pqRefinedTopK, pqResidRefine, ivfAdcRefinedTopK)
 }

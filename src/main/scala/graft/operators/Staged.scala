@@ -155,9 +155,28 @@ object Staged {
   // reentrant stage recursion.
   def apply(spark: SparkSession, dir: String, stage: String)(
       build: => DataFrame): DataFrame =
+    apply(spark, dir, stage, Nil)(build)
+
+  /** [[apply]] with a persisted PARTITION LAYOUT (r18 verdict ask #3):
+    * under persist mode the stage parquet is written
+    * `partitionBy(layoutBy)`, so consumers filtering or joining on the
+    * layout columns get PARTITION PRUNING at the scan — a refused
+    * partition's files are never read, which is what the range family's
+    * cell bound actually buys at scale (RangeBench measured 6.3× at 20M
+    * vectors only under this layout; the unpartitioned scan paid a
+    * corpus-wide shuffle). In-session mode is unchanged (a
+    * localCheckpoint has no file layout — layout is a property of the
+    * persisted staging table, exactly as in a warehouse).
+    *
+    * Read-back note: Spark appends inferred partition columns LAST and
+    * may NARROW their type (a numeric dir name infers as int); layout
+    * consumers re-select/cast their columns explicitly — see
+    * `SimilarityQueries.q8ByCid`. */
+  def apply(spark: SparkSession, dir: String, stage: String,
+      layoutBy: Seq[String])(build: => DataFrame): DataFrame =
     memoized(spark, dir, stage) {
       persistRoot match {
-        case Some(root) => persisted(spark, root, dir, stage)(build)
+        case Some(root) => persisted(spark, root, dir, stage, layoutBy)(build)
         case None => build.localCheckpoint(eager = false)
       }
     }
@@ -234,11 +253,25 @@ object Staged {
   def appendable(spark: SparkSession, dir: String, stage: String,
       source: String, sourceKey: String)(deltaBuild: DataFrame => DataFrame)(
       fullBuild: => DataFrame): DataFrame =
+    appendable(spark, dir, stage, source, sourceKey, Nil)(deltaBuild)(
+      fullBuild)
+
+  /** [[appendable]] with a persisted PARTITION LAYOUT (see the
+    * partitioned [[apply]] overload): every segment — cold, delta, and
+    * compaction fold — is written `partitionBy(layoutBy)`, so a delta's
+    * rows land in THEIR layout partitions and the multi-segment union
+    * scan still partition-prunes (Spark infers the layout columns per
+    * segment root). Compaction folds per partition by construction (the
+    * fold rewrite is itself partitioned). */
+  def appendable(spark: SparkSession, dir: String, stage: String,
+      source: String, sourceKey: String, layoutBy: Seq[String])(
+      deltaBuild: DataFrame => DataFrame)(
+      fullBuild: => DataFrame): DataFrame =
     memoized(spark, dir, stage) {
       persistRoot match {
         case Some(root) =>
-          persistedAppendable(spark, root, dir, stage, source, sourceKey)(
-            deltaBuild)(fullBuild)
+          persistedAppendable(spark, root, dir, stage, source, sourceKey,
+            layoutBy)(deltaBuild)(fullBuild)
         case None => fullBuild.localCheckpoint(eager = false)
       }
     }
@@ -673,7 +706,8 @@ object Staged {
     * publishes are atomic; the post-publish swept-segment re-check runs
     * on every path. */
   private def persistedManifest(spark: SparkSession, root: String,
-      dir: String, stage: String, source: String, sourceKey: String)(
+      dir: String, stage: String, source: String, sourceKey: String,
+      layoutBy: Seq[String] = Nil)(
       deltaPublish: (Manifest, Seq[String], java.nio.file.Path,
         java.nio.file.Path) => Seq[String])(
       fullBuild: => DataFrame): DataFrame = {
@@ -697,7 +731,9 @@ object Staged {
       log.info(s"stage miss: $stage -> building $target (cold)")
       logBuild(stage, "cold")
       val seg = "seg-" + java.util.UUID.randomUUID().toString.take(8)
-      fullBuild.write.mode("overwrite").parquet(tmp.resolve(seg).toString)
+      val w = fullBuild.write.mode("overwrite")
+      (if (layoutBy.nonEmpty) w.partitionBy(layoutBy: _*) else w)
+        .parquet(tmp.resolve(seg).toString)
       Manifest(current, Seq(target.resolve(seg).toString))
     }
     val base =
@@ -755,14 +791,20 @@ object Staged {
     * with a UNION-manifest delta — the new segment joins the prior ones
     * in place (or folds them past [[compactSegmentsAbove]]). */
   private def persistedAppendable(spark: SparkSession, root: String,
-      dir: String, stage: String, source: String, sourceKey: String)(
+      dir: String, stage: String, source: String, sourceKey: String,
+      layoutBy: Seq[String] = Nil)(
       deltaBuild: DataFrame => DataFrame)(
       fullBuild: => DataFrame): DataFrame =
-    persistedManifest(spark, root, dir, stage, source, sourceKey)(
+    persistedManifest(spark, root, dir, stage, source, sourceKey, layoutBy)(
       (old, newPaths, tmp, target) => {
         log.info(s"stage delta: $stage builds ${newPaths.size} " +
           s"appended part files over ${old.segments.size} prior segments")
         val seg = "seg-" + java.util.UUID.randomUUID().toString.take(8)
+        def writeSeg(out: DataFrame): Unit = {
+          val w = out.write.mode("overwrite")
+          (if (layoutBy.nonEmpty) w.partitionBy(layoutBy: _*) else w)
+            .parquet(tmp.resolve(seg).toString)
+        }
         // construct BEFORE logging the mode: a gated deltaBuild refuses
         // at construction time (counted-gate idiom)
         val df = deltaBuild(spark.read.parquet(newPaths: _*))
@@ -780,7 +822,15 @@ object Staged {
         // StructField.sql embeds NOT NULL one level down, so the
         // normalizer is explicit rather than string-based.
         val prior = spark.read.parquet(old.segments: _*)
-        if (shapeOf(df.schema) != shapeOf(prior.schema))
+        // Partitioned stages compare NON-LAYOUT fields, name-sorted: the
+        // read-back appends inferred layout columns LAST (and may narrow
+        // a numeric one to int), so a positional whole-schema compare
+        // would refuse every delta of a healthy partitioned stage. The
+        // union scan and the fold are name-based (parquet columns /
+        // unionByName), so field order is not content.
+        def comparable(s: org.apache.spark.sql.types.StructType) =
+          shapeOf(s).filterNot(f => layoutBy.contains(f._1)).sortBy(_._1)
+        if (comparable(df.schema) != comparable(prior.schema))
           throw new DeltaUnsupported(
             s"delta segment schema ${df.schema.simpleString} differs " +
               s"from the prior segments' ${prior.schema.simpleString} " +
@@ -789,16 +839,17 @@ object Staged {
           // fold: prior segments ∪ delta → ONE segment owned by this
           // fingerprint (see compactSegmentsAbove). The transform still
           // ran only over the appended files; the fold is pure IO over
-          // already-staged rows.
+          // already-staged rows — per partition under a layout (the
+          // rewrite is itself partitionBy'd).
           logBuild(stage, "delta-compact")
           log.info(s"stage compact: $stage folds ${old.segments.size} " +
             "prior segments + delta into one")
-          prior.unionByName(df)
-            .write.mode("overwrite").parquet(tmp.resolve(seg).toString)
+          writeSeg(prior.selectExpr(df.columns.map(c => s"`$c`"): _*)
+            .unionByName(df))
           Seq(target.resolve(seg).toString)
         } else {
           logBuild(stage, "delta")
-          df.write.mode("overwrite").parquet(tmp.resolve(seg).toString)
+          writeSeg(df)
           old.segments :+ target.resolve(seg).toString
         }
       })(fullBuild)
@@ -894,7 +945,10 @@ object Staged {
     if (!java.nio.file.Files.isDirectory(target)) return false
     if (java.nio.file.Files.exists(target.resolve(ManifestName))) return false
     if (java.nio.file.Files.exists(target.resolve("_SUCCESS"))) return true
-    val s = java.nio.file.Files.list(target)
+    // walk, not list: a PARTITIONED table's part files live one level
+    // down under `col=value` dirs (layoutBy stages), and the
+    // marker-less-deployment fallback must still recognize them
+    val s = java.nio.file.Files.walk(target)
     try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala
@@ -903,7 +957,8 @@ object Staged {
   }
 
   private def persisted(spark: SparkSession, root: String, dir: String,
-      stage: String)(build: => DataFrame): DataFrame = {
+      stage: String, layoutBy: Seq[String] = Nil)(
+      build: => DataFrame): DataFrame = {
     val target = java.nio.file.Paths.get(root, fingerprint(dir),
       stageDirName(stage))
     if (plainTableAt(target)) {
@@ -915,7 +970,9 @@ object Staged {
       target.getFileName.toString + ".tmp-" +
         java.util.UUID.randomUUID().toString.take(8))
     java.nio.file.Files.createDirectories(target.getParent)
-    build.write.mode("overwrite").parquet(tmp.toString)
+    val w = build.write.mode("overwrite")
+    (if (layoutBy.nonEmpty) w.partitionBy(layoutBy: _*) else w)
+      .parquet(tmp.toString)
     def move(): Unit = { java.nio.file.Files.move(tmp, target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE); () }
     try move()

@@ -446,46 +446,62 @@ object VocabQueries {
     * ~1e-15 relative — far below every observed adjacent-rank gap;
     * exact mathematical ties produce identical doubles in both engines
     * and break by doc_id. */
+  /** The BM25 scoring plan over an EXPLICIT query-term table (r18
+    * verdict ask #7 — ranked retrieval as a real API, not a fixture):
+    * `qt` is (query_id, idx ∈ 0..2, tok) — a deployment passes
+    * arbitrary query strings tokenized into the 3 slots; the slot
+    * discipline is what keeps the float summation single-element-exact
+    * (see [[bm25TopK]]'s scaladoc). The query table broadcasts, so
+    * only the query terms' postings are ever read — a term absent from
+    * the corpus simply contributes no posting (inner df join), in both
+    * engines. */
+  private[graft] def bm25TopKWith(spark: org.apache.spark.sql.SparkSession,
+      dir: String, qt: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tf = termFreq(spark, dir)
+    val df = docFreq(spark, dir)
+    val len = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = tf.agg(sum(col("tf")).cast("double").as("tot"))
+      .crossJoin(Tables.documents(spark, dir)
+        .agg(count(lit(1)).cast("double").as("n_docs")))
+      .select(col("n_docs"), (col("tot") / col("n_docs")).as("avgdl"))
+    val s = "log(1.0D + (n_docs - CAST(df AS DOUBLE) + 0.5D) / " +
+      "(CAST(df AS DOUBLE) + 0.5D)) * (CAST(tf AS DOUBLE) * 2.2D) / " +
+      "(CAST(tf AS DOUBLE) + 1.2D * " +
+      "(0.25D + 0.75D * CAST(dl AS DOUBLE) / avgdl))"
+    val scored = tf
+      // broadcast: BOUNDED — query-term rows (3 slots per query).
+      .join(broadcast(qt), "tok")
+      .join(df, "tok")
+      .join(len, "doc_id")
+      // broadcast: BOUNDED — single-row global stats.
+      .crossJoin(broadcast(stats))
+      .withColumn("s", expr(s))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        sum(when(col("idx") === 0, col("s")).otherwise(lit(0d))).as("s0"),
+        sum(when(col("idx") === 1, col("s")).otherwise(lit(0d))).as("s1"),
+        sum(when(col("idx") === 2, col("s")).otherwise(lit(0d))).as("s2"))
+      .withColumn("score", col("s0") + col("s1") + col("s2"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+  }
+
   val bm25TopK = QueryDef(
     "bm25_topk",
     (spark, dir) => {
       val tf = termFreq(spark, dir)
-      val df = docFreq(spark, dir)
-      val len = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val stats = tf.agg(sum(col("tf")).cast("double").as("tot"))
-        .crossJoin(Tables.documents(spark, dir)
-          .agg(count(lit(1)).cast("double").as("n_docs")))
-        .select(col("n_docs"), (col("tot") / col("n_docs")).as("avgdl"))
       val qt = tf.groupBy(col("tok")).agg(sum(col("tf")).as("ctf"))
         .orderBy(col("ctf").desc, col("tok")).limit(15)
         .withColumn("r",
           row_number().over(Window.orderBy(col("ctf").desc, col("tok"))))
         .select(col("tok"), expr("CAST((r - 1) div 3 AS BIGINT)").as("query_id"),
           expr("CAST((r - 1) % 3 AS BIGINT)").as("idx"))
-      val s = "log(1.0D + (n_docs - CAST(df AS DOUBLE) + 0.5D) / " +
-        "(CAST(df AS DOUBLE) + 0.5D)) * (CAST(tf AS DOUBLE) * 2.2D) / " +
-        "(CAST(tf AS DOUBLE) + 1.2D * " +
-        "(0.25D + 0.75D * CAST(dl AS DOUBLE) / avgdl))"
-      val scored = tf
-        // broadcast: BOUNDED — 15 query-term rows by construction.
-        .join(broadcast(qt), "tok")
-        .join(df, "tok")
-        .join(len, "doc_id")
-        // broadcast: BOUNDED — single-row global stats.
-        .crossJoin(broadcast(stats))
-        .withColumn("s", expr(s))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(
-          sum(when(col("idx") === 0, col("s")).otherwise(lit(0d))).as("s0"),
-          sum(when(col("idx") === 1, col("s")).otherwise(lit(0d))).as("s1"),
-          sum(when(col("idx") === 2, col("s")).otherwise(lit(0d))).as("s2"))
-        .withColumn("score", col("s0") + col("s1") + col("s2"))
-      scored
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
-        .filter(col("rank") <= 10)
-        .select(col("query_id"), col("doc_id"), col("rank"))
+      bm25TopKWith(spark, dir, qt)
     },
     Some("""
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -535,7 +551,74 @@ object VocabQueries {
       WHERE rank <= 10
     """))
 
+  /** `bm25_topk_param` — [[bm25TopKWith]] pinned to an EXPLICIT literal
+    * query table, the deployment call shape: three user queries as
+    * plain strings in slots ("spark join fast", "window agg stream",
+    * "vector scan <absent>"), one term deliberately absent from the
+    * corpus so the absent-term contract (no posting, no contribution,
+    * both engines) sits under the oracle. The corpus-derived
+    * [[bm25TopK]] remains the SF-independent fixture; this row is the
+    * arbitrary-strings API with the registered instance as its pinned
+    * example. */
+  val bm25ParamTopK = QueryDef(
+    "bm25_topk_param",
+    (spark, dir) => {
+      val qs = Seq(
+        (0L, 0L, "spark"), (0L, 1L, "join"), (0L, 2L, "fast"),
+        (1L, 0L, "window"), (1L, 1L, "agg"), (1L, 2L, "stream"),
+        (2L, 0L, "vector"), (2L, 1L, "scan"), (2L, 2L, "zzgraftabsent"))
+      import spark.implicits._
+      bm25TopKWith(spark, dir, qs.toDF("query_id", "idx", "tok"))
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      len AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                         AS n_docs,
+                       CAST((SELECT sum(tf) FROM tf) AS DOUBLE) /
+                       CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                         AS avgdl),
+      qt AS (SELECT * FROM (VALUES
+               (0, 0, 'spark'), (0, 1, 'join'), (0, 2, 'fast'),
+               (1, 0, 'window'), (1, 1, 'agg'), (1, 2, 'stream'),
+               (2, 0, 'vector'), (2, 1, 'scan'), (2, 2, 'zzgraftabsent'))
+             AS q(query_id, idx, tok)),
+      posting AS (
+          SELECT q.query_id, q.idx, t.doc_id,
+                 ln(CAST(1 AS DOUBLE) +
+                    (st.n_docs - CAST(d.df AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE)) /
+                    (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) *
+                 (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+                 (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                  (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+                   CAST(l.dl AS DOUBLE) / st.avgdl)) AS s
+          FROM qt q
+          JOIN tf t USING (tok)
+          JOIN df d USING (tok)
+          JOIN len l ON l.doc_id = t.doc_id
+          CROSS JOIN stats st),
+      scored AS (
+        SELECT query_id, doc_id,
+               sum(CASE WHEN idx = 0 THEN s ELSE CAST(0 AS DOUBLE) END)
+                 AS s0,
+               sum(CASE WHEN idx = 1 THEN s ELSE CAST(0 AS DOUBLE) END)
+                 AS s1,
+               sum(CASE WHEN idx = 2 THEN s ELSE CAST(0 AS DOUBLE) END)
+                 AS s2
+        FROM posting GROUP BY 1, 2)
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY s0 + s1 + s2 DESC, doc_id) AS rank
+        FROM scored)
+      WHERE rank <= 10
+    """))
+
   val defs: Seq[QueryDef] = Seq(
     vocabTopK, bigramTopK, tfidfTopTerms, containment, cmsTopK, decontaminate,
-    lmSurprise, bm25TopK)
+    lmSurprise, bm25TopK, bm25ParamTopK)
 }

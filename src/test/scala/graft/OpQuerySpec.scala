@@ -280,7 +280,151 @@ class OpQuerySpec extends AnyFunSuite {
     assert(gotPerq === expPerq,
       s"per-query range search must return exactly its floors' pairs " +
         s"(got ${gotPerq.size}, expected ${expPerq.size})")
+    // r19 (r18 verdict ask #6): the per-query floor threaded through the
+    // BYTES rung and the full composed shape — every rung must return
+    // exactly the same per-query pairs as the golden recompute.
+    for (rung <- Seq("ann_range_cosine_pq_perq", "ann_range_cosine_ivfpq_perq")) {
+      val gotR = SparkEntry.queries(rung)(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotR === expPerq,
+        s"$rung must return exactly the per-query floors' pairs " +
+          s"(got ${gotR.size}, expected ${expPerq.size})")
+    }
     operators.Staged.reset(spark)
+  }
+
+  test("pq_refine: per-subspace Lloyd sweeps descend the slice SSE, stay in int8 range (r19)") {
+    import spark.implicits._
+    // the coarse ivf_refine descent pin, per subspace: floored means
+    // void the textbook monotone-descent theorem, so descent is pinned
+    // empirically (sweep 1 is the big step; sweep 2 must not ascend).
+    operators.Staged.reset(spark)
+    val q8 = Tables.embeddings(spark, sf).select($"vec_id",
+      expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+        "v -> greatest(least(floor(v * 64D), 127D), -127D))").as("q8"))
+    val offs = spark.range(0, 8).select(($"id" * 8 + 1).as("off"))
+    val slices = q8.crossJoin(broadcast(offs))
+      .withColumn("s", expr("slice(q8, CAST(off AS INT), 8)"))
+      .select($"vec_id", $"off", $"s")
+    def sseOf(cb: org.apache.spark.sql.DataFrame): Double =
+      slices.join(broadcast(cb.select($"off", $"cw_id", $"cs")), Seq("off"))
+        .withColumn("d", expr(
+          "vec_dot(s, s) + vec_dot(cs, cs) - 2 * vec_dot(s, cs)"))
+        .groupBy($"vec_id", $"off").agg(min($"d").as("dmin"))
+        .agg(sum($"dmin")).head().getDouble(0)
+    val seeds = slices.filter($"vec_id" % 50 === 11)
+      .select($"off", $"vec_id".as("cw_id"), $"s".as("cs"))
+    def trained(iters: Int) =
+      operators.SimilarityQueries.pqLloydRaw(slices, seeds, iters)
+    val s0 = sseOf(trained(0))
+    val s1 = sseOf(trained(1))
+    val s2 = sseOf(trained(2))
+    info(f"pq lloyd slice SSE: seeds=$s0%.0f sweep1=$s1%.0f sweep2=$s2%.0f")
+    assert(s1 < s0, s"sweep 1 must descend: $s1 vs $s0")
+    assert(s2 <= s1, s"sweep 2 must not ascend: $s2 vs $s1")
+    val outOfRange = operators.SimilarityQueries.pqRefine.fn(spark, sf)
+      .filter($"c8" > 127 || $"c8" < -127).count()
+    assert(outOfRange === 0, "trained codewords must stay in int8 range")
+    // residual codewords live in ±254 (difference of two int8 values)
+    val residOut = operators.SimilarityQueries.pqResidRefine.fn(spark, sf)
+      .filter($"c8" > 254 || $"c8" < -254).count()
+    assert(residOut === 0, "trained residual codewords must stay in ±254")
+  }
+
+  test("dedup_editdist_collapsed: pair set equals the uncollapsed variant on a replica-heavy corpus, candidates shrink (r19)") {
+    import spark.implicits._
+    // the collapse claim: byte-identical replicas pre-collapse to one
+    // representative, the pair set is UNCHANGED, and the candidate
+    // count (the levenshtein verify workload) drops quadratically in
+    // replica multiplicity. Engineered corpus: the sf0.001 docs
+    // replicated ×3 under fresh ids — every original pair expands 3×3,
+    // every replica class contributes its 3-choose-2 zero-distance
+    // pairs.
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"n_chars")
+    val replicated = (0 until 3).map(k =>
+      docs.select(($"doc_id" * 3 + k).as("doc_id"), $"text", $"n_chars"))
+      .reduce(_.unionByName(_)).localCheckpoint(true)
+    def pairsOf(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] = {
+      val classes = operators.DedupQueries.contentClasses(d)
+      val reps = classes.filter($"doc_id" === $"rep")
+        .select($"doc_id", $"text", $"n_chars")
+      val members = classes.select($"doc_id", $"rep")
+      val cross = operators.DedupQueries.bandCandidatesOn(reps)
+        .withColumn("lev", levenshtein($"text", $"p_text", 8))
+        .filter($"lev" >= 0)
+        .select(least($"doc_id", $"p_id").as("doc_a"),
+          greatest($"doc_id", $"p_id").as("doc_b"), $"lev")
+        .join(members.select($"rep".as("doc_a"), $"doc_id".as("ma")), "doc_a")
+        .join(members.select($"rep".as("doc_b"), $"doc_id".as("mb")), "doc_b")
+        .select(least($"ma", $"mb").as("doc_a"),
+          greatest($"ma", $"mb").as("doc_b"), $"lev")
+      val within = members.as("x").join(members.as("y"),
+          $"x.rep" === $"y.rep" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+          lit(0).as("lev"))
+      cross.unionByName(within).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    val uncollapsed = operators.DedupQueries.bandCandidatesOn(replicated)
+    val collapsedCands = operators.DedupQueries.bandCandidatesOn(
+      operators.DedupQueries.contentClasses(replicated)
+        .filter($"doc_id" === $"rep")
+        .select($"doc_id", $"text", $"n_chars"))
+    val full = uncollapsed
+      .withColumn("lev", levenshtein($"text", $"p_text", 8))
+      .filter($"lev" >= 0)
+      .select(least($"doc_id", $"p_id").as("doc_a"),
+        greatest($"doc_id", $"p_id").as("doc_b"), $"lev")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val collapsed = pairsOf(replicated)
+    assert(collapsed === full,
+      s"collapse must not change the pair set (collapsed ${collapsed.size}" +
+        s" vs full ${full.size})")
+    assert(full.exists(_._3 == 0) && full.exists(_._3 > 0),
+      "fixture must exercise both within-class and cross-class pairs")
+    val nFull = uncollapsed.count()
+    val nCollapsed = collapsedCands.count()
+    info(s"editdist candidates on the x3 corpus: full=$nFull " +
+      s"collapsed=$nCollapsed")
+    assert(nCollapsed * 8 <= nFull,
+      s"x3 replication must cut verify candidates ~9x: " +
+        s"$nCollapsed vs $nFull")
+  }
+
+  test("editdist prefix filter: ANY fixed global gram order keeps exact recall — stale/wrong orders change candidates, never the result (r19)") {
+    import spark.implicits._
+    // the theorem the frozen-order staging rests on (r18 verdict ask
+    // #4): the prefix filter is exact for ANY fixed total token order;
+    // rarest-first only tunes sparsity. Drive prefixOf with (a) the
+    // true corpus order, (b) an EMPTY order (every gram ranks tf=0 —
+    // the all-unseen degenerate), (c) a REVERSED order (commonest
+    // first — the worst tuning). Results must be identical; candidate
+    // counts must differ to prove the orders actually bit.
+    operators.Staged.reset(spark)
+    val grams = operators.DedupQueries.editGrams(spark, sf)
+    val trueOrder = operators.DedupQueries.editGramFreq(spark, sf)
+    val emptyOrder = trueOrder.filter(lit(false))
+    val reversedOrder = trueOrder.select($"tok", (-$"tf").as("tf"))
+    def resultOf(order: org.apache.spark.sql.DataFrame) = {
+      val cand = operators.DedupQueries.prefixCandidatesOf(spark, sf,
+        operators.DedupQueries.prefixOf(grams, order))
+      (cand.count(),
+        operators.DedupQueries.editDistVerify(spark, sf, cand)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .toSet)
+    }
+    val (nTrue, rTrue) = resultOf(trueOrder)
+    val (nEmpty, rEmpty) = resultOf(emptyOrder)
+    val (nRev, rRev) = resultOf(reversedOrder)
+    info(s"prefix candidates: rarest-first=$nTrue all-unseen=$nEmpty " +
+      s"reversed=$nRev")
+    assert(rTrue.nonEmpty, "fixture must contain near-dup pairs")
+    assert(rEmpty === rTrue && rRev === rTrue,
+      "the verified pair set must be order-independent")
+    assert(nRev >= nTrue,
+      s"commonest-first must not be SPARSER than rarest-first " +
+        s"($nRev vs $nTrue) — else the tuning claim is backwards")
   }
 
   test("multimodal probeAll: typed mapPartitions path matches the SQL stub math") {

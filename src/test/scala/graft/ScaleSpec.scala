@@ -555,6 +555,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(ivfadc >= adc - 1e-9,
       f"residual codes must not read worse than raw-vector ADC on " +
         f"clustered data: $ivfadc%.3f vs $adc%.3f")
+    // r19: TRAINED codebooks (per-subspace integer Lloyd). The whole
+    // point of training is that the cheap 8-byte rungs earn recall from
+    // data structure instead of leaning on the exact rescore — so the
+    // trained ADC rung must dominate its rule-codebook sibling on
+    // clustered data, and the fully-trained IVFADC (trained cells AND
+    // trained residual codes) must dominate the rule IVFADC.
+    val pqRefined =
+      ScaleBench.meanRecall(goldInt8, tops("ann_topk_pq_refined"))
+    val ivfadcRefined =
+      ScaleBench.meanRecall(goldInt8, tops("ann_topk_ivfadc_refined"))
+    info(f"clustered recall@5 (r19 trained): pq_refined=$pqRefined%.3f " +
+      f"vs rule adc=$adc%.3f; ivfadc_refined=$ivfadcRefined%.3f " +
+      f"vs rule ivfadc=$ivfadc%.3f")
+    assert(pqRefined >= adc - 1e-9,
+      f"trained PQ codebook must not read worse than the rule codebook " +
+        f"on clustered data: $pqRefined%.3f vs $adc%.3f")
+    assert(ivfadcRefined >= ivfadc - 1e-9,
+      f"fully-trained IVFADC must not read worse than the rule IVFADC " +
+        f"on clustered data: $ivfadcRefined%.3f vs $ivfadc%.3f")
     operators.Staged.reset(spark)
   }
 
