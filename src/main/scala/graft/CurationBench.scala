@@ -47,7 +47,13 @@ import org.apache.spark.sql.streaming.Trigger
   *    registry, Lloyd-refined centroids with the exact-integer d2
   *    assignment in the probe map; next to `sem` the row prices what
   *    the trained geometry costs at crawl rate (the assignment is one
-  *    integer dot per centroid either way — expect parity).
+  *    integer dot per centroid either way — expect parity);
+  *  - `semtc` (r19): the FULLY-TRAINED coded gate — trained cells AND
+  *    PQ codes against the trained per-subspace codebook (capped 64,
+  *    the `semc` config), verdicts stamping the codebook's VALUE
+  *    digest; next to `semc` the row prices trained-codebook encoding
+  *    at crawl rate (same codeword count, pre-sliced either way —
+  *    expect parity).
   * All run on the RocksDB state store (the 100 TB state path; the
   * stateful modes require it). Run: `sbt "runMain graft.CurationBench"`;
   * env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE_X (default 10),
@@ -174,11 +180,18 @@ object CurationBench {
     val (trainedCents, trainedDigest) =
       CurationStream.frozenTrainedCentroidLits(spark, rep,
         graft.operators.IvfConfig(frozen = true))
+    // the fully-trained coded gate's literals (r19): the TRAINED
+    // per-subspace codebook under the same capped frozen config as
+    // `semc`, so semc vs semtc differ only in which codebook (and
+    // which cell geometry) the encode rides
+    val (trainedCw, trainedCbDigest) =
+      CurationStream.frozenPqRefinedCodewordLits(spark, rep,
+        graft.operators.PqConfig(frozen = true, maxCodewords = Some(64L)))
 
     def run(mode: String, pass: Int): Double = {
       val srcDir = mode match {
         case "burst" => burstDir
-        case "sem" | "semc" | "semt" => vecDir
+        case "sem" | "semc" | "semt" | "semtc" => vecDir
         case _ => crawlDir
       }
       def readAs[T <: Product : scala.reflect.runtime.universe.TypeTag]() =
@@ -189,7 +202,8 @@ object CurationBench {
           .as[T](Encoders.product[T])
       val t0 = System.nanoTime()
       val q = mode match {
-        case "exact" | "near" | "burst" | "sem" | "semc" | "semt" =>
+        case "exact" | "near" | "burst" | "sem" | "semc" | "semt"
+            | "semtc" =>
           val out = mode match {
             case "exact" => CurationStream.curate(readAs[DocIn]())
             case "near" | "burst" => CurationStream.nearDedup(readAs[DocIn]())
@@ -199,6 +213,9 @@ object CurationBench {
               readAs[CurationStream.VecIn](), frozenCents, frozenCw)
             case "semt" => CurationStream.semDedupGateTrained(
               readAs[CurationStream.VecIn](), trainedCents, trainedDigest)
+            case "semtc" => CurationStream.semDedupGateCodedTrained(
+              readAs[CurationStream.VecIn](), trainedCents, trainedDigest,
+              trainedCw, trainedCbDigest)
           }
           out.writeStream.outputMode("append").format("parquet")
             .option("path", s"$work/out_${mode}_$pass")
@@ -218,7 +235,7 @@ object CurationBench {
 
     val modes =
       Seq("exact", "near", "canon", "canonc", "burst", "sem", "semc",
-        "semt")
+        "semt", "semtc")
     val times: Map[String, Seq[Double]] = {
       val all = for { pass <- 1 to passes; m <- modes } yield m -> run(m, pass)
       all.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
@@ -246,9 +263,14 @@ object CurationBench {
       // semt: the trained gate's keep count — comparable to sem's only
       // in regime (different geometry legitimately drops more)
       "semt" -> spark.read.parquet(s"$work/out_semt_1")
-        .filter(col("kept")).count())
+        .filter(col("kept")).count(),
+      // semtc: trained decisions AND trained codes — index-ready only
+      // if all 8 codes rode through (the semc completeness probe)
+      "semtc" -> spark.read.parquet(s"$work/out_semtc_1")
+        .filter(col("kept") && org.apache.spark.sql.functions.size(
+          col("codes")) === 8).count())
     val line =
-      f"""{"metric":"curation_docs_per_sec","docs":$docs,"x":$k,"sf":"$sfDir","passes":$passes,"files_per_trigger":$filesPerTrigger,"compact_every":$compactEvery,"calib_sec":$calibSec%.3f,"exact_sec":${med("exact")}%.3f,"near_sec":${med("near")}%.3f,"canon_sec":${med("canon")}%.3f,"canonc_sec":${med("canonc")}%.3f,"exact_dps":${docs / med("exact")}%.0f,"near_dps":${docs / med("near")}%.0f,"canon_dps":${docs / med("canon")}%.0f,"canonc_dps":${docs / med("canonc")}%.0f,"exact_kept":${kept("exact")},"near_kept":${kept("near")},"canon_clusters":${kept("canon")},"canonc_clusters":${kept("canonc")},"burst_docs":$burstDocs,"burst_sec":${med("burst")}%.3f,"burst_dps":${burstDocs / med("burst")}%.0f,"burst_kept":${kept("burst")},"sem_vecs":$vecs,"sem_sec":${med("sem")}%.3f,"sem_dps":${vecs / med("sem")}%.0f,"sem_kept":${kept("sem")},"semc_sec":${med("semc")}%.3f,"semc_dps":${vecs / med("semc")}%.0f,"semc_kept_coded":${kept("semc")},"semt_sec":${med("semt")}%.3f,"semt_dps":${vecs / med("semt")}%.0f,"semt_kept":${kept("semt")}}"""
+      f"""{"metric":"curation_docs_per_sec","docs":$docs,"x":$k,"sf":"$sfDir","passes":$passes,"files_per_trigger":$filesPerTrigger,"compact_every":$compactEvery,"calib_sec":$calibSec%.3f,"exact_sec":${med("exact")}%.3f,"near_sec":${med("near")}%.3f,"canon_sec":${med("canon")}%.3f,"canonc_sec":${med("canonc")}%.3f,"exact_dps":${docs / med("exact")}%.0f,"near_dps":${docs / med("near")}%.0f,"canon_dps":${docs / med("canon")}%.0f,"canonc_dps":${docs / med("canonc")}%.0f,"exact_kept":${kept("exact")},"near_kept":${kept("near")},"canon_clusters":${kept("canon")},"canonc_clusters":${kept("canonc")},"burst_docs":$burstDocs,"burst_sec":${med("burst")}%.3f,"burst_dps":${burstDocs / med("burst")}%.0f,"burst_kept":${kept("burst")},"sem_vecs":$vecs,"sem_sec":${med("sem")}%.3f,"sem_dps":${vecs / med("sem")}%.0f,"sem_kept":${kept("sem")},"semc_sec":${med("semc")}%.3f,"semc_dps":${vecs / med("semc")}%.0f,"semc_kept_coded":${kept("semc")},"semt_sec":${med("semt")}%.3f,"semt_dps":${vecs / med("semt")}%.0f,"semt_kept":${kept("semt")},"semtc_sec":${med("semtc")}%.3f,"semtc_dps":${vecs / med("semtc")}%.0f,"semtc_kept_coded":${kept("semtc")}}"""
     spark.stop()
     println(line)
     System.out.flush()

@@ -186,7 +186,8 @@ object ScaleBench {
   private[graft] val AnnVariants =
     Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivf_tuned",
       "ann_topk_ivf_int8", "ann_topk_ivf_capped", "ann_topk_ivf_refined",
-      "ann_topk_pq_rerank", "ann_topk_ivfpq_rerank", "ann_topk_ivfadc")
+      "ann_topk_pq_rerank", "ann_topk_ivfpq_rerank", "ann_topk_ivfadc",
+      "ann_topk_pq_refined", "ann_topk_ivfadc_refined")
 
   /** Mean recall@5 of each approximate ANN variant against the brute-force
     * gold standard ON `dir` — at scale the quality knobs (nlist, nprobe,
@@ -364,7 +365,7 @@ object ScaleBench {
       require(goldCos.nonEmpty && goldInt8.nonEmpty)
       (AnnVariants :+ "ann_topk_pq").sorted.map { v =>
         val dotScored = v.contains("pq") || v == "ann_topk_ivf_int8" ||
-          v == "ann_topk_ivf_refined" || v == "ann_topk_ivfadc"
+          v == "ann_topk_ivf_refined" || v.startsWith("ann_topk_ivfadc")
         val gold = if (dotScored) goldInt8 else goldCos
         (v, if (dotScored) "int8" else "cosine",
           meanRecall(gold, tops(v)))

@@ -77,7 +77,29 @@ object StageBench {
       operators.SimilarityQueries.ivfRefinedTopKWith(s, d, FrozenIvf)),
     "ann_range_cosine_cells_refined_frozen" -> ((s, d) =>
       operators.SimilarityQueries.rangeCosineCellsRefinedWith(s, d,
-        FrozenIvf)))
+        FrozenIvf)),
+    // the frozen TRAINED PQ codebook (r19): per-subspace Lloyd founds
+    // once (COLD prices the 2 training sweeps over the capped seed
+    // slices), the coverage probe accepts replica drops, and the codes
+    // table delta-encodes under the codebook's VALUE digest
+    "ann_topk_pq_refined_frozen" -> ((s, d) =>
+      operators.SimilarityQueries.pqRefinedTopKWith(s, d, 5, FrozenPq)),
+    // the staged Ed-Join path under the FROZEN founding gram order
+    // (r19): grams delta-shingle, the order rides verbatim, the prefix
+    // delta-builds only the drop — exact recall by the any-fixed-order
+    // theorem (spec-pinned)
+    "dedup_editdist_prefix_frozen" -> ((s, d) =>
+      operators.DedupQueries.editDistVerify(s, d,
+        operators.DedupQueries.prefixCandidatesOf(s, d,
+          operators.DedupQueries.editPrefixFrozen(s, d)))),
+    // the FULLY-TRAINED frozen IVFADC (r19): trained cells, residuals,
+    // residual codebook, and composed codes all frozen — the codes key
+    // carries BOTH value digests, so either end's re-founding moves the
+    // composed family in lockstep (r18 verdict ask #2); refresh is
+    // O(delta) map-only assignment + encode
+    "ann_topk_ivfadc_refined_frozen" -> ((s, d) =>
+      operators.SimilarityQueries.ivfAdcRefinedTopKWith(s, d, 5,
+        FrozenIvf, FrozenPq)))
   private def lookup(q: String)
       : (SparkSession, String) => org.apache.spark.sql.DataFrame =
     Extras.getOrElse(q, SparkEntry.queries(q))
@@ -87,7 +109,9 @@ object StageBench {
       "ann_topk_pq_rerank_frozen", "ann_topk_ivfpq_rerank_frozen",
       "ann_range_cosine_cells_frozen", "ann_range_cosine_pq_frozen",
       "ann_range_cosine_ivfpq_frozen", "ann_topk_ivf_refined_frozen",
-      "ann_range_cosine_cells_refined_frozen")
+      "ann_range_cosine_cells_refined_frozen",
+      "ann_topk_pq_refined_frozen", "dedup_editdist_prefix_frozen",
+      "ann_topk_ivfadc_refined_frozen")
 
   /** Appended docs are word-disjoint from every existing replica (each
     * token prefixed) with ids offset past every replica stride, so the

@@ -2802,15 +2802,35 @@ object SimilarityQueries {
     * consumers rely on. An empty founding cell carries rr0 = 0 —
     * conservative by construction. */
   private[graft] def frozenPqRefinedTable(spark: SparkSession, dir: String,
-      cfg: PqConfig, iters: Int = PqLloydIters): DataFrame = {
+      cfg: PqConfig, iters: Int = PqLloydIters): DataFrame =
+    frozenPqLloydTable(spark, dir,
+      pqLloydKey("pq_refined_cb", cfg, iters), cfg,
+      deltaRaw => pqSlices(quantTransform(normTransform(deltaRaw)))) {
+      val q8 = quantized(spark, dir)
+      (pqSlices(q8), pqSeedSlices(q8, cfg), iters)
+    }
+
+  /** The ONE frozen trained-codebook lifecycle — shared by the RAW
+    * codebook ([[frozenPqRefinedTable]]) and the RESIDUAL one
+    * ([[frozenPqResidRefinedTable]], which differs only in the slice
+    * source and in carrying the coarse quantizer's value digest in its
+    * key): train once at founding + record per-(off, cw_id) founding
+    * max encode distance rr0; on append, the O(|delta|·codewords)
+    * coverage probe refuses when more than `cfg.driftFractionMax` of
+    * the appended (vector, subspace) encodings land outside their
+    * winning cell's founding radius. */
+  private def frozenPqLloydTable(spark: SparkSession, dir: String,
+      baseKey: String, cfg: PqConfig,
+      deltaSlices: DataFrame => DataFrame)(
+      founding: => (DataFrame, DataFrame, Int)): DataFrame = {
     val dkey =
       if (cfg.driftFractionMax == PqConfig.Default.driftFractionMax) ""
       else s":d${cfg.driftFractionMax}"
-    val key = pqLloydKey("pq_refined_cb", cfg, iters) + s"$dkey+frz"
+    val key = baseKey + s"$dkey+frz"
     Staged.rebuildable(spark, dir, key, "embeddings", "vec_id")(
       (prior, deltaRaw) => {
         graft.functions.VectorExprs.register(spark)
-        val best = pqSlices(quantTransform(normTransform(deltaRaw)))
+        val best = deltaSlices(deltaRaw)
           .withColumn("ss", expr("vec_dot(s, s)"))
           // broadcast: BOUNDED BY CONFIG — codewords×8 trained rows.
           .join(broadcast(prior.select(col("off"), col("cw_id"),
@@ -2834,10 +2854,11 @@ object SimilarityQueries {
       // founding: train, then record each cell's founding radius. Pin
       // the trained codebook once — the Lloyd loop must not re-drive
       // for the radius pass and the final join.
-      val q8 = quantized(spark, dir)
+      val (slices, seeds, iters) = founding
+      val sl = graft.functions.Materialized(slices).df
       val cb = graft.functions.Materialized(
-        pqLloydRaw(pqSlices(q8), pqSeedSlices(q8, cfg), iters)).df
-      val rr0 = pqAssignFull(pqSlices(q8), cb)
+        pqLloydRaw(sl, seeds, iters)).df
+      val rr0 = pqAssignFull(sl, cb)
         .groupBy(col("off"), col("code").as("cw_id"))
         .agg(max(col("dist")).as("rr0"))
       cb.join(rr0, Seq("off", "cw_id"), "left")
@@ -3040,18 +3061,42 @@ object SimilarityQueries {
     * Staged per (ivf config, sweeps). */
   private[graft] def refinedResiduals(spark: SparkSession, dir: String,
       ivfCfg: IvfConfig = IvfConfig.Default,
-      iters: Int = LloydIters): DataFrame =
-    Staged(spark, dir, lloydKey("ivfadc_refined_res", ivfCfg, iters)) {
-      val q8 = quantized(spark, dir)
-      refinedCells(spark, dir, ivfCfg, iters).filter(col("rn") === 1)
+      iters: Int = LloydIters): DataFrame = {
+    def residOf(rows: DataFrame, cents: DataFrame): DataFrame =
+      l2Assign(rows, cents, maxRn = 1)
         .select(col("vec_id"), col("cid"))
-        .join(q8, "vec_id")
+        .join(rows, "vec_id")
         // broadcast: BOUNDED BY CONFIG — nlist trained-centroid rows.
-        .join(broadcast(refinedCentroids(spark, dir, ivfCfg, iters)
-          .withColumnRenamed("c8", "cq")), "cid")
+        .join(broadcast(cents.withColumnRenamed("c8", "cq")), "cid")
         .select(col("vec_id"),
           expr("zip_with(q8, cq, (a, b) -> a - b)").as("rv"))
+    if (!ivfCfg.frozen)
+      Staged(spark, dir, lloydKey("ivfadc_refined_res", ivfCfg, iters)) {
+        val q8 = quantized(spark, dir)
+        refinedCells(spark, dir, ivfCfg, iters).filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"))
+          .join(q8, "vec_id")
+          // broadcast: BOUNDED BY CONFIG — nlist trained-centroid rows.
+          .join(broadcast(refinedCentroids(spark, dir, ivfCfg, iters)
+            .withColumnRenamed("c8", "cq")), "cid")
+          .select(col("vec_id"),
+            expr("zip_with(q8, cq, (a, b) -> a - b)").as("rv"))
+      }
+    else {
+      // frozen (r19): the residual is a PER-VECTOR transform once the
+      // trained centroids are frozen — APPENDABLE, keyed on the trained
+      // table's VALUE digest so a coarse re-training moves the residual
+      // family in lockstep (r18 verdict ask #2's composed-key claim).
+      val tbl = frozenRefinedTable(spark, dir, ivfCfg, iters)
+      val cents = tbl.select(col("cid"), col("c8"))
+      val key = lloydKey("ivfadc_refined_res", ivfCfg, iters) +
+        s"+frz${refinedValueDigest(tbl)}"
+      Staged.appendable(spark, dir, key, "embeddings", "vec_id")(
+        raw => residOf(quantTransform(normTransform(raw)), cents)) {
+        residOf(quantized(spark, dir), cents)
+      }
     }
+  }
 
   private def composedLloydKey(base: String, ivfCfg: IvfConfig,
       iters: Int, pqCfg: PqConfig, pqIters: Int): String =
@@ -3070,12 +3115,69 @@ object SimilarityQueries {
       dir: String, ivfCfg: IvfConfig = IvfConfig.Default,
       pqCfg: PqConfig = PqConfig.Default, iters: Int = LloydIters,
       pqIters: Int = PqLloydIters): DataFrame =
-    Staged(spark, dir,
-      composedLloydKey("pq_refined_rescb", ivfCfg, iters, pqCfg, pqIters)) {
+    if (!pqCfg.frozen)
+      Staged(spark, dir,
+        composedLloydKey("pq_refined_rescb", ivfCfg, iters, pqCfg,
+          pqIters)) {
+        val res = refinedResiduals(spark, dir, ivfCfg, iters)
+          .withColumnRenamed("rv", "q8")
+        pqLloydRaw(pqSlices(res), pqSeedSlices(res, pqCfg), pqIters)
+      }
+    else
+      frozenPqResidRefinedTable(spark, dir, ivfCfg, pqCfg, iters, pqIters)
+        .select(col("off"), col("cw_id"), col("cs"))
+
+  /** The FROZEN trained residual codebook — [[frozenPqLloydTable]]'s
+    * lifecycle over residual slices. Requires a frozen coarse config
+    * (residuals against moving centroids could never be re-encoded
+    * consistently), and its stage key carries the trained-centroid
+    * VALUE digest: a coarse re-training re-founds the residual
+    * codebook — and through ITS value digest the composed codes —
+    * in lockstep (r18 verdict ask #2). */
+  private[graft] def frozenPqResidRefinedTable(spark: SparkSession,
+      dir: String, ivfCfg: IvfConfig, pqCfg: PqConfig,
+      iters: Int = LloydIters, pqIters: Int = PqLloydIters): DataFrame = {
+    require(ivfCfg.frozen, "a frozen residual codebook needs a FROZEN " +
+      "coarse quantizer: residuals against re-training centroids would " +
+      "silently change meaning under stable keys")
+    val tbl = frozenRefinedTable(spark, dir, ivfCfg, iters)
+    val cents = tbl.select(col("cid"), col("c8"))
+    def residSlices(rows: DataFrame): DataFrame =
+      pqSlices(l2Assign(rows, cents, maxRn = 1)
+        .select(col("vec_id"), col("cid"))
+        .join(rows, "vec_id")
+        // broadcast: BOUNDED BY CONFIG — nlist trained-centroid rows.
+        .join(broadcast(cents.withColumnRenamed("c8", "cq")), "cid")
+        .select(col("vec_id"),
+          expr("zip_with(q8, cq, (a, b) -> a - b)").as("q8")))
+    frozenPqLloydTable(spark, dir,
+      composedLloydKey("pq_refined_rescb", ivfCfg, iters, pqCfg,
+        pqIters) + s"+c${refinedValueDigest(tbl)}", pqCfg,
+      deltaRaw => residSlices(quantTransform(normTransform(deltaRaw)))) {
       val res = refinedResiduals(spark, dir, ivfCfg, iters)
         .withColumnRenamed("rv", "q8")
-      pqLloydRaw(pqSlices(res), pqSeedSlices(res, pqCfg), pqIters)
+      (pqSlices(res), pqSeedSlices(res, pqCfg), pqIters)
     }
+  }
+
+  /** Memoized value digest of the frozen trained RESIDUAL codebook —
+    * the composed codes' key component. */
+  private def pqResidRefinedDigest(spark: SparkSession, dir: String,
+      ivfCfg: IvfConfig, pqCfg: PqConfig, iters: Int,
+      pqIters: Int): String = {
+    val tbl = frozenPqResidRefinedTable(spark, dir, ivfCfg, pqCfg, iters,
+      pqIters)
+    val hit = digestMemo.get(tbl)
+    if (hit != null) hit
+    else {
+      val d = pqValueDigestOf(
+        tbl.select(col("off"), col("cw_id"), col("cs")).collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            r.getSeq[Double](2).map(_.toLong))).toSeq)
+      digestMemo.put(tbl, d)
+      d
+    }
+  }
 
   /** The trained residual codebook's own audit row (the `ivf_refine` /
     * `pq_refine` discipline: every trained artifact an operator trusts
@@ -3115,13 +3217,44 @@ object SimilarityQueries {
       ivfCfg: IvfConfig = IvfConfig.Default,
       pqCfg: PqConfig = PqConfig.Default, iters: Int = LloydIters,
       pqIters: Int = PqLloydIters): DataFrame =
-    Staged(spark, dir, composedLloydKey("ivfadc_refined_codes", ivfCfg,
-      iters, pqCfg, pqIters)) {
-      pqAssignFull(
-        pqSlices(refinedResiduals(spark, dir, ivfCfg, iters)
-          .withColumnRenamed("rv", "q8")),
-        pqResidRefinedCodebook(spark, dir, ivfCfg, pqCfg, iters, pqIters))
-        .select(col("vec_id"), col("off"), col("code"))
+    if (!pqCfg.frozen)
+      Staged(spark, dir, composedLloydKey("ivfadc_refined_codes", ivfCfg,
+        iters, pqCfg, pqIters)) {
+        pqAssignFull(
+          pqSlices(refinedResiduals(spark, dir, ivfCfg, iters)
+            .withColumnRenamed("rv", "q8")),
+          pqResidRefinedCodebook(spark, dir, ivfCfg, pqCfg, iters,
+            pqIters))
+          .select(col("vec_id"), col("off"), col("code"))
+      }
+    else {
+      // frozen (r19): encoding against the frozen residual codebook is
+      // per-vector → APPENDABLE. The key carries BOTH value digests —
+      // trained centroids (through the residuals) and the residual
+      // codebook — so re-founding either end moves the composed codes
+      // in lockstep (r18 verdict ask #2).
+      val tbl = frozenRefinedTable(spark, dir, ivfCfg, iters)
+      val cents = tbl.select(col("cid"), col("c8"))
+      val cb = pqResidRefinedCodebook(spark, dir, ivfCfg, pqCfg, iters,
+        pqIters)
+      val key = composedLloydKey("ivfadc_refined_codes", ivfCfg, iters,
+        pqCfg, pqIters) +
+        s"+frz${refinedValueDigest(tbl)}-${pqResidRefinedDigest(spark,
+          dir, ivfCfg, pqCfg, iters, pqIters)}"
+      def encode(rows: DataFrame): DataFrame =
+        pqAssignFull(
+          pqSlices(l2Assign(rows, cents, maxRn = 1)
+            .select(col("vec_id"), col("cid"))
+            .join(rows, "vec_id")
+            // broadcast: BOUNDED BY CONFIG — nlist centroid rows.
+            .join(broadcast(cents.withColumnRenamed("c8", "cq")), "cid")
+            .select(col("vec_id"),
+              expr("zip_with(q8, cq, (a, b) -> a - b)").as("q8"))), cb)
+          .select(col("vec_id"), col("off"), col("code"))
+      Staged.appendable(spark, dir, key, "embeddings", "vec_id")(
+        raw => encode(quantTransform(normTransform(raw)))) {
+        encode(quantized(spark, dir))
+      }
     }
 
   /** `ann_topk_ivfadc_refined` — IVFADC with BOTH halves trained
@@ -3754,16 +3887,25 @@ object SimilarityQueries {
       floorOf: Column = lit(RangeDotFloor)): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val q8 = quantized(spark, dir)
-    // serve from the cid-partitioned layout (r18 ask #3): the broadcast
-    // join against the surviving cells becomes DYNAMIC PARTITION
-    // PRUNING at the layout scan under persist mode — a refused cell's
-    // files are never read (PlanAssertionsSpec pins the partition
-    // filter; in-session mode the same join runs over the checkpointed
-    // rows, content-identical). Vectors ride WITH their cid rows, so
-    // the historical per-id rescore join against q8 is gone too.
+    // serve from the cid-partitioned layout (r18 ask #3): the SURVIVING
+    // cell ids push to the layout scan as a STATIC partition filter —
+    // a refused cell's files are never read (PlanAssertionsSpec pins
+    // the partition filter; in-session mode the same filter+join run
+    // over the checkpointed rows, content-identical). The driver-side
+    // collect is BOUNDED — ≤ 10 queries × nlist (cid) rows, the
+    // isEmpty-guard classification (rangeLiveCells already runs a
+    // construction-time job) — and a static IN prunes through the
+    // union of delta segments where a dynamic-pruning subquery cannot.
+    // Vectors ride WITH their cid rows, so the historical per-id
+    // rescore join against q8 is gone too.
+    val live = graft.functions.Materialized(
+      rangeLiveCells(spark, dir, cfg, floorOf)).df
+    val liveCids = live.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
     q8ByCid(spark, dir, cfg)
+      .filter(col("cid").isInCollection(liveCids))
       // broadcast: BOUNDED — 10 queries × nlist surviving cells.
-      .join(broadcast(rangeLiveCells(spark, dir, cfg, floorOf)), "cid")
+      .join(broadcast(live), "cid")
       .filter(col("vec_id") =!= col("query_id"))
       // broadcast: BOUNDED — fixed 10-row literal query set.
       .join(broadcast(q8.filter(col("vec_id") < 10)
@@ -3911,11 +4053,16 @@ object SimilarityQueries {
       floorOf: Column = lit(RangeDotFloor)): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val q8 = quantized(spark, dir)
-    // the refined layout table — see rangeCosineCellsWith's note.
+    // the refined layout table — see rangeCosineCellsWith's note
+    // (static partition filter + broadcast join, same shape).
+    val live = graft.functions.Materialized(
+      rangeLiveCellsRefined(spark, dir, cfg, iters, floorOf)).df
+    val liveCids = live.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
     q8ByCidRefined(spark, dir, cfg, iters)
+      .filter(col("cid").isInCollection(liveCids))
       // broadcast: BOUNDED — 10 queries × nlist surviving cells.
-      .join(broadcast(
-        rangeLiveCellsRefined(spark, dir, cfg, iters, floorOf)), "cid")
+      .join(broadcast(live), "cid")
       .filter(col("vec_id") =!= col("query_id"))
       // broadcast: BOUNDED — fixed 10-row literal query set.
       .join(broadcast(q8.filter(col("vec_id") < 10)

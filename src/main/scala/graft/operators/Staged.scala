@@ -705,6 +705,19 @@ object Staged {
     * swept base segments → cold); anything else → cold `fullBuild`. All
     * publishes are atomic; the post-publish swept-segment re-check runs
     * on every path. */
+  /** Multi-segment scan of a manifest stage. Partition-laid-out stages
+    * read PER SEGMENT and union: each segment dir is its own partitioned
+    * table root, and Spark's cross-root partition inference refuses
+    * segment roots under different fingerprint parents
+    * (CONFLICTING_DIRECTORY_STRUCTURES). A static partition filter
+    * pushed by the consumer reaches each child scan through the union,
+    * so pruning survives the multi-segment shape. */
+  private def readSegments(spark: SparkSession, segments: Seq[String],
+      layoutBy: Seq[String]): DataFrame =
+    if (layoutBy.isEmpty || segments.size <= 1)
+      spark.read.parquet(segments: _*)
+    else segments.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+
   private def persistedManifest(spark: SparkSession, root: String,
       dir: String, stage: String, source: String, sourceKey: String,
       layoutBy: Seq[String] = Nil)(
@@ -717,7 +730,7 @@ object Staged {
       case Some(m) =>
         log.info(s"stage hit: $stage <- $target (${m.segments.size} segments)")
         logBuild(stage, "hit")
-        return spark.read.parquet(m.segments: _*)
+        return readSegments(spark, m.segments, layoutBy)
       case None => ()
     }
     // Format migration (a stage CONVERTED from the plain-table kind, e.g.
@@ -784,7 +797,7 @@ object Staged {
       case None => publishCold()
     }
     val effective = resolveSwept(stage, target, winner)(publishCold)
-    spark.read.parquet(effective.segments: _*)
+    readSegments(spark, effective.segments, layoutBy)
   }
 
   /** Persist-mode resolution for an appendable stage: the shared skeleton
@@ -809,6 +822,7 @@ object Staged {
         // at construction time (counted-gate idiom)
         val df = deltaBuild(spark.read.parquet(newPaths: _*))
         // schema-drift net: a union manifest requires every segment to
+        // (prior segments read per the stage's layout — see readSegments)
         // share one schema. If the current binary's transform emits a
         // different shape than the persisted segments (schema evolved
         // under an unchanged stage name), appending the segment would
@@ -821,7 +835,7 @@ object Staged {
         // DataType-equality probe refused on every drop) — and
         // StructField.sql embeds NOT NULL one level down, so the
         // normalizer is explicit rather than string-based.
-        val prior = spark.read.parquet(old.segments: _*)
+        val prior = readSegments(spark, old.segments, layoutBy)
         // Partitioned stages compare NON-LAYOUT fields, name-sorted: the
         // read-back appends inferred layout columns LAST (and may narrow
         // a numeric one to int), so a positional whole-schema compare

@@ -753,6 +753,41 @@ object CurationStream {
       .sortBy(_.cwId).toSeq
   }
 
+  /** A TRAINED per-subspace codeword shipped into the stream's closure
+    * (r19): `sub` is the 0-based subspace index, `cs` its 8-dim slice —
+    * the frozen `pq_refined_cb` row set. Slice values are floored means
+    * of int8 coordinates, so they stay byte-representable. */
+  final case class TrainedCodewordLit(sub: Int, cwId: Long,
+      cs: Array[Byte])
+
+  /** Load the staged frozen TRAINED PQ codebook for
+    * [[semDedupGateCodedTrained]] plus its VALUE digest (the
+    * `cbDigest` the verdicts stamp and the staged
+    * `pq_refined_codes@…+frz<digest>` key carries — one definition,
+    * [[graft.operators.SimilarityQueries.pqValueDigestOf]], so a
+    * re-TRAINING moves the staged codes and the stream's stamp in
+    * lockstep; an id digest could not see values moving under stable
+    * cw_ids). */
+  def frozenPqRefinedCodewordLits(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cfg: graft.operators.PqConfig)
+      : (Seq[TrainedCodewordLit], String) = {
+    require(cfg.frozen, "semDedupGateCodedTrained needs a FROZEN trained " +
+      "codebook: unfrozen trainings move with every append, so streamed " +
+      "codes could never join the staged codes table")
+    val rows = graft.operators.SimilarityQueries
+      .frozenPqRefinedTable(spark, dir, cfg)
+      .select("off", "cw_id", "cs").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).map(_.toLong)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val digest = graft.operators.SimilarityQueries.pqValueDigestOf(rows)
+    val width = graft.operators.SimilarityQueries.PqWidth
+    (rows.map { case (off, cw, cs) =>
+      TrainedCodewordLit(((off - 1) / width).toInt, cw,
+        cs.map(_.toByte).toArray)
+    }, digest)
+  }
+
   /** A frozen-quantizer centroid shipped into the stream's closure —
     * nlist rows by config (a CONSTANT under `IvfConfig.maxCentroids`,
     * r16 ask #1), the same bound that makes the set broadcastable on
@@ -981,6 +1016,42 @@ object CurationStream {
       trainedDigest = trainedDigest)
   }
 
+  /** The FULLY-TRAINED coded gate (r19, r18 verdict ask #1's streaming
+    * leg): [[semDedupGateTrained]]'s trained cell assignment composed
+    * with PQ codes against the TRAINED per-subspace codebook — the same
+    * per-(vector, subspace) exact-integer encode the batch
+    * `pq_refined_codes` stage runs, byte-identical by construction
+    * (spec-pinned). Verdicts stamp the trained codebook's VALUE digest
+    * as `cbDigest` (the staged `pq_refined_codes@…+frz<digest>` key's
+    * component), so a re-training is detectable per row and streamed
+    * codes route to the staged table whose key matches. `rrv` is the
+    * Σ of winning dists against the TRAINED codebook — the residual
+    * ceiling consistent with these codes (NOT the rule `pq_resid`
+    * value; the digest says which family the row belongs to). */
+  def semDedupGateCodedTrained(vecs: Dataset[VecIn],
+      trained: Seq[TrainedCentroidLit], trainedDigest: String,
+      codebook: Seq[TrainedCodewordLit], cbDigest: String,
+      horizonMs: Long = 3600000L,
+      dotFloor: Long = graft.operators.SemDedupConfig.Default.dotFloor)
+      : Dataset[VecVerdictCoded] = {
+    import vecs.sparkSession.implicits._
+    require(trained.nonEmpty, "semDedupGateCodedTrained needs a " +
+      "non-empty frozen trained centroid set (frozenTrainedCentroidLits)")
+    require(trainedDigest.nonEmpty && cbDigest.nonEmpty,
+      "semDedupGateCodedTrained needs both value digests " +
+        "(frozenTrainedCentroidLits / frozenPqRefinedCodewordLits)")
+    require(codebook.nonEmpty, "semDedupGateCodedTrained needs a " +
+      "non-empty frozen trained codebook (frozenPqRefinedCodewordLits)")
+    gateRun[VecVerdictCoded](vecs, Seq.empty, horizonMs, dotFloor,
+      Array.empty,
+      (p, kept, dup) =>
+        VecVerdictCoded(p.vecId, p.cid, p.fetchTs, kept, dup, p.codes,
+          cbDigest, p.rrv),
+      trained = trained.sortBy(_.cid).toArray,
+      trainedDigest = trainedDigest,
+      pqTrained = codebook.toArray)
+  }
+
   /** The shared gate core: assign → quantize → (optionally) PQ-encode →
     * per-cell keeper registry, emitting the caller's output row DIRECTLY
     * from the processor (no post-operator projection pass). `pq` empty =
@@ -992,13 +1063,16 @@ object CurationStream {
       pq: Array[CodewordLit],
       mk: (CellProbe, Boolean, Long) => O,
       trained: Array[TrainedCentroidLit] = Array.empty,
-      trainedDigest: String = ""): Dataset[O] = {
+      trainedDigest: String = "",
+      pqTrained: Array[TrainedCodewordLit] = Array.empty): Dataset[O] = {
     import vecs.sparkSession.implicits._
     require(horizonMs > 0, s"horizonMs must be positive: $horizonMs")
     require(dotFloor > 0, s"dotFloor must be positive: $dotFloor")
     require(centroids.nonEmpty || trained.nonEmpty,
       "semDedupGate needs a non-empty frozen centroid set " +
         "(frozenCentroidLits / frozenTrainedCentroidLits)")
+    require(pq.isEmpty || pqTrained.isEmpty,
+      "at most one codebook form: rule full-vector or trained slices")
     val cents = centroids.sortBy(_.cid).toArray
     val prefix =
       if (trained.nonEmpty)
@@ -1006,6 +1080,20 @@ object CurationStream {
       else StateSchemas.semGateCellPrefix(cents.map(_.cid).toSeq)
     val subs = graft.operators.SimilarityQueries.PqSubs
     val width = graft.operators.SimilarityQueries.PqWidth
+    // ONE per-subspace codeword-slice layout for both codebook forms
+    // (r19): subCw(s) = (cwId asc)-sorted slices of subspace s. The
+    // rule codebook's full-vector rows pre-slice here ON THE DRIVER —
+    // the encode loop below then reads slices uniformly, with the
+    // arithmetic (exact integer slice L2, (dist asc, cwId asc) winner)
+    // unchanged from the historical inline form.
+    val subCw: Array[Array[(Long, Array[Byte])]] =
+      if (pqTrained.nonEmpty)
+        Array.tabulate(subs)(s => pqTrained.filter(_.sub == s)
+          .map(c => (c.cwId, c.cs)).sortBy(_._1))
+      else if (pq.nonEmpty)
+        Array.tabulate(subs)(s => pq.sortBy(_.cwId)
+          .map(c => (c.cwId, c.cv.slice(s * width, (s + 1) * width))))
+      else Array.empty
     val probes = vecs.map { v =>
       // double-cast, left-to-right norm fold, (ccos desc, cid asc)
       // tie-break — each the batch path's exact arithmetic (vec_dot is
@@ -1082,26 +1170,28 @@ object CurationStream {
       // sum.
       var rrv = -1L
       val codes: Array[Long] =
-        if (pq.isEmpty || q8.length != subs * width) Array.emptyLongArray
+        if (subCw.isEmpty || q8.length != subs * width) Array.emptyLongArray
         else {
           rrv = 0L
           Array.tabulate(subs) { s =>
             val off = s * width
+            val cws = subCw(s)
             var bestDist = Long.MaxValue
             var bestCw = Long.MaxValue
             var w = 0
-            while (w < pq.length) {
-              val cv = pq(w).cv
+            while (w < cws.length) {
+              val cv = cws(w)._2
               var d2 = 0L
               var j = 0
               while (j < width) {
-                val diff = q8(off + j).toLong - cv(off + j).toLong
+                val diff = q8(off + j).toLong - cv(j).toLong
                 d2 += diff * diff
                 j += 1
               }
-              // strict <: ties keep the earlier (smaller) cwId — pq is
-              // sorted, matching the batch min(struct(dist, cw_id))
-              if (d2 < bestDist) { bestDist = d2; bestCw = pq(w).cwId }
+              // strict <: ties keep the earlier (smaller) cwId — the
+              // slice array is sorted, matching the batch
+              // min(struct(dist, cw_id))
+              if (d2 < bestDist) { bestDist = d2; bestCw = cws(w)._1 }
               w += 1
             }
             rrv += bestDist

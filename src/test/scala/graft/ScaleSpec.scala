@@ -90,7 +90,8 @@ class ScaleSpec extends AnyFunSuite {
     // `ann_topk_pq` never joined this gate; their quality claims are
     // gated on the clustered fixture against their own exhaustive
     // limit. The erosion leg still applies to them.
-    val lossyOnly = Set("ann_topk_ivfadc")
+    val lossyOnly = Set("ann_topk_ivfadc", "ann_topk_pq_refined",
+      "ann_topk_ivfadc_refined")
     for ((variant, r) <- repR) {
       if (!lossyOnly(variant))
         assert(r >= 0.5, f"$variant recall@5 on the x3 corpus = $r%.3f")

@@ -1077,6 +1077,395 @@ class StagedIncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("frozen TRAINED PQ codebook: per-subspace Lloyd founds once with founding radii, codes delta-encode, coverage drift re-trains under a moved VALUE digest (r19)") {
+    import spark.implicits._
+    import operators.{PqConfig, SimilarityQueries}
+    val dir = freshDir()
+    // the r18 trained-quantizer fixture, reused: three tight clusters
+    // (A: dims 0-20, B: anti-correlated, C: dims 43-63) with ±1 jitter
+    // on the member's own dim; cluster D (dims 30-40) is the
+    // out-of-coverage drop — its slices 3/4/5 sit far outside every
+    // founding (off, cw) radius, so ≥ 3 of its 8 encodings per vector
+    // read as moved (> the 0.2 gate), while EXACT copies read 0.
+    def vec(i: Int): Array[Float] = Array.tabulate(64) { d =>
+      val b = if (i % 100 < 10) { if (d <= 20) 8 else 0 }
+        else if (i % 100 < 20) { if (d <= 20) -8 else 0 }
+        else if (i % 100 < 30) { if (d >= 43) 8 else 0 }
+        else { if (d >= 30 && d <= 40) 8 else 0 }
+      ((b + (if (d == i % 64) 1 else 0)) / 64.0).toFloat
+    }
+    def writeRows(rows: Seq[(Long, Array[Float], Int)],
+        append: Boolean): Unit =
+      rows.toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    writeRows((0 until 30).map(i => (i.toLong, vec(i), i % 5)),
+      append = false)
+    val cfg = PqConfig(cwEvery = 10, cwKey = 7, frozen = true,
+      driftFractionMax = 0.2)
+    def cb(): Map[(Long, Long), Seq[Long]] =
+      SimilarityQueries.pqRefinedCodebook(spark, dir, cfg).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          r.getSeq[Double](2).map(_.toLong)).toMap
+    def codes(): Map[(Long, Long), Long] =
+      SimilarityQueries.pqRefinedCodes(spark, dir, cfg).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cbStage = "pq_refined_cb@10:7:8x8:L2:d0.2+frz"
+    def codesModes: Seq[String] = Staged.buildLogSnapshot.collect {
+      case (s, m) if s.startsWith("pq_refined_codes@10:7:8x8:L2+frz") => m
+    }
+    Staged.evict(spark)
+    Staged.enablePersist(
+      Files.createTempDirectory("inc_frz_pqref").toString)
+    try {
+      val founding = cb()
+      val baseCodes = codes()
+      assert(founding.keys.map(_._2).toSet === Set(7L, 17L, 27L),
+        "trained codewords keep their seed ids")
+      assert(founding.keys.map(_._1).toSet ===
+        (0 until 8).map(s => s * 8 + 1L).toSet,
+        "one codebook per subspace")
+      // parity: frozen founding values == an unfrozen training over the
+      // same founding corpus, bit for bit
+      val unfrozen = SimilarityQueries
+        .pqRefinedCodebook(spark, dir, cfg.copy(frozen = false)).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          r.getSeq[Double](2).map(_.toLong)).toMap
+      assert(unfrozen === founding,
+        "frozen founding must equal the unfrozen training bit for bit")
+
+      // drop 1: IN-COVERAGE — exact copies of founding members under
+      // new ids: every (vector, subspace) encode distance equals its
+      // original's (≤ that cell's founding radius by construction). The
+      // codebook must keep its values verbatim; the codes stage must
+      // delta-encode ONLY the drop, and the copies' codes must equal
+      // their originals'.
+      writeRows((0 until 30).map(k => (200L + k, vec(k), k % 5)),
+        append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val grownCodes = codes()
+      val keptCb = cb()
+      assert(modes(cbStage) === Seq("delta"),
+        s"in-coverage drop must keep the trained codebook: " +
+          s"${Staged.buildLogSnapshot}")
+      assert(codesModes === Seq("delta"),
+        s"codes must delta-encode: ${Staged.buildLogSnapshot}")
+      assert(keptCb === founding,
+        "the trained codebook must ride appends verbatim")
+      for (k <- 0 until 30; s <- 0 until 8)
+        assert(grownCodes((200L + k, s * 8 + 1L)) ===
+          baseCodes((k.toLong, s * 8 + 1L)),
+          s"copy ${200 + k} subspace $s must inherit its original's code")
+
+      // drop 2: OUT-OF-COVERAGE — cluster D's slice geometry exceeds
+      // the founding radii on ≥ 3 of 8 subspaces per vector → the
+      // coverage probe reads > 0.2 and the codebook must refuse and
+      // RE-TRAIN; the moved VALUE digest re-keys the codes stage cold.
+      writeRows((1030 until 1040).map(i => (i.toLong, vec(i), i % 5)),
+        append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val refoundCodes = codes()
+      val retrained = cb()
+      assert(modes(cbStage) === Seq("delta-refused", "cold"),
+        s"coverage drift must re-train: ${Staged.buildLogSnapshot}")
+      assert(codesModes === Seq("cold"),
+        s"codes must re-key to the re-trained digest: " +
+          s"${Staged.buildLogSnapshot}")
+      assert(retrained !== founding,
+        "re-training over the grown corpus must move codeword values")
+      assert(retrained.keys.map(_._2).toSet ===
+        Set(7L, 17L, 27L, 207L, 217L, 227L, 1037L),
+        s"re-founding re-seeds from the GROWN corpus's rule ids: " +
+          s"${retrained.keys.map(_._2).toSet}")
+      assert(refoundCodes.keys.map(_._1).toSet ===
+        ((0 until 30) ++ (200 until 230) ++ (1030 until 1040))
+          .map(_.toLong).toSet,
+        "re-founded codes must cover the whole grown corpus")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("frozen composed trained IVFADC: residuals/codebook/codes all delta on an in-coverage drop; a coarse re-training moves the WHOLE chain in lockstep (r19, r18 verdict #2)") {
+    import spark.implicits._
+    import operators.{IvfConfig, PqConfig, SimilarityQueries}
+    val dir = freshDir()
+    // the r18 trained-quantizer cluster fixture (A/B/C founding,
+    // D = out-of-coverage drift)
+    def vec(i: Int): Array[Float] = Array.tabulate(64) { d =>
+      val b = if (i % 100 < 10) { if (d <= 20) 8 else 0 }
+        else if (i % 100 < 20) { if (d <= 20) -8 else 0 }
+        else if (i % 100 < 30) { if (d >= 43) 8 else 0 }
+        else { if (d >= 30 && d <= 40) 8 else 0 }
+      ((b + (if (d == i % 64) 1 else 0)) / 64.0).toFloat
+    }
+    def writeRows(rows: Seq[(Long, Array[Float], Int)],
+        append: Boolean): Unit =
+      rows.toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    writeRows((0 until 30).map(i => (i.toLong, vec(i), i % 5)),
+      append = false)
+    val ivfCfg = IvfConfig(centroidEvery = 10, centroidKey = 7,
+      frozen = true, driftFractionMax = 0.3)
+    // pq drift gate wide open: this test isolates the LOCKSTEP
+    // mechanism — the residual family must move because the COARSE
+    // digest moved, not because its own probe fired
+    val pqCfg = PqConfig(cwEvery = 10, cwKey = 7, frozen = true,
+      driftFractionMax = 1.0)
+    def topk(): Long = {
+      // drive the staged residual table too — the composed encode
+      // derives residuals inline per delta (each frozen stage
+      // delta-builds from raw), so the res stage needs its own consumer
+      SimilarityQueries.refinedResiduals(spark, dir, ivfCfg).count()
+      SimilarityQueries.ivfAdcRefinedTopKWith(spark, dir, 5, ivfCfg,
+        pqCfg).count()
+    }
+    def codes(): Map[(Long, Long), Long] =
+      SimilarityQueries.ivfAdcRefinedCodes(spark, dir, ivfCfg, pqCfg)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def modesOf(prefix: String): Seq[String] =
+      Staged.buildLogSnapshot.collect {
+        case (s, m) if s.startsWith(prefix) => m
+      }
+    Staged.evict(spark)
+    Staged.enablePersist(
+      Files.createTempDirectory("inc_frz_adcref").toString)
+    try {
+      topk()
+      val baseCodes = codes()
+
+      // drop 1: IN-COVERAGE — exact copies. Every stage of the composed
+      // chain must delta-resolve: residuals append per vector, the
+      // residual codebook keeps its founding values, the codes append.
+      writeRows((0 until 30).map(k => (200L + k, vec(k), k % 5)),
+        append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      topk()
+      val grownCodes = codes()
+      assert(modesOf("ivfadc_refined_res@") === Seq("delta"),
+        s"residuals must delta-append: ${Staged.buildLogSnapshot}")
+      assert(modesOf("pq_refined_rescb@") === Seq("delta"),
+        s"the residual codebook must keep its founding: " +
+          s"${Staged.buildLogSnapshot}")
+      assert(modesOf("ivfadc_refined_codes@") === Seq("delta"),
+        s"composed codes must delta-encode: ${Staged.buildLogSnapshot}")
+      for (k <- 0 until 30; s <- 0 until 8)
+        assert(grownCodes((200L + k, s * 8 + 1L)) ===
+          baseCodes((k.toLong, s * 8 + 1L)),
+          s"copy ${200 + k} subspace $s must inherit its original's code")
+
+      // drop 2: OUT-OF-COVERAGE — cluster D fires the COARSE coverage
+      // probe; the re-training moves the trained VALUE digest, and with
+      // it the residuals, the residual codebook (+c component), and the
+      // composed codes (+frz…-… components) — all cold under FRESH
+      // names, with no refusal needed on the pq side.
+      writeRows((1030 until 1040).map(i => (i.toLong, vec(i), i % 5)),
+        append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      topk()
+      assert(modesOf("ivf_refined_cents@10:7:2:L2:d0.3+frz") ===
+        Seq("delta-refused", "cold"),
+        s"coarse coverage drift must re-train: ${Staged.buildLogSnapshot}")
+      assert(modesOf("ivfadc_refined_res@") === Seq("cold"),
+        s"residuals must re-key to the re-trained digest: " +
+          s"${Staged.buildLogSnapshot}")
+      assert(modesOf("pq_refined_rescb@") === Seq("cold"),
+        s"the residual codebook must re-found in lockstep: " +
+          s"${Staged.buildLogSnapshot}")
+      assert(modesOf("ivfadc_refined_codes@") === Seq("cold"),
+        s"composed codes must re-found in lockstep: " +
+          s"${Staged.buildLogSnapshot}")
+      assert(codes().keys.map(_._1).toSet ===
+        ((0 until 30) ++ (200 until 230) ++ (1030 until 1040))
+          .map(_.toLong).toSet,
+        "re-founded codes must cover the whole grown corpus")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("cid-partitioned layout stage: delta segments land in their cid partitions on disk, parity with cold, survivor queries stay exact (r19, r18 verdict #3)") {
+    import spark.implicits._
+    import operators.{IvfConfig, SimilarityQueries}
+    val dir = freshDir()
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat / 6f)
+    def writeEmb(ids: Range, append: Boolean): Unit =
+      ids.map(i => (i.toLong, vec(i), i % 5))
+        .toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    writeEmb(0 until 40, append = false)
+    val cfg = IvfConfig(centroidEvery = 10, centroidKey = 7,
+      frozen = true, driftFractionMax = 1.0)
+    def layout(): Set[(Long, Long)] =
+      SimilarityQueries.q8ByCid(spark, dir, cfg).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def layoutModes: Seq[String] = Staged.buildLogSnapshot.collect {
+      case (s, m) if s.startsWith("q8_by_cid@10:7:2+frz") => m
+    }
+    Staged.evict(spark)
+    val root = Files.createTempDirectory("inc_layout").toString
+    Staged.enablePersist(root)
+    try {
+      val base = layout()
+      assert(base.map(_._2) === (0 until 40).map(_.toLong).toSet,
+        "the layout covers every corpus vector once (rn=1 homes)")
+      // on disk: the staged segment is PHYSICALLY partitioned by cid
+      def cidDirs(): Set[String] = {
+        val s = Files.walk(Paths.get(root))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(p => java.nio.file.Files.isDirectory(p) &&
+              p.getFileName.toString.startsWith("cid="))
+            .map(_.getFileName.toString).toSet
+        } finally s.close()
+      }
+      val foundingDirs = cidDirs()
+      assert(foundingDirs === Set("cid=7", "cid=17", "cid=27", "cid=37"),
+        s"cold segment must lay out one dir per cell: $foundingDirs")
+      // a crawl drop delta-assigns and its SEGMENT is itself
+      // partitioned — the drop's rows land in their cid partitions
+      writeEmb(40 until 55, append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val grown = layout()
+      assert(layoutModes === Seq("delta"),
+        s"the layout must delta-build the drop: ${Staged.buildLogSnapshot}")
+      assert(base.subsetOf(grown),
+        "an append must never move an existing layout row")
+      assert((grown -- base).map(_._2) ===
+        (40 until 55).map(_.toLong).toSet)
+      // parity: the delta-built layout equals the frozen cell table's
+      // rn=1 rows (the layout IS cells ⋈ q8 — a cold control in a fresh
+      // root would RE-FOUND the rule over the grown corpus and include
+      // id 47, which is exactly the founding-geometry drift the frozen
+      // config exists to prevent)
+      val expected = SimilarityQueries.ivfCells(spark, dir, cfg)
+        .filter($"rn" === 1).select($"cid", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(grown === expected,
+        "delta-built layout must equal the frozen cells' rn=1 rows")
+      // and the layout-served range query stays bit-equal to brute
+      Staged.reset(spark)
+      val floor = org.apache.spark.sql.functions.lit(500L)
+      val brute = SimilarityQueries.rangeCosineWith(spark, dir, floor)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val cells = SimilarityQueries
+        .rangeCosineCellsWith(spark, dir, cfg, floor)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(cells === brute,
+        s"layout-served range query must stay bit-equal to brute " +
+          s"(${cells.size} vs ${brute.size})")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
+  test("Ed-Join staged artifacts: grams/freq/prefix delta-build a drop; the FROZEN founding order keeps exact results while candidates may grow (r19, r18 verdict #4)") {
+    import spark.implicits._
+    import operators.DedupQueries
+    val dir = freshDir()
+    // near-dup fixture: base docs with one engineered near-pair
+    // (ed = 1); the drop adds a new doc that is a near-dup of a BASE
+    // doc and introduces grams the founding order has never seen.
+    def writeDocs(rows: Seq[(Long, String)], append: Boolean): Unit =
+      rows.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/documents.parquet")
+    val baseDocs = (0 until 20).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta $i padding tail")) ++
+      Seq((100L, "the quick brown fox jumps over the lazy dog tonight"),
+        (101L, "the quick brown fox jumps over the lazy dog tonighX"))
+    writeDocs(baseDocs, append = false)
+    def pairsFrozen(): Set[(Long, Long, Int)] =
+      DedupQueries.editDistVerify(spark, dir,
+        DedupQueries.prefixCandidatesOf(spark, dir,
+          DedupQueries.editPrefixFrozen(spark, dir)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+    def pairsBand(): Set[(Long, Long, Int)] =
+      DedupQueries.editDistPairs.fn(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+    Staged.evict(spark)
+    Staged.enablePersist(Files.createTempDirectory("inc_edjoin").toString)
+    try {
+      // found the whole artifact chain (grams + freq feed the
+      // current-order path; order + prefix the frozen one)
+      DedupQueries.editGrams(spark, dir).count()
+      DedupQueries.editGramFreq(spark, dir).count()
+      val basePairs = pairsFrozen()
+      assert(basePairs === pairsBand(),
+        "frozen-order prefix pairs must equal the band variant's")
+      assert(basePairs.exists(p => p._1 == 100L && p._2 == 101L),
+        "the engineered near-pair must be found")
+      // the drop: 102 is ed=1 from base doc 100 and carries an UNSEEN
+      // word ("zzunseen") — its grams are absent from the founding
+      // order and must rank rarest (tf 0) without losing the pair
+      writeDocs(Seq(
+        (102L, "the quick brown fox jumps over the lazy dog tonigzz")),
+        append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      // drive the full artifact chain: gram/freq stages delta-build the
+      // drop (the prefix's FROZEN path shingles delta docs inline, so
+      // they are driven explicitly here)
+      DedupQueries.editGrams(spark, dir).count()
+      DedupQueries.editGramFreq(spark, dir).count()
+      val grownPairs = pairsFrozen()
+      def modesOf(prefix: String): Seq[String] =
+        Staged.buildLogSnapshot.collect {
+          case (s, m) if s.startsWith(prefix) => m
+        }
+      assert(modesOf("edit_grams") === Seq("delta"),
+        s"grams must delta-shingle the drop: ${Staged.buildLogSnapshot}")
+      assert(modesOf("edit_gram_freq") === Seq("delta"),
+        s"gram frequencies must delta-merge: ${Staged.buildLogSnapshot}")
+      assert(modesOf("edit_gram_order+frz") === Seq("delta"),
+        s"the frozen order must keep the founding table: " +
+          s"${Staged.buildLogSnapshot}")
+      assert(modesOf("edit_prefix+frz") === Seq("delta"),
+        s"the frozen-order prefix must delta-build the drop only: " +
+          s"${Staged.buildLogSnapshot}")
+      // exactness under the STALE order: the grown result equals the
+      // band variant recomputed over the grown corpus
+      assert(grownPairs === pairsBand(),
+        "stale-order prefix pairs must equal the band variant on the " +
+          "grown corpus")
+      assert(grownPairs.contains((100L, 102L,
+        grownPairs.find(p => p._1 == 100L && p._2 == 102L).map(_._3)
+          .getOrElse(-1))),
+        s"the drop's near-pair against a BASE doc must be found: " +
+          s"$grownPairs")
+      // the CURRENT-corpus order (the oracle path) rebuilds instead —
+      // the two stagings answer identically here, by the theorem
+      Staged.reset(spark)
+      val currentOrder = DedupQueries.editDistPrefix.fn(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      assert(currentOrder === grownPairs,
+        "current-order and frozen-order prefixes must answer identically")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
   test("frozen quantizer drift accumulates: a rule id discarded by an EARLIER drop still counts as drift (r16 self-review)") {
     import spark.implicits._
     import operators.{IvfConfig, SimilarityQueries}

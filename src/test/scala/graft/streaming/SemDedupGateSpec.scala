@@ -713,6 +713,119 @@ class SemDedupGateSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedupGateCodedTrained: streamed codes byte-equal the batch pq_refined_codes rows; cbDigest is the staged key's frz VALUE digest (r19)") {
+    import graft.operators.PqConfig
+    val dir = freshCorpus()
+    Staged.reset(spark)
+    val pqCfg = PqConfig(cwEvery = 10, cwKey = 7, frozen = true)
+    val (tcents, tdig) =
+      CurationStream.frozenTrainedCentroidLits(spark, dir, cfg)
+    val (tcws, cbDig) =
+      CurationStream.frozenPqRefinedCodewordLits(spark, dir, pqCfg)
+    assert(tcws.length === 4 * 8, "4 trained codewords × 8 subspaces")
+    // the batch index rows the stream must reproduce — the TRAINED
+    // codes table (frozen mode: encode against the frozen trained
+    // codebook), plus the trained home cells
+    val batch = SimilarityQueries.pqRefinedCodes(spark, dir, pqCfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val homes = SimilarityQueries.refinedCells(spark, dir, cfg)
+      .filter($"rn" === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    withRocksDb {
+      val input = MemoryStream[CurationStream.VecIn]
+      val q = CurationStream.semDedupGateCodedTrained(input.toDS(),
+        tcents, tdig, tcws, cbDig)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sg_tcoded").start()
+      val coded =
+        try {
+          input.addData(all.zipWithIndex.map { case ((id, e), i) =>
+            CurationStream.VecIn(id, e,
+              ts(f"2024-05-01 10:00:${i % 60}%02d"))
+          }.toSeq: _*)
+          q.processAllAvailable()
+          spark.table("sg_tcoded")
+            .as[CurationStream.VecVerdictCoded].collect()
+        } finally q.stop()
+      assert(coded.length === all.length)
+      for (v <- coded) {
+        assert(v.cid === homes(v.vecId),
+          s"vec ${v.vecId}: streamed trained cell ${v.cid} != batch " +
+            s"${homes(v.vecId)}")
+        assert(v.codes.length === 8, s"vec ${v.vecId}: 8 subspace codes")
+        for (s <- 0 until 8)
+          assert(v.codes(s) === batch((v.vecId, s * 8 + 1L)),
+            s"vec ${v.vecId} subspace $s: streamed ${v.codes(s)} != " +
+              s"batch ${batch((v.vecId, s * 8 + 1L))}")
+      }
+      // rrv: golden-recomputed against the codebook literals — the
+      // residual ceiling consistent with TRAINED codes (the verdict
+      // scaladoc's contract)
+      val bySub = tcws.groupBy(_.sub)
+      for ((id, e) <- all) {
+        val q8 = e.map(x =>
+          math.max(-127.0, math.min(127.0, math.floor(x * 64.0))).toLong)
+        val exp = (0 until 8).map { s =>
+          bySub(s).map { cw =>
+            (0 until 8).map { j =>
+              val d = q8(s * 8 + j) - cw.cs(j).toLong
+              d * d
+            }.sum
+          }.min
+        }.sum
+        val got = coded.find(_.vecId == id).get.rrv
+        assert(got === exp,
+          s"vec $id: streamed trained rrv $got != golden $exp")
+      }
+      // decisions equal the plain trained gate's on the same replay —
+      // trained codes are a pure add-on
+      val input2 = MemoryStream[CurationStream.VecIn]
+      val q2 = CurationStream.semDedupGateTrained(input2.toDS(), tcents,
+        tdig)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sg_tplain").start()
+      val plain =
+        try {
+          input2.addData(all.zipWithIndex.map { case ((id, e), i) =>
+            CurationStream.VecIn(id, e,
+              ts(f"2024-05-01 10:00:${i % 60}%02d"))
+          }.toSeq: _*)
+          q2.processAllAvailable()
+          spark.table("sg_tplain").as[CurationStream.VecVerdict].collect()
+            .map(v => v.vecId -> (v.cid, v.kept, v.dupOf)).toMap
+        } finally q2.stop()
+      assert(coded.map(v => v.vecId -> (v.cid, v.kept, v.dupOf)).toMap
+        === plain,
+        "the trained coded gate must decide exactly like the plain " +
+          "trained one")
+      // cbDigest: the VALUE digest (pqValueDigestOf) — pinned against
+      // the persisted trained-codes stage NAME, so a re-TRAINING (which
+      // moves values under stable cw_ids) provably moves both
+      val digests = coded.map(_.cbDigest).toSet
+      assert(digests === Set(cbDig), s"one codebook, one digest: $digests")
+      val root = java.nio.file.Files.createTempDirectory("sg_tcbd").toString
+      Staged.enablePersist(root)
+      try {
+        Staged.reset(spark)
+        Staged.clearBuildLog()
+        SimilarityQueries.pqRefinedCodes(spark, dir, pqCfg).count()
+        val key = Staged.buildLogSnapshot.collect {
+          case (s, _) if s.startsWith("pq_refined_codes@") => s
+        }.head
+        assert(key.endsWith("+frz" + cbDig),
+          s"verdict cbDigest must be the staged trained-codes key's frz " +
+            s"component: $key vs $cbDig")
+      } finally {
+        Staged.disablePersist()
+        Staged.reset(spark)
+      }
+    }
+  }
+
   test("semantic gate: cell registry survives a checkpointed restart") {
     // a paraphrase re-crawl arriving AFTER a restart must still dot
     // against the keeper registered BEFORE it — RocksDB state restore
