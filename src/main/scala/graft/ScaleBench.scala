@@ -187,7 +187,8 @@ object ScaleBench {
     Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivf_tuned",
       "ann_topk_ivf_int8", "ann_topk_ivf_capped", "ann_topk_ivf_refined",
       "ann_topk_pq_rerank", "ann_topk_ivfpq_rerank", "ann_topk_ivfadc",
-      "ann_topk_pq_refined", "ann_topk_ivfadc_refined")
+      "ann_topk_pq_refined", "ann_topk_ivfadc_refined",
+      "ann_topk_ivfpq_rerank_refined")
 
   /** Mean recall@5 of each approximate ANN variant against the brute-force
     * gold standard ON `dir` — at scale the quality knobs (nlist, nprobe,
@@ -414,7 +415,19 @@ object ScaleBench {
       require(SparkEntry.queries("ann_range_cosine_cells_refined")(spark, d)
         .count() == brute,
         s"refined range cell bound broke exactness on $dl")
-      println(f"""RANGE_ROW {"dir":"$dl","surviving_cells":$live,"total_cells":${10 * nlist},"survivor_fraction":${live.toDouble / (10 * nlist)}%.3f,"refined_surviving_cells":$liveRefined,"refined_survivor_fraction":${liveRefined.toDouble / (10 * nlist)}%.3f,"pq_survivors":$pqSurv,"pq_candidates":${10 * (corpusN - 1)},"pq_survivor_fraction":${pqSurv.toDouble / (10 * (corpusN - 1))}%.3f,"matches":$brute}""")
+      // the TRAINED bytes rung (r19): the per-subspace-Lloyd codebook's
+      // residual ceiling — training shrinks rrv, the exact quantity the
+      // refusal tests, so the trained survivor fraction is the measured
+      // payoff of pq_refine for the range family. Exactness REQUIRED.
+      val pqRefSurv = operators.SimilarityQueries
+        .rangePqSurvivorsRefined(spark, d).count()
+      require(SparkEntry.queries("ann_range_cosine_pq_refined")(spark, d)
+        .count() == brute,
+        s"trained range residual ceiling broke exactness on $dl")
+      require(SparkEntry.queries("ann_range_cosine_ivfpq_refined")(spark, d)
+        .count() == brute,
+        s"fully-trained composed range shape broke exactness on $dl")
+      println(f"""RANGE_ROW {"dir":"$dl","surviving_cells":$live,"total_cells":${10 * nlist},"survivor_fraction":${live.toDouble / (10 * nlist)}%.3f,"refined_surviving_cells":$liveRefined,"refined_survivor_fraction":${liveRefined.toDouble / (10 * nlist)}%.3f,"pq_survivors":$pqSurv,"pq_candidates":${10 * (corpusN - 1)},"pq_survivor_fraction":${pqSurv.toDouble / (10 * (corpusN - 1))}%.3f,"pq_refined_survivors":$pqRefSurv,"pq_refined_survivor_fraction":${pqRefSurv.toDouble / (10 * (corpusN - 1))}%.3f,"matches":$brute}""")
     }
     val summary = (results.map { case (dl, fam, _, med, _) =>
       f""""${dl}_$fam":$med%.3f"""

@@ -99,7 +99,16 @@ object StageBench {
     // O(delta) map-only assignment + encode
     "ann_topk_ivfadc_refined_frozen" -> ((s, d) =>
       operators.SimilarityQueries.ivfAdcRefinedTopKWith(s, d, 5,
-        FrozenIvf, FrozenPq)))
+        FrozenIvf, FrozenPq)),
+    // the remaining trained rungs under frozen artifacts (r19): the
+    // deployment rerank shape over trained cells + trained codes, and
+    // the trained bytes range rung over the frozen trained codebook's
+    // residual ceiling (codes + rrv both delta-append per vector)
+    "ann_topk_ivfpq_rerank_refined_frozen" -> ((s, d) =>
+      operators.SimilarityQueries.ivfPqRerankRefinedTopKWith(s, d, 5, 100,
+        FrozenIvf, FrozenPq)),
+    "ann_range_cosine_pq_refined_frozen" -> ((s, d) =>
+      operators.SimilarityQueries.rangeCosinePqRefinedWith(s, d, FrozenPq)))
   private def lookup(q: String)
       : (SparkSession, String) => org.apache.spark.sql.DataFrame =
     Extras.getOrElse(q, SparkEntry.queries(q))
@@ -111,7 +120,9 @@ object StageBench {
       "ann_range_cosine_ivfpq_frozen", "ann_topk_ivf_refined_frozen",
       "ann_range_cosine_cells_refined_frozen",
       "ann_topk_pq_refined_frozen", "dedup_editdist_prefix_frozen",
-      "ann_topk_ivfadc_refined_frozen")
+      "ann_topk_ivfadc_refined_frozen",
+      "ann_topk_ivfpq_rerank_refined_frozen",
+      "ann_range_cosine_pq_refined_frozen")
 
   /** Appended docs are word-disjoint from every existing replica (each
     * token prefixed) with ids offset past every replica stride, so the

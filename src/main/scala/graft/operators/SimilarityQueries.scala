@@ -4081,6 +4081,280 @@ object SimilarityQueries {
     // bit-equal to the brute rung by construction — same oracle.
     rangeCosine.oracle)
 
+  // ── the trained geometry serves EVERY rung (r19): rerank + bytes ──
+  //
+  // r18/early-r19 gave the trained quantizer the top-k, cells-range and
+  // semantic rungs and the trained codebooks the ADC rungs; the rows
+  // below close the matrix — the deployment rerank shape and the exact
+  // range BYTES/composed rungs over trained artifacts, so a deployment
+  // that trains its index loses NO rung of the retrieval stack.
+
+  /** Per-vector squared residual norm vs the TRAINED codebook
+    * (vec_id, rrv) — [[pqResiduals]]' analogue over
+    * [[pqRefinedCodebook]]/[[pqRefinedCodes]]: rrv = Σ subspaces of the
+    * trained encode's winning exact L2, the SOUND ceiling for trained
+    * codes (dot(q,v) ≤ trainedADCdot + √(qq·rrv) by Cauchy–Schwarz on
+    * the trained reconstruction's residual). Training shrinks rrv — the
+    * very slack the refusal tests — so the trained bytes rung refuses
+    * MORE at equal scan cost (ScaleBench RANGE_ROW carries both
+    * fractions). Frozen mode delta-appends under the codebook's VALUE
+    * digest, the pqRefinedCodes discipline. */
+  private[graft] def pqRefinedResiduals(spark: SparkSession, dir: String,
+      cfg: PqConfig = PqConfig.Default,
+      iters: Int = PqLloydIters): DataFrame = {
+    def residOf(rows: DataFrame, cb: DataFrame): DataFrame =
+      pqAssignFull(pqSlices(rows), cb)
+        .groupBy(col("vec_id"))
+        .agg(expr("CAST(sum(dist) AS BIGINT)").as("rrv"))
+    if (!cfg.frozen)
+      Staged(spark, dir, pqLloydKey("pq_refined_resid", cfg, iters)) {
+        residOf(quantized(spark, dir),
+          pqRefinedCodebook(spark, dir, cfg, iters))
+      }
+    else {
+      val cb = pqRefinedCodebook(spark, dir, cfg, iters)
+      val key = pqLloydKey("pq_refined_resid", cfg, iters) +
+        s"+frz${pqRefinedDigest(spark, dir, cfg, iters)}"
+      Staged.appendable(spark, dir, key, "embeddings", "vec_id")(
+        raw => residOf(quantTransform(normTransform(raw)), cb)) {
+        residOf(quantized(spark, dir), cb)
+      }
+    }
+  }
+
+  /** `pq_resid_refined` — the trained residual-norm table's own
+    * correctness row (the audit discipline: an UNDER-stated rrv would
+    * silently break the trained bytes rung's exactness). */
+  val pqRefinedResidAudit = QueryDef(
+    "pq_resid_refined",
+    (spark, dir) => pqRefinedResiduals(spark, dir),
+    Some(s"""${pqVsHead}${pqLloydChain(PqLloydIters, "vs",
+        "vec_id % 50 = 11", "pc").stripSuffix(",")}
+      SELECT vec_id, CAST(sum(b) AS BIGINT) AS rrv FROM (
+        SELECT v.vec_id, v.off,
+               min(list_dot_product(v.s, v.s) + list_dot_product(c.cs, c.cs)
+                   - 2 * list_dot_product(v.s, c.cs)) AS b
+        FROM vs v JOIN pc$PqLloydIters c ON c.off = v.off
+        GROUP BY 1, 2)
+      GROUP BY 1
+    """))
+
+  /** The trained bytes-rung prefilter — [[rangePqSurvivors]] over the
+    * TRAINED codebook/codes/residuals: keep iff adc ≥ f, or
+    * (f − adc)² ≤ qq·rrv, every term exact integer. Same soundness
+    * construction, tighter ceiling (trained rrv ≤ rule rrv in
+    * aggregate — the SSE the per-subspace Lloyd descends). */
+  private[graft] def rangePqSurvivorsRefined(spark: SparkSession,
+      dir: String, cfg: PqConfig = PqConfig.Default,
+      iters: Int = PqLloydIters,
+      floorOf: Column = lit(RangeDotFloor),
+      restrictTo: Option[DataFrame] = None): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val q8 = quantized(spark, dir)
+    val cb = pqRefinedCodebook(spark, dir, cfg, iters)
+    // EXACTNESS GUARD (the rule rung's contract): an empty trained
+    // codebook over a non-empty corpus cannot cover it — refuse loudly.
+    if (cb.isEmpty && !q8.isEmpty)
+      throw new IllegalArgumentException(
+        "trained PQ range prefilter needs >= 1 codeword over a " +
+          "non-empty corpus — use ann_range_cosine or fix the seed rule")
+    // trained ADC distance table: queries × codewords × 8 — broadcast:
+    // BOUNDED BY CONFIG (the pqTopKWith classification).
+    val qtab = pqSlices(q8.filter(col("vec_id") < 10))
+      .withColumnRenamed("vec_id", "query_id")
+      .join(cb, Seq("off"))
+      .withColumn("d", expr("vec_dot(s, cs)"))
+      .select(col("query_id"), col("off"), col("cw_id").as("code"),
+        col("d"))
+    val scored = pqRefinedCodes(spark, dir, cfg, iters)
+      .join(broadcast(qtab), Seq("off", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+    restrictTo.fold(scored)(cand =>
+        scored.join(cand.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_semi"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(expr("CAST(sum(d) AS BIGINT)").as("adc"))
+      .join(pqRefinedResiduals(spark, dir, cfg, iters), "vec_id")
+      // broadcast: BOUNDED — fixed 10-row literal query set.
+      .join(broadcast(q8.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          expr("CAST(vec_dot(q8, q8) AS BIGINT)").as("qq"))
+        .withColumn("f", floorOf)), "query_id")
+      .filter(col("adc") >= col("f") ||
+        (col("f") - col("adc")) * (col("f") - col("adc")) <=
+          col("qq") * col("rrv"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+  }
+
+  private[graft] def rangeCosinePqRefinedWith(spark: SparkSession,
+      dir: String, cfg: PqConfig = PqConfig.Default,
+      iters: Int = PqLloydIters,
+      floorOf: Column = lit(RangeDotFloor)): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val q8 = quantized(spark, dir)
+    // broadcast: BOUNDED — fixed 10-row literal query set.
+    val qmeta = broadcast(q8.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q8").as("qv"))
+      .withColumn("f", floorOf))
+    rangePqSurvivorsRefined(spark, dir, cfg, iters, floorOf)
+      .join(q8.select(col("vec_id").as("neighbor_id"),
+        col("q8").as("nv")), "neighbor_id")
+      .join(qmeta, "query_id")
+      .withColumn("dot", expr("CAST(vec_dot(qv, nv) AS BIGINT)"))
+      .filter(col("dot") >= col("f"))
+      .select(col("query_id"), col("neighbor_id"), col("dot"))
+  }
+
+  /** `ann_range_cosine_pq_refined` — the exact range BYTES rung over
+    * the TRAINED codebook. Bit-equal to brute by construction (same
+    * oracle); the trained ceiling's extra refusals are measured in
+    * ScaleBench's RANGE_ROW, never assumed. */
+  val rangeCosinePqRefined = QueryDef(
+    "ann_range_cosine_pq_refined",
+    (spark, dir) => rangeCosinePqRefinedWith(spark, dir),
+    rangeCosine.oracle)
+
+  /** The FULLY-TRAINED composed exact range shape — trained cells
+    * refuse rows, the trained residual ceiling refuses bytes over only
+    * the surviving members, exact rescore last. Both prunes are the
+    * trained geometry's (each one measured tighter than its rule
+    * sibling), soundness identical. */
+  private[graft] def rangeCosineComposedRefinedWith(spark: SparkSession,
+      dir: String, ivfCfg: IvfConfig = IvfConfig.Default,
+      pqCfg: PqConfig = PqConfig.Default, iters: Int = LloydIters,
+      pqIters: Int = PqLloydIters,
+      floorOf: Column = lit(RangeDotFloor)): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val q8 = quantized(spark, dir)
+    val cellCand = refinedCells(spark, dir, ivfCfg, iters)
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+      // broadcast: BOUNDED — 10 queries × nlist surviving cells.
+      .join(broadcast(
+        rangeLiveCellsRefined(spark, dir, ivfCfg, iters, floorOf)), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val qmeta = broadcast(q8.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q8").as("qv"))
+      .withColumn("f", floorOf))
+    rangePqSurvivorsRefined(spark, dir, pqCfg, pqIters, floorOf,
+      Some(cellCand))
+      .join(q8.select(col("vec_id").as("neighbor_id"),
+        col("q8").as("nv")), "neighbor_id")
+      .join(qmeta, "query_id")
+      .withColumn("dot", expr("CAST(vec_dot(qv, nv) AS BIGINT)"))
+      .filter(col("dot") >= col("f"))
+      .select(col("query_id"), col("neighbor_id"), col("dot"))
+  }
+
+  val rangeCosineComposedRefined = QueryDef(
+    "ann_range_cosine_ivfpq_refined",
+    (spark, dir) => rangeCosineComposedRefinedWith(spark, dir),
+    // bit-equal to the brute rung by construction — same oracle.
+    rangeCosine.oracle)
+
+  /** The FULLY-TRAINED deployment retrieval shape — IVF × PQ × rerank
+    * over trained cells and trained codes (the [[ivfPqRerankTopKWith]]
+    * layout: ids-only cell join cuts ROWS, trained codes cut BYTES,
+    * the exact int8 rescore reads only the ADC top-`pre` survivors).
+    * On clustered data the rerank rung already saturates at 1.000 with
+    * rule artifacts — what training buys here is a FINER prefilter at
+    * the same 8 bytes (fewer true neighbors lost before the rescore at
+    * small `pre`), measured not assumed. */
+  private[graft] def ivfPqRerankRefinedTopKWith(spark: SparkSession,
+      dir: String, k: Int, pre: Int,
+      ivfCfg: IvfConfig = IvfConfig.Default,
+      pqCfg: PqConfig = PqConfig.Default, iters: Int = LloydIters,
+      pqIters: Int = PqLloydIters): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val cells = refinedCells(spark, dir, ivfCfg, iters)
+    val q8 = quantized(spark, dir)
+    val cb = pqRefinedCodebook(spark, dir, pqCfg, pqIters)
+    val codes = pqRefinedCodes(spark, dir, pqCfg, pqIters)
+    val qcells = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val members = cells.filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cid").as("ccid"))
+    val cand = qcells.join(members, col("cid") === col("ccid") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    // trained ADC distance table — queries × codewords × 8, broadcast:
+    // BOUNDED BY CONFIG (the pqTopKWith classification).
+    val qtab = pqSlices(q8.filter(col("vec_id") < 10))
+      .withColumnRenamed("vec_id", "query_id")
+      .join(cb, Seq("off"))
+      .withColumn("d", expr("vec_dot(s, cs)"))
+      .select(col("query_id"), col("off"), col("cw_id").as("code"),
+        col("d"))
+    val adcTop = rankTopK(
+      cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+          "neighbor_id")
+        .join(broadcast(qtab), Seq("query_id", "off", "code"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(sum(col("d")).as("score")),
+      "score", pre)
+      .select(col("query_id"), col("neighbor_id"))
+    rankTopK(adcTop
+      // broadcast: BOUNDED — fixed 10-row literal query set.
+      .join(broadcast(q8.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q8").as("qv"))),
+        "query_id")
+      .join(q8.select(col("vec_id").as("neighbor_id"), col("q8").as("cv")),
+        "neighbor_id")
+      .withColumn("dot", expr("vec_dot(qv, cv)")), "dot", k)
+  }
+
+  val ivfPqRerankRefinedTopK = QueryDef(
+    "ann_topk_ivfpq_rerank_refined",
+    (spark, dir) => ivfPqRerankRefinedTopKWith(spark, dir, 5, 100),
+    Some(s"""${lloydCte(LloydIters)},
+      offs AS (SELECT unnest(range(8)) * 8 + 1 AS off),
+      vs AS (SELECT vec_id, off, qv[off:off+7] AS s FROM q8, offs),
+      ranked AS (SELECT vec_id, cid, rn FROM (
+          SELECT q.vec_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_dot_product(c.cv, c.cv)
+                     - 2 * list_dot_product(q.qv, c.cv) ASC, c.cid ASC) AS rn
+          FROM q8 q, c$LloydIters c) WHERE rn <= 2),
+      cand AS (SELECT DISTINCT qa.vec_id AS query_id, ca.vec_id AS neighbor_id
+               FROM ranked qa JOIN ranked ca
+                 ON qa.cid = ca.cid AND qa.vec_id <> ca.vec_id
+               WHERE qa.vec_id < 10 AND ca.rn = 1),
+      ${pqLloydChain(PqLloydIters, "vs", "vec_id % 50 = 11", "pc")
+        .stripPrefix("\n")}
+      enc AS (SELECT vec_id, off, cw_id AS code FROM (
+          SELECT v.vec_id, v.off, c.cw_id, row_number() OVER (
+            PARTITION BY v.vec_id, v.off
+            ORDER BY list_dot_product(c.cs, c.cs)
+                     - 2 * list_dot_product(v.s, c.cs) ASC, c.cw_id ASC) AS rn
+          FROM vs v JOIN pc$PqLloydIters c ON c.off = v.off) WHERE rn = 1),
+      qtab AS (SELECT q.vec_id AS query_id, c.off, c.cw_id AS code,
+                 list_dot_product(q.s, c.cs) AS d
+               FROM vs q JOIN pc$PqLloydIters c ON c.off = q.off
+               WHERE q.vec_id < 10),
+      adctop AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id ASC) AS adc_rank
+          FROM (
+            SELECT cand.query_id, e.vec_id AS neighbor_id, sum(t.d) AS score
+            FROM cand
+            JOIN enc e ON e.vec_id = cand.neighbor_id
+            JOIN qtab t ON t.query_id = cand.query_id
+              AND t.off = e.off AND t.code = e.code
+            GROUP BY 1, 2))
+        WHERE adc_rank <= 100)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT a.query_id, a.neighbor_id,
+               row_number() OVER (PARTITION BY a.query_id
+                 ORDER BY list_dot_product(q.qv, n.qv) DESC,
+                          a.neighbor_id ASC) AS rank
+        FROM adctop a
+        JOIN q8 q ON q.vec_id = a.query_id
+        JOIN q8 n ON n.vec_id = a.neighbor_id)
+      WHERE rank <= 5
+    """))
+
   /** `ann_range_cosine_pq` — the BYTES rung of exact range search:
     * prefilter on the PQ codes scan with a SOUND per-vector ceiling,
     * then exact-int8-rescore only the survivors. Soundness: subspaces
@@ -4299,5 +4573,7 @@ object SimilarityQueries {
       rangeCosineComposed, ivfCellBoundsAudit, ivfRefine, ivfRefinedTopK,
       refinedCellBoundsAudit, rangeCosineCellsRefined, semanticDedupRefined,
       ivfAdcTopK, rangeCosinePqPerQuery, rangeCosineComposedPerQuery,
-      pqRefine, pqRefinedTopK, pqResidRefine, ivfAdcRefinedTopK)
+      pqRefine, pqRefinedTopK, pqResidRefine, ivfAdcRefinedTopK,
+      pqRefinedResidAudit, rangeCosinePqRefined, rangeCosineComposedRefined,
+      ivfPqRerankRefinedTopK)
 }

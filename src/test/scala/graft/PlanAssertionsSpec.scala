@@ -573,7 +573,9 @@ class PlanAssertionsSpec extends AnyFunSuite {
 
   test("ann_topk_pq_refined / ann_topk_ivfadc_refined: trained rungs keep the ADC plan shape — broadcast distance tables, aggregate encode, no product (r19)") {
     operators.Staged.reset(spark)
-    for (q <- Seq("ann_topk_pq_refined", "ann_topk_ivfadc_refined")) {
+    for (q <- Seq("ann_topk_pq_refined", "ann_topk_ivfadc_refined",
+        "ann_topk_ivfpq_rerank_refined", "ann_range_cosine_pq_refined",
+        "ann_range_cosine_ivfpq_refined")) {
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"),
         s"$q: the ADC distance table must broadcast against the codes " +

@@ -575,6 +575,16 @@ class ScaleSpec extends AnyFunSuite {
     assert(ivfadcRefined >= ivfadc - 1e-9,
       f"fully-trained IVFADC must not read worse than the rule IVFADC " +
         f"on clustered data: $ivfadcRefined%.3f vs $ivfadc%.3f")
+    // r19: the fully-trained deployment rerank shape — trained cells +
+    // trained codes + exact rescore — must keep every cluster-mate
+    // through both pruning rungs, like its rule sibling.
+    val rerankRefined =
+      ScaleBench.meanRecall(goldInt8, tops("ann_topk_ivfpq_rerank_refined"))
+    info(f"clustered recall@5 (r19): ivfpq_rerank_refined=" +
+      f"$rerankRefined%.3f")
+    assert(rerankRefined >= 0.99,
+      f"the fully-trained rerank shape must keep every cluster-mate: " +
+        f"$rerankRefined%.3f")
     operators.Staged.reset(spark)
   }
 
@@ -805,6 +815,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows("ann_range_cosine_cells_refined") === brute,
       "refined-quantizer range search must equal brute exactly")
 
+    // the TRAINED bytes + composed rungs (r19): the per-subspace-Lloyd
+    // codebook's residual ceiling must prune at least as hard here
+    // (trained reconstructions are jitter-close or closer), and — the
+    // actual contract — every trained rung equals brute bit-for-bit.
+    val pqRefSurv =
+      SimilarityQueries.rangePqSurvivorsRefined(spark, dir).count()
+    assert(pqRefSurv === 990L,
+      s"the TRAINED residual ceiling must keep exactly cluster A's " +
+        s"pairs: $pqRefSurv")
+    assert(rows("ann_range_cosine_pq_refined") === brute,
+      "trained-codebook PQ range search must equal brute exactly")
+    assert(rows("ann_range_cosine_ivfpq_refined") === brute,
+      "the fully-trained composed range shape must equal brute exactly")
+
     // The honest other half, same discipline as every recall row: on
     // data WITHOUT tight structure the bound cannot prune (rr ≈ 2·qq),
     // and the plan degenerates gracefully to brute + an O(nlist)
@@ -833,6 +857,10 @@ class ScaleSpec extends AnyFunSuite {
       "composed-shape equality must hold on the uniform corpus too")
     assert(sfRows("ann_range_cosine_cells_refined") === sfBrute,
       "refined-rung equality must hold on the uniform corpus too")
+    assert(sfRows("ann_range_cosine_pq_refined") === sfBrute,
+      "trained-PQ-rung equality must hold on the uniform corpus too")
+    assert(sfRows("ann_range_cosine_ivfpq_refined") === sfBrute,
+      "fully-trained composed equality must hold on the uniform corpus too")
     operators.Staged.reset(spark)
   }
 
