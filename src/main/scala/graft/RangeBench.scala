@@ -120,16 +120,22 @@ object RangeBench {
     // CONTROL: the historical unpartitioned in-place plan — cell table
     // join + per-id vector fetch over the unpartitioned q8 stage. Same
     // exactness contract, REQUIRED-equal result; its cost is the
-    // corpus-wide shuffle the layout exists to remove.
-    val liveCells = operators.SimilarityQueries
-      .rangeLiveCells(spark, dir, cfg, floor).localCheckpoint(true)
-    val liveCids = liveCells.select(col("cid")).distinct().count()
+    // corpus-wide shuffle the layout exists to remove. SYMMETRY (r19
+    // review): the control derives its surviving-cell set INSIDE the
+    // timed region, exactly like the registered layout query above —
+    // a precomputed-checkpoint control would be excused from work the
+    // layout row pays, and the two speedups would measure different
+    // things.
+    val liveCids = operators.SimilarityQueries
+      .rangeLiveCells(spark, dir, cfg, floor)
+      .select(col("cid")).distinct().count()
     def inplace() = {
       val q8 = operators.SimilarityQueries.quantized(spark, dir)
       operators.SimilarityQueries.ivfCells(spark, dir, cfg)
         .filter(col("rn") === 1)
         .select(col("vec_id").as("neighbor_id"), col("cid"))
-        .join(broadcast(liveCells), "cid")
+        .join(broadcast(operators.SimilarityQueries
+          .rangeLiveCells(spark, dir, cfg, floor)), "cid")
         .filter(col("neighbor_id") =!= col("query_id"))
         .join(q8.select(col("vec_id").as("neighbor_id"),
           col("q8").as("nv")), "neighbor_id")

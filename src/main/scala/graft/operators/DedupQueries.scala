@@ -1010,8 +1010,12 @@ object DedupQueries {
     * pair cannot desynchronize. */
   private[graft] def editFrozenOrder(spark: SparkSession,
       dir: String): DataFrame =
-    Staged.rebuildable(spark, dir, "edit_gram_order+frz", "documents",
-      "doc_id")((prior, _) => prior) {
+    // keepOnAppend, not a `(prior, _) => prior` rebuildable: the value
+    // is frozen, so an append must reuse the founding segments IN PLACE
+    // (metadata only) rather than re-write the O(vocab) table per drop
+    // (r19 review).
+    Staged.keepOnAppend(spark, dir, "edit_gram_order+frz", "documents",
+      "doc_id") {
       editGrams(spark, dir).groupBy(col("tok")).agg(count(lit(1)).as("tf"))
     }
 

@@ -1413,16 +1413,23 @@ object SimilarityQueries {
     * ADVICE: digesting a fresh `.select()` wrapper keyed the WeakHashMap
     * on a throwaway frame, so every query construction re-collected the
     * table AND pinned a duplicate Materialized copy). */
-  private def refinedValueDigest(cents: DataFrame): String = {
-    val hit = digestMemo.get(cents)
+  /** The ONE memo-then-compute shell behind every value digest (r19
+    * review: three copies of the WeakHashMap check/put drifted in). */
+  private def memoizedDigest(tbl: DataFrame)(compute: => String): String = {
+    val hit = digestMemo.get(tbl)
     if (hit != null) hit
     else {
-      val d = valueDigestOf(cents.select(col("cid"), col("c8")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).map(_.toLong))).toSeq)
-      digestMemo.put(cents, d)
+      val d = compute
+      digestMemo.put(tbl, d)
       d
     }
   }
+
+  private def refinedValueDigest(cents: DataFrame): String =
+    memoizedDigest(cents) {
+      valueDigestOf(cents.select(col("cid"), col("c8")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).map(_.toLong))).toSeq)
+    }
 
   /** The ONE (cid, components) value digest — shared by the trained
     * family's stage keys and the streaming trained gate's state-key
@@ -2699,6 +2706,18 @@ object SimilarityQueries {
       .select(col("vec_id"), col("off"), col("s"))
   }
 
+  /** The trained ADC query distance table (query_id, off, code, d) —
+    * queries × codewords × 8, the ONE definition every trained rung
+    * broadcasts (r19 review: four inline copies could drift the
+    * query-set rule or the distance expression apart). */
+  private def trainedAdcTable(q8: DataFrame, cb: DataFrame): DataFrame =
+    pqSlices(q8.filter(col("vec_id") < 10))
+      .withColumnRenamed("vec_id", "query_id")
+      .join(cb, Seq("off"))
+      .withColumn("d", expr("vec_dot(s, cs)"))
+      .select(col("query_id"), col("off"), col("cw_id").as("code"),
+        col("d"))
+
   /** Seed codebook slices (off, cw_id, cs) — the deterministic rule
     * codewords' own slices, per subspace: the trained family REFINES
     * the rule set (stable ids, moved values), the coarse quantizer's
@@ -2891,20 +2910,20 @@ object SimilarityQueries {
     * discipline: a fresh wrapper frame would miss the WeakHashMap memo
     * every call). Collect is codewords×8 rows — bounded by config under
     * caps. */
-  private def pqRefinedDigest(spark: SparkSession, dir: String,
-      cfg: PqConfig, iters: Int): String = {
-    val tbl = frozenPqRefinedTable(spark, dir, cfg, iters)
-    val hit = digestMemo.get(tbl)
-    if (hit != null) hit
-    else {
-      val d = pqValueDigestOf(
+  /** Value digest of a trained (off, cw_id, cs) codebook table —
+    * memoized on the STAGED instance (the refinedValueDigest
+    * discipline), one definition for the raw and residual families. */
+  private def pqTableDigest(tbl: DataFrame): String =
+    memoizedDigest(tbl) {
+      pqValueDigestOf(
         tbl.select(col("off"), col("cw_id"), col("cs")).collect()
           .map(r => (r.getLong(0), r.getLong(1),
             r.getSeq[Double](2).map(_.toLong))).toSeq)
-      digestMemo.put(tbl, d)
-      d
     }
-  }
+
+  private def pqRefinedDigest(spark: SparkSession, dir: String,
+      cfg: PqConfig, iters: Int): String =
+    pqTableDigest(frozenPqRefinedTable(spark, dir, cfg, iters))
 
   /** The trained codes table (vec_id, off, code). Default mode: the
     * trained codebook derives from the whole current corpus → rebuild
@@ -3009,12 +3028,7 @@ object SimilarityQueries {
     val codes = pqRefinedCodes(spark, dir, cfg, iters)
     // ADC distance table: queries × codewords × 8 — broadcast: BOUNDED
     // BY CONFIG (the pqTopKWith classification).
-    val qtab = pqSlices(quantized(spark, dir).filter(col("vec_id") < 10))
-      .withColumnRenamed("vec_id", "query_id")
-      .join(cb, Seq("off"))
-      .withColumn("d", expr("vec_dot(s, cs)"))
-      .select(col("query_id"), col("off"), col("cw_id").as("code"),
-        col("d"))
+    val qtab = trainedAdcTable(quantized(spark, dir), cb)
     rankTopK(codes
       .join(broadcast(qtab), Seq("off", "code"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -3059,44 +3073,53 @@ object SimilarityQueries {
     * the coarse Lloyd descends (r18 verdict ask #2), so trained homes
     * shrink the very thing the residual codebook must describe.
     * Staged per (ivf config, sweeps). */
+  /** The ONE trained-residual derivation over explicit home assignments
+    * — (vec_id, rv) with rv = q8(v) − c8(home(v)) — shared by the
+    * staged residual table, the frozen residual codebook's delta probe,
+    * and the composed codes' delta encode (r19 review: four inline
+    * copies of this shape could silently drift apart — exactly what the
+    * family's lockstep digests exist to prevent). `homes` must carry
+    * (vec_id, cid); cold paths pass the STAGED assignment table, delta
+    * paths a fresh [[l2Assign]] of only their rows. */
+  private def residualOf(rows: DataFrame, homes: DataFrame,
+      cents: DataFrame): DataFrame =
+    homes.select(col("vec_id"), col("cid"))
+      .join(rows, "vec_id")
+      // broadcast: BOUNDED BY CONFIG — nlist trained-centroid rows.
+      .join(broadcast(cents.withColumnRenamed("c8", "cq")), "cid")
+      .select(col("vec_id"),
+        expr("zip_with(q8, cq, (a, b) -> a - b)").as("rv"))
+
   private[graft] def refinedResiduals(spark: SparkSession, dir: String,
       ivfCfg: IvfConfig = IvfConfig.Default,
-      iters: Int = LloydIters): DataFrame = {
-    def residOf(rows: DataFrame, cents: DataFrame): DataFrame =
-      l2Assign(rows, cents, maxRn = 1)
-        .select(col("vec_id"), col("cid"))
-        .join(rows, "vec_id")
-        // broadcast: BOUNDED BY CONFIG — nlist trained-centroid rows.
-        .join(broadcast(cents.withColumnRenamed("c8", "cq")), "cid")
-        .select(col("vec_id"),
-          expr("zip_with(q8, cq, (a, b) -> a - b)").as("rv"))
+      iters: Int = LloydIters): DataFrame =
     if (!ivfCfg.frozen)
       Staged(spark, dir, lloydKey("ivfadc_refined_res", ivfCfg, iters)) {
-        val q8 = quantized(spark, dir)
-        refinedCells(spark, dir, ivfCfg, iters).filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid"))
-          .join(q8, "vec_id")
-          // broadcast: BOUNDED BY CONFIG — nlist trained-centroid rows.
-          .join(broadcast(refinedCentroids(spark, dir, ivfCfg, iters)
-            .withColumnRenamed("c8", "cq")), "cid")
-          .select(col("vec_id"),
-            expr("zip_with(q8, cq, (a, b) -> a - b)").as("rv"))
+        residualOf(quantized(spark, dir),
+          refinedCells(spark, dir, ivfCfg, iters).filter(col("rn") === 1),
+          refinedCentroids(spark, dir, ivfCfg, iters))
       }
     else {
       // frozen (r19): the residual is a PER-VECTOR transform once the
       // trained centroids are frozen — APPENDABLE, keyed on the trained
       // table's VALUE digest so a coarse re-training moves the residual
       // family in lockstep (r18 verdict ask #2's composed-key claim).
+      // The cold build reads the STAGED frozen cell assignments instead
+      // of re-running the corpus × nlist assignment (r19 review).
       val tbl = frozenRefinedTable(spark, dir, ivfCfg, iters)
       val cents = tbl.select(col("cid"), col("c8"))
       val key = lloydKey("ivfadc_refined_res", ivfCfg, iters) +
         s"+frz${refinedValueDigest(tbl)}"
       Staged.appendable(spark, dir, key, "embeddings", "vec_id")(
-        raw => residOf(quantTransform(normTransform(raw)), cents)) {
-        residOf(quantized(spark, dir), cents)
+        raw => {
+          val q8d = quantTransform(normTransform(raw))
+          residualOf(q8d, l2Assign(q8d, cents, maxRn = 1), cents)
+        }) {
+        residualOf(quantized(spark, dir),
+          refinedCells(spark, dir, ivfCfg, iters).filter(col("rn") === 1),
+          cents)
       }
     }
-  }
 
   private def composedLloydKey(base: String, ivfCfg: IvfConfig,
       iters: Int, pqCfg: PqConfig, pqIters: Int): String =
@@ -3143,13 +3166,8 @@ object SimilarityQueries {
     val tbl = frozenRefinedTable(spark, dir, ivfCfg, iters)
     val cents = tbl.select(col("cid"), col("c8"))
     def residSlices(rows: DataFrame): DataFrame =
-      pqSlices(l2Assign(rows, cents, maxRn = 1)
-        .select(col("vec_id"), col("cid"))
-        .join(rows, "vec_id")
-        // broadcast: BOUNDED BY CONFIG — nlist trained-centroid rows.
-        .join(broadcast(cents.withColumnRenamed("c8", "cq")), "cid")
-        .select(col("vec_id"),
-          expr("zip_with(q8, cq, (a, b) -> a - b)").as("q8")))
+      pqSlices(residualOf(rows, l2Assign(rows, cents, maxRn = 1), cents)
+        .withColumnRenamed("rv", "q8"))
     frozenPqLloydTable(spark, dir,
       composedLloydKey("pq_refined_rescb", ivfCfg, iters, pqCfg,
         pqIters) + s"+c${refinedValueDigest(tbl)}", pqCfg,
@@ -3164,20 +3182,9 @@ object SimilarityQueries {
     * the composed codes' key component. */
   private def pqResidRefinedDigest(spark: SparkSession, dir: String,
       ivfCfg: IvfConfig, pqCfg: PqConfig, iters: Int,
-      pqIters: Int): String = {
-    val tbl = frozenPqResidRefinedTable(spark, dir, ivfCfg, pqCfg, iters,
-      pqIters)
-    val hit = digestMemo.get(tbl)
-    if (hit != null) hit
-    else {
-      val d = pqValueDigestOf(
-        tbl.select(col("off"), col("cw_id"), col("cs")).collect()
-          .map(r => (r.getLong(0), r.getLong(1),
-            r.getSeq[Double](2).map(_.toLong))).toSeq)
-      digestMemo.put(tbl, d)
-      d
-    }
-  }
+      pqIters: Int): String =
+    pqTableDigest(frozenPqResidRefinedTable(spark, dir, ivfCfg, pqCfg,
+      iters, pqIters))
 
   /** The trained residual codebook's own audit row (the `ivf_refine` /
     * `pq_refine` discipline: every trained artifact an operator trusts
@@ -3232,7 +3239,9 @@ object SimilarityQueries {
       // per-vector → APPENDABLE. The key carries BOTH value digests —
       // trained centroids (through the residuals) and the residual
       // codebook — so re-founding either end moves the composed codes
-      // in lockstep (r18 verdict ask #2).
+      // in lockstep (r18 verdict ask #2). The cold build reads the
+      // STAGED frozen residuals instead of re-deriving them from the
+      // whole corpus (r19 review).
       val tbl = frozenRefinedTable(spark, dir, ivfCfg, iters)
       val cents = tbl.select(col("cid"), col("c8"))
       val cb = pqResidRefinedCodebook(spark, dir, ivfCfg, pqCfg, iters,
@@ -3241,19 +3250,15 @@ object SimilarityQueries {
         pqCfg, pqIters) +
         s"+frz${refinedValueDigest(tbl)}-${pqResidRefinedDigest(spark,
           dir, ivfCfg, pqCfg, iters, pqIters)}"
-      def encode(rows: DataFrame): DataFrame =
-        pqAssignFull(
-          pqSlices(l2Assign(rows, cents, maxRn = 1)
-            .select(col("vec_id"), col("cid"))
-            .join(rows, "vec_id")
-            // broadcast: BOUNDED BY CONFIG — nlist centroid rows.
-            .join(broadcast(cents.withColumnRenamed("c8", "cq")), "cid")
-            .select(col("vec_id"),
-              expr("zip_with(q8, cq, (a, b) -> a - b)").as("q8"))), cb)
+      def encode(res: DataFrame): DataFrame =
+        pqAssignFull(pqSlices(res.withColumnRenamed("rv", "q8")), cb)
           .select(col("vec_id"), col("off"), col("code"))
       Staged.appendable(spark, dir, key, "embeddings", "vec_id")(
-        raw => encode(quantTransform(normTransform(raw)))) {
-        encode(quantized(spark, dir))
+        raw => {
+          val q8d = quantTransform(normTransform(raw))
+          encode(residualOf(q8d, l2Assign(q8d, cents, maxRn = 1), cents))
+        }) {
+        encode(refinedResiduals(spark, dir, ivfCfg, iters))
       }
     }
 
@@ -3283,12 +3288,7 @@ object SimilarityQueries {
       .select(col("query_id"), col("neighbor_id")).distinct()
     // ADC table over trained residual codewords — queries × codewords
     // × 8, broadcast: BOUNDED BY CONFIG (the pqTopKWith classification)
-    val qtab = pqSlices(qdocs)
-      .withColumnRenamed("vec_id", "query_id")
-      .join(rcw, Seq("off"))
-      .withColumn("d", expr("vec_dot(s, cs)"))
-      .select(col("query_id"), col("off"), col("cw_id").as("code"),
-        col("d"))
+    val qtab = trainedAdcTable(qdocs, rcw)
     // centroid-dot table — queries × nlist, broadcast: BOUNDED BY CONFIG
     val qcent = qdocs
       .select(col("vec_id").as("query_id"), col("q8").as("qv"))
@@ -4160,12 +4160,7 @@ object SimilarityQueries {
           "non-empty corpus — use ann_range_cosine or fix the seed rule")
     // trained ADC distance table: queries × codewords × 8 — broadcast:
     // BOUNDED BY CONFIG (the pqTopKWith classification).
-    val qtab = pqSlices(q8.filter(col("vec_id") < 10))
-      .withColumnRenamed("vec_id", "query_id")
-      .join(cb, Seq("off"))
-      .withColumn("d", expr("vec_dot(s, cs)"))
-      .select(col("query_id"), col("off"), col("cw_id").as("code"),
-        col("d"))
+    val qtab = trainedAdcTable(q8, cb)
     val scored = pqRefinedCodes(spark, dir, cfg, iters)
       .join(broadcast(qtab), Seq("off", "code"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -4280,12 +4275,7 @@ object SimilarityQueries {
       .select(col("query_id"), col("neighbor_id")).distinct()
     // trained ADC distance table — queries × codewords × 8, broadcast:
     // BOUNDED BY CONFIG (the pqTopKWith classification).
-    val qtab = pqSlices(q8.filter(col("vec_id") < 10))
-      .withColumnRenamed("vec_id", "query_id")
-      .join(cb, Seq("off"))
-      .withColumn("d", expr("vec_dot(s, cs)"))
-      .select(col("query_id"), col("off"), col("cw_id").as("code"),
-        col("d"))
+    val qtab = trainedAdcTable(q8, cb)
     val adcTop = rankTopK(
       cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"),
           "neighbor_id")

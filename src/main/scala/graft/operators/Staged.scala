@@ -868,6 +868,35 @@ object Staged {
         }
       })(fullBuild)
 
+  /** Build-once-keep-forever under appends (r19): a FROZEN stage whose
+    * value is defined by the FOUNDING corpus and kept VERBATIM across
+    * append-only growth — the Ed-Join founding gram order's shape. The
+    * delta resolution reuses the prior manifest's segments IN PLACE
+    * (metadata only — the r19 review found the earlier `rebuildable`
+    * `(prior, _) => prior` encoding re-wrote the whole table per
+    * append; this is the relink semantics Staged already uses when a
+    * source is unchanged, applied to the append case). Any non-append
+    * change still cold-rebuilds under the moved fingerprint, which IS
+    * the stage's re-founding. Logged as `delta` — the mode means "this
+    * drop was absorbed without a cold build", and consumers' mode
+    * assertions stay uniform across staging kinds. */
+  def keepOnAppend(spark: SparkSession, dir: String, stage: String,
+      source: String, sourceKey: String)(
+      fullBuild: => DataFrame): DataFrame =
+    memoized(spark, dir, stage) {
+      persistRoot match {
+        case Some(root) =>
+          persistedManifest(spark, root, dir, stage, source, sourceKey)(
+            (old, _, _, _) => {
+              logBuild(stage, "delta")
+              log.info(s"stage keep: $stage reuses ${old.segments.size} " +
+                "founding segments across the append")
+              old.segments
+            })(fullBuild)
+        case None => fullBuild.localCheckpoint(eager = false)
+      }
+    }
+
   /** Append-aware build-or-reuse for INCREMENTALLY MAINTAINED, FULLY
     * MATERIALIZED stages (r14 verdict ask #5) — stages whose output is
     * NOT a row-distributive union of per-file transforms (connected
