@@ -112,15 +112,37 @@ object Bench {
     // within a pass the memo still models the persisted-staging-table reuse
     // (minhash → components share signatures), but pass 2's median must
     // measure the operator, not a localCheckpoint read of pass 1's work.
+    //
+    // WITHIN a pass, dead stages are released (r19 verdict ask #2): pass 1
+    // records, via Staged.onStageAccess, which query LAST touches each
+    // stage (queries run in the same sorted order every pass, so the map
+    // holds for later passes); passes >= 2 evict a stage's checkpoint
+    // blocks right after its last consumer runs. The r19 judge adjudicated
+    // the alphabetical b-d block reading 1.3-3.1x its isolated time purely
+    // from the ann_* block's resident checkpoints — reuse is preserved (a
+    // stage is dropped only once no later query reads it), the pressure is
+    // not. Medians over passes then reflect the released-mode readings.
+    val lastConsumer =
+      scala.collection.mutable.HashMap.empty[(String, String), String]
+    @volatile var currentQuery = ""
     val samples: Seq[Seq[(String, Option[Double])]] = (1 to passes).map { i =>
       if (i > 1) operators.Staged.reset(spark)
+      operators.Staged.onStageAccess =
+        if (i == 1) (d, st) => lastConsumer((d, st)) = currentQuery
+        else (_, _) => ()
       names.map { case (name, fn) =>
+        currentQuery = name
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
-        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+        val t = (System.nanoTime() - t0) / 1e9
+        if (i > 1) lastConsumer.foreach { case ((d, st), q) =>
+          if (q == name) operators.Staged.evictStage(spark, d, st)
+        }
+        name -> (if (ok) Some(t) else None)
       }
     }
+    operators.Staged.onStageAccess = (_, _) => ()
     val byName: Seq[(String, Seq[Option[Double]])] =
       names.map { case (n, _) => n -> samples.map(_.find(_._1 == n).flatMap(_._2)) }
     // A query "fails" if every pass failed; it is excluded from the total,

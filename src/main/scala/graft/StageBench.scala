@@ -92,6 +92,11 @@ object StageBench {
       operators.DedupQueries.editDistVerify(s, d,
         operators.DedupQueries.prefixCandidatesOf(s, d,
           operators.DedupQueries.editPrefixFrozen(s, d)))),
+    // the staged edit-distance VERIFY chain (r20, r19 verdict ask #1):
+    // classes + members delta-append, and the banded-levenshtein pair
+    // table delta-builds ONLY the pairs touching the drop's new classes
+    // — the registered query itself is the consumer (no Extras lambda
+    // needed; listed here for the refresh row's O(delta) evidence)
     // the FULLY-TRAINED frozen IVFADC (r19): trained cells, residuals,
     // residual codebook, and composed codes all frozen — the codes key
     // carries BOTH value digests, so either end's re-founding moves the
@@ -114,6 +119,7 @@ object StageBench {
     Extras.getOrElse(q, SparkEntry.queries(q))
   private val Queries =
     Seq("dedup_simhash", "vocab_topk", "ann_topk_int8", "dedup_components",
+      "dedup_editdist",
       "ann_topk_ivf_frozen", "dedup_semantic_frozen", "ann_topk_pq_frozen",
       "ann_topk_pq_rerank_frozen", "ann_topk_ivfpq_rerank_frozen",
       "ann_range_cosine_cells_frozen", "ann_range_cosine_pq_frozen",
@@ -404,6 +410,55 @@ object StageBench {
         Materialized(allEdges))) == sig(TextHashing.incrementalComponents(
         prior, newDocs.select(col("doc_id")), allEdges))
       println(f"""{"metric":"cc_regime","docs":${nBase + nd},"edges":$edgeCount,"chain":$chain,"full_iterative_sec":$fullSec%.3f,"contraction_sec":$incSec%.3f,"full_rows":$fullRows,"contraction_rows":$incRows,"parity":$parity,"speedup":${fullSec / incSec}%.1f}""")
+    }
+
+    // ONE-ROW trained-stack lifecycle (r19 verdict ask #5): the trained
+    // matrix's FOUND/REFRESH/COLD costs were measured per family across
+    // SCALE.md; a deployment pays them TOGETHER on every crawl drop.
+    // This mode drives every frozen TRAINED consumer — coarse cells +
+    // radii, raw PQ codes, residuals + residual codebook + composed
+    // IVFADC codes, the rerank shape, the trained bytes-rung rrv, and
+    // the cid layouts underneath — as one timed unit per phase: FOUND
+    // (cold on the founding corpus, prices the Lloyd sweeps), REFRESH
+    // (one in-coverage drop — every stage of the chain must resolve
+    // `delta`, which the emitted counters pin), COLD control (the grown
+    // corpus from scratch). Off by default so driver rows keep their
+    // shape; SPARK_GRAFT_TRAINED_STACK=1 enables.
+    if (sys.env.contains("SPARK_GRAFT_TRAINED_STACK")) {
+      val trained = Seq(
+        "ann_topk_ivf_refined_frozen",
+        "ann_range_cosine_cells_refined_frozen",
+        "ann_topk_pq_refined_frozen",
+        "ann_topk_ivfadc_refined_frozen",
+        "ann_topk_ivfpq_rerank_refined_frozen",
+        "ann_range_cosine_pq_refined_frozen")
+      def drive(dir: String): Double = {
+        operators.Staged.reset(spark)
+        operators.Staged.clearBuildLog()
+        val t0 = System.nanoTime()
+        trained.foreach(q => lookup(q)(spark, dir).count())
+        (System.nanoTime() - t0) / 1e9
+      }
+      val rootT = java.nio.file.Files
+        .createTempDirectory("incbench_rootT").toString
+      operators.Staged.enablePersist(rootT)
+      val foundSec = drive(workBase)
+      val refreshSec = drive(workGrown)
+      val refreshModes = operators.Staged.buildLogSnapshot
+      val refreshDelta = refreshModes.count(_._2 == "delta")
+      val refreshCold = refreshModes.count(m =>
+        m._2 == "cold" || m._2 == "delta-refused" || m._2 == "delta-swept")
+      System.err.println("TRAINEDSTACK_MODES refresh: " + refreshModes
+        .map { case (s, m) => s"$s=$m" }.mkString(", "))
+      val rootT2 = java.nio.file.Files
+        .createTempDirectory("incbench_rootT2").toString
+      operators.Staged.enablePersist(rootT2)
+      val coldGrownSec = drive(workGrown)
+      operators.Staged.disablePersist()
+      operators.Staged.reset(spark)
+      Seq(rootT, rootT2)
+        .foreach(d => deleteRecursively(java.nio.file.Paths.get(d)))
+      println(f"""{"metric":"trained_stack","x":$k,"found_sec":$foundSec%.3f,"refresh_sec":$refreshSec%.3f,"cold_grown_sec":$coldGrownSec%.3f,"refresh_delta_builds":$refreshDelta,"refresh_cold_builds":$refreshCold}""")
     }
 
     val docRows = spark.read.parquet(s"$workGrown/documents.parquet").count()

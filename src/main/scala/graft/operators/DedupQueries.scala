@@ -814,17 +814,55 @@ object DedupQueries {
       GROUP BY 1
     """))
 
-  /** Edit-distance threshold for [[editDistPairs]] — and the derivation
-    * of its blocking width. A pair within edit distance k differs in
-    * length by at most k, so with length-band width W > k every true
-    * pair lands in the SAME or ADJACENT n_chars/W band: the band
-    * equi-join is a complete cover, not an approximation, and the
-    * operator's semantics are exactly "ALL pairs with ed ≤ k" (unlike
-    * the LSH/SimHash families, whose banding is probabilistic and part
-    * of the contract). W = 4k keeps most of a band's partners in-band
-    * (one shifted probe row per doc, not three). */
-  private val EditK = 8
-  private val EditBandW = 32
+  /** Edit-distance family deployment knobs (r19 verdict ask #3,
+    * completing the [[LshConfig]]/IvfConfig/PqConfig discipline): the
+    * threshold `k`, the length-band width `bandW`, and the Ed-Join
+    * gram width `q` — previously hard constants at 8/32/2.
+    *
+    * The blocking-width derivation IS the cover theorem: a pair within
+    * edit distance k differs in length by at most k, so with band
+    * width W > k every true pair lands in the SAME or ADJACENT
+    * n_chars/W band — the band equi-join is a complete cover, not an
+    * approximation, and the operator's semantics are exactly "ALL
+    * pairs with ed ≤ k" (unlike the LSH/SimHash families, whose
+    * banding is probabilistic and part of the contract). W ≈ 4k keeps
+    * most of a band's partners in-band (one shifted probe row per doc,
+    * not three); the `require` below is the theorem's precondition,
+    * not a tuning preference. The Ed-Join side scales with the SAME k:
+    * an edit destroys at most q grams, so the exact-recall prefix is
+    * the first q·k + 1 grams ([[prefixOf]]) — k moves the prefix
+    * length and the short-doc bucket together.
+    *
+    * Like every config object here, the point is the STAGE KEYS: each
+    * staged artifact is keyed by exactly the knobs its content depends
+    * on (grams by q; the banded pair table by k:bandW; prefixes by
+    * q:k), via [[Staged.keyed]] — the default maps to the historical
+    * bare names, so nothing shifts on disk. `dedup_editdist_k4` is the
+    * registered non-default instance (k=4, W=16) under its own oracle. */
+  final case class EditConfig(k: Int = 8, bandW: Int = 32, q: Int = 2) {
+    require(k >= 1 && q >= 1, s"bad edit knobs: k=$k q=$q")
+    require(bandW > k,
+      s"band cover theorem needs bandW > k (got W=$bandW, k=$k): a pair " +
+        "within ed <= k differs in length by <= k, which must be unable " +
+        "to span two full bands")
+    /** Exact-recall prefix length: q·k + 1 (see [[prefixOf]]). */
+    private[graft] def prefLen: Int = q * k + 1
+    /** Docs with ≤ q·k grams (len ≤ q·k + q − 1) — the count filter
+      * cannot refuse those; they are enumerated directly. */
+    private[graft] def shortLen: Int = q * k + q - 1
+    /** Stage key for artifacts depending only on the gram width. */
+    private[graft] def gramStage(base: String): String =
+      Staged.keyed(base, q.toString, EditConfig.Default.q.toString)
+    /** Stage key for artifacts depending on the band geometry (k, W). */
+    private[graft] def bandStage(base: String): String =
+      Staged.keyed(base, s"$k:$bandW",
+        s"${EditConfig.Default.k}:${EditConfig.Default.bandW}")
+    /** Stage key for prefix artifacts (depend on q AND k). */
+    private[graft] def prefixStage(base: String): String =
+      Staged.keyed(base, s"$q:$k",
+        s"${EditConfig.Default.q}:${EditConfig.Default.k}")
+  }
+  object EditConfig { val Default: EditConfig = EditConfig() }
 
   /** Exact edit-distance near-dup pairs (§2.3 fuzzy dedup): every
     * unordered pair of documents with Levenshtein distance ≤ 8, found
@@ -847,16 +885,18 @@ object DedupQueries {
     * hot-bucket guard if approximate refusal is acceptable; the length
     * band alone is the honest exact baseline. */
   /** The band-blocked exact pairing over an arbitrary (doc_id, text,
-    * n_chars) frame — the seam [[editDistPairs]] runs over the full
-    * corpus and [[editDistCollapsed]] runs over content-hash
-    * representatives (r18 verdict ask #5). */
+    * n_chars) frame — the historical doc-level seam, kept for the
+    * brute-equality and collapse-parity specs (the registered queries
+    * now read the staged class-level pipeline below, which OpQuerySpec
+    * pins set-equal to this). */
   /** The band join's CANDIDATE pairs (post length filter, pre
     * levenshtein) — exposed `private[graft]` so the collapse spec can
     * measure what the representative pre-collapse refused (the
     * prune-observability discipline). */
-  private[graft] def bandCandidatesOn(docs: DataFrame): DataFrame = {
+  private[graft] def bandCandidatesOn(docs: DataFrame,
+      cfg: EditConfig = EditConfig.Default): DataFrame = {
     val d = docs.select(col("doc_id"), col("text"), col("n_chars"),
-      expr(s"n_chars div $EditBandW").as("band"))
+      expr(s"n_chars div ${cfg.bandW}").as("band"))
     // Probe side: each doc under its own band key AND the band below,
     // so a (band p, band p+1) pair meets exactly once — at key p, with
     // the build side holding the lower-band doc. Same-band pairs meet
@@ -869,25 +909,163 @@ object DedupQueries {
         (col("band") - 1).as("key")))
     d.join(probes,
         col("band") === col("key") &&
-          abs(col("n_chars") - col("p_n")) <= EditK &&
+          abs(col("n_chars") - col("p_n")) <= cfg.k &&
           ((col("p_band") === col("band") && col("doc_id") < col("p_id")) ||
             col("p_band") === col("band") + 1))
       .select(col("doc_id"), col("p_id"), col("text"), col("p_text"))
   }
 
-  private def bandPairsOn(docs: DataFrame): DataFrame =
-    bandCandidatesOn(docs)
-      .withColumn("lev", levenshtein(col("text"), col("p_text"), EditK))
+  private[graft] def bandPairsOn(docs: DataFrame,
+      cfg: EditConfig = EditConfig.Default): DataFrame =
+    bandCandidatesOn(docs, cfg)
+      .withColumn("lev", levenshtein(col("text"), col("p_text"), cfg.k))
       .filter(col("lev") >= 0) // threshold form returns -1 past k
       .select(least(col("doc_id"), col("p_id")).as("doc_a"),
         greatest(col("doc_id"), col("p_id")).as("doc_b"), col("lev"))
 
-  val editDistPairs = QueryDef(
-    "dedup_editdist",
-    (spark, dir) => bandPairsOn(Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("n_chars"))),
-    Some(s"""
-      WITH d AS (SELECT doc_id, text, n_chars, n_chars // $EditBandW AS band
+  // ── the STAGED class-level edit-distance pipeline (r19 verdict ask
+  // #1): the levenshtein verify was the one heavy shared shape not
+  // staged — dedup_editdist, _collapsed, and _prefix each re-ran banded
+  // levenshtein over overlapping pair sets (~31 s of the 164.6 s r19
+  // driver bench). The staged pair table is keyed by CONTENT-HASH
+  // CLASSES, not representative doc_ids: rep = min(doc_id) moves when
+  // an append delivers a lower id into an existing class, which would
+  // strand prior segments; the hash of a class never moves, so the
+  // class-level pair table is append-stable by construction. Expansion
+  // back to doc pairs is pure output enumeration (no levenshtein) —
+  // the r18 collapse theorem: within-class pairs are ed = 0 by
+  // byte-identity, and ed(a, b) = ed(class(a), class(b)) for
+  // cross-class pairs. ──
+
+  /** One row per distinct text: (hash, text, n_chars). All members of
+    * a class share text and n_chars byte-for-byte, so any member's row
+    * represents the class. */
+  private def classesOf(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("hash"), col("text"), col("n_chars"))
+      .dropDuplicates("hash")
+
+  /** The classes an append INTRODUCES: the delta docs' classes
+    * anti-joined against the OLD corpus's hash set (grown corpus minus
+    * the delta ids — the key-disjointness gate makes that subtraction
+    * exact). A drop re-delivering an existing text adds members, never
+    * a class. O(corpus) in the slim hash column per drop — the
+    * dedup-against-history scan every incremental dedup pays — while
+    * the expensive half (banded levenshtein) stays O(delta classes). */
+  private def deltaClasses(spark: SparkSession, dir: String,
+      deltaDocs: DataFrame): DataFrame = {
+    val oldHashes = Tables.documents(spark, dir)
+      .join(deltaDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(md5(col("text")).as("hash")).distinct()
+    classesOf(deltaDocs).join(oldHashes, Seq("hash"), "left_anti")
+  }
+
+  /** STAGED content-class table — config-independent (classes are a
+    * property of the corpus, like [[shinglesStage]]). */
+  private[graft] def editClassesStage(spark: SparkSession,
+      dir: String): DataFrame =
+    Staged.appendable(spark, dir, "edit_classes", "documents", "doc_id")(
+      deltaDocs => deltaClasses(spark, dir, deltaDocs)) {
+      classesOf(Tables.documents(spark, dir)
+        .select(col("text"), col("n_chars")))
+    }
+
+  /** STAGED (doc_id, hash) membership map — the per-doc transform side
+    * of the collapse, trivially appendable. */
+  private[graft] def editMembersStage(spark: SparkSession,
+      dir: String): DataFrame =
+    Staged.appendable(spark, dir, "edit_members", "documents", "doc_id")(
+      docs => docs.select(col("doc_id"), md5(col("text")).as("hash"))) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), md5(col("text")).as("hash"))
+    }
+
+  /** The canonical banded candidate enumeration over CLASS frames —
+    * [[bandCandidatesOn]] with hash keys: same-band pairs meet once
+    * under hash order, adjacent-band pairs once at the lower band's
+    * key. Split into (build, probes) halves so the delta path can
+    * enumerate exactly the pairs touching new classes. */
+  private def classProbesOf(c: DataFrame, cfg: EditConfig): DataFrame = {
+    val d = c.select(col("hash").as("p_hash"), col("text").as("p_text"),
+      col("n_chars").as("p_n"),
+      expr(s"n_chars div ${cfg.bandW}").as("p_band"))
+    d.withColumn("key", col("p_band"))
+      .unionAll(d.withColumn("key", col("p_band") - 1))
+  }
+
+  private def classBandJoin(build: DataFrame, probes: DataFrame,
+      cfg: EditConfig): DataFrame =
+    build.select(col("hash"), col("text"), col("n_chars"),
+        expr(s"n_chars div ${cfg.bandW}").as("band"))
+      .join(probes,
+        col("band") === col("key") &&
+          abs(col("n_chars") - col("p_n")) <= cfg.k &&
+          ((col("p_band") === col("band") && col("hash") < col("p_hash")) ||
+            col("p_band") === col("band") + 1))
+      .select(col("hash"), col("p_hash"), col("text"), col("p_text"))
+
+  private def verifyClassPairs(cand: DataFrame,
+      cfg: EditConfig): DataFrame =
+    cand.withColumn("lev", levenshtein(col("text"), col("p_text"), cfg.k))
+      .filter(col("lev") >= 0)
+      .select(least(col("hash"), col("p_hash")).as("ha"),
+        greatest(col("hash"), col("p_hash")).as("hb"), col("lev"))
+
+  /** STAGED verified class-pair table (ha, hb, lev ≤ k) — the heavy
+    * shared stage all three edit-distance variants consume. APPENDABLE:
+    * old×old class pairs are untouched by an append (a class's text
+    * never changes), so the delta is exactly the pairs TOUCHING the
+    * drop's new classes — enumerated once each by splitting on the
+    * probe role's newness: (all classes × new probes) catches every
+    * pair whose probe is new, (new build × old probes) the rest. The
+    * canonical enumeration assigns each unordered pair one (build,
+    * probe) role, so the two halves are disjoint and complete. Keyed by
+    * the band geometry (k:bandW); the default keeps the bare name. */
+  private[graft] def editBandPairsStage(spark: SparkSession, dir: String,
+      cfg: EditConfig = EditConfig.Default): DataFrame =
+    Staged.appendable(spark, dir, cfg.bandStage("edit_band_pairs"),
+      "documents", "doc_id")(
+      deltaDocs => {
+        val nc = deltaClasses(spark, dir, deltaDocs)
+        val all = editClassesStage(spark, dir) // the GROWN class table
+        val oldC = all.join(nc.select(col("hash")), Seq("hash"), "left_anti")
+        verifyClassPairs(
+          classBandJoin(all, classProbesOf(nc, cfg), cfg)
+            .unionByName(classBandJoin(nc, classProbesOf(oldC, cfg), cfg)),
+          cfg)
+      }) {
+      val classes = editClassesStage(spark, dir)
+      verifyClassPairs(
+        classBandJoin(classes, classProbesOf(classes, cfg), cfg), cfg)
+    }
+
+  /** Expansion of the staged class pairs back over doc members — the
+    * shared read path of all three registered variants: cross-class
+    * pairs inherit their classes' lev, within-class pairs are ed = 0 by
+    * byte-identity. Pure joins + enumeration, zero levenshtein. */
+  private[graft] def expandedEditPairs(spark: SparkSession, dir: String,
+      cfg: EditConfig = EditConfig.Default,
+      members: DataFrame): DataFrame = {
+    val pairs = editBandPairsStage(spark, dir, cfg)
+    val cross = pairs
+      .join(members.select(col("hash").as("ha"), col("doc_id").as("da")),
+        "ha")
+      .join(members.select(col("hash").as("hb"), col("doc_id").as("db")),
+        "hb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("lev"))
+    val within = members.as("x").join(members.as("y"),
+        col("x.hash") === col("y.hash") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).as("lev"))
+    cross.unionByName(within)
+  }
+
+  /** The band oracle, parameterized by the geometry — DuckDB enumerates
+    * at DOC level (banded join + full levenshtein); the Spark side's
+    * class-level staging + expansion must produce the identical set,
+    * which is the collapse theorem under the oracle. */
+  private def bandOracleSql(cfg: EditConfig): String = s"""
+      WITH d AS (SELECT doc_id, text, n_chars, n_chars // ${cfg.bandW} AS band
                  FROM documents),
       probes AS (SELECT doc_id AS p_id, text AS p_text, n_chars AS p_n,
                         band AS p_band, band AS key FROM d
@@ -896,10 +1074,25 @@ object DedupQueries {
       SELECT least(doc_id, p_id) AS doc_a, greatest(doc_id, p_id) AS doc_b,
              levenshtein(text, p_text) AS lev
       FROM d JOIN probes ON band = key
-        AND abs(n_chars - p_n) <= $EditK
+        AND abs(n_chars - p_n) <= ${cfg.k}
         AND ((p_band = band AND doc_id < p_id) OR p_band = band + 1)
-      WHERE levenshtein(text, p_text) <= $EditK
-    """))
+      WHERE levenshtein(text, p_text) <= ${cfg.k}
+    """
+
+  /** `dedup_editdist` — ALL pairs with ed ≤ 8, served from the staged
+    * class-level pipeline: classes → banded class pairs (the one
+    * levenshtein pass) → member expansion. The canonical consumer; it
+    * derives the member map inline (one corpus md5 scan), where
+    * [[editDistCollapsed]] reads the staged one. Results are the
+    * historical band variant's by the collapse theorem (OpQuerySpec
+    * pins set-equality against the all-pairs brute force AND
+    * [[bandPairsOn]]). */
+  val editDistPairs = QueryDef(
+    "dedup_editdist",
+    (spark, dir) => expandedEditPairs(spark, dir, EditConfig.Default,
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), md5(col("text")).as("hash"))),
+    Some(bandOracleSql(EditConfig.Default)))
 
   /** Ed-Join-style candidate generation for the edit-distance join
     * (Xiao/Wang/Lin, VLDB 2008 — prefix filtering over q-grams): the
@@ -923,19 +1116,15 @@ object DedupQueries {
     * (spec-pinned equal on the sf corpus AND on an engineered
     * same-length corpus where the band blocking degenerates to
     * all-pairs while the prefix join stays sparse). */
-  private val EditQ = 2
-  private val EditPrefLen = EditQ * EditK + 1 // 17
-  // grams = len−1 ≤ q·k ⇔ len ≤ 17
-  private val EditShortLen = EditQ * EditK + EditQ - 1
-
   /** One occurrence-tagged q-gram rule (doc_id, tok) — shared by the
     * cold full build and the append-delta build so the two cannot
     * drift (the `tokenize` discipline). */
-  private def editGramsOf(docs: DataFrame): DataFrame = {
+  private def editGramsOf(docs: DataFrame,
+      cfg: EditConfig = EditConfig.Default): DataFrame = {
     graft.functions.NgramExprs.register(docs.sparkSession)
     docs
       .select(col("doc_id"),
-        posexplode(expr(s"char_ngrams(text, $EditQ)")).as(Seq("pos", "g")))
+        posexplode(expr(s"char_ngrams(text, ${cfg.q})")).as(Seq("pos", "g")))
       .withColumn("occ", row_number().over(
         Window.partitionBy(col("doc_id"), col("g")).orderBy(col("pos"))))
       .select(col("doc_id"), concat_ws("#", col("g"), col("occ")).as("tok"))
@@ -943,28 +1132,33 @@ object DedupQueries {
 
   /** STAGED occurrence-tagged gram table (r18 verdict ask #4 — the one
     * heavy Ed-Join artifact that rebuilt per run): per-doc transform →
-    * APPENDABLE, a crawl drop shingles only its own docs. */
-  private[graft] def editGrams(spark: SparkSession, dir: String): DataFrame =
-    Staged.appendable(spark, dir, "edit_grams", "documents", "doc_id")(
-      editGramsOf) {
+    * APPENDABLE, a crawl drop shingles only its own docs. Keyed by the
+    * gram width (the only knob its content depends on). */
+  private[graft] def editGrams(spark: SparkSession, dir: String,
+      cfg: EditConfig = EditConfig.Default): DataFrame =
+    Staged.appendable(spark, dir, cfg.gramStage("edit_grams"), "documents",
+      "doc_id")(
+      docs => editGramsOf(docs, cfg)) {
       editGramsOf(Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("text")), cfg)
     }
 
   /** STAGED corpus gram frequencies (tok, tf) — delta-maintained by
     * additive merge (tf is additive across disjoint doc sets and the
     * key-disjointness gate guarantees exactly that), the `df`
     * discipline at VocabQueries.docFreq. */
-  private[graft] def editGramFreq(spark: SparkSession,
-      dir: String): DataFrame =
-    Staged.rebuildable(spark, dir, "edit_gram_freq", "documents", "doc_id")(
+  private[graft] def editGramFreq(spark: SparkSession, dir: String,
+      cfg: EditConfig = EditConfig.Default): DataFrame =
+    Staged.rebuildable(spark, dir, cfg.gramStage("edit_gram_freq"),
+      "documents", "doc_id")(
       (prior, deltaDocs) => {
-        val d = editGramsOf(deltaDocs)
+        val d = editGramsOf(deltaDocs, cfg)
           .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
         prior.unionByName(d)
           .groupBy(col("tok")).agg(sum(col("tf")).as("tf"))
       }) {
-      editGrams(spark, dir).groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      editGrams(spark, dir, cfg).groupBy(col("tok"))
+        .agg(count(lit(1)).as("tf"))
     }
 
   /** Per-doc rarest-first prefix under an EXPLICIT global order (tok →
@@ -976,13 +1170,13 @@ object DedupQueries {
     * such completion keeps the order total — which is all the theorem
     * needs. Exposed `private[graft]` with [[prefixCandidatesOf]] so
     * the stale-order spec can drive a deliberately wrong order. */
-  private[graft] def prefixOf(grams: DataFrame,
-      order: DataFrame): DataFrame =
+  private[graft] def prefixOf(grams: DataFrame, order: DataFrame,
+      cfg: EditConfig = EditConfig.Default): DataFrame =
     grams.join(order, Seq("tok"), "left")
       .withColumn("tf", coalesce(col("tf"), lit(0L)))
       .withColumn("r", row_number().over(Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").asc, col("tok").asc)))
-      .filter(col("r") <= EditPrefLen)
+      .filter(col("r") <= cfg.prefLen)
       .select(col("doc_id"), col("tok"))
 
   /** STAGED per-doc prefix under the CURRENT-corpus order — the
@@ -991,9 +1185,11 @@ object DedupQueries {
     * registered query stops re-deriving grams + freq + prefix per
     * run. Rebuilds on any corpus change (the order moves with the
     * corpus — the same classification as IVF cells). */
-  private[graft] def editPrefix(spark: SparkSession, dir: String): DataFrame =
-    Staged(spark, dir, "edit_prefix") {
-      prefixOf(editGrams(spark, dir), editGramFreq(spark, dir))
+  private[graft] def editPrefix(spark: SparkSession, dir: String,
+      cfg: EditConfig = EditConfig.Default): DataFrame =
+    Staged(spark, dir, cfg.prefixStage("edit_prefix")) {
+      prefixOf(editGrams(spark, dir, cfg), editGramFreq(spark, dir, cfg),
+        cfg)
     }
 
   /** The FROZEN founding-corpus gram order (r18 verdict ask #4's key
@@ -1008,39 +1204,74 @@ object DedupQueries {
     * a correctness one; and on any non-append corpus change both
     * stages cold-rebuild together under the moved fingerprint, so the
     * pair cannot desynchronize. */
-  private[graft] def editFrozenOrder(spark: SparkSession,
-      dir: String): DataFrame =
+  private[graft] def editFrozenOrder(spark: SparkSession, dir: String,
+      cfg: EditConfig = EditConfig.Default): DataFrame =
     // keepOnAppend, not a `(prior, _) => prior` rebuildable: the value
     // is frozen, so an append must reuse the founding segments IN PLACE
     // (metadata only) rather than re-write the O(vocab) table per drop
     // (r19 review).
-    Staged.keepOnAppend(spark, dir, "edit_gram_order+frz", "documents",
-      "doc_id") {
-      editGrams(spark, dir).groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    Staged.keepOnAppend(spark, dir, cfg.gramStage("edit_gram_order+frz"),
+      "documents", "doc_id") {
+      editGrams(spark, dir, cfg).groupBy(col("tok"))
+        .agg(count(lit(1)).as("tf"))
     }
+
+  // Frozen-order digests memoized on the STAGED order instance (the
+  // refinedValueDigest discipline) — one small job per session, not one
+  // per prefix construction.
+  private val orderDigestMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, String]())
+
+  /** Commutative checksum of the frozen (tok, tf) order — O(vocab) scan,
+    * O(1) driver collect (never an O(vocab) collect: each term is
+    * < 2^30, so the sum over any realistic vocab stays well inside
+    * Long). The digest's job is the trained-family LOCKSTEP discipline
+    * (r19 ADVICE): [[editPrefixFrozen]] keys on it, so a frozen order
+    * that cold-re-founds WITHOUT a fingerprint move (resolveSwept
+    * recovery after a gc race, a partial sweep) re-keys the prefix
+    * stage cold instead of computing later deltas under the NEW order
+    * while prior segments keep the founding one — mixed orders void the
+    * any-fixed-order exactness theorem and could silently miss pairs. */
+  private def frozenOrderDigest(order: DataFrame): String = {
+    val hit = orderDigestMemo.get(order)
+    if (hit != null) hit
+    else {
+      val row = order.agg(
+        sum(pmod(xxhash64(col("tok"), col("tf")), lit(1000000007L))).as("h"),
+        count(lit(1)).as("n")).head()
+      val h = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val d = f"$h%x-${row.getLong(1)}%x"
+      orderDigestMemo.put(order, d)
+      d
+    }
+  }
 
   /** The frozen-order prefix stage — APPENDABLE: a crawl drop prefixes
     * only its own docs against the frozen founding order (unseen grams
-    * rank rarest — see [[prefixOf]]). */
-  private[graft] def editPrefixFrozen(spark: SparkSession,
-      dir: String): DataFrame = {
-    val order = editFrozenOrder(spark, dir)
-    Staged.appendable(spark, dir, "edit_prefix+frz", "documents", "doc_id")(
-      deltaDocs => prefixOf(editGramsOf(deltaDocs), order)) {
-      prefixOf(editGrams(spark, dir), order)
+    * rank rarest — see [[prefixOf]]). Keyed on the order's VALUE digest
+    * so the pair can never desynchronize (see [[frozenOrderDigest]]). */
+  private[graft] def editPrefixFrozen(spark: SparkSession, dir: String,
+      cfg: EditConfig = EditConfig.Default): DataFrame = {
+    val order = editFrozenOrder(spark, dir, cfg)
+    Staged.appendable(spark, dir,
+      cfg.prefixStage("edit_prefix+frz") + s"+${frozenOrderDigest(order)}",
+      "documents", "doc_id")(
+      deltaDocs => prefixOf(editGramsOf(deltaDocs, cfg), order, cfg)) {
+      prefixOf(editGrams(spark, dir, cfg), order, cfg)
     }
   }
 
   /** Candidate pairs from a prefix table: pairs sharing a prefix token,
-    * plus the directly-enumerated short-doc bucket (len ≤ 17 — the
-    * count filter cannot refuse those at all). */
+    * plus the directly-enumerated short-doc bucket (len ≤ q·k + q − 1 —
+    * the count filter cannot refuse those at all). */
   private[graft] def prefixCandidatesOf(spark: SparkSession, dir: String,
-      prefix: DataFrame): DataFrame = {
+      prefix: DataFrame,
+      cfg: EditConfig = EditConfig.Default): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
     val candLong = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val shorts = d.filter(col("n_chars") <= EditShortLen)
+    val shorts = d.filter(col("n_chars") <= cfg.shortLen)
       .select(col("doc_id"))
     val candShort = shorts.as("a").join(shorts.as("b"),
         col("a.doc_id") < col("b.doc_id"))
@@ -1049,14 +1280,17 @@ object DedupQueries {
   }
 
   private[graft] def editDistPrefixCandidates(spark: SparkSession,
-      dir: String): DataFrame =
-    prefixCandidatesOf(spark, dir, editPrefix(spark, dir))
+      dir: String, cfg: EditConfig = EditConfig.Default): DataFrame =
+    prefixCandidatesOf(spark, dir, editPrefix(spark, dir, cfg), cfg)
 
-  /** The shared verify tail of both edit-distance variants: length
-    * filter + banded thresholded levenshtein over (doc_a, doc_b)
-    * candidates. */
+  /** The inline verify tail over (doc_a, doc_b) candidates: length
+    * filter + banded thresholded levenshtein. Spec seam — the
+    * registered prefix query now verifies by LOOKUP into the staged
+    * pair table instead (see [[editDistPrefix]]); this function is what
+    * the stale-order and frozen-chain specs drive, and what a
+    * deployment runs when no staged pair table exists for its config. */
   private[graft] def editDistVerify(spark: SparkSession, dir: String,
-      cand: DataFrame): DataFrame = {
+      cand: DataFrame, cfg: EditConfig = EditConfig.Default): DataFrame = {
     val meta = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("n_chars"))
     cand
@@ -1064,8 +1298,8 @@ object DedupQueries {
         col("n_chars").as("na")), "doc_a")
       .join(meta.select(col("doc_id").as("doc_b"), col("text").as("tb"),
         col("n_chars").as("nb")), "doc_b")
-      .filter(abs(col("na") - col("nb")) <= EditK)
-      .withColumn("lev", levenshtein(col("ta"), col("tb"), EditK))
+      .filter(abs(col("na") - col("nb")) <= cfg.k)
+      .withColumn("lev", levenshtein(col("ta"), col("tb"), cfg.k))
       .filter(col("lev") >= 0)
       .select(col("doc_a"), col("doc_b"), col("lev"))
   }
@@ -1076,33 +1310,45 @@ object DedupQueries {
     * the range family's accelerated rungs reuse brute's oracle). Where
     * the band variant's join key is the doc LENGTH — quadratic in band
     * occupancy on a length-skewed corpus — this one's is a RARE GRAM:
-    * candidates track content collisions, not length collisions. */
+    * candidates track content collisions, not length collisions.
+    *
+    * r19 verdict ask #1 — it SHARES THE VERIFY: the candidate set is
+    * still the staged Ed-Join chain's (grams → freq → prefix → prefix
+    * join + short bucket), but instead of re-running banded levenshtein
+    * over it, the candidates are verified by an equi-join against the
+    * staged pair table's expansion. Sound and complete BY THE FILTER'S
+    * OWN THEOREM: candidates ⊇ all true pairs (exact recall), so
+    * candidates ∩ verified-pairs = verified-pairs, and a candidate
+    * absent from the staged table is a provable non-pair. The inline
+    * verify remains as [[editDistVerify]], spec-pinned equal. */
   val editDistPrefix = QueryDef(
     "dedup_editdist_prefix",
-    (spark, dir) =>
-      editDistVerify(spark, dir, editDistPrefixCandidates(spark, dir)),
+    (spark, dir) => {
+      val cfg = EditConfig.Default
+      editDistPrefixCandidates(spark, dir, cfg)
+        .join(expandedEditPairs(spark, dir, cfg,
+          editMembersStage(spark, dir)), Seq("doc_a", "doc_b"))
+    },
     editDistPairs.oracle)
 
   /** The (doc_id, rep) content-hash duplicate classes — rep = the class
-    * minimum doc_id, the [[canonicalize]] keeper rule. Seam for
-    * [[editDistCollapsed]] and its spec. */
+    * minimum doc_id, the [[canonicalize]] keeper rule. Seam for the
+    * collapse-parity spec (the staged pipeline keys classes by HASH
+    * instead — rep ids move under appends, hashes do not). */
   private[graft] def contentClasses(docs: DataFrame): DataFrame =
     docs.withColumn("rep",
       min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
 
-  /** `dedup_editdist_collapsed` (r18 verdict ask #5) — the edit-distance
-    * join with EXACT-DUPLICATE PRE-COLLAPSE: both earlier variants
-    * levenshtein-verify every pair among N byte-identical replicas —
-    * O(N²) calls for pairs `dedup_exact` already knows are distance 0.
-    * Collapse first to one representative per content-hash class (the
-    * class-minimum doc_id), band-pair ONLY representatives, then expand
-    * verdicts back over the classes. The pair set is UNCHANGED by
-    * construction: within-class pairs are ed = 0 by definition of
-    * byte-identity; a cross-class pair (a, b) has text(a) = text(rep_a)
-    * and text(b) = text(rep_b), so ed(a, b) = ed(rep_a, rep_b) — every
-    * member pair of a surviving representative pair inherits its lev,
-    * and no other cross-class pair can be ≤ k (its representatives'
-    * pair would have survived). Same oracle as `dedup_editdist`.
+  /** `dedup_editdist_collapsed` (r18 verdict ask #5, re-expressed over
+    * the r19 staged pipeline) — the collapse IS the staged pipeline's
+    * construction: byte-identical replicas collapse to one content
+    * class, the banded levenshtein runs once per class pair, and the
+    * doc-level answer is pure expansion. This registered variant is the
+    * FULLY STAGED reader — class pairs AND the member map come from
+    * staged tables ([[editDistPairs]] derives members inline, one
+    * corpus md5 scan) — i.e. the zero-derivation read path a 100 TB
+    * deployment actually serves after a crawl drop's refresh. Pair set
+    * unchanged by construction (the collapse theorem; same oracle).
     *
     * 100 TB note: replica-heavy corpora are the NORM in crawl data
     * (boilerplate, mirrored pages); the collapse turns K² verify calls
@@ -1111,31 +1357,27 @@ object DedupQueries {
     * (hash, doc_id) rows — `dedup_exact`'s own shape. */
   val editDistCollapsed = QueryDef(
     "dedup_editdist_collapsed",
-    (spark, dir) => {
-      val classes = contentClasses(Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text"), col("n_chars")))
-      val reps = classes.filter(col("doc_id") === col("rep"))
-        .select(col("doc_id"), col("text"), col("n_chars"))
-      val members = classes.select(col("doc_id"), col("rep"))
-      val cross = bandPairsOn(reps)
-        .join(members.select(col("rep").as("doc_a"),
-          col("doc_id").as("ma")), "doc_a")
-        .join(members.select(col("rep").as("doc_b"),
-          col("doc_id").as("mb")), "doc_b")
-        .select(least(col("ma"), col("mb")).as("doc_a"),
-          greatest(col("ma"), col("mb")).as("doc_b"), col("lev"))
-      val within = members.as("x").join(members.as("y"),
-          col("x.rep") === col("y.rep") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          lit(0).as("lev"))
-      cross.unionByName(within)
-    },
+    (spark, dir) => expandedEditPairs(spark, dir, EditConfig.Default,
+      editMembersStage(spark, dir)),
     editDistPairs.oracle)
+
+  /** `dedup_editdist_k4` — the NON-DEFAULT [[EditConfig]] instance
+    * (k=4, W=16) as its own oracle row (r19 verdict ask #3): the cover
+    * theorem, the staged class pipeline, and the expansion all run
+    * under the tighter threshold, against a DuckDB oracle built from
+    * the same geometry. The stage keys suffix the config
+    * (`edit_band_pairs@4:16`), so the default family's persisted tables
+    * are never aliased. */
+  val editDistK4 = QueryDef(
+    "dedup_editdist_k4",
+    (spark, dir) => expandedEditPairs(spark, dir, EditConfig(k = 4, bandW = 16),
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), md5(col("text")).as("hash"))),
+    Some(bandOracleSql(EditConfig(k = 4, bandW = 16))))
 
   val defs: Seq[QueryDef] = Seq(
     exact, minhashLsh, jaccardVerify, simhash, simhashPairs,
     embeddingCosine, components, canonicalize, reconcile,
     substringSpans, scrubSpans, minhashEstimate, rateBySource,
-    editDistPairs, editDistPrefix, editDistCollapsed)
+    editDistPairs, editDistPrefix, editDistCollapsed, editDistK4)
 }

@@ -1402,17 +1402,6 @@ object SimilarityQueries {
     }
   }
 
-  /** Content digest of the trained centroid table — cid AND component
-    * values (a re-training keeps the seed ids but MOVES the values, so
-    * an id-set digest would silently alias two trainings; the rule
-    * family's id digest is sound there because frozen rule centroids
-    * ARE their ids' embeddings). Collect is nlist rows — bounded by
-    * config under caps, the ivfCellsRaw classification. Memoized like
-    * [[digestOf]] — which only works when callers pass the
-    * STAGED-MEMOIZED [[frozenRefinedTable]] instance itself (r18
-    * ADVICE: digesting a fresh `.select()` wrapper keyed the WeakHashMap
-    * on a throwaway frame, so every query construction re-collected the
-    * table AND pinned a duplicate Materialized copy). */
   /** The ONE memo-then-compute shell behind every value digest (r19
     * review: three copies of the WeakHashMap check/put drifted in). */
   private def memoizedDigest(tbl: DataFrame)(compute: => String): String = {
@@ -1425,6 +1414,17 @@ object SimilarityQueries {
     }
   }
 
+  /** Content digest of the trained centroid table — cid AND component
+    * values (a re-training keeps the seed ids but MOVES the values, so
+    * an id-set digest would silently alias two trainings; the rule
+    * family's id digest is sound there because frozen rule centroids
+    * ARE their ids' embeddings). Collect is nlist rows — bounded by
+    * config under caps, the ivfCellsRaw classification. Memoized via
+    * [[memoizedDigest]] — which only works when callers pass the
+    * STAGED-MEMOIZED [[frozenRefinedTable]] instance itself (r18
+    * ADVICE: digesting a fresh `.select()` wrapper keyed the WeakHashMap
+    * on a throwaway frame, so every query construction re-collected the
+    * table AND pinned a duplicate Materialized copy). */
   private def refinedValueDigest(cents: DataFrame): String =
     memoizedDigest(cents) {
       valueDigestOf(cents.select(col("cid"), col("c8")).collect()
@@ -2905,14 +2905,11 @@ object SimilarityQueries {
     md.digest().map("%02x".format(_)).mkString.take(8)
   }
 
-  /** Memoized value digest of the frozen trained codebook — digested
-    * from the STAGED-memoized instance (the refinedValueDigest
-    * discipline: a fresh wrapper frame would miss the WeakHashMap memo
-    * every call). Collect is codewords×8 rows — bounded by config under
-    * caps. */
   /** Value digest of a trained (off, cw_id, cs) codebook table —
     * memoized on the STAGED instance (the refinedValueDigest
-    * discipline), one definition for the raw and residual families. */
+    * discipline: a fresh wrapper frame would miss the WeakHashMap memo
+    * every call), one definition for the raw and residual families.
+    * Collect is codewords×8 rows — bounded by config under caps. */
   private def pqTableDigest(tbl: DataFrame): String =
     memoizedDigest(tbl) {
       pqValueDigestOf(
@@ -3066,13 +3063,6 @@ object SimilarityQueries {
 
   // ── the composed trained rung: IVFADC over the TRAINED geometry ──
 
-  /** Per-vector int8 residual against its TRAINED home centroid
-    * (vec_id, rv) — [[ivfResiduals]]' analogue over
-    * [[refinedCells]]/[[refinedCentroids]]: residual-PQ quality is
-    * governed by residual norms, and Σ‖v−c‖² is EXACTLY the objective
-    * the coarse Lloyd descends (r18 verdict ask #2), so trained homes
-    * shrink the very thing the residual codebook must describe.
-    * Staged per (ivf config, sweeps). */
   /** The ONE trained-residual derivation over explicit home assignments
     * — (vec_id, rv) with rv = q8(v) − c8(home(v)) — shared by the
     * staged residual table, the frozen residual codebook's delta probe,
@@ -3090,6 +3080,13 @@ object SimilarityQueries {
       .select(col("vec_id"),
         expr("zip_with(q8, cq, (a, b) -> a - b)").as("rv"))
 
+  /** Per-vector int8 residual against its TRAINED home centroid
+    * (vec_id, rv) — [[ivfResiduals]]' analogue over
+    * [[refinedCells]]/[[refinedCentroids]]: residual-PQ quality is
+    * governed by residual norms, and Σ‖v−c‖² is EXACTLY the objective
+    * the coarse Lloyd descends (r18 verdict ask #2), so trained homes
+    * shrink the very thing the residual codebook must describe.
+    * Staged per (ivf config, sweeps). */
   private[graft] def refinedResiduals(spark: SparkSession, dir: String,
       ivfCfg: IvfConfig = IvfConfig.Default,
       iters: Int = LloydIters): DataFrame =
@@ -3807,7 +3804,7 @@ object SimilarityQueries {
     * inference appends the layout column last, narrowed to int). */
   private def cellLayoutOf(spark: SparkSession, dir: String,
       stage: java.lang.String, cells: => DataFrame,
-      frozenOf: Option[(DataFrame, DataFrame => DataFrame)]): DataFrame = {
+      frozenOf: Option[DataFrame => DataFrame]): DataFrame = {
     def buildOf(c: DataFrame) = c.filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"))
       .join(quantized(spark, dir), "vec_id")
@@ -3815,7 +3812,7 @@ object SimilarityQueries {
     val out = frozenOf match {
       case None =>
         Staged(spark, dir, stage, Seq("cid")) { buildOf(cells) }
-      case Some((_, deltaAssign)) =>
+      case Some(deltaAssign) =>
         Staged.appendable(spark, dir, stage, "embeddings", "vec_id",
           Seq("cid"))(raw => {
           val q8d = quantTransform(normTransform(raw))
@@ -3839,7 +3836,7 @@ object SimilarityQueries {
       cellLayoutOf(spark, dir,
         s"q8_by_cid@${cfg.stageKey}+frz${frozenDigest(spark, dir, cfg)}",
         ivfCells(spark, dir, cfg),
-        Some((cents, raw => assignCells(normTransform(raw), cents, 1))))
+        Some(raw => assignCells(normTransform(raw), cents, 1)))
     }
 
   /** [[q8ByCid]] under the TRAINED quantizer — serves the refined cells
@@ -3858,8 +3855,7 @@ object SimilarityQueries {
         lloydKey("q8_by_cid_refined", cfg, iters) +
           s"+frz${refinedValueDigest(tbl)}",
         refinedCells(spark, dir, cfg, iters),
-        Some((cents,
-          raw => l2Assign(quantTransform(normTransform(raw)), cents, 1))))
+        Some(raw => l2Assign(quantTransform(normTransform(raw)), cents, 1)))
     }
 
   /** `ann_range_cosine_cells` — the range query over the IVF geometry,

@@ -181,12 +181,44 @@ object Staged {
       }
     }
 
+  /** Bench instrumentation (r19 verdict ask #2 — the memo-pressure
+    * fix): invoked on EVERY memo resolution (hit or build) with the
+    * (dir, stage) key. `Bench.main` records, during pass 1, which
+    * registered query LAST touches each stage, and in later passes
+    * calls [[evictStage]] right after that consumer runs — so a pass's
+    * early alphabetical block's checkpoint blocks stop pressuring the
+    * queries that follow (r19 adjudicated the b–d block reading
+    * 1.3–3.1× its isolated time under exactly that pressure), while
+    * within-pass staging reuse is preserved (a stage is only dropped
+    * once no later query reads it). Noop outside the bench. */
+  private[graft] var onStageAccess: (String, String) => Unit = (_, _) => ()
+
+  /** Drop ONE stage of `spark` — memo entry plus checkpointed blocks —
+    * the per-consumer release behind [[onStageAccess]]; [[evict]] is
+    * the whole-session form (same LogicalRDD-unpersist rationale). */
+  private[graft] def evictStage(spark: SparkSession, dir: String,
+      stage: String): Unit = {
+    val dropped = memo.synchronized(memo.remove((spark, dir, stage)))
+    dropped.foreach { df =>
+      try df.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false); ()
+        case _ => ()
+      } catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        case scala.util.control.NonFatal(_) => ()
+      }
+    }
+  }
+
   /** The shared memo/lifecycle-hook shell of [[apply]] and
     * [[appendable]]: check the session memo under the lock, run the
     * resolution OUTSIDE it (see the reentrancy note above), publish
     * first-write-wins. */
   private def memoized(spark: SparkSession, dir: String, stage: String)(
       resolve: => DataFrame): DataFrame = {
+    onStageAccess(dir, stage)
     val key = (spark, dir, stage)
     memo.synchronized {
       val sc = spark.sparkContext
@@ -988,15 +1020,27 @@ object Staged {
     if (!java.nio.file.Files.isDirectory(target)) return false
     if (java.nio.file.Files.exists(target.resolve(ManifestName))) return false
     if (java.nio.file.Files.exists(target.resolve("_SUCCESS"))) return true
-    // walk, not list: a PARTITIONED table's part files live one level
-    // down under `col=value` dirs (layoutBy stages), and the
-    // marker-less-deployment fallback must still recognize them
-    val s = java.nio.file.Files.walk(target)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala
-        .exists(_.getFileName.toString.endsWith(".parquet"))
-    } finally s.close()
+    // Bounded probe, not an unbounded walk (r19 ADVICE): a PARTITIONED
+    // table's part files live one level down under `col=value` dirs
+    // (layoutBy stages), so descend exactly one level and ONLY into
+    // `col=value`-shaped children. A manifest-kind dir in a crashed or
+    // foreign state (manifest file gone, nested seg-*/part-*.parquet
+    // left behind) must NOT classify as a plain table — spark.read over
+    // seg-* roots breaks partition discovery — and previously the
+    // whole-subtree walk both admitted that state and paid O(files) on
+    // large partitioned tables; this probe is O(dir entries).
+    import scala.jdk.CollectionConverters._
+    def entriesOf(p: java.nio.file.Path): List[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.toList finally s.close()
+    }
+    val top = entriesOf(target)
+    top.exists(p => java.nio.file.Files.isRegularFile(p) &&
+      p.getFileName.toString.endsWith(".parquet")) ||
+      top.exists(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.contains('=') &&
+        entriesOf(p).exists(q => java.nio.file.Files.isRegularFile(q) &&
+          q.getFileName.toString.endsWith(".parquet")))
   }
 
   private def persisted(spark: SparkSession, root: String, dir: String,

@@ -448,16 +448,32 @@ object VocabQueries {
     * and break by doc_id. */
   /** The BM25 scoring plan over an EXPLICIT query-term table (r18
     * verdict ask #7 — ranked retrieval as a real API, not a fixture):
-    * `qt` is (query_id, idx ∈ 0..2, tok) — a deployment passes
-    * arbitrary query strings tokenized into the 3 slots; the slot
-    * discipline is what keeps the float summation single-element-exact
-    * (see [[bm25TopK]]'s scaladoc). The query table broadcasts, so
-    * only the query terms' postings are ever read — a term absent from
-    * the corpus simply contributes no posting (inner df join), in both
-    * engines. */
+    * `qt` is (query_id, idx ∈ 0..slots−1, tok) — a deployment passes
+    * arbitrary query strings tokenized into slots; the slot discipline
+    * is what keeps the float summation single-element-exact (see
+    * [[bm25TopK]]'s scaladoc). K slots, not 3 (r19 verdict ask #4):
+    * the single-element argument is PER SLOT — a doc contributes at
+    * most one posting per (query, slot) token — so it survives any
+    * fixed K, and the final score stays a fixed left-assoc chain
+    * s0 + s1 + … + s(K−1) in both engines, immune to partition order
+    * (a query shorter than K leaves its upper slots at exactly 0.0,
+    * which is additively inert on the non-negative terms). The slot
+    * CONTRACT is enforced, not assumed (r19 ADVICE): an out-of-range
+    * idx used to join postings yet contribute to no slot, silently
+    * truncating the score — it now raises at execution, inside the
+    * distributed projection (no driver-side scan of qt). The query
+    * table broadcasts, so only the query terms' postings are ever
+    * read — a term absent from the corpus simply contributes no
+    * posting (inner df join), in both engines. */
   private[graft] def bm25TopKWith(spark: org.apache.spark.sql.SparkSession,
-      dir: String, qt: org.apache.spark.sql.DataFrame)
+      dir: String, qt: org.apache.spark.sql.DataFrame, slots: Int = 3)
       : org.apache.spark.sql.DataFrame = {
+    require(slots >= 1, s"bm25 needs at least one term slot: $slots")
+    val qtv = qt.withColumn("idx",
+      when(col("idx").between(0, slots - 1), col("idx"))
+        .otherwise(raise_error(concat(
+          lit(s"bm25 slot contract: idx must be in 0..${slots - 1}, got "),
+          col("idx").cast("string")))))
     val tf = termFreq(spark, dir)
     val df = docFreq(spark, dir)
     val len = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
@@ -469,20 +485,20 @@ object VocabQueries {
       "(CAST(df AS DOUBLE) + 0.5D)) * (CAST(tf AS DOUBLE) * 2.2D) / " +
       "(CAST(tf AS DOUBLE) + 1.2D * " +
       "(0.25D + 0.75D * CAST(dl AS DOUBLE) / avgdl))"
+    val slotSums = (0 until slots).map(i =>
+      sum(when(col("idx") === i, col("s")).otherwise(lit(0d))).as(s"s$i"))
     val scored = tf
-      // broadcast: BOUNDED — query-term rows (3 slots per query).
-      .join(broadcast(qt), "tok")
+      // broadcast: BOUNDED — query-term rows (`slots` per query).
+      .join(broadcast(qtv), "tok")
       .join(df, "tok")
       .join(len, "doc_id")
       // broadcast: BOUNDED — single-row global stats.
       .crossJoin(broadcast(stats))
       .withColumn("s", expr(s))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(
-        sum(when(col("idx") === 0, col("s")).otherwise(lit(0d))).as("s0"),
-        sum(when(col("idx") === 1, col("s")).otherwise(lit(0d))).as("s1"),
-        sum(when(col("idx") === 2, col("s")).otherwise(lit(0d))).as("s2"))
-      .withColumn("score", col("s0") + col("s1") + col("s2"))
+      .agg(slotSums.head, slotSums.tail: _*)
+      .withColumn("score", (1 until slots)
+        .foldLeft(col("s0"))((acc, i) => acc + col(s"s$i")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
@@ -554,21 +570,26 @@ object VocabQueries {
   /** `bm25_topk_param` — [[bm25TopKWith]] pinned to an EXPLICIT literal
     * query table, the deployment call shape: three user queries as
     * plain strings in slots ("spark join fast", "window agg stream",
-    * "vector scan <absent>"), one term deliberately absent from the
-    * corpus so the absent-term contract (no posting, no contribution,
-    * both engines) sits under the oracle. The corpus-derived
-    * [[bm25TopK]] remains the SF-independent fixture; this row is the
-    * arbitrary-strings API with the registered instance as its pinned
-    * example. */
+    * "vector scan <absent>") plus a FIVE-term query ("data query batch
+    * join vector", r19 verdict ask #4 — real queries have 4+ terms, so
+    * the registered instance runs the K-slot generalization at K = 5;
+    * the 3-term queries' upper slots sum to exactly 0.0 in both
+    * engines). One term is deliberately absent from the corpus so the
+    * absent-term contract (no posting, no contribution, both engines)
+    * sits under the oracle. The corpus-derived [[bm25TopK]] remains
+    * the SF-independent fixture; this row is the arbitrary-strings API
+    * with the registered instance as its pinned example. */
   val bm25ParamTopK = QueryDef(
     "bm25_topk_param",
     (spark, dir) => {
       val qs = Seq(
         (0L, 0L, "spark"), (0L, 1L, "join"), (0L, 2L, "fast"),
         (1L, 0L, "window"), (1L, 1L, "agg"), (1L, 2L, "stream"),
-        (2L, 0L, "vector"), (2L, 1L, "scan"), (2L, 2L, "zzgraftabsent"))
+        (2L, 0L, "vector"), (2L, 1L, "scan"), (2L, 2L, "zzgraftabsent"),
+        (3L, 0L, "data"), (3L, 1L, "query"), (3L, 2L, "batch"),
+        (3L, 3L, "join"), (3L, 4L, "vector"))
       import spark.implicits._
-      bm25TopKWith(spark, dir, qs.toDF("query_id", "idx", "tok"))
+      bm25TopKWith(spark, dir, qs.toDF("query_id", "idx", "tok"), slots = 5)
     },
     Some("""
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -584,7 +605,9 @@ object VocabQueries {
       qt AS (SELECT * FROM (VALUES
                (0, 0, 'spark'), (0, 1, 'join'), (0, 2, 'fast'),
                (1, 0, 'window'), (1, 1, 'agg'), (1, 2, 'stream'),
-               (2, 0, 'vector'), (2, 1, 'scan'), (2, 2, 'zzgraftabsent'))
+               (2, 0, 'vector'), (2, 1, 'scan'), (2, 2, 'zzgraftabsent'),
+               (3, 0, 'data'), (3, 1, 'query'), (3, 2, 'batch'),
+               (3, 3, 'join'), (3, 4, 'vector'))
              AS q(query_id, idx, tok)),
       posting AS (
           SELECT q.query_id, q.idx, t.doc_id,
@@ -608,12 +631,16 @@ object VocabQueries {
                sum(CASE WHEN idx = 1 THEN s ELSE CAST(0 AS DOUBLE) END)
                  AS s1,
                sum(CASE WHEN idx = 2 THEN s ELSE CAST(0 AS DOUBLE) END)
-                 AS s2
+                 AS s2,
+               sum(CASE WHEN idx = 3 THEN s ELSE CAST(0 AS DOUBLE) END)
+                 AS s3,
+               sum(CASE WHEN idx = 4 THEN s ELSE CAST(0 AS DOUBLE) END)
+                 AS s4
         FROM posting GROUP BY 1, 2)
       SELECT query_id, doc_id, rank FROM (
         SELECT query_id, doc_id,
                row_number() OVER (PARTITION BY query_id
-                 ORDER BY s0 + s1 + s2 DESC, doc_id) AS rank
+                 ORDER BY s0 + s1 + s2 + s3 + s4 DESC, doc_id) AS rank
         FROM scored)
       WHERE rank <= 10
     """))

@@ -159,6 +159,37 @@ class OpQuerySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(blocked === brute)
     assert(brute.nonEmpty, "fixture should contain at least one near-dup pair")
+    // the registered query now reads the staged class-level pipeline
+    // (r19 verdict ask #1); the historical doc-level band join is the
+    // independent third leg — all three must agree
+    val docBand = operators.DedupQueries.bandPairsOn(docs
+        .join(Tables.documents(spark, sf).select($"doc_id", $"n_chars"),
+          "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(docBand === brute,
+      "the doc-level band seam must still equal brute force")
+  }
+
+  test("dedup_editdist_k4: the non-default EditConfig (k=4, W=16) keeps the cover theorem — staged result equals all-pairs brute force (r20)") {
+    import spark.implicits._
+    operators.Staged.reset(spark)
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val brute = docs.as("a")
+      .crossJoin(docs.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        levenshtein($"a.text", $"b.text").as("lev"))
+      .filter($"lev" <= 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = operators.DedupQueries.editDistK4.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === brute,
+      s"k=4 staged result must equal brute (got ${got.size}, " +
+        s"brute ${brute.size})")
+    val k8 = operators.DedupQueries.editDistPairs.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.subsetOf(k8) && brute != k8,
+      "k=4 must be a strict subset of k=8 or the knob pins nothing")
   }
 
   test("ivf_refine: Lloyd sweeps descend the int8 quantization SSE, stay in range") {
@@ -199,6 +230,26 @@ class OpQuerySpec extends AnyFunSuite {
     // hits contain >= 1 query term structurally (the posting join only
     // emits docs that share a term); what needs checking is that no
     // query starved below the limit — covered by the 10-rank gate above.
+  }
+
+  test("bm25TopKWith: out-of-range slot idx fails loudly instead of silently truncating the score (r19 ADVICE)") {
+    import spark.implicits._
+    // a 4th term passed to a 3-slot call used to join postings yet
+    // contribute to NO slot — every score quietly missing a term; the
+    // contract is now enforced inside the distributed projection
+    val qt = Seq((0L, 0L, "spark"), (0L, 3L, "join"))
+      .toDF("query_id", "idx", "tok")
+    val e = intercept[Throwable] {
+      operators.VocabQueries.bm25TopKWith(spark, sf, qt).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("slot contract")),
+      s"expected the slot-contract error, got: $e")
+    // the same 4 terms under slots = 5 score cleanly
+    val ok = operators.VocabQueries.bm25TopKWith(spark, sf, qt, slots = 5)
+    assert(ok.count() > 0)
   }
 
   test("ann_topk_brute: 10 ranked neighbors per query, none self") {
@@ -465,6 +516,47 @@ class OpQuerySpec extends AnyFunSuite {
     val again = functions.Multimodal.features(media, dim = 16).collect()
       .map(f => f.media_id -> f.embedding.toSeq).toMap
     assert(arr.forall(f => again(f.media_id) == f.embedding.toSeq))
+  }
+
+  test("multimodal real codec: ImageIO probe + resize on generated PNGs through the same seam (r19 verdict ask #7)") {
+    import spark.implicits._
+    // real JPEG/PNG bytes, generated in-test (the JDK ships the codec):
+    // 20 images with ids encoding their true dimensions, one corrupt row
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = (1 to 20).map(i =>
+      functions.Multimodal.MediaRow(i.toLong, "image", png(10 + i, 20 + i))) :+
+      functions.Multimodal.MediaRow(99L, "image", Array[Byte](1, 2, 3))
+    val media = spark.createDataset(rows).repartition(4)
+    // header-only probe: true dimensions out, corrupt row (0, 0) not a crash
+    val meta = functions.Multimodal
+      .probeAll(media, functions.Multimodal.ImageIoDecoder)
+      .collect().map(m => m.media_id -> m).toMap
+    (1 to 20).foreach { i =>
+      assert(meta(i.toLong).width === 10 + i, s"image $i width")
+      assert(meta(i.toLong).height === 20 + i, s"image $i height")
+    }
+    assert(meta(99L).width === 0 && meta(99L).height === 0,
+      "a corrupt payload must probe (0, 0), not kill the partition")
+    // real resize: decode → bilinear scale → PNG re-encode; the output
+    // payloads are themselves valid PNGs at the target dimensions
+    val resized = functions.Multimodal.resizeImages(media, 8, 6)
+    val back = functions.Multimodal
+      .probeAll(resized, functions.Multimodal.ImageIoDecoder)
+      .collect().map(m => m.media_id -> m).toMap
+    (1 to 20).foreach { i =>
+      assert(back(i.toLong).width === 8 && back(i.toLong).height === 6,
+        s"image $i must re-probe at the target size")
+    }
+    assert(back(99L).n_bytes === 0L,
+      "a corrupt payload must resize to the empty payload")
   }
 
   test("text_lang_id: scores are non-negative, prediction is a known label") {
