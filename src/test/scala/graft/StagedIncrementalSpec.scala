@@ -1466,6 +1466,84 @@ class StagedIncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("staged edit-distance verify chain: classes/members/pairs delta-build a drop, result equals a cold rebuild (r20, r19 verdict #1)") {
+    import spark.implicits._
+    import operators.DedupQueries
+    val dir = freshDir()
+    def writeRows(rows: Seq[(Long, String)], append: Boolean): Unit =
+      rows.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(2)
+        .write.mode(if (append) "append" else "overwrite")
+        .parquet(s"$dir/documents.parquet")
+    // founding corpus: one near-pair (100 ~ 101, ed = 1) and one
+    // exact-dup class (200 == 201) so the expansion has both kinds
+    val base = (0 until 20).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta $i padding tail")) ++
+      Seq((100L, "the quick brown fox jumps over the lazy dog tonight"),
+        (101L, "the quick brown fox jumps over the lazy dog tonighX"),
+        (200L, "an exactly duplicated document body shared by two ids"),
+        (201L, "an exactly duplicated document body shared by two ids"))
+    writeRows(base, append = false)
+    // the fully STAGED reader (staged members + staged pairs) — the
+    // inline-member variant is asserted equal on the grown corpus below
+    def pairs(): Set[(Long, Long, Int)] =
+      DedupQueries.editDistCollapsed.fn(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+    Staged.evict(spark)
+    Staged.enablePersist(Files.createTempDirectory("inc_editpairs").toString)
+    try {
+      val basePairs = pairs()
+      assert(basePairs.contains((100L, 101L, 1)), s"near-pair: $basePairs")
+      assert(basePairs.contains((200L, 201L, 0)),
+        s"exact-dup expansion: $basePairs")
+      // the drop: a near-dup of a BASE doc, a THIRD replica of the
+      // exact-dup class (no new class — only new members), and a
+      // fresh unrelated doc
+      writeRows(Seq(
+        (102L, "the quick brown fox jumps over the lazy dog tonigzz"),
+        (202L, "an exactly duplicated document body shared by two ids"),
+        (300L, "completely fresh content that matches nothing else here")),
+        append = true)
+      Staged.reset(spark)
+      Staged.clearBuildLog()
+      val grownPairs = pairs()
+      def modesOf(stage: String): Seq[String] =
+        Staged.buildLogSnapshot.collect { case (s, m) if s == stage => m }
+      assert(modesOf("edit_classes") === Seq("delta"),
+        s"classes must delta-append the drop's new classes: " +
+          s"${Staged.buildLogSnapshot}")
+      assert(modesOf("edit_members") === Seq("delta"),
+        s"members must delta-append: ${Staged.buildLogSnapshot}")
+      assert(modesOf("edit_band_pairs") === Seq("delta"),
+        s"the pair table must delta-build only pairs touching new " +
+          s"classes: ${Staged.buildLogSnapshot}")
+      // cross-new-old pair found; the replica joins its class with
+      // NO new class pair (202-200/201 are within-class zeros)
+      assert(grownPairs.exists(p => p._1 == 100L && p._2 == 102L),
+        s"drop near-pair against a base doc: $grownPairs")
+      assert(grownPairs.contains((200L, 202L, 0)) &&
+        grownPairs.contains((201L, 202L, 0)),
+        s"replica must expand within its class: $grownPairs")
+      // the inline-member variant answers identically over the same
+      // staged pair table
+      assert(DedupQueries.editDistPairs.fn(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet === grownPairs,
+        "inline-member and staged-member expansions must agree")
+      // the delta-built chain answers EXACTLY like a cold rebuild
+      val coldRoot = Files.createTempDirectory("inc_editpairs_cold")
+      Staged.reset(spark)
+      Staged.enablePersist(coldRoot.toString)
+      assert(pairs() === grownPairs,
+        "delta-built pair expansion must equal the cold rebuild")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
   test("frozen quantizer drift accumulates: a rule id discarded by an EARLIER drop still counts as drift (r16 self-review)") {
     import spark.implicits._
     import operators.{IvfConfig, SimilarityQueries}
