@@ -122,9 +122,20 @@ object Bench {
     // from the ann_* block's resident checkpoints — reuse is preserved (a
     // stage is dropped only once no later query reads it), the pressure is
     // not. Medians over passes then reflect the released-mode readings.
+    // Two failure guards on the release path (r20 review): (a) a stage
+    // is evicted only after its last consumer SUCCEEDED this pass — a
+    // query failing mid-action can leave a downstream lazy checkpoint in
+    // the memo whose plan still needs the upstream RDD's blocks, and
+    // freeing them would crash a later innocent query; (b) if any query
+    // failed in pass 1 the last-consumer map may be truncated (the
+    // failed query never touched its usual stages), so release mode is
+    // disabled for the whole run — the run is already flagged
+    // flaky/failed, and mis-timed medians from early eviction must not
+    // land in a round table looking healthy.
     val lastConsumer =
       scala.collection.mutable.HashMap.empty[(String, String), String]
     @volatile var currentQuery = ""
+    var pass1Clean = true
     val samples: Seq[Seq[(String, Option[Double])]] = (1 to passes).map { i =>
       if (i > 1) operators.Staged.reset(spark)
       operators.Staged.onStageAccess =
@@ -136,9 +147,11 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
-        if (i > 1) lastConsumer.foreach { case ((d, st), q) =>
-          if (q == name) operators.Staged.evictStage(spark, d, st)
-        }
+        if (i == 1 && !ok) pass1Clean = false
+        if (i > 1 && ok && pass1Clean)
+          lastConsumer.foreach { case ((d, st), q) =>
+            if (q == name) operators.Staged.evictStage(spark, d, st)
+          }
         name -> (if (ok) Some(t) else None)
       }
     }

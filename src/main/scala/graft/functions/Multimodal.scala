@@ -46,14 +46,20 @@ object Multimodal {
     * raster, which is what keeps a 100 TB media-metadata pass IO-bound
     * on the payload bytes rather than CPU-bound on full decodes. An
     * unparseable payload probes (0, 0, 0) instead of throwing: one
-    * corrupt image must not kill a million-row partition (the registered
-    * fixture queries stay on [[FakeDecoder]] — the oracle cannot decode
-    * PNGs — so this path is spec-covered on generated images). */
+    * corrupt image must not kill a million-row partition — and the
+    * catches are NonFatal, not IOException-only (r20 review): JDK
+    * ImageIO readers throw RuntimeExceptions (IllegalArgument,
+    * index/NegativeArraySize) on payloads whose magic matches a reader
+    * but whose header fields are garbage — the exact shape fuzzed or
+    * truncated crawl bytes take (the registered fixture queries stay on
+    * [[FakeDecoder]] — the oracle cannot decode PNGs — so this path is
+    * spec-covered on generated images, including a magic-matching
+    * truncated payload). */
   object ImageIoDecoder extends MediaDecoder {
     def probe(payload: Array[Byte]): (Int, Int, Int) = {
       val iis = try javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
       if (iis == null) return (0, 0, 0)
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -66,9 +72,9 @@ object Multimodal {
             // header-cheap: -1 = "unknown without a full scan" → report
             // at least the first frame
             val n = try r.getNumImages(false)
-              catch { case _: java.io.IOException => 1 }
+              catch { case scala.util.control.NonFatal(_) => 1 }
             (r.getWidth(0), r.getHeight(0), math.max(n, 1))
-          } catch { case _: java.io.IOException => (0, 0, 0) }
+          } catch { case scala.util.control.NonFatal(_) => (0, 0, 0) }
           finally r.dispose()
         }
       } finally iis.close()
@@ -140,10 +146,12 @@ object Multimodal {
       s"resizeImages: dimensions must be positive, got ${width}x$height")
     media.mapPartitions { rows =>
       rows.map { r =>
+        // NonFatal, not IOException-only (r20 review): magic-matching
+        // garbage makes JDK readers throw RuntimeExceptions
         val img =
           try javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) MediaRow(r.media_id, r.kind, Array.emptyByteArray)
         else {
           val out = new java.awt.image.BufferedImage(width, height,

@@ -864,35 +864,14 @@ object DedupQueries {
   }
   object EditConfig { val Default: EditConfig = EditConfig() }
 
-  /** Exact edit-distance near-dup pairs (§2.3 fuzzy dedup): every
-    * unordered pair of documents with Levenshtein distance ≤ 8, found
-    * WITHOUT an all-pairs cross join. Blocking is a length-band
-    * equi-join (band = n_chars div 32; each doc additionally probes the
-    * band BELOW it, so adjacent-band pairs meet exactly once) plus the
-    * sound |Δlen| ≤ k length filter — both refuse only pairs that
-    * provably cannot match, so the result equals brute force BY
-    * CONSTRUCTION (OpQuerySpec pins equality against the all-pairs
-    * reference on sf0.001). The verify step is Spark's banded
-    * `levenshtein(l, r, threshold)` — O(k·len) per pair with early
-    * exit, not O(len²).
-    *
-    * 100 TB note: the join key is the length band, so a length-skewed
-    * corpus (most docs ≈ same size) concentrates candidates in few
-    * bands and the within-band pairing is quadratic in band occupancy —
-    * the same shape as every blocked pairing here. The deployment lever
-    * is compounding a content key into the block (e.g. a rare-q-gram
-    * prefix à la Ed-Join, which preserves exact recall), or the
-    * hot-bucket guard if approximate refusal is acceptable; the length
-    * band alone is the honest exact baseline. */
-  /** The band-blocked exact pairing over an arbitrary (doc_id, text,
-    * n_chars) frame — the historical doc-level seam, kept for the
+  /** The band join's CANDIDATE pairs (post length filter, pre
+    * levenshtein) over an arbitrary doc-level (doc_id, text, n_chars)
+    * frame — the historical doc-level seam, kept for the
     * brute-equality and collapse-parity specs (the registered queries
     * now read the staged class-level pipeline below, which OpQuerySpec
-    * pins set-equal to this). */
-  /** The band join's CANDIDATE pairs (post length filter, pre
-    * levenshtein) — exposed `private[graft]` so the collapse spec can
-    * measure what the representative pre-collapse refused (the
-    * prune-observability discipline). */
+    * pins set-equal to this); exposed `private[graft]` so the collapse
+    * spec can measure what the representative pre-collapse refused
+    * (the prune-observability discipline). */
   private[graft] def bandCandidatesOn(docs: DataFrame,
       cfg: EditConfig = EditConfig.Default): DataFrame = {
     val d = docs.select(col("doc_id"), col("text"), col("n_chars"),
@@ -945,17 +924,21 @@ object DedupQueries {
       .dropDuplicates("hash")
 
   /** The classes an append INTRODUCES: the delta docs' classes
-    * anti-joined against the OLD corpus's hash set (grown corpus minus
-    * the delta ids — the key-disjointness gate makes that subtraction
-    * exact). A drop re-delivering an existing text adds members, never
-    * a class. O(corpus) in the slim hash column per drop — the
-    * dedup-against-history scan every incremental dedup pays — while
-    * the expensive half (banded levenshtein) stays O(delta classes). */
+    * anti-joined against the OLD corpus's hash set. The old set is read
+    * from the STAGED member map (grown members minus the delta ids —
+    * the key-disjointness gate makes that subtraction exact), not
+    * re-derived by re-hashing the corpus text: both the class stage's
+    * and the pair stage's delta builds call this per drop (r20 review),
+    * so the dedup-against-history pass must be a scan of the slim
+    * staged (doc_id, hash) table, never two fresh md5 passes over the
+    * documents. A drop re-delivering an existing text adds members,
+    * never a class; the expensive half (banded levenshtein) stays
+    * O(delta classes). */
   private def deltaClasses(spark: SparkSession, dir: String,
       deltaDocs: DataFrame): DataFrame = {
-    val oldHashes = Tables.documents(spark, dir)
+    val oldHashes = editMembersStage(spark, dir)
       .join(deltaDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .select(md5(col("text")).as("hash")).distinct()
+      .select(col("hash")).distinct()
     classesOf(deltaDocs).join(oldHashes, Seq("hash"), "left_anti")
   }
 
@@ -1079,14 +1062,27 @@ object DedupQueries {
       WHERE levenshtein(text, p_text) <= ${cfg.k}
     """
 
-  /** `dedup_editdist` — ALL pairs with ed ≤ 8, served from the staged
-    * class-level pipeline: classes → banded class pairs (the one
-    * levenshtein pass) → member expansion. The canonical consumer; it
-    * derives the member map inline (one corpus md5 scan), where
-    * [[editDistCollapsed]] reads the staged one. Results are the
-    * historical band variant's by the collapse theorem (OpQuerySpec
-    * pins set-equality against the all-pairs brute force AND
-    * [[bandPairsOn]]). */
+  /** `dedup_editdist` — exact fuzzy dedup (§2.3): every unordered pair
+    * of documents with Levenshtein distance ≤ 8, found WITHOUT an
+    * all-pairs cross join and served from the staged class-level
+    * pipeline: classes → banded class pairs (the one levenshtein pass:
+    * a length-band equi-join whose blocking refuses only pairs that
+    * provably cannot match, verified by Spark's banded O(k·len)
+    * `levenshtein(l, r, threshold)`) → member expansion. The canonical
+    * consumer; it derives the member map inline (one corpus md5 scan),
+    * where [[editDistCollapsed]] reads the staged one. Results equal
+    * brute force BY CONSTRUCTION (OpQuerySpec pins set-equality against
+    * the all-pairs reference AND the doc-level [[bandPairsOn]] seam on
+    * sf0.001).
+    *
+    * 100 TB note: the join key is the length band, so a length-skewed
+    * corpus (most docs ≈ same size) concentrates candidates in few
+    * bands and the within-class-pairing is quadratic in band occupancy
+    * — the same shape as every blocked pairing here. The collapse to
+    * content classes is the first lever (replica mass vanishes before
+    * the band join); the content-keyed block (the Ed-Join prefix, which
+    * preserves exact recall) is the second; the hot-bucket guard if
+    * approximate refusal is acceptable. */
   val editDistPairs = QueryDef(
     "dedup_editdist",
     (spark, dir) => expandedEditPairs(spark, dir, EditConfig.Default,
@@ -1216,35 +1212,28 @@ object DedupQueries {
         .agg(count(lit(1)).as("tf"))
     }
 
-  // Frozen-order digests memoized on the STAGED order instance (the
-  // refinedValueDigest discipline) — one small job per session, not one
-  // per prefix construction.
-  private val orderDigestMemo = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[DataFrame, String]())
-
   /** Commutative checksum of the frozen (tok, tf) order — O(vocab) scan,
     * O(1) driver collect (never an O(vocab) collect: each term is
     * < 2^30, so the sum over any realistic vocab stays well inside
-    * Long). The digest's job is the trained-family LOCKSTEP discipline
-    * (r19 ADVICE): [[editPrefixFrozen]] keys on it, so a frozen order
-    * that cold-re-founds WITHOUT a fingerprint move (resolveSwept
-    * recovery after a gc race, a partial sweep) re-keys the prefix
-    * stage cold instead of computing later deltas under the NEW order
-    * while prior segments keep the founding one — mixed orders void the
+    * Long). Memoized on the STAGED order instance through the one
+    * shared memo shell ([[SimilarityQueries.memoizedDigest]] — r20
+    * review: a hand-rolled fourth copy of the WeakHashMap check/put is
+    * the drift the r19 consolidation existed to stop). The digest's job
+    * is the trained-family LOCKSTEP discipline (r19 ADVICE):
+    * [[editPrefixFrozen]] keys on it, so a frozen order that
+    * cold-re-founds WITHOUT a fingerprint move (resolveSwept recovery
+    * after a gc race, a partial sweep) re-keys the prefix stage cold
+    * instead of computing later deltas under the NEW order while prior
+    * segments keep the founding one — mixed orders void the
     * any-fixed-order exactness theorem and could silently miss pairs. */
-  private def frozenOrderDigest(order: DataFrame): String = {
-    val hit = orderDigestMemo.get(order)
-    if (hit != null) hit
-    else {
+  private def frozenOrderDigest(order: DataFrame): String =
+    SimilarityQueries.memoizedDigest(order) {
       val row = order.agg(
         sum(pmod(xxhash64(col("tok"), col("tf")), lit(1000000007L))).as("h"),
         count(lit(1)).as("n")).head()
       val h = if (row.isNullAt(0)) 0L else row.getLong(0)
-      val d = f"$h%x-${row.getLong(1)}%x"
-      orderDigestMemo.put(order, d)
-      d
+      f"$h%x-${row.getLong(1)}%x"
     }
-  }
 
   /** The frozen-order prefix stage — APPENDABLE: a crawl drop prefixes
     * only its own docs against the frozen founding order (unseen grams

@@ -1403,8 +1403,11 @@ object SimilarityQueries {
   }
 
   /** The ONE memo-then-compute shell behind every value digest (r19
-    * review: three copies of the WeakHashMap check/put drifted in). */
-  private def memoizedDigest(tbl: DataFrame)(compute: => String): String = {
+    * review: three copies of the WeakHashMap check/put drifted in;
+    * `private[operators]` so DedupQueries' frozen-order digest reuses
+    * it instead of growing a fourth copy — r20 review). */
+  private[operators] def memoizedDigest(tbl: DataFrame)(
+      compute: => String): String = {
     val hit = digestMemo.get(tbl)
     if (hit != null) hit
     else {

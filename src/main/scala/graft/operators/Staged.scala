@@ -1021,26 +1021,32 @@ object Staged {
     if (java.nio.file.Files.exists(target.resolve(ManifestName))) return false
     if (java.nio.file.Files.exists(target.resolve("_SUCCESS"))) return true
     // Bounded probe, not an unbounded walk (r19 ADVICE): a PARTITIONED
-    // table's part files live one level down under `col=value` dirs
-    // (layoutBy stages), so descend exactly one level and ONLY into
-    // `col=value`-shaped children. A manifest-kind dir in a crashed or
-    // foreign state (manifest file gone, nested seg-*/part-*.parquet
-    // left behind) must NOT classify as a plain table — spark.read over
-    // seg-* roots breaks partition discovery — and previously the
-    // whole-subtree walk both admitted that state and paid O(files) on
-    // large partitioned tables; this probe is O(dir entries).
+    // table's part files live under nested `col=value` dirs (layoutBy
+    // stages), so descend ONLY into `col=value`-shaped children, to a
+    // small fixed depth (multi-column layouts nest one level per
+    // column — r20 review: an exactly-one-level probe would mis-read a
+    // marker-less two-column table as absent and rebuild over it). A
+    // manifest-kind dir in a crashed or foreign state (manifest file
+    // gone, nested seg-*/part-*.parquet left behind) must NOT classify
+    // as a plain table — spark.read over seg-* roots breaks partition
+    // discovery — and previously the whole-subtree walk both admitted
+    // that state and paid O(files) on large partitioned tables; this
+    // probe is O(dir entries per level).
     import scala.jdk.CollectionConverters._
     def entriesOf(p: java.nio.file.Path): List[java.nio.file.Path] = {
       val s = java.nio.file.Files.list(p)
       try s.iterator().asScala.toList finally s.close()
     }
-    val top = entriesOf(target)
-    top.exists(p => java.nio.file.Files.isRegularFile(p) &&
-      p.getFileName.toString.endsWith(".parquet")) ||
-      top.exists(p => java.nio.file.Files.isDirectory(p) &&
-        p.getFileName.toString.contains('=') &&
-        entriesOf(p).exists(q => java.nio.file.Files.isRegularFile(q) &&
-          q.getFileName.toString.endsWith(".parquet")))
+    def probe(p: java.nio.file.Path, depth: Int): Boolean = {
+      val entries = entriesOf(p)
+      entries.exists(q => java.nio.file.Files.isRegularFile(q) &&
+        q.getFileName.toString.endsWith(".parquet")) ||
+        (depth > 0 && entries.exists(q =>
+          java.nio.file.Files.isDirectory(q) &&
+            q.getFileName.toString.contains('=') &&
+            probe(q, depth - 1)))
+    }
+    probe(target, 5)
   }
 
   private def persisted(spark: SparkSession, root: String, dir: String,

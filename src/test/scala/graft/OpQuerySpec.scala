@@ -531,9 +531,15 @@ class OpQuerySpec extends AnyFunSuite {
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+    // two corrupt shapes: magic-less noise (no reader claims it) and a
+    // MAGIC-MATCHING truncation (a reader claims it, then throws a
+    // RuntimeException parsing the mangled header — the r20 review's
+    // NonFatal case: IOException-only catches let this kill the task)
+    val truncated = png(32, 32).take(24)
     val rows = (1 to 20).map(i =>
       functions.Multimodal.MediaRow(i.toLong, "image", png(10 + i, 20 + i))) :+
-      functions.Multimodal.MediaRow(99L, "image", Array[Byte](1, 2, 3))
+      functions.Multimodal.MediaRow(99L, "image", Array[Byte](1, 2, 3)) :+
+      functions.Multimodal.MediaRow(98L, "image", truncated)
     val media = spark.createDataset(rows).repartition(4)
     // header-only probe: true dimensions out, corrupt row (0, 0) not a crash
     val meta = functions.Multimodal
@@ -545,6 +551,8 @@ class OpQuerySpec extends AnyFunSuite {
     }
     assert(meta(99L).width === 0 && meta(99L).height === 0,
       "a corrupt payload must probe (0, 0), not kill the partition")
+    assert(meta(98L).width === 0 && meta(98L).height === 0,
+      "a magic-matching truncated payload must probe (0, 0) too")
     // real resize: decode → bilinear scale → PNG re-encode; the output
     // payloads are themselves valid PNGs at the target dimensions
     val resized = functions.Multimodal.resizeImages(media, 8, 6)
@@ -555,8 +563,8 @@ class OpQuerySpec extends AnyFunSuite {
       assert(back(i.toLong).width === 8 && back(i.toLong).height === 6,
         s"image $i must re-probe at the target size")
     }
-    assert(back(99L).n_bytes === 0L,
-      "a corrupt payload must resize to the empty payload")
+    assert(back(99L).n_bytes === 0L && back(98L).n_bytes === 0L,
+      "corrupt payloads must resize to the empty payload")
   }
 
   test("text_lang_id: scores are non-negative, prediction is a known label") {
