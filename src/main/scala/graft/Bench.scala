@@ -132,6 +132,11 @@ object Bench {
     // disabled for the whole run — the run is already flagged
     // flaky/failed, and mis-timed medians from early eviction must not
     // land in a round table looking healthy.
+    // Diagnostic kill-switch for the release path (same spirit as
+    // SPARK_GRAFT_BENCH_ONLY): lets a same-box A/B attribute a timing
+    // shift to the mid-pass eviction itself vs the code under test.
+    val releaseMode =
+      !sys.env.get("SPARK_GRAFT_BENCH_RELEASE").contains("0")
     val lastConsumer =
       scala.collection.mutable.HashMap.empty[(String, String), String]
     @volatile var currentQuery = ""
@@ -148,7 +153,7 @@ object Bench {
                  catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
         if (i == 1 && !ok) pass1Clean = false
-        if (i > 1 && ok && pass1Clean)
+        if (releaseMode && i > 1 && ok && pass1Clean)
           lastConsumer.foreach { case ((d, st), q) =>
             if (q == name) operators.Staged.evictStage(spark, d, st)
           }

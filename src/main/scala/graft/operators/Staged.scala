@@ -195,14 +195,19 @@ object Staged {
 
   /** Drop ONE stage of `spark` — memo entry plus checkpointed blocks —
     * the per-consumer release behind [[onStageAccess]]; [[evict]] is
-    * the whole-session form (same LogicalRDD-unpersist rationale). */
+    * the whole-session form (same LogicalRDD-unpersist rationale).
+    * BLOCKING unpersist, unlike evict's: this runs between two timed
+    * bench windows, and an async removal races its block-manager work
+    * into the NEXT query's window (measured on the trained-ann subset:
+    * ~19% total inflation under async release) — the wait belongs in
+    * the untimed gap. */
   private[graft] def evictStage(spark: SparkSession, dir: String,
       stage: String): Unit = {
     val dropped = memo.synchronized(memo.remove((spark, dir, stage)))
     dropped.foreach { df =>
       try df.queryExecution.logical match {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false); ()
+          lr.rdd.unpersist(blocking = true); ()
         case _ => ()
       } catch {
         case e: InterruptedException =>
