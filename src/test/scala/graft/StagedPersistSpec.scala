@@ -219,6 +219,55 @@ class StagedPersistSpec extends AnyFunSuite {
     }
   }
 
+  test("persist mode: bounded plain-table probe — crashed seg leftovers rebuild, marker-less multi-column layouts still read (r19 ADVICE, r20 review)") {
+    val stageRoot = Files.createTempDirectory("stage_root_probe").toString
+    val dataDir = Files.createTempDirectory("stage_data_probe")
+    Files.write(dataDir.resolve("part-0.parquet"), "p".getBytes)
+    Staged.evict(spark)
+    Staged.enablePersist(stageRoot)
+    try {
+      // (a) a CRASHED/foreign manifest-kind state: manifest file gone,
+      // a nested seg-*/part file left behind — must NOT classify as a
+      // plain table (spark.read over seg-* roots breaks partition
+      // discovery); the resolution rebuilds and the publish migrates
+      // the leftover aside
+      val tgtA = Staged.stageTargetPath(stageRoot, dataDir.toString,
+        "probe@a")
+      Files.createDirectories(tgtA.resolve("seg-dead"))
+      Files.write(tgtA.resolve("seg-dead").resolve("part-0.parquet"),
+        "x".getBytes)
+      var builds = 0
+      def stageA() = Staged(spark, dataDir.toString, "probe@a") {
+        builds += 1
+        spark.range(42).toDF()
+      }
+      assert(stageA().count() === 42)
+      assert(builds === 1,
+        "seg-structured leftovers must fall through to a rebuild")
+      // (b) a marker-less MULTI-column partitioned table is still a
+      // live plain table: the bounded probe descends col=value children
+      // to a fixed depth, not exactly one level (an exactly-one-level
+      // probe would cold-rebuild over valid two-column data)
+      import spark.implicits._
+      val tgtB = Staged.stageTargetPath(stageRoot, dataDir.toString,
+        "probe@b")
+      val tmp = Files.createTempDirectory("probe_twocol")
+      Seq((1, 2, 30L), (4, 5, 60L)).toDF("a", "b", "v")
+        .write.partitionBy("a", "b").parquet(tmp.resolve("t").toString)
+      Files.deleteIfExists(tmp.resolve("t").resolve("_SUCCESS"))
+      Files.createDirectories(tgtB.getParent)
+      Files.move(tmp.resolve("t"), tgtB)
+      def stageB() = Staged(spark, dataDir.toString, "probe@b") {
+        spark.range(7).toDF()
+      }
+      assert(stageB().count() === 2,
+        "a marker-less two-column layout is a live plain table — read it")
+    } finally {
+      Staged.disablePersist()
+      Staged.reset(spark)
+    }
+  }
+
   test("persist mode: format migration renames aside (never deletes) and gc sweeps the .stale leftover (r15 ADVICE)") {
     val stageRoot = Files.createTempDirectory("stage_root_aside").toString
     val dataDir = Files.createTempDirectory("stage_data_aside")
