@@ -1114,15 +1114,23 @@ object DedupQueries {
     * all-pairs while the prefix join stays sparse). */
   /** One occurrence-tagged q-gram rule (doc_id, tok) — shared by the
     * cold full build and the append-delta build so the two cannot
-    * drift (the `tokenize` discipline). */
+    * drift (the `tokenize` discipline). Occurrence tags come from a
+    * COUNT + sequence-explode, not a positional window (r20): the i-th
+    * copy of gram g yields `g#i` either way — the tok MULTISET is
+    * position-independent, and nothing downstream reads positions (the
+    * prefix ranks by (tf, tok)) — but the count aggregates with
+    * MAP-SIDE COMBINE and regenerates rows from the compact
+    * (doc_id, g, n) shape after the shuffle, where the window form
+    * shuffled and SORTED every raw gram occurrence. */
   private def editGramsOf(docs: DataFrame,
       cfg: EditConfig = EditConfig.Default): DataFrame = {
     graft.functions.NgramExprs.register(docs.sparkSession)
     docs
       .select(col("doc_id"),
-        posexplode(expr(s"char_ngrams(text, ${cfg.q})")).as(Seq("pos", "g")))
-      .withColumn("occ", row_number().over(
-        Window.partitionBy(col("doc_id"), col("g")).orderBy(col("pos"))))
+        explode(expr(s"char_ngrams(text, ${cfg.q})")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), col("g"),
+        explode(expr("sequence(1, n)")).as("occ"))
       .select(col("doc_id"), concat_ws("#", col("g"), col("occ")).as("tok"))
   }
 
