@@ -57,6 +57,14 @@ object Bench {
     math.max(1, sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .flatMap(_.toIntOption).getOrElse(3))
 
+  // r21 optimization note: lowering AQE's coalescePartitions
+  // minPartitionSize floor session-wide (so small CPU-bound
+  // intermediates keep machine-width parallelism) was implemented and
+  // A/B-measured this round together with a scan-side fan-out — net
+  // LOSS (see the note in Tables.scala: 130/159 queries slower, suite
+  // 188.8 s vs 104.4 s). The CPU-bound operators pin their own width
+  // at their one heavy exchange instead (Staged.cpuWidth).
+
   def main(args: Array[String]): Unit = {
     // junk or non-positive pass counts fall back to the default rather
     // than crashing the round's bench (or silently sampling nothing)
@@ -146,6 +154,14 @@ object Bench {
       operators.Staged.onStageAccess =
         if (i == 1) (d, st) => lastConsumer((d, st)) = currentQuery
         else (_, _) => ()
+      // Guard (c), r20 ADVICE: once ANY query in THIS pass has failed,
+      // stop evicting for the remainder of the pass — a failed query can
+      // leave an unmaterialized lazy checkpoint in the memo whose plan
+      // still references an UPSTREAM stage's blocks; evicting that
+      // upstream after its own (successful) last consumer would crash a
+      // later innocent query computing the stranded checkpoint. Guard
+      // (a) below only covers the evicted stage's own consumer.
+      var passClean = true
       names.map { case (name, fn) =>
         currentQuery = name
         val t0 = System.nanoTime()
@@ -153,7 +169,8 @@ object Bench {
                  catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
         if (i == 1 && !ok) pass1Clean = false
-        if (releaseMode && i > 1 && ok && pass1Clean)
+        if (!ok) passClean = false
+        if (releaseMode && i > 1 && ok && pass1Clean && passClean)
           lastConsumer.foreach { case ((d, st), q) =>
             if (q == name) operators.Staged.evictStage(spark, d, st)
           }

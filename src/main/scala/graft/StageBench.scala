@@ -446,8 +446,10 @@ object StageBench {
       val refreshSec = drive(workGrown)
       val refreshModes = operators.Staged.buildLogSnapshot
       val refreshDelta = refreshModes.count(_._2 == "delta")
-      val refreshCold = refreshModes.count(m =>
-        m._2 == "cold" || m._2 == "delta-refused" || m._2 == "delta-swept")
+      // count only the "cold" entries (r20 ADVICE): a refused/swept
+      // delta also logs the subsequent cold rebuild, so counting both
+      // markers double-counted each fallback in refresh_cold_builds
+      val refreshCold = refreshModes.count(_._2 == "cold")
       System.err.println("TRAINEDSTACK_MODES refresh: " + refreshModes
         .map { case (s, m) => s"$s=$m" }.mkString(", "))
       val rootT2 = java.nio.file.Files

@@ -9,6 +9,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet scan unimpeded (plain `spark.read.parquet`, no caching layer).
   */
 object Tables {
+  // r21 optimization note: a blanket scan-side repartition (every
+  // testdata table is one single-row-group parquet file, hence a
+  // one-task scan) was implemented and A/B-measured this round — it
+  // made 130 of 159 queries SLOWER (full-suite 2-pass legs: 188.8 s
+  // with it + a 64k AQE coalesce floor vs 104.4 s without, same
+  // sitting): at this scale most queries are scheduling-overhead-bound,
+  // not CPU-bound, and multiplying task counts costs more than the
+  // parallelism buys. The handful of genuinely CPU-bound operators pin
+  // their own width at their heavy exchange instead (Staged.cpuWidth).
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     // reader rejects unless read as raw Long (nanos since epoch); the

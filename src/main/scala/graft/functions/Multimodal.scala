@@ -77,7 +77,14 @@ object Multimodal {
           } catch { case scala.util.control.NonFatal(_) => (0, 0, 0) }
           finally r.dispose()
         }
-      } finally iis.close()
+      } finally {
+        // swallow a throwing close (r20 ADVICE): the outer finally sat
+        // OUTSIDE every catch, so a close() failing on a corrupted
+        // stream state would kill the partition — contradicting the
+        // one-corrupt-row discipline the NonFatal catches exist for
+        try iis.close()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
   }
 

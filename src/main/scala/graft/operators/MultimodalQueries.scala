@@ -133,7 +133,11 @@ object MultimodalQueries {
         Multimodal.featuresRaw(m.filter(col("media_id") % 20 === 0), dim = 16)
           .toDF()
           .select(col("media_id").as("query_id"), col("embedding").as("qf")))
-      val c = Multimodal.featuresRaw(m, dim = 16).toDF()
+      // candidate side fanned (r21): the typed extractor and the 250×5000
+      // broadcast-NLJ dot products otherwise run on the single-row-group
+      // scan's one task — see Staged.fanOut
+      val c = Multimodal.featuresRaw(
+          m.repartition(Staged.cpuWidth(spark)), dim = 16).toDF()
         .select(col("media_id").as("neighbor_id"), col("embedding").as("cf"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("dot").desc, col("neighbor_id"))

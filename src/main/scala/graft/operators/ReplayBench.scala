@@ -57,9 +57,13 @@ object ReplayBench {
   private[graft] def syntheticLog(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.Dataset[MarketMessage] = {
     import spark.implicits._
-    Tables.events(spark, dir)
+    // slim 3-column projection fanned before the typed map (r21): frame
+    // synthesis (string formatting, object construction for ~100k rows)
+    // and the engine shuffle's write side otherwise run on the
+    // single-row-group scan's one task — see Staged.fanOut
+    Staged.fanOut(Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"),
-          expr("CAST(ts AS TIMESTAMP)").as("tsz"))
+          expr("CAST(ts AS TIMESTAMP)").as("tsz")))
         .as[(Long, Long, java.sql.Timestamp)]
         .map { case (eid, uid, ts) =>
           val product = s"P-$uid"

@@ -355,7 +355,11 @@ object SimilarityQueries {
     graft.functions.VectorExprs.register(spark)
     Staged.appendable(spark, dir, "normed_embeddings", "embeddings", "vec_id")(
       normTransform) {
-      normTransform(Tables.embeddings(spark, dir))
+      // width-floor at the similarity family's ROOT stage (r21): every
+      // ann_* consumer inherits this checkpoint's width for its vector
+      // math, so one fanned 800 KB exchange here parallelizes the whole
+      // family — see Staged.fanOut
+      normTransform(Staged.fanOut(Tables.embeddings(spark, dir)))
     }
   }
 

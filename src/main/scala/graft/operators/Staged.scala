@@ -129,6 +129,43 @@ object Staged {
     md.digest().map("%02x".format(_)).mkString.take(12)
   }
 
+  /** Width for a CPU-BOUND operator's one heavy exchange (r21, guide
+    * §2.5/§2.6): AQE's partition coalescing sizes post-shuffle reads by
+    * BYTES (1 MB floor), which serializes operators whose per-row cost
+    * dwarfs their row width — the banded levenshtein verify reads ~70 B
+    * keys and spends ~15 µs/row, i.e. ~1 CPU-second per 5 MB, so a
+    * byte-coalesced read runs a multi-second verify on 1–2 cores of 32.
+    * Pinning an explicit numPartitions on that one exchange (a
+    * `repartition(n, keys)` the downstream aggregation/join reuses, so
+    * NO extra exchange is added) disables AQE coalescing exactly there.
+    * max(defaultParallelism, shuffle.partitions) floors at machine
+    * width locally and follows the operator's configured width on a
+    * real cluster. Applied ONLY at measured CPU-bound spots: the r21
+    * A/B showed blanket width (scan fan-out + a global 64k AQE floor)
+    * makes 130 of 159 queries slower — overhead-bound plans want FEWER
+    * tasks, not more. */
+  private[graft] def cpuWidth(spark: SparkSession): Int =
+    math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+
+  /** Width-floor for a scan- or checkpoint-rooted frame feeding
+    * per-row-heavy map work (gram/shingle explodes, vector math, typed
+    * extractors): the driver testdata is one single-row-group parquet
+    * file per table — an unsplittable one-task scan — and in-session
+    * stage checkpoints materialize at whatever width AQE coalesced, so
+    * CPU-dense map chains rooted at either run on 1 core of the
+    * machine. Both root kinds expose their partition count without
+    * executing anything (no AQE shuffle stage upstream — do NOT call
+    * this on a post-join/post-agg frame, where `.rdd` would force
+    * execution), so the guard is free, and at scale (many files / wide
+    * checkpoints) the whole thing is a strict no-op. Targeted at
+    * measured CPU-bound roots only — the r21 A/B rejected blanket
+    * width (see [[cpuWidth]]). */
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
+    val w = cpuWidth(df.sparkSession)
+    if (df.rdd.getNumPartitions >= w) df else df.repartition(w)
+  }
+
   /** Config-keyed stage name (r14 verdict ask #6, extending the
     * `IvfConfig.stageKey` precedent `ivf_cells@50:3:3`): the DEFAULT
     * configuration keeps the historical bare name — nothing shifts on
@@ -173,13 +210,18 @@ object Staged {
     * consumers re-select/cast their columns explicitly — see
     * `SimilarityQueries.q8ByCid`. */
   def apply(spark: SparkSession, dir: String, stage: String,
-      layoutBy: Seq[String])(build: => DataFrame): DataFrame =
+      layoutBy: Seq[String])(build: => DataFrame): DataFrame = {
+    require(layoutBy.length <= MaxLayoutArity,
+      s"layoutBy arity ${layoutBy.length} > $MaxLayoutArity: the bounded " +
+        "plain-table probe would not recognize the persisted layout " +
+        "(see MaxLayoutArity)")
     memoized(spark, dir, stage) {
       persistRoot match {
         case Some(root) => persisted(spark, root, dir, stage, layoutBy)(build)
         case None => build.localCheckpoint(eager = false)
       }
     }
+  }
 
   /** Bench instrumentation (r19 verdict ask #2 — the memo-pressure
     * fix): invoked on EVERY memo resolution (hit or build) with the
@@ -303,7 +345,11 @@ object Staged {
   def appendable(spark: SparkSession, dir: String, stage: String,
       source: String, sourceKey: String, layoutBy: Seq[String])(
       deltaBuild: DataFrame => DataFrame)(
-      fullBuild: => DataFrame): DataFrame =
+      fullBuild: => DataFrame): DataFrame = {
+    require(layoutBy.length <= MaxLayoutArity,
+      s"layoutBy arity ${layoutBy.length} > $MaxLayoutArity: the bounded " +
+        "plain-table probe would not recognize the persisted layout " +
+        "(see MaxLayoutArity)")
     memoized(spark, dir, stage) {
       persistRoot match {
         case Some(root) =>
@@ -312,6 +358,7 @@ object Staged {
         case None => fullBuild.localCheckpoint(eager = false)
       }
     }
+  }
 
   /** The appendable delta path's key-disjointness gate: throw
     * [[DeltaUnsupported]] when any appended row re-delivers a key already
@@ -1051,8 +1098,16 @@ object Staged {
             q.getFileName.toString.contains('=') &&
             probe(q, depth - 1)))
     }
-    probe(target, 5)
+    probe(target, MaxLayoutArity)
   }
+
+  /** Deepest partition layout the bounded plain-table probe recognizes
+    * (r20 ADVICE): a marker-less table partitioned by MORE columns than
+    * this would be misclassified as absent and silently cold-rebuilt
+    * (migrated aside, not lost — but still a rebuild over live data).
+    * The layoutBy seams `require` this bound at stage DEFINITION time,
+    * so an over-deep layout fails loudly there instead. */
+  private[graft] val MaxLayoutArity = 5
 
   private def persisted(spark: SparkSession, root: String, dir: String,
       stage: String, layoutBy: Seq[String] = Nil)(

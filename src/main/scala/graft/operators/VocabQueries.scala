@@ -35,7 +35,10 @@ object VocabQueries {
   private[operators] def tokens(spark: org.apache.spark.sql.SparkSession,
       dir: String) =
     Staged.appendable(spark, dir, "tokens", "documents", "doc_id")(tokenize) {
-      tokenize(Tables.documents(spark, dir))
+      // width-floor at the vocab family's ROOT stage (r21) — the token
+      // explode ran as one task off the single-row-group scan; every
+      // tf/df/bm25/tfidf consumer inherits this width (Staged.fanOut)
+      tokenize(Staged.fanOut(Tables.documents(spark, dir)))
     }
 
   /** Per-document term frequencies (doc_id, tok, tf) — the second persisted

@@ -190,6 +190,20 @@ class OpQuerySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(brute.subsetOf(k8) && brute != k8,
       "k=4 must be a strict subset of k=8 or the knob pins nothing")
+    // subset-serving equality (r21, r20 verdict ask #5): the registered
+    // query reads σ(lev ≤ 4) over the DEFAULT family's staged pairs; the
+    // independent k=4:16 build under its own stage keys must produce the
+    // bit-identical class-pair table — the no-superset deployment path
+    // and the filter read are interchangeable
+    val cfg4 = operators.DedupQueries.EditConfig(k = 4, bandW = 16)
+    val served = operators.DedupQueries
+      .editPairsFromSuperset(spark, sf, cfg4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val independent = operators.DedupQueries
+      .editBandPairsStage(spark, sf, cfg4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(served === independent,
+      "superset filter read and independent k=4 build must be bit-equal")
   }
 
   test("ivf_refine: Lloyd sweeps descend the int8 quantization SSE, stay in range") {

@@ -905,6 +905,18 @@ class ScaleSpec extends AnyFunSuite {
     info(s"length-uniform corpus: band candidates = $allPairs (all " +
       s"pairs), prefix candidates = $prefixCands " +
       f"(${prefixCands * 100.0 / allPairs}%.1f%%)")
+    // r21 (r20 verdict ask #1): the STAGE BUILD's own candidate
+    // enumeration — band ∩ prefix over the class-level frozen chain —
+    // must also track prefix sparsity here, where band occupancy is
+    // maximally degenerate (every doc in one band). This is the pin
+    // that the staged pair table no longer inherits the band join's
+    // length-skew quadratic.
+    val stageCands = DedupQueries.editPairCandidates(spark, dir).count()
+    info(f"stage-build candidates = $stageCands " +
+      f"(${stageCands * 100.0 / allPairs}%.1f%%)")
+    assert(stageCands < allPairs / 5,
+      s"the staged pair build must track prefix sparsity, not band " +
+        s"occupancy: $stageCands of $allPairs")
     assert(prefixed === band,
       "the prefix filter must be exact-recall: results equal the band path")
     assert(band.size >= 5, s"planted near-dups must be found: ${band.size}")
