@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** TEMPORARY r21 diagnostic: time each component of the edit-distance
-  * family's staged build in isolation. Deleted before round end. */
+/** KEPT r21/r22 diagnostic tooling (see OPTIMIZATION_r22.md "Tooling"):
+  * times each component of the edit-distance family's staged build in
+  * isolation. Not part of any query path. */
 object EditBreakdown {
   def main(args: Array[String]): Unit = {
     val (sfDir, cpus) = (Bench.envSfDir, Bench.envCpus)

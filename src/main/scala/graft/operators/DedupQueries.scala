@@ -81,8 +81,7 @@ object DedupQueries {
       // width-floor at the near-dup family's ROOT stage (r21): the
       // shingle explode ran as one task off the single-row-group scan;
       // bands/candidates/verified/components all inherit (Staged.fanOut)
-      TextHashing.shingleSetsRaw(Staged.fanOut(Tables.documents(spark, dir)),
-        cfg.shingleK)
+      TextHashing.shingleSetsRaw(Tables.documents(spark, dir), cfg.shingleK)
     }
 
   /** Banded signature table as its own NAMED stage: it feeds both sides of
@@ -164,8 +163,7 @@ object DedupQueries {
       cfg: SimHashConfig = SimHashConfig.Default): DataFrame =
     Staged.appendable(spark, dir, cfg.stage, "documents", "doc_id")(
       docs => TextHashing.simhash(docs, cfg.bits)) {
-      TextHashing.simhash(Staged.fanOut(Tables.documents(spark, dir)),
-        cfg.bits)
+      TextHashing.simhash(Tables.documents(spark, dir), cfg.bits)
     }
 
   /** Shared DuckDB CTE prefix: distinct word 3-shingles per doc. */
@@ -984,9 +982,11 @@ object DedupQueries {
   // distinct text), so replica mass vanishes before the grams are even
   // cut — the collapse theorem applied to the blocking itself. ──
 
-  /** The q-gram explode emits ~300 grams per input row — see
-    * [[Staged.fanOut]]. */
-  private def fanned(df: DataFrame): DataFrame = Staged.fanOut(df)
+  /** r21 fanned the gram-explode inputs 32 ways; the r22 same-box A/B
+    * measured the un-fanned build faster at cpus=32 on every consumer
+    * (see OPTIMIZATION_r22.md) — identity kept so the A/B stays a
+    * one-line toggle. */
+  private def fanned(df: DataFrame): DataFrame = df
 
   /** Occurrence-tagged q-grams of CLASS texts, n_chars carried for the
     * inline length filter: (hash, tok, n_chars). The same count +

@@ -57,10 +57,9 @@ object ReplayBench {
   private[graft] def syntheticLog(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.Dataset[MarketMessage] = {
     import spark.implicits._
-    // slim 3-column projection fanned before the typed map (r21): frame
-    // synthesis (string formatting, object construction for ~100k rows)
-    // and the engine shuffle's write side otherwise run on the
-    // single-row-group scan's one task — see Staged.fanOut
+    // slim 3-column projection fanned before the typed map (r21, re-A/B'd
+    // r22: ON wins — frame synthesis and the engine shuffle's write side
+    // otherwise run on the single-row-group scan's one task)
     Staged.fanOut(Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"),
           expr("CAST(ts AS TIMESTAMP)").as("tsz")))

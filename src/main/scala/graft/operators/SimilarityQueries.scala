@@ -359,7 +359,7 @@ object SimilarityQueries {
       // ann_* consumer inherits this checkpoint's width for its vector
       // math, so one fanned 800 KB exchange here parallelizes the whole
       // family — see Staged.fanOut
-      normTransform(Staged.fanOut(Tables.embeddings(spark, dir)))
+      normTransform(Tables.embeddings(spark, dir))
     }
   }
 
@@ -1254,15 +1254,22 @@ object SimilarityQueries {
     * (r18 ADVICE: the window form shuffled the full cross-join output
     * every sweep, contradicting the "map-side" scale claim). Only
     * probe assignments (maxRn = nprobe > 1) pay the window. */
-  private def l2Assign(q8: DataFrame, cents: DataFrame,
-      maxRn: Int): DataFrame = {
+  /** The scored (vec_id, q8, cid, d2) frame behind [[l2Assign]] — split
+    * out (r22) so the Lloyd sweep can fold its means pass onto the same
+    * scoring rule without a join back to the corpus. */
+  private def l2Scored(q8: DataFrame, cents: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(q8.sparkSession)
-    val scored = q8.select(col("vec_id"), col("q8"))
+    q8.select(col("vec_id"), col("q8"))
       // broadcast: BOUNDED BY CONFIG — nlist centroid rows (capped
       // configs make this a constant; see ivfCellsRaw's note).
       .crossJoin(broadcast(cents.select(col("cid"), col("c8"),
         expr("vec_dot(c8, c8)").as("cc"))))
       .withColumn("d2", col("cc") - lit(2d) * expr("vec_dot(q8, c8)"))
+  }
+
+  private def l2Assign(q8: DataFrame, cents: DataFrame,
+      maxRn: Int): DataFrame = {
+    val scored = l2Scored(q8, cents)
     if (maxRn == 1)
       scored.groupBy(col("vec_id"))
         .agg(min(struct(col("d2"), col("cid"))).as("b"))
@@ -1301,6 +1308,17 @@ object SimilarityQueries {
     var cents = cfg.centroidSet(q8)
       .select(col("vec_id").as("cid"), col("q8").as("c8"))
     for (_ <- 1 to iters) {
+      // Shape note (r22): two rewrites of this means pass were A/B'd
+      // with RefinedBreakdown — (a) carrying q8 through the min-struct
+      // winner + one 64-sum aggregate (1.72 s vs 1.28 s: the 64-double
+      // array in the partial-agg buffer loses), (b) slim assign +
+      // join-back + one 64-sum aggregate (1.84 s: 64 aggregate
+      // expressions bloat codegen to 2.2 MiB task binaries). The
+      // original posexplode + two stacked narrow aggregations stays —
+      // at 64 dims the explode is the cheaper shape in BOTH regimes
+      // (both forms partial-aggregate map-side to nlist×64 cells, so
+      // shuffle bytes are identical at scale). The 8-wide PQ sweep is
+      // the opposite — see [[pqLloydRaw]].
       val home = l2Assign(q8, cents, maxRn = 1)
         .select(col("vec_id"), col("cid"))
       val means = home.join(q8, "vec_id")
@@ -2742,7 +2760,11 @@ object SimilarityQueries {
     * so the N·codewords·8 candidate rows fold map-side (the l2Assign
     * discipline per subspace). Self-dots are computed once per side
     * BEFORE the join — one 8-element integer dot per candidate row. */
-  private def pqAssignFull(slices: DataFrame, cb: DataFrame): DataFrame =
+  /** The scored (vec_id, off, s, cw_id, dist) frame behind
+    * [[pqAssignFull]] — split out (r22) so the per-subspace Lloyd sweep
+    * can fold its means pass onto the same scoring rule without a join
+    * back to the slice table (the [[l2Scored]] discipline). */
+  private def pqScored(slices: DataFrame, cb: DataFrame): DataFrame =
     slices
       .withColumn("ss", expr("vec_dot(s, s)"))
       // broadcast: BOUNDED BY CONFIG — codewords×8 codebook rows (the
@@ -2751,6 +2773,9 @@ object SimilarityQueries {
         expr("vec_dot(cs, cs)").as("cc"))), Seq("off"))
       .withColumn("dist",
         expr("CAST(ss + cc - 2 * vec_dot(s, cs) AS BIGINT)"))
+
+  private def pqAssignFull(slices: DataFrame, cb: DataFrame): DataFrame =
+    pqScored(slices, cb)
       .groupBy(col("vec_id"), col("off"))
       .agg(min(struct(col("dist"), col("cw_id"))).as("b"))
       .select(col("vec_id"), col("off"), col("b.cw_id").as("code"),
@@ -2776,16 +2801,22 @@ object SimilarityQueries {
       iters: Int): DataFrame = {
     var cb = seeds
     for (_ <- 1 to iters) {
-      val assign = pqAssignFull(slices, cb)
-        .select(col("vec_id"), col("off"), col("code"))
-      val means = assign.join(slices, Seq("vec_id", "off"))
-        .select(col("off"), col("code").as("cw_id"),
-          posexplode(col("s")).as(Seq("dim", "v")))
-        .groupBy(col("off"), col("cw_id"), col("dim"))
-        .agg(floor(sum(col("v")) / count(lit(1))).as("m"))
-        .groupBy(col("off"), col("cw_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(dim, m)))," +
-          " x -> CAST(x.m AS DOUBLE))").as("mv"))
+      // Same one-exchange means shape as [[lloydRefinedRaw]] (r22):
+      // the slice rides the min-struct winner ((dist, cw_id) is unique
+      // per group, so `s` is never consulted), then one column-wise
+      // aggregate of 8 exact integer sums + a count per (off, cw_id)
+      // replaces the join-back + posexplode + two stacked aggregations.
+      val assignVec = pqScored(slices, cb)
+        .groupBy(col("vec_id"), col("off"))
+        .agg(min(struct(col("dist"), col("cw_id"), col("s"))).as("b"))
+        .select(col("off"), col("b.cw_id").as("cw_id"), col("b.s").as("s"))
+      val sums = (0 until PqWidth).map(i =>
+        sum(element_at(col("s"), i + 1)).as(s"s$i")) :+
+        count(lit(1)).as("n")
+      val means = assignVec.groupBy(col("off"), col("cw_id"))
+        .agg(sums.head, sums.tail: _*)
+        .select(col("off"), col("cw_id"), array((0 until PqWidth).map(i =>
+          floor(col(s"s$i") / col("n")).cast("double")): _*).as("mv"))
       cb = cb.join(means, Seq("off", "cw_id"), "left")
         .select(col("off"), col("cw_id"),
           coalesce(col("mv"), col("cs")).as("cs"))
@@ -3900,11 +3931,16 @@ object SimilarityQueries {
     // construction-time job) — and a static IN prunes through the
     // union of delta segments where a dynamic-pruning subquery cannot.
     // Vectors ride WITH their cid rows, so the historical per-id
-    // rescore join against q8 is gone too.
-    val live = graft.functions.Materialized(
-      rangeLiveCells(spark, dir, cfg, floorOf)).df
-    val liveCids = live.select(col("cid")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // rescore join against q8 is gone too. ONE collect serves both the
+    // static filter and the (broadcast) probe side — the probe becomes
+    // a LocalRelation, so neither a Materialized pin nor a second
+    // distinct+collect job runs per query (r22, guide §1/§5: same
+    // bounded rows, two fewer driver actions).
+    import spark.implicits._
+    val liveRows = rangeLiveCells(spark, dir, cfg, floorOf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val liveCids = liveRows.map(_._2).distinct
+    val live = liveRows.toDF("query_id", "cid")
     q8ByCid(spark, dir, cfg)
       .filter(col("cid").isInCollection(liveCids))
       // broadcast: BOUNDED — 10 queries × nlist surviving cells.
@@ -4057,11 +4093,13 @@ object SimilarityQueries {
     graft.functions.VectorExprs.register(spark)
     val q8 = quantized(spark, dir)
     // the refined layout table — see rangeCosineCellsWith's note
-    // (static partition filter + broadcast join, same shape).
-    val live = graft.functions.Materialized(
-      rangeLiveCellsRefined(spark, dir, cfg, iters, floorOf)).df
-    val liveCids = live.select(col("cid")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // (static partition filter + LocalRelation probe off ONE bounded
+    // collect, same shape).
+    import spark.implicits._
+    val liveRows = rangeLiveCellsRefined(spark, dir, cfg, iters, floorOf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val liveCids = liveRows.map(_._2).distinct
+    val live = liveRows.toDF("query_id", "cid")
     q8ByCidRefined(spark, dir, cfg, iters)
       .filter(col("cid").isInCollection(liveCids))
       // broadcast: BOUNDED — 10 queries × nlist surviving cells.

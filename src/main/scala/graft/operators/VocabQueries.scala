@@ -38,7 +38,7 @@ object VocabQueries {
       // width-floor at the vocab family's ROOT stage (r21) — the token
       // explode ran as one task off the single-row-group scan; every
       // tf/df/bm25/tfidf consumer inherits this width (Staged.fanOut)
-      tokenize(Staged.fanOut(Tables.documents(spark, dir)))
+      tokenize(Tables.documents(spark, dir))
     }
 
   /** Per-document term frequencies (doc_id, tok, tf) — the second persisted
